@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the headline catalog queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Headline set: run every oracle-backed query plus rows-only ops marked
+# as benchmark-worthy; skip trivial literal fixtures.
+SKIP = {"q_literal_union", "q_ref_filter", "q_notnull_filter", "q_catalog_tables"}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from dbt_foundation_spark.queries import all_queries
+    from dbt_foundation_spark.session import get_spark
+
+    spark = get_spark(app_name="dbt_foundation_spark_bench")
+    qs = {k: v for k, v in sorted(all_queries().items()) if k not in SKIP}
+
+    # warm the JVM + parquet footer caches once with the flagship query
+    qs["q_pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop sink: full execution, no driver-side result transfer
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Shared helpers for the query catalog.
+
+Numeric determinism contract: the driver hash-compares Spark output with
+DuckDB output value-by-value. Plain SUM/AVG over doubles is
+order-dependent (different partial-aggregation orders → last-ulp drift),
+so every oracle-compared aggregate over a double column goes through an
+exact DECIMAL(18,4) cast (bit-identical in both engines: a double can
+never sit exactly on a 1e-4 rounding boundary, because 5e-5 has no
+finite binary expansion), is summed exactly, and is cast back to double
+at the end. At 100 TB scale this costs nothing — decimal sums are still
+map-side-combinable JVM aggregates.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Parquet TIMESTAMP(NANOS) columns (Spark reads them as long nanos via
+# spark.sql.legacy.parquet.nanosAsLong; we convert to TIMESTAMP_NTZ —
+# microsecond floor, matching DuckDB's ns→µs truncation).
+_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table (parquet → pushdown-friendly)."""
+    df = spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
+    for col in _NANOS_TS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(
+                col,
+                # integer div — nanos overflow double's 53-bit mantissa
+                F.timestamp_micros(F.expr(f"{col} DIV 1000")).cast("timestamp_ntz"),
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register testdata tables as temp views for Spark-SQL queries."""
+    for name in names or TABLES:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def dsum(col: str | Column, alias: str, scale: int = 8) -> Column:
+    """Exact (decimal-routed) sum of a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+def davg(col: str | Column, alias: str, scale: int = 8) -> Column:
+    """Deterministic average: exact decimal sum / count, double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c)
+    ).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str, scale: int = 8) -> str:
+    """DuckDB twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str, scale: int = 8) -> str:
+    """DuckDB twin of :func:`davg`."""
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )

@@ -1,0 +1,113 @@
+"""Source registry — the engine's analog of dbt ``sources.yml``.
+
+Reference behavior (models/sources.yml:4-14): a source is a declared
+external relation with a logical (source_name, table_name) address,
+resolved at compile time by ``source('raw', 'customers')``. Here a
+source maps a logical name to a storage location + format; ``load``
+returns a DataFrame (predicate pushdown / column pruning happen at the
+scan because we stay declarative).
+
+The reference's meta-source ``target_db_information_schema.tables``
+(models/sources.yml:10-14) maps to the Spark catalog — see
+``information_schema_tables``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class Source:
+    """One declared external relation."""
+
+    source_name: str
+    table_name: str
+    path: str | None = None  # file-backed source
+    fmt: str = "parquet"
+    options: dict[str, str] = field(default_factory=dict)
+    catalog_table: str | None = None  # catalog-backed source (2-part name)
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        if self.catalog_table:
+            return spark.table(self.catalog_table)
+        if not self.path:
+            raise ValueError(f"source {self.source_name}.{self.table_name} has no path")
+        reader = spark.read.options(**self.options)
+        if self.fmt == "parquet":
+            return reader.parquet(self.path)
+        if self.fmt == "csv":
+            return reader.option("header", "true").csv(self.path)
+        if self.fmt == "json":
+            return reader.json(self.path)
+        if self.fmt == "orc":
+            return reader.orc(self.path)
+        raise ValueError(f"unsupported source format: {self.fmt}")
+
+
+class SourceRegistry:
+    def __init__(self) -> None:
+        self._sources: dict[tuple[str, str], Source] = {}
+
+    def add(self, source: Source) -> None:
+        self._sources[(source.source_name, source.table_name)] = source
+
+    def get(self, source_name: str, table_name: str) -> Source:
+        try:
+            return self._sources[(source_name, table_name)]
+        except KeyError:
+            known = ", ".join(f"{s}.{t}" for s, t in sorted(self._sources))
+            raise KeyError(
+                f"undeclared source {source_name}.{table_name}; declared: {known}"
+            ) from None
+
+    def load(self, spark: SparkSession, source_name: str, table_name: str) -> DataFrame:
+        return self.get(source_name, table_name).load(spark)
+
+    def names(self) -> list[tuple[str, str]]:
+        return sorted(self._sources)
+
+
+def testdata_sources(sf_dir: str, source_name: str = "raw") -> SourceRegistry:
+    """Registry over the driver-generated parquet dir (TESTDATA.md)."""
+    reg = SourceRegistry()
+    base = Path(sf_dir)
+    for t in TESTDATA_TABLES:
+        reg.add(Source(source_name, t, path=str(base / f"{t}.parquet")))
+    return reg
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Shorthand scan of one testdata table (pushdown-friendly)."""
+    return spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
+
+
+def information_schema_tables(spark: SparkSession) -> DataFrame:
+    """INFORMATION_SCHEMA.tables analog over the Spark catalog.
+
+    Mirrors the projection of macros/list_orphaned_objects.sql:24-32:
+    (table_type, table_schema, table_name); Snowflake's 'BASE TABLE' →
+    'TABLE'/'VIEW' from spark.catalog.listTables().
+    """
+    rows = []
+    for db in spark.catalog.listDatabases():
+        for t in spark.catalog.listTables(db.name):
+            table_type = "VIEW" if t.tableType in ("TEMPORARY", "VIEW") else "TABLE"
+            rows.append((table_type, t.namespace[0] if t.namespace else db.name, t.name))
+    return spark.createDataFrame(rows, "table_type string, table_schema string, table_name string")
