@@ -1,0 +1,121 @@
+"""Manifest — the engine's DAG IR (dbt's ``graph.nodes`` analog).
+
+Reference semantics re-expressed:
+- nodes carry ``resource_type``, ``config.schema``, ``alias`` exactly as
+  the orphan macro consumes them (macros/list_orphaned_objects.sql:45-48);
+- edges come from ``ref()``/``source()`` calls captured while building
+  each model's DataFrame (dbt captures them while rendering Jinja —
+  §3 step 2 of SURVEY.md);
+- ``ref`` resolves to a 2-part ``schema.alias`` name, never 3-part
+  (macros/overrides/ref.sql:20-25 strips the database for clone-safety).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+
+@dataclass
+class NodeConfig:
+    materialized: str = "view"
+    schema: str | None = None  # custom schema (generate_schema_name input)
+    alias: str | None = None
+    tags: tuple[str, ...] = ()
+    unique_key: str | tuple[str, ...] | None = None
+    incremental_strategy: str = "append"  # append | insert_overwrite | merge
+    partition_by: tuple[str, ...] = ()
+    extra: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class Node:
+    name: str
+    resource_type: str  # model | seed | snapshot | source | test
+    config: NodeConfig
+    fn: Callable[..., Any] | None = None  # (ctx) -> DataFrame, or None for seeds
+    sql: str | None = None  # SQL-string models
+    path: str | None = None  # seeds: csv path
+    depends_on: set[str] = field(default_factory=set)
+    source_deps: set[tuple[str, str]] = field(default_factory=set)
+    columns: dict[str, dict] = field(default_factory=dict)  # docs/tests metadata
+
+    @property
+    def alias(self) -> str:
+        return self.config.alias or self.name
+
+    def checksum(self) -> str:
+        """Content hash for state:modified+ selection (README.md:280)."""
+        if self.sql is not None:
+            body = self.sql
+        elif self.fn is not None:
+            try:
+                body = inspect.getsource(self.fn)
+            except (OSError, TypeError):
+                body = repr(self.fn)
+        else:
+            body = self.path or ""
+        return hashlib.sha256(body.encode()).hexdigest()
+
+
+class Manifest:
+    """Node registry + DAG with topological scheduling order."""
+
+    def __init__(self) -> None:
+        self.nodes: dict[str, Node] = {}
+
+    def add(self, node: Node) -> None:
+        if node.name in self.nodes:
+            raise ValueError(f"duplicate node name: {node.name}")
+        self.nodes[node.name] = node
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.nodes
+
+    def __getitem__(self, name: str) -> Node:
+        return self.nodes[name]
+
+    def models(self) -> list[Node]:
+        return [n for n in self.nodes.values() if n.resource_type == "model"]
+
+    def downstream(self, names: set[str]) -> set[str]:
+        """names plus every transitive consumer (the '+' in state:modified+)."""
+        out = set(names)
+        changed = True
+        while changed:
+            changed = False
+            for n in self.nodes.values():
+                if n.name not in out and (n.depends_on & out):
+                    out.add(n.name)
+                    changed = True
+        return out
+
+    def topo_generations(self, subset: set[str] | None = None) -> list[list[Node]]:
+        """Kahn's algorithm in generations — each generation's nodes are
+        independent and run concurrently on the scheduler thread pool
+        (reference: 16 threads, profiles.example.yml:15)."""
+        names = set(subset) if subset is not None else set(self.nodes)
+        indeg = {
+            n: len(self.nodes[n].depends_on & names) for n in names
+        }
+        ready = deque(sorted(n for n, d in indeg.items() if d == 0))
+        gens: list[list[Node]] = []
+        seen = 0
+        while ready:
+            gen = sorted(ready)
+            ready.clear()
+            gens.append([self.nodes[n] for n in gen])
+            seen += len(gen)
+            for done in gen:
+                for n in names:
+                    if done in self.nodes[n].depends_on:
+                        indeg[n] -= 1
+                        if indeg[n] == 0:
+                            ready.append(n)
+        if seen != len(names):
+            cyc = sorted(n for n in names if indeg[n] > 0)
+            raise ValueError(f"dependency cycle among: {cyc}")
+        return gens

@@ -1,0 +1,195 @@
+"""Materialization strategies on plain Parquet tables (no Delta in env).
+
+The reference's surface (SURVEY.md §2.A B1-B5): view, table, ephemeral,
+incremental (append / insert_overwrite / merge), snapshot (SCD2).
+
+Scale notes:
+- ``table`` is CTAS: one write job, partitioned by ``config.partition_by``
+  (partition pruning for consumers at 100 TB).
+- ``incremental merge`` has no MERGE INTO on parquet; it is rewritten as
+  ``existing ANTI-JOIN new ∪ new`` into a staging table followed by a
+  catalog-level swap — the anti-join shuffles only on the unique key and
+  AQE handles skew; the swap avoids read-overwrite conflicts.
+- ``snapshot`` is batch SCD2 with the same staging-swap pattern.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from dbt_foundation_spark.manifest import Node
+    from dbt_foundation_spark.project import Project
+
+SNAPSHOT_META = ("dbt_scd_id", "dbt_valid_from", "dbt_valid_to")
+
+
+def materialize(project: Project, node: Node, df: DataFrame) -> tuple[int | None, bool]:
+    """Execute one node's materialization. Returns (rows, persisted)."""
+    mat = node.config.materialized
+    if node.resource_type == "snapshot":
+        mat = "snapshot"
+    if mat == "ephemeral":
+        return None, False
+    if mat == "view":
+        return _view(project, node, df)
+    if mat == "table":
+        _table(project, node, df)
+        return None, True
+    if mat == "incremental":
+        _incremental(project, node, df)
+        return None, True
+    if mat == "snapshot":
+        _snapshot(project, node, df)
+        return None, True
+    raise ValueError(f"unknown materialization: {mat}")
+
+
+def _writer(node: Node, df: DataFrame):
+    w = df.write.format("parquet")
+    if node.config.partition_by:
+        w = w.partitionBy(*node.config.partition_by)
+    return w
+
+
+def _view(project: Project, node: Node, df: DataFrame) -> tuple[int | None, bool]:
+    """Persistent catalog view for SQL-string models whose refs are all
+    persisted relations (the compiled text is then self-contained —
+    the reference's default materialization, dbt_project.yml:36).
+    DataFrame models (and SQL models over ephemeral upstreams) have no
+    recoverable SQL text → they stay virtual (lazy frame), which is
+    exactly a view's recompute-on-read semantics within the session."""
+    if node.sql is not None and all(
+        dep in project._materialized for dep in node.depends_on
+    ):
+        text = project.resolve_sql(node)
+        project.spark.sql(
+            f"CREATE OR REPLACE VIEW {project.relation_name(node)} AS {text}"
+        )
+        return None, True
+    return None, False
+
+
+def _table(project: Project, node: Node, df: DataFrame) -> None:
+    """Full-rebuild CTAS (config(materialized='table'),
+    models/example/my_first_dbt_model.sql:10)."""
+    rel = project.relation_name(node)
+    if project.spark.catalog.tableExists(rel):
+        _swap_in(project, rel, df, node)
+    else:
+        _writer(node, df).mode("overwrite").saveAsTable(rel)
+
+
+def _incremental(project: Project, node: Node, df: DataFrame) -> None:
+    """B3: append / insert_overwrite / merge without MERGE INTO."""
+    spark = project.spark
+    rel = project.relation_name(node)
+    if not spark.catalog.tableExists(rel):
+        _writer(node, df).mode("overwrite").saveAsTable(rel)
+        return
+    strategy = node.config.incremental_strategy
+    if strategy == "append":
+        _writer(node, df).mode("append").saveAsTable(rel)
+        return
+    if strategy == "insert_overwrite":
+        if node.config.partition_by:
+            # dynamic partition overwrite: replace only arriving partitions
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            df.write.insertInto(rel, overwrite=True)
+        else:
+            _swap_in(project, rel, df, node)
+        return
+    if strategy == "merge":
+        keys = node.config.unique_key
+        if not keys:
+            raise ValueError(f"{node.name}: merge strategy requires unique_key")
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        existing = spark.table(rel)
+        merged = existing.join(df, on=keys, how="left_anti").unionByName(df)
+        _swap_in(project, rel, merged, node)
+        return
+    raise ValueError(f"unknown incremental strategy: {strategy}")
+
+
+def _snapshot(project: Project, node: Node, df: DataFrame) -> None:
+    """B5: SCD2 snapshot — validity-interval capture on plain parquet.
+
+    timestamp strategy: a row is 'changed' when its updated_at advanced
+    past the open version's; check strategy: when any check_col differs.
+    Changed keys close their open row (dbt_valid_to = new updated_at) and
+    insert a new open version. New keys insert an open version.
+    """
+    spark = project.spark
+    rel = project.relation_name(node)
+    key = node.config.unique_key
+    keys = [key] if isinstance(key, str) else list(key)
+    cfg = node.config.extra
+    strategy = cfg.get("strategy", "timestamp")
+    updated_at = cfg.get("updated_at")
+    if strategy == "timestamp" and not updated_at:
+        raise ValueError(f"{node.name}: timestamp snapshots need updated_at=")
+
+    if strategy == "timestamp":
+        valid_from = F.col(updated_at).cast("timestamp")
+        scd_payload = [updated_at]
+    else:
+        check_cols = list(cfg.get("check_cols") or [c for c in df.columns if c not in keys])
+        valid_from = F.current_timestamp()
+        scd_payload = check_cols
+
+    scd_id = F.md5(
+        F.concat_ws(
+            "|", *[F.coalesce(F.col(c).cast("string"), F.lit("_null_")) for c in keys + scd_payload]
+        )
+    )
+    new = df.withColumn("dbt_scd_id", scd_id).withColumn("dbt_valid_from", valid_from).withColumn(
+        "dbt_valid_to", F.lit(None).cast("timestamp")
+    )
+
+    if not spark.catalog.tableExists(rel):
+        new.write.format("parquet").mode("overwrite").saveAsTable(rel)
+        return
+
+    current = spark.table(rel)
+    open_rows = current.filter(F.col("dbt_valid_to").isNull())
+    closed_rows = current.filter(F.col("dbt_valid_to").isNotNull())
+
+    # arriving version per key, only where it differs from the open one
+    incoming = new.alias("n").join(
+        open_rows.select(*keys, F.col("dbt_scd_id").alias("_cur_scd"),
+                         F.col("dbt_valid_from").alias("_cur_from")).alias("c"),
+        on=keys,
+        how="left",
+    )
+    fresh = incoming.filter(
+        F.col("_cur_scd").isNull() | (F.col("n.dbt_scd_id") != F.col("_cur_scd"))
+    ).select("n.*")
+
+    # close open rows superseded by a fresh version
+    superseded = open_rows.alias("o").join(
+        fresh.select(*keys, F.col("dbt_valid_from").alias("_new_from")).alias("f"),
+        on=keys,
+        how="left",
+    )
+    closed_now = superseded.select(
+        *[F.col(f"o.{c}") for c in open_rows.columns if c != "dbt_valid_to"],
+        F.coalesce(F.col("_new_from"), F.col("o.dbt_valid_to")).alias("dbt_valid_to"),
+    )
+
+    result = closed_rows.unionByName(closed_now).unionByName(fresh)
+    _swap_in(project, rel, result, node)
+
+
+def _swap_in(project: Project, rel: str, df: DataFrame, node: Node) -> None:
+    """Write df to a staging table then swap it in — avoids the
+    read-overwrite conflict of rewriting a table that feeds the plan,
+    and keeps the swap a cheap catalog operation at any scale."""
+    spark = project.spark
+    staging = f"{rel}__dbt_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    _writer(node, df).mode("overwrite").saveAsTable(staging)
+    spark.sql(f"DROP TABLE IF EXISTS {rel}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {rel}")

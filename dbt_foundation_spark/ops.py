@@ -1,0 +1,156 @@
+"""Run-operation registry — the reference's macro layer as engine ops.
+
+- ``list_orphaned_objects`` (macros/list_orphaned_objects.sql:18-53):
+  catalog scan minus manifest nodes → DROP/RENAME command strings,
+  PRINT-ONLY (the macro's safety contract at :15 — it never executes DDL).
+- ``star_from_relations`` (macros/star_from_relations.sql:12-26): union
+  the column sets of N relations by name, emit an [alias.]`col` list
+  minus an exclusion list.
+- ``union_relations`` (dbt_utils.union_relations, called at
+  star_from_relations.sql:14): union N frames BY NAME, padding missing
+  columns with NULLs, adding a ``_dbt_source_relation`` provenance column.
+- ``lint`` (.pre-commit-config.yaml:1-10): plan-only compile + the two
+  script checks (trailing semicolon, hard-coded 3-part names).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+import re
+
+
+def quote_identifier(name: str) -> str:
+    """M8 adapter.quote analog — Spark backtick quoting."""
+    escaped = name.replace("`", "``")
+    return f"`{escaped}`"
+
+
+def star_from_relations(
+    frames: list[DataFrame],
+    relation_alias: str | None = None,
+    except_: list[str] | None = None,
+) -> list[str]:
+    """M1: merged, quoted column list across relations minus ``except_``.
+
+    The macro builds the union query via dbt_utils.union_relations and
+    asks the warehouse for its columns (dbt.get_columns_in_query —
+    star_from_relations.sql:17). Spark equivalent: unionByName of the
+    frames' LIMIT-0 slices; ``df.schema`` is the lazily-analyzed answer
+    (no execution — the macro's ``execute`` guard at :16 maps to Spark's
+    analysis phase needing live relations).
+    """
+    merged = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True),
+        [f.limit(0) for f in frames],
+    )
+    exclude = {c.lower() for c in (except_ or [])}
+    cols = [c for c in merged.columns if c.lower() not in exclude]
+    prefix = f"{relation_alias}." if relation_alias else ""
+    return [f"{prefix}{quote_identifier(c)}" for c in cols]
+
+
+def union_relations(
+    named_frames: dict[str, DataFrame],
+    except_: list[str] | None = None,
+    source_column: str = "_dbt_source_relation",
+) -> DataFrame:
+    """A23 (dbt_utils.union_relations): union by column name with NULL
+    padding + provenance column. Pure unionByName — no shuffle; Catalyst
+    concatenates the scans."""
+    exclude = {c.lower() for c in (except_ or [])}
+    tagged = []
+    for name, df in named_frames.items():
+        keep = [c for c in df.columns if c.lower() not in exclude]
+        tagged.append(df.select(*keep).withColumn(source_column, F.lit(name)))
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), tagged)
+
+
+def list_orphaned_objects(
+    project,
+    output_drop_cmd: bool = False,
+    output_rename_cmd: bool = False,
+    printer=print,
+) -> list[str]:
+    """M2: database objects not managed by the project's manifest.
+
+    Mirrors macros/list_orphaned_objects.sql:18-53: information-schema
+    scan (:24-32, the engine's catalog), manifest-side name set over
+    models+seeds+snapshots (:44-48, ``graph.nodes`` filtered by
+    resource_type with config.schema/alias), anti-filter, then emit
+    ``schema.name`` lines or DROP/RENAME commands. PRINT-ONLY (:15).
+    """
+    from dbt_foundation_spark.sources.registry import information_schema_tables
+
+    printer(f"-- target: {project.target.name} schema: {project.target.schema}")
+    objects = (
+        information_schema_tables(project.spark)
+        .select(
+            F.replace(F.col("table_type"), F.lit("BASE "), F.lit("")).alias("object_type"),
+            F.col("table_schema").alias("object_schema"),
+            F.col("table_name").alias("object_name"),
+        )
+        .filter(
+            (F.upper(F.col("object_schema")) != "INFORMATION_SCHEMA")
+            & (F.upper(F.col("object_name")) != "DATA_REFRESH_TIME")
+        )
+        .orderBy("object_schema", "object_type", "object_name")
+        .collect()
+    )
+    managed = {
+        f"{project.schema_for(n)}.{n.alias}".upper()
+        for n in project.manifest.nodes.values()
+        if n.resource_type in ("model", "seed", "snapshot")
+    }
+    lines: list[str] = []
+    for row in objects:
+        fqn = f"{row.object_schema}.{row.object_name}"
+        if fqn.upper() in managed or row.object_name.startswith("__"):
+            continue
+        if row.object_name.endswith("__dbt_tmp"):
+            continue
+        if output_drop_cmd:
+            lines.append(f"DROP {row.object_type} {fqn};")
+        elif output_rename_cmd:
+            lines.append(
+                f"ALTER {row.object_type} {fqn} RENAME TO "
+                f"{row.object_schema}._to_delete_{row.object_name};"
+            )
+        else:
+            lines.append(fqn)
+    for line in lines:
+        printer(line)
+    return lines
+
+
+# ---------- lint (M16, .pre-commit-config.yaml:5-10) ----------
+
+_THREE_PART = re.compile(r"\b\w+\.\w+\.\w+\b")
+
+
+def lint(project) -> list[str]:
+    """Static checks: plan-only compile of every model (dbt-parse), no
+    trailing semicolon, no hard-coded 3-part names in SQL models."""
+    problems: list[str] = []
+    for node in project.manifest.models():
+        if node.sql is not None:
+            body = node.sql.strip()
+            if body.endswith(";"):
+                problems.append(f"{node.name}: trailing semicolon")
+            cleaned = re.sub(r"\bref\(['\"]\w+['\"]\)", "", body)
+            if _THREE_PART.search(cleaned):
+                problems.append(f"{node.name}: hard-coded 3-part table name")
+        try:
+            df = project.build_frame(node)
+            _ = df.schema  # analysis only — no job
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"{node.name}: does not compile: {e}")
+    return problems
+
+
+def get_columns_in_query(df: DataFrame) -> list[str]:
+    """M7 dbt.get_columns_in_query — lazy schema, no execution."""
+    return list(df.schema.names)

@@ -1,0 +1,358 @@
+"""Project — model registration, ref/source resolution, DAG execution.
+
+The engine's dbt-core analog. Design stance (SURVEY.md §7): no Jinja —
+models are Python functions ``(ctx) -> DataFrame`` or raw Spark-SQL
+strings; ``ctx.ref()`` / ``ctx.source()`` return DataFrames and record
+DAG edges as a side effect (dbt records them while rendering Jinja).
+
+Semantics preserved from the reference:
+- 2-part ref resolution (macros/overrides/ref.sql:10-26): refs resolve
+  to ``schema.alias`` in the session catalog, never a 3-part name.
+- schema-name policy (macros/overrides/generate_schema_name.sql:11-22):
+  exactly ``config.schema or target.schema``, trimmed — no env prefixing.
+- DAG-parallel builds (profiles.example.yml:15): independent nodes run
+  on a thread pool (Spark schedules concurrent jobs from many threads).
+- per-query metadata tagging (yuki_snowflake_dbt_tags, packages.yml:2-3):
+  every materialization action carries a JSON job description.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import re
+import time
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbt_foundation_spark.manifest import Manifest, Node, NodeConfig
+from dbt_foundation_spark.materialize import materialize
+from dbt_foundation_spark.sources.registry import SourceRegistry
+
+logger = logging.getLogger("dbt_foundation_spark")
+
+
+@dataclass
+class Target:
+    """Profile target (profiles.example.yml:3-14 analog)."""
+
+    name: str = "dev"
+    schema: str = "analytics"
+    threads: int = 16  # profiles.example.yml:15
+
+
+def generate_schema_name(custom_schema_name: str | None, target: Target) -> str:
+    """Schema policy: the configured schema verbatim (trimmed) or the
+    target schema — no ``<target>_<custom>`` concatenation.
+
+    Reference: macros/overrides/generate_schema_name.sql:11-22.
+    """
+    if custom_schema_name is None or not custom_schema_name.strip():
+        return target.schema
+    return custom_schema_name.strip()
+
+
+class Context:
+    """Per-node execution context passed to model functions."""
+
+    def __init__(self, project: Project, node: Node, capture: bool = False):
+        self.project = project
+        self.node = node
+        self.spark = project.spark
+        self.target = project.target
+        self._capture = capture
+
+    def ref(self, name: str) -> DataFrame:
+        """Resolve an upstream model by logical name (2-part semantics).
+
+        Reference: macros/overrides/ref.sql:10-26 — the database part is
+        never embedded; resolution goes through the manifest.
+        """
+        if name not in self.project.manifest:
+            raise KeyError(f"ref('{name}'): unknown node (from {self.node.name})")
+        self.node.depends_on.add(name)
+        return self.project._node_frame(name)
+
+    def source(self, source_name: str, table_name: str) -> DataFrame:
+        """Resolve a declared source (models/sources.yml analog)."""
+        self.node.source_deps.add((source_name, table_name))
+        return self.project.sources.load(self.spark, source_name, table_name)
+
+    def is_incremental(self) -> bool:
+        return (
+            self.node.config.materialized == "incremental"
+            and self.project._relation_exists(self.node)
+        )
+
+    def this(self) -> DataFrame:
+        """The node's own existing relation (dbt ``{{ this }}``)."""
+        return self.spark.table(self.project.relation_name(self.node))
+
+
+@dataclass
+class RunResult:
+    node: str
+    status: str  # success | error | skipped
+    rows: int | None = None
+    seconds: float = 0.0
+    message: str = ""
+
+
+class Project:
+    def __init__(
+        self,
+        name: str,
+        spark: SparkSession,
+        sources: SourceRegistry | None = None,
+        target: Target | None = None,
+    ):
+        self.name = name
+        self.spark = spark
+        self.sources = sources or SourceRegistry()
+        self.target = target or Target()
+        self.manifest = Manifest()
+        self.invocation_id = str(uuid.uuid4())
+        self._frames: dict[str, DataFrame] = {}  # memoized ephemeral/built frames
+        self._materialized: set[str] = set()
+
+    # ---------- registration ----------
+
+    def model(
+        self,
+        fn=None,
+        *,
+        name: str | None = None,
+        materialized: str = "view",
+        schema: str | None = None,
+        alias: str | None = None,
+        unique_key=None,
+        incremental_strategy: str = "append",
+        partition_by: tuple[str, ...] = (),
+        tags: tuple[str, ...] = (),
+        columns: dict[str, dict] | None = None,
+    ):
+        """Register a model: ``@project.model`` on ``(ctx) -> DataFrame``,
+        or ``project.model(sql_text, name=...)`` for a SQL-string model."""
+
+        def register(obj):
+            node_name = name or getattr(obj, "__name__", None)
+            if not node_name:
+                raise ValueError("SQL-string models need an explicit name=")
+            cfg = NodeConfig(
+                materialized=materialized,
+                schema=schema,
+                alias=alias,
+                tags=tuple(tags),
+                unique_key=unique_key,
+                incremental_strategy=incremental_strategy,
+                partition_by=tuple(partition_by),
+            )
+            node = Node(
+                name=node_name,
+                resource_type="model",
+                config=cfg,
+                fn=obj if callable(obj) else None,
+                sql=None if callable(obj) else str(obj),
+                columns=columns or {},
+            )
+            if node.sql is not None:
+                for m in re.finditer(r"\bref\(['\"](\w+)['\"]\)", node.sql):
+                    node.depends_on.add(m.group(1))
+            self.manifest.add(node)
+            return obj
+
+        if fn is None:
+            return register
+        return register(fn)
+
+    def seed(self, name: str, path: str, schema: str | None = None) -> None:
+        """CSV seed (dbt_project.yml:17 seed-paths analog)."""
+        self.manifest.add(
+            Node(
+                name=name,
+                resource_type="seed",
+                config=NodeConfig(materialized="table", schema=schema),
+                path=path,
+            )
+        )
+
+    def snapshot(
+        self,
+        fn=None,
+        *,
+        name: str | None = None,
+        unique_key: str = "id",
+        strategy: str = "timestamp",
+        updated_at: str | None = None,
+        check_cols: tuple[str, ...] = (),
+        schema: str | None = None,
+    ):
+        """SCD2 snapshot (snapshots/ scaffolding, dbt_project.yml:19)."""
+
+        def register(obj):
+            cfg = NodeConfig(materialized="snapshot", schema=schema, unique_key=unique_key)
+            cfg.extra.update(
+                strategy=strategy, updated_at=updated_at, check_cols=tuple(check_cols)
+            )
+            self.manifest.add(
+                Node(
+                    name=name or obj.__name__,
+                    resource_type="snapshot",
+                    config=cfg,
+                    fn=obj,
+                )
+            )
+            return obj
+
+        if fn is None:
+            return register
+        return register(fn)
+
+    # ---------- naming ----------
+
+    def schema_for(self, node: Node) -> str:
+        return generate_schema_name(node.config.schema, self.target)
+
+    def relation_name(self, node: Node) -> str:
+        """2-part name — the compiled-text contract of the ref override."""
+        return f"{self.schema_for(node)}.{node.alias}"
+
+    def _relation_exists(self, node: Node) -> bool:
+        return self.spark.catalog.tableExists(self.relation_name(node))
+
+    # ---------- building ----------
+
+    def _node_frame(self, name: str) -> DataFrame:
+        """DataFrame for a node: the materialized relation if it exists
+        in this run, else the (memoized) lazily-composed frame —
+        ephemeral models are simply never-persisted frames, which
+        Catalyst inlines into consumers for free."""
+        node = self.manifest[name]
+        if name in self._materialized and node.config.materialized != "ephemeral":
+            return self.spark.table(self.relation_name(node))
+        if name not in self._frames:
+            self._frames[name] = self.build_frame(node)
+        return self._frames[name]
+
+    def resolve_sql(self, node: Node) -> str:
+        """Compile a SQL-string model: ``ref('x')`` → 2-part relation name
+        for persisted upstreams, temp-view name for virtual ones."""
+        return re.sub(
+            r"\bref\(['\"](\w+)['\"]\)",
+            lambda m: self.relation_name(self.manifest[m.group(1)])
+            if m.group(1) in self._materialized
+            else f"__ephemeral_{m.group(1)}",
+            node.sql,
+        )
+
+    def build_frame(self, node: Node) -> DataFrame:
+        """Compile one node to a DataFrame (records edges as a side effect)."""
+        if node.resource_type == "seed":
+            return (
+                self.spark.read.option("header", "true")
+                .option("inferSchema", "true")
+                .csv(node.path)
+            )
+        ctx = Context(self, node)
+        if node.sql is not None:
+            for dep in node.depends_on:
+                if dep not in self._materialized:
+                    self._node_frame(dep).createOrReplaceTempView(f"__ephemeral_{dep}")
+            return self.spark.sql(self.resolve_sql(node))
+        return node.fn(ctx)
+
+    def _capture_edges(self) -> None:
+        """Parse phase: build every model frame once so ref()/source()
+        calls register DAG edges (dbt's Jinja capture render)."""
+        for node in self.manifest.nodes.values():
+            if node.name not in self._frames and node.resource_type != "test":
+                try:
+                    self._frames[node.name] = self.build_frame(node)
+                except Exception:
+                    # error surfaces again (attributed) during run()
+                    self._frames.pop(node.name, None)
+
+    # ---------- execution ----------
+
+    def _tag(self, node: Node) -> None:
+        """Query tagging (yuki_snowflake_dbt_tags analog, README.md:102-122):
+        JSON metadata on the Spark job so the event log / UI attributes
+        cost per model — the Spark-side twin of Snowflake query tags."""
+        meta = json.dumps(
+            {
+                "dbt_job": self.name,
+                "dbt_model": node.name,
+                "materialization": node.config.materialized,
+                "invocation_id": self.invocation_id,
+            }
+        )
+        sc = self.spark.sparkContext
+        sc.setJobGroup(self.invocation_id, meta, interruptOnCancel=False)
+        sc.setLocalProperty("spark.job.description", meta)
+
+    def _execute_node(self, node: Node) -> RunResult:
+        t0 = time.perf_counter()
+        try:
+            self._tag(node)
+            df = self._frames.get(node.name)
+            if df is None:
+                df = self.build_frame(node)
+            rows, persisted = materialize(self, node, df)
+            if persisted:
+                self._materialized.add(node.name)
+                self._frames.pop(node.name, None)  # consumers read the relation
+            else:
+                self._frames[node.name] = df  # virtual: lazy recompute-on-read
+            return RunResult(node.name, "success", rows, time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001 — attributed per-node like dbt
+            logger.exception("node %s failed", node.name)
+            return RunResult(node.name, "error", None, time.perf_counter() - t0, str(e))
+
+    def run(self, select: set[str] | None = None) -> list[RunResult]:
+        """Build the DAG: topo generations, each on a thread pool."""
+        for node in self.manifest.nodes.values():
+            if node.resource_type in ("model", "snapshot", "seed"):
+                self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.schema_for(node)}")
+        self._capture_edges()
+        runnable = {
+            n.name
+            for n in self.manifest.nodes.values()
+            if n.resource_type in ("model", "seed", "snapshot")
+        }
+        if select is not None:
+            runnable &= self.manifest.downstream(select)
+        results: list[RunResult] = []
+        failed: set[str] = set()
+        for gen in self.manifest.topo_generations(runnable):
+            todo = [n for n in gen if not (n.depends_on & failed)]
+            results.extend(
+                RunResult(n.name, "skipped", message="upstream failure")
+                for n in gen
+                if n.depends_on & failed
+            )
+            failed.update(r.node for r in results if r.status == "skipped")
+            if not todo:
+                continue
+            with ThreadPoolExecutor(max_workers=self.target.threads) as pool:
+                for res in pool.map(self._execute_node, todo):
+                    results.append(res)
+                    if res.status == "error":
+                        failed.add(res.node)
+        return results
+
+    # ---------- state:modified+ ----------
+
+    def state_snapshot(self) -> dict[str, str]:
+        return {n.name: n.checksum() for n in self.manifest.nodes.values()}
+
+    def modified_plus(self, previous_state: dict[str, str]) -> set[str]:
+        """Selector: changed nodes and all downstream (README.md:280)."""
+        changed = {
+            n.name
+            for n in self.manifest.nodes.values()
+            if previous_state.get(n.name) != n.checksum()
+        }
+        return self.manifest.downstream(changed)

@@ -1,0 +1,189 @@
+"""Framework-backed catalog queries (rows-only: catalog/DDL state has no
+DuckDB twin). Each exercises a materialization or macro-op end-to-end
+inside a throwaway schema and returns its deterministic relational
+output where possible."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_foundation_spark.queries import query
+from dbt_foundation_spark.queries._util import t
+
+
+def _project(spark: SparkSession, sf_dir: str):
+    from dbt_foundation_spark.project import Project, Target
+    from dbt_foundation_spark.sources import testdata_sources
+
+    schema = f"q_{uuid.uuid4().hex[:8]}"
+    return Project(
+        "catalog_queries",
+        spark,
+        sources=testdata_sources(sf_dir),
+        target=Target(schema=schema, threads=4),
+    )
+
+
+def _cleanup(project) -> None:
+    project.spark.sql(f"DROP DATABASE IF EXISTS {project.target.schema} CASCADE")
+
+
+@query("q_table_rebuild")  # rows-only (B2: CTAS materialization)
+def q_table_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: config(materialized='table') full-rebuild CTAS.
+
+    Reference: models/example/my_first_dbt_model.sql:10. Builds a table
+    model twice (rebuild path exercises staging-swap) and returns its
+    content read back from the catalog.
+    """
+    p = _project(spark, sf_dir)
+
+    @p.model(materialized="table")
+    def mart_order_counts(ctx):
+        return (
+            ctx.source("raw", "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    p.run()
+    p.run(select={"mart_order_counts"})  # second run: overwrite path
+    out = spark.table(p.relation_name(p.manifest["mart_order_counts"])).orderBy(
+        "o_orderstatus"
+    )
+    rows = out.collect()
+    _cleanup(p)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@query("q_incremental_append")  # rows-only (B3)
+def q_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: incremental materialization, append strategy — second
+    invocation processes only new rows (here: a later date slice)."""
+    p = _project(spark, sf_dir)
+    orders = t(spark, sf_dir, "orders")
+    slice_a = orders.filter(F.col("o_orderdate") < "1997-01-01")
+    slice_b = orders.filter(F.col("o_orderdate") >= "1997-01-01")
+    state = {"batch": slice_a}
+
+    @p.model(materialized="incremental", incremental_strategy="append")
+    def fct_orders_inc(ctx):
+        return state["batch"]
+
+    p.run()
+    state["batch"] = slice_b
+    p2 = _project(spark, sf_dir)
+    p2.target = p.target
+
+    @p2.model(materialized="incremental", incremental_strategy="append", name="fct_orders_inc")
+    def fct_orders_inc2(ctx):
+        return state["batch"]
+
+    p2.run()
+    out = spark.table(p.relation_name(p.manifest["fct_orders_inc"]))
+    result = out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )
+    rows = result.collect()
+    _cleanup(p)
+    return spark.createDataFrame(rows, result.schema)
+
+
+@query("q_snapshot_scd2")  # rows-only (B5)
+def q_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: SCD2 snapshot over a mutating customer dimension — first
+    capture, then an update wave; returns version counts."""
+    p = _project(spark, sf_dir)
+    cust = t(spark, sf_dir, "customer").withColumn(
+        "updated_at", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    wave = {"df": cust}
+
+    @p.snapshot(unique_key="c_custkey", strategy="timestamp", updated_at="updated_at")
+    def dim_customer(ctx):
+        return wave["df"]
+
+    p.run()
+    # second wave: bump acctbal for one market segment
+    wave["df"] = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal") + 100).otherwise(
+            F.col("c_acctbal")
+        ),
+    ).withColumn("updated_at", F.lit("2024-02-01 00:00:00").cast("timestamp"))
+    p2 = _project(spark, sf_dir)
+    p2.target = p.target
+
+    @p2.snapshot(
+        unique_key="c_custkey", strategy="timestamp", updated_at="updated_at", name="dim_customer"
+    )
+    def dim_customer2(ctx):
+        return wave["df"]
+
+    p2.run()
+    snap = spark.table(p.relation_name(p.manifest["dim_customer"]))
+    result = snap.agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.when(F.col("dbt_valid_to").isNull(), 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(F.col("dbt_valid_to").isNotNull(), 1).otherwise(0)).alias("n_closed"),
+    )
+    rows = result.collect()
+    _cleanup(p)
+    return spark.createDataFrame(rows, result.schema)
+
+
+@query("q_orphan_anti")  # rows-only (A15/M2: catalog vs manifest anti-join)
+def q_orphan_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: orphaned-object detection — catalog objects minus manifest.
+
+    Reference: macros/list_orphaned_objects.sql:44-50 (rejectattr
+    anti-filter). Creates one managed model and one rogue table; the op
+    must emit exactly the rogue.
+    """
+    from dbt_foundation_spark.ops import list_orphaned_objects
+
+    p = _project(spark, sf_dir)
+
+    @p.model(materialized="table")
+    def managed(ctx):
+        return spark.range(1)
+
+    p.run()
+    spark.sql(f"CREATE TABLE {p.target.schema}.rogue AS SELECT 1 AS x")
+    lines = list_orphaned_objects(p, printer=lambda s: None)
+    _cleanup(p)
+    return spark.createDataFrame([(line,) for line in lines], "orphan string")
+
+
+@query("q_seed_load")  # rows-only (A5: CSV seed → table)
+def q_seed_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: seeds — repo CSVs loaded as graph-visible tables
+    (dbt_project.yml:17; orphan macro unions seed nodes at
+    list_orphaned_objects.sql:45-46)."""
+    import csv
+    import tempfile
+    from pathlib import Path
+
+    p = _project(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as d:
+        path = Path(d) / "country_codes.csv"
+        with open(path, "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(["code", "name"])
+            w.writerows([["US", "United States"], ["DE", "Germany"], ["JP", "Japan"]])
+        p.seed("country_codes", str(path))
+
+        @p.model(materialized="table")
+        def seed_consumer(ctx):
+            return ctx.ref("country_codes").orderBy("code")
+
+        p.run()
+        out = spark.table(p.relation_name(p.manifest["seed_consumer"]))
+        rows = out.collect()
+        schema = out.schema
+    _cleanup(p)
+    return spark.createDataFrame(rows, schema)

@@ -1,0 +1,274 @@
+"""Framework-semantics tests: manifest/DAG, materializations, data tests,
+ops — the reference's behavioral contract (SURVEY.md §2.A/§2.I/§5)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_foundation_spark import testing as T
+from dbt_foundation_spark.ops import (
+    get_columns_in_query,
+    lint,
+    list_orphaned_objects,
+    star_from_relations,
+    union_relations,
+)
+from dbt_foundation_spark.project import Project, Target, generate_schema_name
+from dbt_foundation_spark.sources import testdata_sources as _testdata_sources
+
+
+@pytest.fixture()
+def project(spark, sf_dir):
+    schema = f"t_{uuid.uuid4().hex[:8]}"
+    p = Project(
+        "test_project",
+        spark,
+        sources=_testdata_sources(sf_dir),
+        target=Target(name="dev", schema=schema, threads=4),
+    )
+    yield p
+    spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+
+
+def test_schema_name_policy():
+    tgt = Target(schema="analytics")
+    assert generate_schema_name(None, tgt) == "analytics"
+    assert generate_schema_name("  custom  ", tgt) == "custom"
+    assert generate_schema_name("", tgt) == "analytics"
+
+
+def test_example_models_end_to_end(project, spark):
+    """The reference's example pair: table model with NULL row, view model
+    filtering to id=1; unique/not_null tests behave per schema.yml."""
+
+    @project.model(materialized="table", columns={"id": {"tests": ["unique", "not_null"]}})
+    def my_first_dbt_model(ctx):
+        return spark.sql("SELECT 1 AS id UNION ALL SELECT CAST(NULL AS INT) AS id")
+
+    @project.model(columns={"id": {"tests": ["unique", "not_null"]}})
+    def my_second_dbt_model(ctx):
+        return ctx.ref("my_first_dbt_model").filter(F.col("id") == 1)
+
+    results = {r.node: r for r in project.run()}
+    assert results["my_first_dbt_model"].status == "success"
+    assert results["my_second_dbt_model"].status == "success"
+    assert project.manifest["my_second_dbt_model"].depends_on == {"my_first_dbt_model"}
+
+    rel = project.relation_name(project.manifest["my_first_dbt_model"])
+    assert spark.table(rel).count() == 2
+
+    tests = {(t.model, t.test): t for t in T.run_tests(project)}
+    # the NULL row makes not_null fail on the first model (FIXTURES.md)
+    assert tests[("my_first_dbt_model", "not_null(id)")].status == "fail"
+    assert tests[("my_first_dbt_model", "unique(id)")].status == "pass"
+    assert tests[("my_second_dbt_model", "not_null(id)")].status == "pass"
+    assert tests[("my_second_dbt_model", "unique(id)")].status == "pass"
+
+
+def test_sql_model_and_persistent_view(project, spark):
+    project.model(
+        "SELECT o_orderkey, o_totalprice FROM raw_orders WHERE o_totalprice > 100",
+        name="stg_orders_sql",
+        materialized="table",
+    )
+
+    @project.model(materialized="table")
+    def raw_orders_holder(ctx):  # stage raw into the catalog for the SQL model
+        return ctx.source("raw", "orders")
+
+    # SQL text references a view created from the staged table
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {project.target.schema}")
+    project.manifest["stg_orders_sql"].depends_on.add("raw_orders_holder")
+    project.manifest["stg_orders_sql"].sql = (
+        "SELECT o_orderkey, o_totalprice FROM ref('raw_orders_holder') "
+        "WHERE o_totalprice > 100"
+    )
+    results = {r.node: r for r in project.run()}
+    assert results["stg_orders_sql"].status == "success", results["stg_orders_sql"].message
+    out = spark.table(project.relation_name(project.manifest["stg_orders_sql"]))
+    assert out.filter(F.col("o_totalprice") <= 100).count() == 0
+
+
+def test_incremental_append_and_merge(project, spark):
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    src.createOrReplaceTempView("inc_src")
+
+    @project.model(materialized="incremental", incremental_strategy="append")
+    def inc_append(ctx):
+        return spark.table("inc_src")
+
+    project.run()
+    rel = project.relation_name(project.manifest["inc_append"])
+    assert spark.table(rel).count() == 2
+    project2 = _reattach(project)
+    project2.run(select={"inc_append"})
+    assert spark.table(rel).count() == 4  # appended
+
+    @project.model(
+        materialized="incremental", incremental_strategy="merge", unique_key="id"
+    )
+    def inc_merge(ctx):
+        return spark.table("inc_src")
+
+    project.run(select={"inc_merge"})
+    mrel = project.relation_name(project.manifest["inc_merge"])
+    assert spark.table(mrel).count() == 2
+    spark.createDataFrame([(2, "B2"), (3, "c")], "id int, v string").createOrReplaceTempView(
+        "inc_src"
+    )
+    p3 = _reattach(project, models=("inc_merge",))
+    p3.run(select={"inc_merge"})
+    got = {(r.id, r.v) for r in spark.table(mrel).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c")}  # upsert semantics
+
+
+def _reattach(project, models=None):
+    """Fresh Project over the same schema (simulates a new invocation)."""
+    p = Project(
+        project.name,
+        project.spark,
+        sources=project.sources,
+        target=project.target,
+    )
+    for name, node in project.manifest.nodes.items():
+        if models is None or name in models:
+            import copy
+
+            n2 = copy.copy(node)
+            n2.depends_on = set()
+            p.manifest.nodes[name] = n2
+    return p
+
+
+def test_snapshot_scd2(project, spark):
+    spark.createDataFrame(
+        [(1, "alice", "2024-01-01 00:00:00"), (2, "bob", "2024-01-01 00:00:00")],
+        "id int, name string, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp")).createOrReplaceTempView(
+        "snap_src"
+    )
+
+    @project.snapshot(unique_key="id", strategy="timestamp", updated_at="updated_at")
+    def dim_people(ctx):
+        return spark.table("snap_src")
+
+    project.run()
+    rel = project.relation_name(project.manifest["dim_people"])
+    assert spark.table(rel).count() == 2
+    assert spark.table(rel).filter(F.col("dbt_valid_to").isNull()).count() == 2
+
+    # alice changes; bob unchanged
+    spark.createDataFrame(
+        [(1, "alicia", "2024-02-01 00:00:00"), (2, "bob", "2024-01-01 00:00:00")],
+        "id int, name string, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp")).createOrReplaceTempView(
+        "snap_src"
+    )
+    p2 = _reattach(project)
+    p2.run()
+    snap = spark.table(rel)
+    assert snap.count() == 3  # closed alice + open alicia + open bob
+    open_rows = {r.name for r in snap.filter(F.col("dbt_valid_to").isNull()).collect()}
+    assert open_rows == {"alicia", "bob"}
+    closed = snap.filter(F.col("dbt_valid_to").isNotNull()).collect()
+    assert len(closed) == 1 and closed[0].name == "alice"
+
+
+def test_generic_test_family(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (2, "b", 30.0), (4, None, -5.0)],
+        "id int, tag string, v double",
+    )
+    assert not T.unique("id")(df).isEmpty()
+    assert T.unique("v")(df).isEmpty()
+    assert not T.not_null("tag")(df).isEmpty()
+    assert T.accepted_values("tag", ["a", "b"])(df.filter("tag IS NOT NULL")).isEmpty()
+    assert not T.accepted_range("v", min_value=0)(df).isEmpty()
+    assert T.not_empty_string("tag")(df.dropna()).isEmpty()
+    assert T.at_least_one("id")(df).isEmpty()
+    assert not T.not_constant("tag")(df.filter("tag = 'a'")).isEmpty()
+    assert T.equal_rowcount(df)(df).isEmpty()
+    assert not T.fewer_rows_than(df)(df).isEmpty()
+    assert T.equality(df)(df).isEmpty()
+    assert not T.equality(df.limit(2))(df).isEmpty()
+    assert T.not_null_proportion("id", 1.0)(df).isEmpty()
+    assert not T.not_null_proportion("tag", 0.9)(df).isEmpty()
+    seq = spark.createDataFrame([(1,), (2,), (3,), (5,)], "n int")
+    assert not T.sequential_values("n")(seq).isEmpty()
+    assert T.sequential_values("n")(seq.filter("n <= 3")).isEmpty()
+    ranges = spark.createDataFrame([(0, 10), (10, 20), (15, 30)], "lo int, hi int")
+    assert not T.mutually_exclusive_ranges("lo", "hi")(ranges).isEmpty()
+    assert T.mutually_exclusive_ranges("lo", "hi")(ranges.filter("lo < 15")).isEmpty()
+    parent = spark.createDataFrame([(1,), (2,)], "k int")
+    child = spark.createDataFrame([(1,), (3,)], "k int")
+    assert not T.relationships("k", parent, "k")(child).isEmpty()
+
+
+def test_star_and_union_relations(spark):
+    a = spark.createDataFrame([(1, "x", 5.0)], "id int, name string, score double")
+    b = spark.createDataFrame([(2, "left")], "id int, side string")
+    cols = star_from_relations([a, b], except_=["score"])
+    assert cols == ["`id`", "`name`", "`side`"]
+    cols_aliased = star_from_relations([a], relation_alias="t")
+    assert cols_aliased == ["t.`id`", "t.`name`", "t.`score`"]
+
+    u = union_relations({"a": a, "b": b})
+    assert set(u.columns) == {"id", "name", "score", "side", "_dbt_source_relation"}
+    rows = {
+        tuple(r)
+        for r in u.select("id", "name", "score", "side", "_dbt_source_relation").collect()
+    }
+    assert (1, "x", 5.0, None, "a") in rows
+    assert (2, None, None, "left", "b") in rows
+    assert get_columns_in_query(u) == u.columns
+
+
+def test_orphans_and_lint(project, spark):
+    @project.model(materialized="table")
+    def managed_model(ctx):
+        return spark.range(3)
+
+    project.run()
+    # an unmanaged table in the project schema → orphan
+    spark.sql(
+        f"CREATE TABLE {project.target.schema}.rogue_table AS SELECT 1 AS x"
+    )
+    lines = list_orphaned_objects(project, printer=lambda s: None)
+    assert f"{project.target.schema}.rogue_table" in lines
+    assert all("managed_model" not in line for line in lines)
+    drops = list_orphaned_objects(project, output_drop_cmd=True, printer=lambda s: None)
+    assert f"DROP TABLE {project.target.schema}.rogue_table;" in drops
+    renames = list_orphaned_objects(
+        project, output_rename_cmd=True, printer=lambda s: None
+    )
+    assert any("_to_delete_rogue_table" in r for r in renames)
+    # print-only contract: the rogue table must still exist
+    assert spark.catalog.tableExists(f"{project.target.schema}.rogue_table")
+
+    project.model("SELECT 1 AS x;", name="bad_semicolon")
+    project.model("SELECT * FROM cat.sch.tbl", name="bad_three_part")
+    problems = lint(project)
+    assert any("trailing semicolon" in p for p in problems)
+    assert any("3-part" in p for p in problems)
+
+
+def test_state_modified_selector(project, spark):
+    @project.model(materialized="table")
+    def base_m(ctx):
+        return spark.range(2)
+
+    @project.model(materialized="table")
+    def child_m(ctx):
+        return ctx.ref("base_m").withColumn("y", F.lit(1))
+
+    project.run()
+    state = project.state_snapshot()
+    assert project.modified_plus(state) == set()
+    # mutate base_m's definition → base_m and its consumer are selected
+    project.manifest["base_m"].sql = "SELECT 99 AS id"
+    project.manifest["base_m"].fn = None
+    sel = project.modified_plus(state)
+    assert sel == {"base_m", "child_m"}
