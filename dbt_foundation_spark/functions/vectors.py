@@ -1,0 +1,75 @@
+"""Vector math over array<float|double> columns — JVM-side, no UDFs.
+
+F.zip_with / F.aggregate compile to Catalyst higher-order functions:
+the dot product of two 1024-dim embeddings is a tight JVM loop per row,
+not a Python round-trip. Accumulation is sequential left-to-right in
+array order — deterministic and engine-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def to_double_array(col: Column | str) -> Column:
+    return _c(col).cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    prods = F.zip_with(to_double_array(a), to_double_array(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column | str) -> Column:
+    sq = F.aggregate(
+        F.transform(to_double_array(a), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.sqrt(sq)
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL when either norm is zero (try_divide)."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    diffs = F.zip_with(to_double_array(a), to_double_array(b), lambda x, y: (x - y) * (x - y))
+    return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def normalize(a: Column | str) -> Column:
+    """Unit-normalize (NULL-safe: zero vector → NULL elements)."""
+    n = norm(a)
+    return F.transform(to_double_array(a), lambda x: F.try_divide(x, n))
+
+
+def mean(a: Column | str) -> Column:
+    arr = to_double_array(a)
+    return F.try_divide(
+        F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x), F.array_size(arr)
+    )
+
+
+def hyperplane_signature(col: Column | str, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH signature: bit i = sign(v · plane_i),
+    packed into a BIGINT bucket id. ``planes`` are fixed (seeded)
+    driver-side constants — broadcast as literals, so the whole
+    signature is one codegen'd expression. At 100 TB this turns an
+    O(n²) similarity join into a bucketed equi-join."""
+    v = to_double_array(col)
+    bits = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("bigint")

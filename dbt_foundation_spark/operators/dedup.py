@@ -1,0 +1,257 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY §2.L D1/D2).
+
+Four tiers, all shuffle-bounded (never O(n²) across the corpus):
+
+- exact: hash-groupBy on the raw or fingerprint-normalized text.
+- minhash_lsh: shingles → k minhash values → b bands; candidate pairs
+  share a band bucket (the classic MinHash-LSH banding scheme); verify
+  with true Jaccard on token shingles. Hashes are md5-derived →
+  deterministic and engine-portable.
+- simhash: 64-bit weighted-bit signature; candidates share one of four
+  16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal); verify
+  with bit_count(xor).
+- embedding near-dup: random-hyperplane LSH buckets → within-bucket
+  cosine (functions/vectors.py).
+
+Every step is DataFrame-native: the only joins are equi-joins on bucket
+keys, so the shuffles are keyed and AQE-skew-splittable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dbt_foundation_spark.functions.text import (
+    fingerprint,
+    md5_hash64,
+    token_ngrams,
+    tokenize,
+)
+
+# Mersenne prime 2^31-1: universal-hash modulus small enough that
+# (h % P) * a < 2^62 — no int64 overflow under Spark 4 ANSI mode
+_P = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, cols: list[str], keep_order: list | None = None) -> DataFrame:
+    """D1: exactly one row per value-combination. With keep_order, the
+    winner is deterministic (row_number); otherwise dropDuplicates
+    (cheaper: partial dedup map-side before the shuffle)."""
+    if keep_order is None:
+        return df.dropDuplicates(cols)
+    w = Window.partitionBy(*cols).orderBy(*keep_order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def duplicate_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-dup clusters on the normalized fingerprint: (fingerprint,
+    keeper_id, n_members) for clusters of size > 1."""
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > 1)
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, num_hashes: int = 32, shingle_len: int = 3
+) -> DataFrame:
+    """Append ``minhash`` (array<bigint>, length num_hashes).
+
+    h_i(s) = (a_i * (H(s) mod P) + b_i) mod P over md5-derived H with
+    P = 2^31-1 — deterministic, portable, one codegen'd expression per
+    row, and every intermediate product < 2^62 (ANSI-safe).
+    """
+    coeffs = _hash_coeffs(num_hashes)
+    shingles = F.array_distinct(token_ngrams(text_col, shingle_len))
+    base = F.transform(shingles, lambda s: md5_hash64(s) % F.lit(_P))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_P))
+            )
+            for a, b in coeffs
+        ]
+    )
+    return df.withColumn("minhash", sig)
+
+
+def _hash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Fixed (a, b) pairs from a deterministic LCG (seed baked in so
+    signatures are stable across runs and engines)."""
+    coeffs, x = [], 88172645463325252
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % (_P - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % _P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_len: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """D2: near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    banding: rows/band r = num_hashes/bands; a pair collides iff some
+    band's r minhashes all agree → candidate. Verification computes true
+    shingle Jaccard only on candidates. Shuffle profile: explode(bands)
+    → groupBy band bucket (keyed shuffle) → self-join within buckets.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, num_hashes, shingle_len).select(
+        F.col(id_col).alias("_id"),
+        F.col("minhash"),
+        F.array_distinct(token_ngrams(text_col, shingle_len)).alias("_shingles"),
+    )
+    banded = sig.select(
+        "_id",
+        "_shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("minhash").getItem(b * rows_per_band + r).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_shingles", "bb.band", "bb.bucket")
+
+    left = banded.select(
+        F.col("band"), F.col("bucket"), F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a")
+    )
+    right = banded.select(
+        F.col("band"), F.col("bucket"), F.col("_id").alias("id_b"), F.col("_shingles").alias("sh_b")
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", F.try_divide(inter, union))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash: bit i of the signature = sign of the sum over
+    tokens of ±1 according to bit i of the token hash. Computed as one
+    aggregate over a 64-int accumulator array — single pass, JVM-side."""
+    toks = F.array_distinct(tokenize(text_col))
+    acc0 = F.array_repeat(F.lit(0).cast("bigint"), 64)
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+    # bit 63 of a signed long is the sign bit → its power is -2^63
+    powers = F.array(
+        *[F.lit(1 << i).cast("bigint") for i in range(63)],
+        F.lit(-(1 << 63)).cast("bigint"),
+    )
+
+    def merge(acc, tok):
+        h = md5_hash64(tok)
+        return F.zip_with(
+            acc,
+            bit_idx,
+            lambda a, i: a + F.when(F.getbit(h, i) == 1, 1).otherwise(-1),
+        )
+
+    sums = F.aggregate(toks, acc0, merge)
+    packed = F.aggregate(
+        F.zip_with(
+            sums,
+            powers,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a.bitwiseOR(x),
+    )
+    return df.withColumn(out_col, packed)
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """D2 (simhash flavor): pairs with hamming(simhash) ≤ max_hamming.
+
+    Blocking: 4 chunks of 16 bits — hamming ≤ 3 guarantees at least one
+    chunk identical (pigeonhole), so candidates = equi-join per chunk.
+    """
+    sh = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    chunks = sh.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("_id", "simhash", "cc.chunk", "cc.ck")
+    left = chunks.select("chunk", "ck", F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    right = chunks.select("chunk", "ck", F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        left.join(right, ["chunk", "ck"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    shingle_len: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """D2 (exact-Jaccard flavor): within explicit blocks (e.g. language
+    + length bucket), all-pairs token-shingle Jaccard. Blocks bound the
+    quadratic term; the join is an equi-join on the block key."""
+    sh = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("_id"),
+        F.array_distinct(token_ngrams(text_col, shingle_len)).alias("_sh"),
+    )
+    left = sh.select(*block_cols, F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    right = sh.select(*block_cols, F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        left.join(right, block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.try_divide(inter, union))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,134 @@
+"""Multimodal column plumbing (SURVEY §2.L D5): image/audio/video as
+opaque ``binary`` columns with typed metadata, processed by Arrow-batched
+pandas iterators (mapInPandas).
+
+The decode step itself is STUBBED (no PIL/ffmpeg in this container —
+gated behind an import-try with a deterministic fake), but everything
+Spark-side is real and tested: the schema contract, the mapInPandas
+batch shape, partition sizing, and the feature-column outputs.
+
+At scale: binary payloads dominate partition size — repartition so
+``rows_per_partition * avg_payload ≤ spark.sql.files.maxPartitionBytes``
+before a mapInPandas stage, and project metadata-only pipelines WITHOUT
+touching the binary column (column pruning keeps bytes unread).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # decode backends are optional in this environment
+    from PIL import Image  # noqa: F401
+
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime_type", T.StringType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, mime_type string, n_bytes long, sha256 string, "
+    "features array<float>"
+)
+
+
+def synthetic_media(spark, n: int = 64, payload_bytes: int = 256) -> DataFrame:
+    """Deterministic fake media table matching MEDIA_SCHEMA (the stand-in
+    for a real lakehouse media source)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(str(i).encode()).digest() * (payload_bytes // 32)
+        rows.append(
+            (
+                i,
+                bytearray(payload),
+                "image/png" if i % 3 else "audio/wav",
+                (64 + i % 16, 48 + i % 9, 1000 * (i % 7)),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder/encoder: hash-derived
+    pseudo-features. Replace with PIL/torchvision in a full container."""
+    h = hashlib.sha256(payload or b"").digest()
+    return [b / 255.0 for b in h[:dim]]
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Decode + featurize via mapInPandas (Arrow batches, not rows).
+
+    When a real decoder is present (HAS_PIL), plug it into the loop
+    body; the Spark-side contract (schema, batching, pruning) is
+    identical either way.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not HAS_PIL:
+                feats = [_fake_decode_features(p, dim) for p in pdf["payload"]]
+            else:  # pragma: no cover - backend not in this container
+                raise NotImplementedError("real decode backend wiring point")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime_type": pdf["mime_type"],
+                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "sha256": [
+                        hashlib.sha256(p or b"").hexdigest() for p in pdf["payload"]
+                    ],
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per planned frame
+    (timestamps from metadata duration) — pure JVM explode; the decode
+    of each frame is the stubbed step above."""
+    return df.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+
+
+def metadata_stats(df: DataFrame) -> DataFrame:
+    """Metadata-only aggregation — must NOT read the payload column
+    (verify with .explain: the parquet scan's ReadSchema excludes it)."""
+    return (
+        df.select("mime_type", "meta.width", "meta.height")
+        .groupBy("mime_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("width").alias("avg_width"),
+            F.avg("height").alias("avg_height"),
+        )
+    )

@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (SURVEY §2.L D3).
+
+- brute-force cosine top-k: the correctness baseline. One scan, dot
+  products in codegen, TakeOrdered for the top-k — no shuffle at all
+  for a single query vector.
+- LSH-bucketed ANN: random-hyperplane signatures (functions/vectors.py)
+  turn the corpus into 2^m buckets; a query probes its own bucket plus
+  all hamming-1 neighbors (multi-probe). Recall/latency tunable via m.
+  This is the 100 TB path: the scan prunes to ~ (1+m)/2^m of the data.
+  (cf. PAPERS.md: top-k similarity EDBT'20, REPOSE ICDE'21 — reference
+  for the block-and-verify pattern, no code derived.)
+- pairwise near-dup: embedding_near_pairs in operators/dedup.py style,
+  LSH-bucket-blocked cosine join.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbt_foundation_spark.functions import vectors as V
+
+
+def random_hyperplanes(dim: int, m: int, seed: int = 42) -> list[list[float]]:
+    """m fixed unit hyperplanes (Box-Muller from a seeded PRNG —
+    deterministic across runs/engines)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(m):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    exclude_id=None,
+) -> DataFrame:
+    """Brute-force top-k by cosine similarity to a constant query vector.
+
+    Plan: scan → codegen'd dot product → TakeOrderedAndProject(k).
+    Deterministic tiebreak on id.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = df.select(
+        F.col(id_col),
+        V.cosine(F.col(vec_col), q).alias("cosine_sim"),
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    seed: int = 42,
+    exclude_id=None,
+) -> DataFrame:
+    """ANN top-k: probe the query's LSH bucket + hamming-1 neighbors.
+
+    At 100 TB the signature column is precomputed and the table is
+    bucketed/partitioned by it, making the probe a partition-pruned
+    scan; here the signature is computed inline.
+    """
+    dim = len(query_vec)
+    planes = random_hyperplanes(dim, m, seed)
+    sig = V.hyperplane_signature(F.col(vec_col), planes)
+
+    qsig = 0
+    for i, plane in enumerate(planes):
+        d = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if d >= 0:
+            qsig |= 1 << i
+    probes = [qsig] + [qsig ^ (1 << i) for i in range(m)]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = (
+        df.withColumn("_sig", sig)
+        .filter(F.col("_sig").isin(probes))  # partition-prunable predicate
+        .select(F.col(id_col), V.cosine(F.col(vec_col), q).alias("cosine_sim"))
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    m: int = 8,
+    seed: int = 42,
+    block_col: str | None = None,
+) -> DataFrame:
+    """D2 (embedding flavor): pairs with cosine ≥ threshold.
+
+    Blocking: LSH bucket equality (high-cosine pairs agree on most
+    hyperplane signs; multi-band variants trade recall). Optional
+    extra block_col (e.g. a label/partition) further bounds buckets.
+    """
+    sample = df.select(vec_col).first()
+    dim = len(sample[0])
+    planes = random_hyperplanes(dim, m, seed)
+    sig = df.withColumn("_sig", V.hyperplane_signature(F.col(vec_col), planes))
+    keys = ["_sig"] + ([block_col] if block_col else [])
+    left = sig.select(*keys, F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    right = sig.select(*keys, F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        left.join(right, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", V.cosine("_va", "_vb"))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

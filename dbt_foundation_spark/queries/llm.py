@@ -1,1 +1,437 @@
-"""(populated in later commits)"""
+"""LLM-data-pipeline catalog queries (SURVEY §2.L, Cat D).
+
+Dedup (exact / fingerprint / minhash-LSH / simhash / n-gram Jaccard /
+embedding), similarity search (brute-force + LSH ANN), text analysis
+(tokens, quality, language-ID, BPE-ish counts), JSON/VARIANT and array
+ops, multimodal plumbing. Oracle-checked wherever DuckDB can express the
+same deterministic computation; LSH pipelines are rows-only (their
+internal hashes are portable, but replicating banding in SQL adds no
+verification value — the components are unit-tested instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_foundation_spark.functions import text as X
+from dbt_foundation_spark.functions import vectors as V
+from dbt_foundation_spark.queries import query
+from dbt_foundation_spark.queries._util import t
+
+# ---------- dedup ----------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT text, CAST(MIN(doc_id) AS BIGINT) AS keeper_id, COUNT(*) AS n_members
+    FROM documents
+    GROUP BY text HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 exact dedup: hash-groupBy duplicate clusters (keeper = min id).
+
+    Map-side partial aggregation makes this one keyed shuffle of the
+    distinct texts, not the corpus."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > 1)
+    )
+
+
+@query(
+    "q_dedup_fingerprint",
+    oracle=r"""
+    SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keeper_id, COUNT(*) AS n_members
+    FROM (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+    )
+    GROUP BY fp HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 fingerprint dedup: md5 over whitespace-normalized lowercase
+    text — exact-dup detection robust to formatting noise."""
+    from dbt_foundation_spark.operators.dedup import duplicate_clusters
+
+    docs = t(spark, sf_dir, "documents")
+    return duplicate_clusters(docs, "doc_id", "text")
+
+
+@query("q_dedup_minhash")  # rows-only: LSH banding (components unit-tested)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 MinHash-LSH near-dup pairs: shingle → 32 md5-derived minhashes
+    → 8 bands → bucket equi-join → true-Jaccard verify ≥ 0.5."""
+    from dbt_foundation_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+
+
+@query("q_dedup_simhash")  # rows-only: 64-bit signature + chunk blocking
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 SimHash near-dup pairs: 64-bit weighted-bit signature, 16-bit
+    chunk blocking (pigeonhole for hamming ≤ 3), bit_count(xor) verify."""
+    from dbt_foundation_spark.operators.dedup import simhash_near_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=16)
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+               list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.tok, b.tok))), 6) AS jaccard
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.tok, b.tok))) >= 0.6
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 n-gram Jaccard near-dup (token-set flavor), blocked by
+    (lang, length-bucket) — the quadratic term is bounded per block and
+    the join is a keyed equi-join."""
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.col("n_chars") / 50).cast("long")
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "len_bucket",
+        F.array_distinct(X.tokenize("text")).alias("tok"),
+    )
+    left = toks.select(
+        "lang", "len_bucket", F.col("doc_id").alias("id_a"), F.col("tok").alias("tok_a")
+    )
+    right = toks.select(
+        "lang", "len_bucket", F.col("doc_id").alias("id_b"), F.col("tok").alias("tok_b")
+    )
+    jac = F.size(F.array_intersect("tok_a", "tok_b")).cast("double") / F.size(
+        F.array_union("tok_a", "tok_b")
+    )
+    return (
+        left.join(right, ["lang", "len_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@query("q_embedding_neardup")  # rows-only: hyperplane-LSH blocking
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 embedding near-dup: random-hyperplane LSH buckets (+label
+    block) → within-bucket cosine ≥ 0.9."""
+    from dbt_foundation_spark.operators.similarity import embedding_near_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(
+        emb, "vec_id", "embedding", threshold=0.9, m=8, block_col="label"
+    )
+
+
+# ---------- similarity search ----------
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).select("embedding").first()
+    )
+    return [float(x) for x in row[0]]
+
+
+@query(
+    "q_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 brute-force cosine top-k: codegen'd dot products +
+    TakeOrderedAndProject — the correctness baseline every ANN variant
+    is measured against."""
+    from dbt_foundation_spark.operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir, 0)
+    top = cosine_topk(emb, "vec_id", "embedding", qv, k=10, exclude_id=0)
+    return top.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim")).orderBy(
+        F.desc("cosine_sim"), "vec_id"
+    )
+
+
+@query("q_cosine_topk_lsh")  # rows-only: ANN probe set is engine-side
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 ANN: hyperplane-LSH bucket + hamming-1 multi-probe, then exact
+    cosine within the probed slice (the 100 TB scale path)."""
+    from dbt_foundation_spark.operators.similarity import cosine_topk_lsh
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir, 0)
+    top = cosine_topk_lsh(emb, "vec_id", "embedding", qv, k=10, m=8, exclude_id=0)
+    return top.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+# ---------- text analysis ----------
+
+
+@query(
+    "q_token_counts",
+    oracle=r"""
+    SELECT token, COUNT(*) AS n
+    FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents
+    )
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 token counting: explode(tokenize) → count, top-20."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(X.tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "q_doc_quality",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               string_split_regex(lower(trim(text)), '\s+') AS tok
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           round(CAST(len(list_distinct(tok)) AS DOUBLE) / greatest(len(tok), 1), 6)
+               AS uniq_ratio,
+           round(CAST(list_sum(list_transform(tok, x -> length(x))) AS DOUBLE)
+                 / greatest(len(tok), 1), 6) AS mean_token_len,
+           round(CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS punct_ratio
+    FROM toks
+    """,
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 quality signals per document (length/uniqueness/word-shape/
+    punctuation) — all codegen'd arithmetic."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").cast("bigint").alias("n_tokens"),
+        F.round(X.uniq_token_ratio("text"), 6).alias("uniq_ratio"),
+        F.round(X.mean_token_length("text"), 6).alias("mean_token_len"),
+        F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+@query(
+    "q_quality_filter",
+    oracle=r"""
+    WITH scored AS (
+        SELECT lang,
+               (CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) BETWEEN 5 AND 10000
+                     THEN 1.0 ELSE 0.0 END
+                + CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE)
+                  / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
+                + CASE WHEN CAST(list_sum(list_transform(string_split_regex(lower(trim(text)), '\s+'), x -> length(x))) AS DOUBLE)
+                            / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
+                            BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1) <= 0.3 THEN 1.0 ELSE 0.0 END
+               ) / 4 AS quality
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_pass FROM scored WHERE quality >= 0.75
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 quality-gate filter: corpus survivors per language under the
+    composite score (the filter step of a training-data pipeline)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("quality", X.quality_score("text"))
+        .filter(F.col("quality") >= 0.75)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_pass"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle=r"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   t -> list_contains(['der','die','das','und','zu','den','ist'], t))) AS s_de,
+               len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   t -> list_contains(['the','a','of','and','to','in','is'], t))) AS s_en,
+               len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   t -> list_contains(['el','la','de','y','que','en','los'], t))) AS s_es,
+               len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   t -> list_contains(['le','la','de','et','que','les','des'], t))) AS s_fr,
+               len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   t -> list_contains(['de5','shi4','le5','zai4','he2','you3','wo3'], t))) AS s_zh
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                ELSE 'de' END AS pred_lang
+    FROM scored
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 language-ID: marker-token scoring, argmax with deterministic
+    tiebreak (lexicographically-last language — matches the struct-sort
+    in functions/text.py::lang_id)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", X.lang_id("text").alias("pred_lang"))
+
+
+@query(
+    "q_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                w -> CAST(ceil(length(regexp_replace(w, '[^\w]', '', 'g')) / 4.0) AS BIGINT)
+                     + length(regexp_replace(w, '[\w]', '', 'g'))))
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 BPE-ish token estimate (~4 chars/token heuristic + symbol
+    pieces) — the LLM-budget counter, vocab-free."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+# ---------- JSON / VARIANT + array ops ----------
+
+
+@query(
+    "q_json_props",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 semi-structured: VARIANT path extraction (Spark 4
+    try_parse_json + variant_get — the engine twin of Snowflake's
+    TRY_PARSE_JSON / ``:`` paths, README.md:109-116)."""
+    events = t(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    return (
+        events.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+@query(
+    "q_array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+           round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS mean_val
+    FROM embeddings
+    """,
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 array<float> first-class ops: size / L2 norm / mean via
+    higher-order functions (no UDF)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.array_size("embedding").alias("dim"),
+        F.round(V.norm("embedding"), 6).alias("l2_norm"),
+        F.round(V.mean("embedding"), 6).alias("mean_val"),
+    )
+
+
+# ---------- multimodal plumbing (rows-only: synthetic media) ----------
+
+
+@query("q_multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 multimodal: binary payload → mapInPandas featurize (stubbed
+    decode, real Arrow batch plumbing) → per-mime feature stats."""
+    from dbt_foundation_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=128)
+    feats = extract_features(media, dim=8)
+    return (
+        feats.groupBy("mime_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("n_bytes").alias("avg_bytes"),
+            F.countDistinct("sha256").alias("n_distinct_payloads"),
+        )
+        .orderBy("mime_type")
+    )
+
+
+@query("q_frame_sample")
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 multimodal: per-media frame-sampling plan (metadata-driven
+    explode; decode happens downstream per planned frame)."""
+    from dbt_foundation_spark.operators.multimodal import frame_sample_plan, synthetic_media
+
+    media = synthetic_media(spark, n=128)
+    plan = frame_sample_plan(media, every_ms=500)
+    return (
+        plan.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .orderBy("media_id")
+    )

@@ -1,1 +1,416 @@
-"""(populated in later commits)"""
+"""Pass-through relational surface (SURVEY §2.C/§2.D/§2.F/§2.G).
+
+The reference's models are arbitrary SELECTs executed by the warehouse;
+Spark SQL/Catalyst is that executor here. These queries pin down the
+join suite, set ops, aggregation variants, top-k and the dbt-style test
+queries, each with a DuckDB oracle.
+
+Scale notes are inline: every join states its expected physical
+strategy (broadcast vs shuffle) and every agg is map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_foundation_spark.queries import query
+from dbt_foundation_spark.queries._util import dsum, sql_dsum, t
+
+
+@query(
+    "q_join_inner",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: equi inner join (model-to-model composition, README.md:275).
+
+    customer is the dimension side → explicit broadcast (no shuffle of
+    the orders fact at any scale; at 100 TB the dim still fits executor
+    memory at ~15 M rows x 2 cols)."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having orders."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cust.join(orders, "c_custkey", "left_semi").select("c_custkey")
+
+
+@query(
+    "q_fk_orphans",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    """,
+)
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: relationships test — child keys with no parent (anti-join).
+
+    Reference: models/example/schema.yml:10-12 family; dbt-core
+    relationships test semantics. Empty result = FK integrity holds."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("o_custkey"))
+    return orders.join(F.broadcast(cust), "o_custkey", "left_anti").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@query(
+    "q_join_range",
+    oracle=f"""
+    SELECT p_brand, COUNT(*) AS n, {sql_dsum("l_extendedprice", "sum_price")}
+    FROM lineitem JOIN part
+      ON l_partkey = p_partkey
+     AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: equi key + inequality band condition.
+
+    The equi conjunct keeps this a hash join (band filters post-match) —
+    the pattern that still scales when a pure range join would not."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    cond = (
+        (li.l_partkey == part.p_partkey)
+        & (li.l_quantity >= part.p_size - 5)
+        & (li.l_quantity <= part.p_size + 5)
+    )
+    return (
+        li.join(F.broadcast(part), cond)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "sum_price"))
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "q_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style 3-way join + agg + top-k.
+
+    Physical shape: customer (filtered dim) broadcast into orders, the
+    orders->lineitem join shuffles on orderkey, aggregation is partial →
+    final, top-k is TakeOrderedAndProject (no global sort)."""
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(revenue, "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_lateral_json",
+    oracle="""
+    SELECT e.event_id, j.k
+    FROM events e, LATERAL (
+        SELECT CAST(json_extract_string(e.props, '$.k') AS BIGINT) AS k
+    ) j
+    WHERE j.k > 90
+    """,
+)
+def q_lateral_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: correlated LATERAL subquery computing a JSON projection.
+
+    Reference: README.md:114-115 (JOIN LATERAL (SELECT TRY_PARSE_JSON
+    ...)). Catalyst decorrelates this into a plain projection — zero
+    join cost — which is exactly why the reference pattern is safe to
+    reproduce verbatim."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT e.event_id, j.k
+        FROM events e, LATERAL (
+            SELECT CAST(get_json_object(e.props, '$.k') AS BIGINT) AS k
+        ) j
+        WHERE j.k > 90
+        """
+    )
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers who never ordered."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    return cust.exceptAll(orders.distinct()).distinct()
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): nations with both customers and suppliers."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           COUNT(*) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region, nation
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    joined = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '_') AS rf, COALESCE(l_linestatus, '_') AS ls,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY rf, ls
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("_")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("_")).alias("ls"),
+            "n",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, '_') AS status,
+           COALESCE(o_orderpriority, '_') AS priority,
+           COUNT(*) AS n, {sql_dsum("o_totalprice", "total")}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY status, priority
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SQL surface, same text both engines)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '_') AS status,
+               COALESCE(o_orderpriority, '_') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (hash aggregate, map-side combinable)."""
+    return t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark plans TakeOrderedAndProject — per-partition heaps +
+    driver merge, never a global sort."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query("q_approx_distinct")  # rows-only: HLL sketches differ across engines
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) next to the exact count. The sketch
+    is engine-specific (deterministic within Spark — HLL merge is
+    order-insensitive — but not equal to DuckDB's), hence rows-only."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# ---------- dbt-style test queries (empty result = pass) ----------
+
+
+@query(
+    "q_test_unique",
+    oracle="""
+    SELECT o_orderkey, COUNT(*) AS n FROM orders
+    GROUP BY o_orderkey HAVING COUNT(*) > 1
+    """,
+)
+def q_test_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: unique test (group-count-having). Empty = key is unique.
+
+    Reference: models/example/schema.yml:11,20."""
+    from dbt_foundation_spark.testing import unique
+
+    violations = unique("o_orderkey")(t(spark, sf_dir, "orders"))
+    return violations.select("o_orderkey", F.col("count").alias("n"))
+
+
+@query(
+    "q_test_notnull",
+    oracle="SELECT doc_id FROM documents WHERE text IS NULL",
+)
+def q_test_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: not_null test. Reference: models/example/schema.yml:12,21."""
+    from dbt_foundation_spark.testing import not_null
+
+    return not_null("text")(t(spark, sf_dir, "documents")).select("doc_id")
+
+
+@query(
+    "q_test_accepted_values",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE o_orderstatus NOT IN ('O', 'F', 'P') OR o_orderstatus IS NULL
+    """,
+)
+def q_test_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt accepted_values test as a violations query."""
+    from dbt_foundation_spark.testing import accepted_values
+
+    v = accepted_values("o_orderstatus", ["O", "F", "P"])(t(spark, sf_dir, "orders"))
+    return v.select("o_orderkey", "o_orderstatus")
+
+
+@query(
+    "q_test_equal_rowcount",
+    oracle="""
+    SELECT a.n_a, b.n_b
+    FROM (SELECT COUNT(*) AS n_a FROM orders) a,
+         (SELECT COUNT(*) AS n_b FROM lineitem) b
+    WHERE a.n_a != b.n_b
+    """,
+)
+def q_test_equal_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 dbt_utils.equal_rowcount (violation row carries both counts)."""
+    from dbt_foundation_spark.testing import equal_rowcount
+
+    return equal_rowcount(t(spark, sf_dir, "lineitem"))(t(spark, sf_dir, "orders"))
+
+
+@query(
+    "q_test_equality",
+    oracle="""
+    SELECT p_partkey, p_brand FROM part
+    EXCEPT ALL
+    SELECT p_partkey, p_brand FROM part
+    """,
+)
+def q_test_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 dbt_utils.equality: symmetric multiset difference (empty = equal)."""
+    from dbt_foundation_spark.testing import equality
+
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return equality(part)(part)

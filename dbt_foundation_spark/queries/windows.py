@@ -1,1 +1,292 @@
-"""(populated in later commits)"""
+"""Window functions + batch time windows (SURVEY §2.E, §2.J).
+
+The reference is batch-only ELT (no streaming anywhere in
+/root/reference — §2.J); tumbling/sliding/session windows here are the
+batch analogs over the events table. The sessionization uses the
+canonical lag+cumsum formulation (identical semantics in both engines);
+the native session_window op lives in operators/windows.py and is
+covered rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_foundation_spark.queries import query
+from dbt_foundation_spark.queries._util import dsum, sql_dsum, t
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
+    FROM customer
+    QUALIFY rnk <= 5
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5-family ranking: rank/dense_rank per partition, top-5 filter.
+
+    Spark pushes the rank<=5 predicate into the window (WindowGroupLimit)
+    — per-partition top-k, not a full sort of every partition."""
+    cust = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@query(
+    "q_window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (cumulative frame, decimal-exact)."""
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,8)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@query(
+    "q_window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS days_since_prev,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS next_orderkey
+    FROM orders
+    """,
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: inter-order gap days + next order key."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).cast("bigint").alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT c_mktsegment, quartile, COUNT(*) AS n FROM (
+        SELECT c_mktsegment,
+               ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+                   AS quartile
+        FROM customer
+    ) GROUP BY c_mktsegment, quartile ORDER BY c_mktsegment, quartile
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles (fully-deterministic order incl. key tiebreak)."""
+    cust = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_mktsegment", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+@query(
+    "q_window_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS moving_avg
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a 3-row frame (decimal-exact division)."""
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,8)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg"),
+    )
+
+
+@query(
+    "q_tumbling_window",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n, {sql_dsum("value", "sum_value")}
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.J tumbling window (batch analog): hourly buckets per type.
+
+    F.window(ts, '1 hour') — identical to the Structured Streaming op;
+    the same expression works under readStream + watermark."""
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "q_sliding_window",
+    oracle=f"""
+    WITH exploded AS (
+        SELECT make_timestamp(
+                   (CAST(FLOOR((epoch(ts) - off) / 3600) AS BIGINT) * 3600 + off) * 1000000
+               ) AS window_start,
+               value
+        FROM events, (SELECT unnest([0, 1800]) AS off)
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n, {sql_dsum("value", "sum_value")}
+    FROM exploded
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.J sliding window: 1 h length, 30 min slide — each event lands
+    in 2 overlapping windows (F.window explodes them JVM-side)."""
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.J sessionization (30-min gap), lag+cumsum formulation.
+
+    Matches F.session_window's merge rule (a gap of exactly the timeout
+    starts a new session). One shuffle on user_id serves both windows
+    and the final aggregation. The native session_window variant is
+    q_session_window_native (rows-only)."""
+    events = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) >= 1800),
+        1,
+    ).otherwise(0)
+    sessions = events.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(cum)
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query("q_session_window_native")  # rows-only: native op, engine-private edges
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window (the Spark-native gap-session operator; verified
+    present in 4.1.2 — same op drives streaming sessionization)."""
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("s.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
