@@ -61,21 +61,28 @@ def minhash_signature(
     """Append ``minhash`` (array<bigint>, length num_hashes).
 
     h_i(s) = (a_i * (H(s) mod P) + b_i) mod P over md5-derived H with
-    P = 2^31-1 — deterministic, portable, one codegen'd expression per
-    row, and every intermediate product < 2^62 (ANSI-safe).
+    P = 2^31-1 — deterministic, portable, and every intermediate product
+    < 2^62 (ANSI-safe).
+
+    The base md5 hash array is materialized in its own projection so the
+    k per-function transforms reference one computed array: CollapseProject
+    refuses to inline a non-cheap expression referenced k times, so md5
+    runs once per shingle, not k times.
     """
     coeffs = _hash_coeffs(num_hashes)
     shingles = F.array_distinct(token_ngrams(text_col, shingle_len))
-    base = F.transform(shingles, lambda s: md5_hash64(s) % F.lit(_P))
+    hashed = df.withColumn(
+        "_mh_base", F.transform(shingles, lambda s: md5_hash64(s) % F.lit(_P))
+    )
     sig = F.array(
         *[
             F.array_min(
-                F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_P))
+                F.transform("_mh_base", lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_P))
             )
             for a, b in coeffs
         ]
     )
-    return df.withColumn("minhash", sig)
+    return hashed.withColumn("minhash", sig).drop("_mh_base")
 
 
 def _hash_coeffs(k: int) -> list[tuple[int, int]]:
@@ -104,8 +111,13 @@ def minhash_lsh_pairs(
 
     banding: rows/band r = num_hashes/bands; a pair collides iff some
     band's r minhashes all agree → candidate. Verification computes true
-    shingle Jaccard only on candidates. Shuffle profile: explode(bands)
-    → groupBy band bucket (keyed shuffle) → self-join within buckets.
+    shingle Jaccard only on candidates.
+
+    Scale shape: the band self-join carries ONLY (band, bucket, id) —
+    the heavy shingle arrays are re-attached to the (much smaller)
+    candidate-pair set by two keyed equi-joins afterward. At 100 TB the
+    banding shuffle is bytes-per-row-bounded and AQE-skew-splittable;
+    shipping shingles through it would multiply shuffle volume ×bands.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, text_col, num_hashes, shingle_len).select(
@@ -115,7 +127,6 @@ def minhash_lsh_pairs(
     )
     banded = sig.select(
         "_id",
-        "_shingles",
         F.explode(
             F.array(
                 *[
@@ -135,24 +146,25 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "_shingles", "bb.band", "bb.bucket")
+    ).select("_id", "bb.band", "bb.bucket")
 
-    left = banded.select(
-        F.col("band"), F.col("bucket"), F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a")
-    )
-    right = banded.select(
-        F.col("band"), F.col("bucket"), F.col("_id").alias("id_b"), F.col("_shingles").alias("sh_b")
-    )
+    left = banded.select("band", "bucket", F.col("_id").alias("id_a"))
+    right = banded.select("band", "bucket", F.col("_id").alias("id_b"))
     cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    shingles = sig.select("_id", "_shingles")
+    pairs = (
+        cand.join(shingles.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a")), "id_a")
+        .join(shingles.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", F.try_divide(inter, union))
+        pairs.withColumn("jaccard", F.try_divide(inter, union))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
