@@ -1,0 +1,122 @@
+"""Project evaluator — DAG best-practice lint (reference: the pinned
+``dbt_project_evaluator`` 1.1.2 package, /root/reference/packages.yml:8-9,
+README.md:264-266,281, run as ``dbt run-operation project_evaluator``).
+
+The upstream package materializes its checks as warehouse models over
+dbt's graph tables; here the graph is the in-process ``Manifest``, so
+every check is a pure-Python pass — no Spark jobs, instant at any scale.
+
+Checks implemented (the package's core "DAG issues" + "testing/docs
+coverage" families):
+
+- root_models: models with no upstream ref/source (likely hard-coded
+  inputs).
+- source_fanout: a source consumed by >1 model (should have exactly one
+  staging model).
+- direct_source_join: a model mixing raw source reads with model refs
+  (staging layer bypassed).
+- model_fanout: a model with more than ``max_fanout`` direct children
+  (missing intermediate rollup).
+- bidirectional_pair: A depends on B and B on A — always a bug (cycle).
+- unused_sources: declared in the registry but never read by any model.
+- naming_convention: staging models (direct source consumers) should be
+  ``stg_``-prefixed; marts should not.
+- untested_models / undocumented_models: coverage by declared column
+  metadata.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from dbt_foundation_spark.project import Project
+
+
+@dataclass(frozen=True)
+class Finding:
+    check: str
+    node: str
+    detail: str
+
+    def __str__(self) -> str:  # pragma: no cover - display only
+        return f"[{self.check}] {self.node}: {self.detail}"
+
+
+def evaluate(project: Project, max_fanout: int = 3) -> list[Finding]:
+    manifest = project.manifest
+    models = {n.name: n for n in manifest.models()}
+    findings: list[Finding] = []
+
+    children: dict[str, list[str]] = {name: [] for name in models}
+    for n in models.values():
+        for dep in n.depends_on:
+            if dep in children:
+                children[dep].append(n.name)
+
+    declared_sources = set(project.sources.names())
+    used_sources: set[tuple[str, str]] = set()
+
+    for name in sorted(models):
+        node = models[name]
+        used_sources |= node.source_deps
+        is_staging = bool(node.source_deps)
+
+        if not node.depends_on and not node.source_deps:
+            findings.append(
+                Finding("root_models", name, "no ref()/source() upstream — island node")
+            )
+        if node.source_deps and node.depends_on:
+            findings.append(
+                Finding(
+                    "direct_source_join",
+                    name,
+                    f"mixes source reads {sorted(node.source_deps)} with refs "
+                    f"{sorted(node.depends_on)} — add a staging model",
+                )
+            )
+        if len(children[name]) > max_fanout:
+            findings.append(
+                Finding(
+                    "model_fanout",
+                    name,
+                    f"{len(children[name])} direct children > {max_fanout}",
+                )
+            )
+        for dep in node.depends_on:
+            if dep in models and name in models[dep].depends_on:
+                findings.append(
+                    Finding("bidirectional_pair", name, f"mutual dependency with {dep}")
+                )
+        if is_staging and not name.startswith("stg_"):
+            findings.append(
+                Finding("naming_convention", name, "reads sources but not stg_-prefixed")
+            )
+        if not is_staging and name.startswith("stg_") and node.depends_on:
+            findings.append(
+                Finding("naming_convention", name, "stg_ prefix but reads only models")
+            )
+        has_tests = any(c.get("tests") for c in node.columns.values())
+        if not has_tests:
+            findings.append(Finding("untested_models", name, "no column tests declared"))
+        has_docs = any(c.get("description") for c in node.columns.values())
+        if not has_docs:
+            findings.append(Finding("undocumented_models", name, "no column docs declared"))
+
+    src_consumers: dict[tuple[str, str], list[str]] = {}
+    for n in models.values():
+        for s in n.source_deps:
+            src_consumers.setdefault(s, []).append(n.name)
+    for src, consumers in sorted(src_consumers.items()):
+        if len(consumers) > 1:
+            findings.append(
+                Finding(
+                    "source_fanout",
+                    f"{src[0]}.{src[1]}",
+                    f"read by {sorted(consumers)} — should have one staging model",
+                )
+            )
+    for src in sorted(declared_sources - used_sources):
+        findings.append(
+            Finding("unused_sources", f"{src[0]}.{src[1]}", "declared but never read")
+        )
+    return findings

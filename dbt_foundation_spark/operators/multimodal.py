@@ -79,13 +79,20 @@ def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
     return [b / 255.0 for b in h[:dim]]
 
 
-def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+def extract_features(df: DataFrame, dim: int = 8, target_partitions: int | None = None) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow batches, not rows).
 
     When a real decoder is present (HAS_PIL), plug it into the loop
     body; the Spark-side contract (schema, batching, pruning) is
     identical either way.
+
+    target_partitions sizes the Python-worker fan-out: each partition
+    spawns an Arrow worker, so tiny inputs should coalesce (worker
+    startup dominates) while payload-heavy inputs should repartition up
+    until rows_per_partition × avg_payload fits executor memory.
     """
+    if target_partitions is not None:
+        df = df.coalesce(target_partitions)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

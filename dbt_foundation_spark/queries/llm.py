@@ -410,7 +410,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_foundation_spark.operators.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, n=128)
-    feats = extract_features(media, dim=8)
+    feats = extract_features(media, dim=8, target_partitions=4)
     return (
         feats.groupBy("mime_type")
         .agg(

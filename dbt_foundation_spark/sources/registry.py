@@ -83,6 +83,9 @@ class SourceRegistry:
     def names(self) -> list[tuple[str, str]]:
         return sorted(self._sources)
 
+    def tables(self, source_name: str) -> list[str]:
+        return sorted(t for s, t in self._sources if s == source_name)
+
 
 def testdata_sources(sf_dir: str, source_name: str = "raw") -> SourceRegistry:
     """Registry over the driver-generated parquet dir (TESTDATA.md)."""

@@ -1,0 +1,151 @@
+"""M14 codegen + M15 evaluator + plan-contract tests.
+
+Reference parity: codegen 0.13.1 and dbt_project_evaluator 1.1.2 are
+declared dependency surface (/root/reference/packages.yml:6-9); the plan
+contracts are the Spark-native replacement for Snowflake's invisible
+physical planning (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_foundation_spark.codegen import (
+    generate_base_model,
+    generate_model_yaml,
+    generate_source_yaml,
+)
+from dbt_foundation_spark.evaluator import evaluate
+from dbt_foundation_spark.plans.inspect import (
+    broadcast_join_count,
+    plan_summary,
+    pushed_filters,
+    python_eval_count,
+    read_schemas,
+    shuffle_count,
+)
+from dbt_foundation_spark.project import Project
+# alias: pytest would otherwise collect `testdata_sources` as a test (test* match)
+from dbt_foundation_spark.sources.registry import load_table
+from dbt_foundation_spark.sources.registry import testdata_sources as _sources
+
+
+@pytest.fixture()
+def project(spark, sf_dir):
+    return Project("eval_proj", spark, sources=_sources(sf_dir))
+
+
+# ---------- codegen (M14) ----------
+
+
+def test_generate_source_yaml(spark, sf_dir):
+    reg = _sources(sf_dir)
+    yml = generate_source_yaml(spark, reg, "raw")
+    assert "sources:" in yml and "- name: raw" in yml
+    assert "- name: lineitem" in yml and "- name: embeddings" in yml
+    assert "data_type: array<float>" in yml  # embeddings vector column
+    assert "data_type: double" in yml  # lineitem quantities
+
+
+def test_generate_base_model(spark, sf_dir):
+    reg = _sources(sf_dir)
+    stub = generate_base_model(spark, reg, "raw", "orders")
+    assert "def stg_orders(ctx):" in stub
+    assert 'ctx.source("raw", "orders")' in stub
+    assert '"o_orderkey"' in stub  # explicit column list, not SELECT *
+
+
+def test_generate_model_yaml(spark, sf_dir):
+    df = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yml = generate_model_yaml("dim_nation", df, description="nations")
+    assert "- name: dim_nation" in yml
+    assert "- name: n_nationkey" in yml and "data_type: int" in yml
+
+
+# ---------- evaluator (M15) ----------
+
+
+def test_evaluator_flags_dag_issues(project):
+    @project.model
+    def raw_island(ctx):
+        return ctx.spark.range(1)
+
+    @project.model
+    def stg_orders(ctx):
+        return ctx.source("raw", "orders")
+
+    @project.model(columns={"o_orderkey": {"tests": ["unique"], "description": "pk"}})
+    def mixed_join(ctx):  # direct source join: source + ref together
+        return ctx.source("raw", "lineitem").join(
+            ctx.ref("stg_orders"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+
+    project.run()
+    by_check: dict[str, set[str]] = {}
+    for f in evaluate(project):
+        by_check.setdefault(f.check, set()).add(f.node)
+
+    assert "raw_island" in by_check["root_models"]
+    assert "mixed_join" in by_check["direct_source_join"]
+    assert "mixed_join" in by_check["naming_convention"]  # reads sources, no stg_
+    assert "stg_orders" in by_check["untested_models"]
+    assert "mixed_join" not in by_check["untested_models"]  # has declared tests
+    # lineitem+orders each read once, customer etc. never → unused
+    assert any(n.startswith("raw.") for n in by_check["unused_sources"])
+
+
+def test_evaluator_source_fanout(project):
+    @project.model
+    def stg_orders(ctx):
+        return ctx.source("raw", "orders")
+
+    @project.model
+    def stg_orders_again(ctx):
+        return ctx.source("raw", "orders")
+
+    project.run()
+    fanout = [f for f in evaluate(project) if f.check == "source_fanout"]
+    assert fanout and fanout[0].node == "raw.orders"
+
+
+# ---------- plan contracts (SURVEY §4) ----------
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_returnflag", "l_quantity")
+    pushed = " ".join(pushed_filters(q))
+    assert "l_shipdate" in pushed, "ship-date filter must reach the parquet scan"
+    (schema,) = read_schemas(q)
+    assert set(schema) == {"l_shipdate", "l_returnflag", "l_quantity"}, schema
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    q = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_name"
+    )
+    assert broadcast_join_count(q) == 1
+    assert shuffle_count(q) == 0, "broadcast join must not shuffle either side"
+
+
+def test_no_python_row_udfs_in_catalog(spark, sf_dir):
+    """Every catalog query plan must stay JVM-side (Arrow ops allowed)."""
+    import __spark_entry__ as e
+
+    for name, fn in e.queries().items():
+        df = fn(spark, sf_dir)
+        assert python_eval_count(df) == 0, f"{name} uses a row-at-a-time Python UDF"
+
+
+def test_pricing_summary_plan_shape(spark, sf_dir):
+    import __spark_entry__ as e
+
+    df = e.queries()["q_pricing_summary"](spark, sf_dir)
+    s = plan_summary(df)
+    # one keyed shuffle for the groupBy, one range shuffle for the sort
+    assert s["shuffles"] <= 2, s
+    assert s["python_row_udfs"] == 0
+    assert any("l_shipdate" in f for f in s["pushed_filters"]), s["pushed_filters"]
