@@ -1,0 +1,131 @@
+"""Structured Streaming extension tests (SURVEY §2.J).
+
+Strategy: stage the events table as multiple parquet files, stream them
+back with maxFilesPerTrigger so the pipeline genuinely crosses
+micro-batch boundaries, and assert the streaming results equal the
+batch DataFrame results over the same data — streaming/batch parity is
+the oracle (DuckDB can't model streams; the batch side already is
+oracle-checked).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_foundation_spark.queries._util import t
+from dbt_foundation_spark.streaming.pipeline import (
+    dedup_stream,
+    read_event_stream,
+    run_available_now,
+    run_to_parquet,
+    running_user_totals,
+    session_counts,
+    tumbling_counts,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+@pytest.fixture(scope="module")
+def staging(spark, sf_dir):
+    """Events staged as 4 parquet files + a scratch area, repo-local."""
+    root = Path("/root/repo/.tmp") / f"stream_{uuid.uuid4().hex[:8]}"
+    events_dir = root / "events"
+    _events(spark, sf_dir).repartition(4).write.parquet(str(events_dir))
+    yield {"root": root, "events": str(events_dir)}
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _events(spark, sf_dir):
+    """Events with ts as TIMESTAMP (ltz) — watermark-compatible; the
+    session zone is UTC so values are unchanged."""
+    return t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _ckpt(staging) -> str:
+    return str(staging["root"] / f"ckpt_{uuid.uuid4().hex[:8]}")
+
+
+def test_tumbling_counts_match_batch(spark, sf_dir, staging):
+    stream = read_event_stream(spark, staging["events"], max_files_per_trigger=2)
+    agg = tumbling_counts(stream, "1 hour", "2 hours")
+    run_available_now(agg, _ckpt(staging), "s_tumbling", output_mode="complete")
+    got = {
+        (r["start"], r["end"], r["event_type"]): (r["n_events"],)
+        for r in spark.table("s_tumbling").collect()
+    }
+    batch = (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("w.start", "w.end", "event_type", "n_events")
+    )
+    want = {
+        (r["start"], r["end"], r["event_type"]): (r["n_events"],)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 10
+
+
+def test_session_counts_match_batch(spark, sf_dir, staging):
+    stream = read_event_stream(spark, staging["events"], max_files_per_trigger=2)
+    agg = session_counts(stream, "30 minutes", "2 hours")
+    run_available_now(agg, _ckpt(staging), "s_sessions", output_mode="complete")
+    got = {
+        (r["start"], r["end"], r["user_id"]): r["n_events"]
+        for r in spark.table("s_sessions").collect()
+    }
+    batch = (
+        _events(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("w.start", "w.end", "user_id", "n_events")
+    )
+    want = {
+        (r["start"], r["end"], r["user_id"]): r["n_events"] for r in batch.collect()
+    }
+    assert got == want and len(got) > 10
+
+
+def test_stream_dedup_to_parquet(spark, sf_dir, staging):
+    """Duplicate the staged files → dropDuplicatesWithinWatermark must
+    restore exactly the original event_id set through a parquet sink."""
+    dup_dir = staging["root"] / "events_dup"
+    src = _events(spark, sf_dir)
+    src.repartition(2).write.mode("overwrite").parquet(str(dup_dir))
+    src.repartition(3).write.mode("append").parquet(str(dup_dir))
+
+    stream = read_event_stream(spark, str(dup_dir))
+    deduped = dedup_stream(stream, keys=("event_id",), watermark="24 hours")
+    out = staging["root"] / "dedup_out"
+    run_to_parquet(deduped, str(out), _ckpt(staging))
+    got = spark.read.parquet(str(out))
+    assert got.count() == src.count()
+    assert got.select("event_id").distinct().count() == src.count()
+
+
+def test_running_user_totals_cross_batch_state(spark, sf_dir, staging):
+    """maxFilesPerTrigger=1 forces 4 micro-batches; the per-user state
+    must accumulate across them, so each user's max emitted n_events
+    equals their full batch count."""
+    stream = read_event_stream(spark, staging["events"], max_files_per_trigger=1)
+    totals = running_user_totals(stream)
+    run_available_now(totals, _ckpt(staging), "s_user_totals", output_mode="update")
+    final = (
+        spark.table("s_user_totals")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    want = _events(spark, sf_dir).groupBy("user_id").count()
+    mismatch = (
+        final.join(want, "user_id")
+        .filter(F.col("n_events") != F.col("count"))
+        .count()
+    )
+    assert mismatch == 0
+    assert final.count() == want.count()
