@@ -56,33 +56,40 @@ def duplicate_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signature(
-    df: DataFrame, text_col: str, num_hashes: int = 32, shingle_len: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_len: int = 3,
 ) -> DataFrame:
-    """Append ``minhash`` (array<bigint>, length num_hashes).
+    """(id, minhash array<bigint> of length num_hashes) per document.
 
     h_i(s) = (a_i * (H(s) mod P) + b_i) mod P over md5-derived H with
     P = 2^31-1 — deterministic, portable, and every intermediate product
     < 2^62 (ANSI-safe).
 
-    The base md5 hash array is materialized in its own projection so the
-    k per-function transforms reference one computed array: CollapseProject
-    refuses to inline a non-cheap expression referenced k times, so md5
-    runs once per shingle, not k times.
-    """
+    Shape chosen for codegen, not elegance: explode the shingles, md5
+    ONCE per (doc, shingle) row inside whole-stage codegen, then compute
+    the k mins as grouped aggregates. Higher-order-function lambdas are
+    interpreted and re-evaluate subtrees per element (k× md5 per
+    shingle); grouped min-aggs are fused JVM loops with map-side partial
+    aggregation, so the doc_id shuffle carries k longs per doc — not the
+    shingle set."""
     coeffs = _hash_coeffs(num_hashes)
-    shingles = F.array_distinct(token_ngrams(text_col, shingle_len))
-    hashed = df.withColumn(
-        "_mh_base", F.transform(shingles, lambda s: md5_hash64(s) % F.lit(_P))
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(token_ngrams(text_col, shingle_len))).alias("_s"),
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform("_mh_base", lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_P))
-            )
-            for a, b in coeffs
-        ]
+    hashed = exploded.select("_id", (md5_hash64("_s") % F.lit(_P)).alias("_h"))
+    aggs = [
+        F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"_mh{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return (
+        hashed.groupBy("_id")
+        .agg(*aggs)
+        .select("_id", F.array(*[f"_mh{i}" for i in range(num_hashes)]).alias("minhash"))
     )
-    return hashed.withColumn("minhash", sig).drop("_mh_base")
 
 
 def _hash_coeffs(k: int) -> list[tuple[int, int]]:
@@ -120,11 +127,7 @@ def minhash_lsh_pairs(
     shipping shingles through it would multiply shuffle volume ×bands.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, text_col, num_hashes, shingle_len).select(
-        F.col(id_col).alias("_id"),
-        F.col("minhash"),
-        F.array_distinct(token_ngrams(text_col, shingle_len)).alias("_shingles"),
-    )
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_len)
     banded = sig.select(
         "_id",
         F.explode(
@@ -156,7 +159,10 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    shingles = sig.select("_id", "_shingles")
+    shingles = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(token_ngrams(text_col, shingle_len)).alias("_shingles"),
+    )
     pairs = (
         cand.join(shingles.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a")), "id_a")
         .join(shingles.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("sh_b")), "id_b")
@@ -170,38 +176,34 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash: bit i of the signature = sign of the sum over
-    tokens of ±1 according to bit i of the token hash. Computed as one
-    aggregate over a 64-int accumulator array — single pass, JVM-side."""
-    toks = F.array_distinct(tokenize(text_col))
-    acc0 = F.array_repeat(F.lit(0).cast("bigint"), 64)
-    bit_idx = F.sequence(F.lit(0), F.lit(63))
+def simhash(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """(id, simhash bigint) per document. Bit i of the signature = sign
+    of the sum over distinct tokens of ±1 according to bit i of the
+    token hash.
+
+    Same codegen-first shape as minhash_signature: explode tokens, md5
+    once per (doc, token) row, then 64 grouped ±1 sums (fused JVM
+    aggregate with map-side combine → the shuffle is 64 longs per doc).
+    The earlier higher-order formulation re-evaluated md5 per bit — 64×
+    the hashing work, interpreted."""
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokenize(text_col))).alias("_tok"),
+    )
+    hashed = exploded.select("_id", md5_hash64("_tok").alias("_h"))
+    bit_sums = [
+        F.sum(F.when(F.getbit("_h", F.lit(i)) == 1, 1).otherwise(-1)).alias(f"_b{i}")
+        for i in range(64)
+    ]
     # bit 63 of a signed long is the sign bit → its power is -2^63
-    powers = F.array(
-        *[F.lit(1 << i).cast("bigint") for i in range(63)],
-        F.lit(-(1 << 63)).cast("bigint"),
-    )
-
-    def merge(acc, tok):
-        h = md5_hash64(tok)
-        return F.zip_with(
-            acc,
-            bit_idx,
-            lambda a, i: a + F.when(F.getbit(h, i) == 1, 1).otherwise(-1),
+    powers = [1 << i for i in range(63)] + [-(1 << 63)]
+    packed = None
+    for i, p in enumerate(powers):
+        term = F.when(F.col(f"_b{i}") > 0, F.lit(p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-
-    sums = F.aggregate(toks, acc0, merge)
-    packed = F.aggregate(
-        F.zip_with(
-            sums,
-            powers,
-            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("bigint")),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda a, x: a.bitwiseOR(x),
-    )
-    return df.withColumn(out_col, packed)
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return hashed.groupBy("_id").agg(*bit_sums).select("_id", packed.alias(out_col))
 
 
 def simhash_near_pairs(
@@ -212,7 +214,7 @@ def simhash_near_pairs(
     Blocking: 4 chunks of 16 bits — hamming ≤ 3 guarantees at least one
     chunk identical (pigeonhole), so candidates = equi-join per chunk.
     """
-    sh = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    sh = simhash(df, id_col, text_col)
     chunks = sh.select(
         "_id",
         "simhash",
