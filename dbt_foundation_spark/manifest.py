@@ -28,6 +28,8 @@ class NodeConfig:
     unique_key: str | tuple[str, ...] | None = None
     incremental_strategy: str = "append"  # append | insert_overwrite | merge
     partition_by: tuple[str, ...] = ()
+    bucket_by: tuple[str, ...] = ()  # hive-bucketed table layout
+    buckets: int = 0  # bucket count (with bucket_by)
     extra: dict[str, Any] = field(default_factory=dict)
 
 

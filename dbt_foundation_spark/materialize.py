@@ -52,6 +52,12 @@ def _writer(node: Node, df: DataFrame):
     w = df.write.format("parquet")
     if node.config.partition_by:
         w = w.partitionBy(*node.config.partition_by)
+    if node.config.bucket_by and node.config.buckets:
+        # bucket-pruned scans + shuffle-free equi-joins/aggs between
+        # tables bucketed the same way on the same keys — the canonical
+        # co-location strategy for repeated 100 TB fact-to-fact joins
+        cols = list(node.config.bucket_by)
+        w = w.bucketBy(node.config.buckets, cols[0], *cols[1:]).sortBy(cols[0], *cols[1:])
     return w
 
 

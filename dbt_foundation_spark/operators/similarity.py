@@ -97,6 +97,70 @@ def cosine_topk_lsh(
     return out.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
 
 
+def ivf_assignments(
+    df: DataFrame,
+    vec_col: str,
+    n_lists: int = 16,
+    seed: int = 42,
+    fit_fraction: float = 1.0,
+):
+    """IVF coarse quantizer: k-means centroids + per-row list assignment.
+
+    Returns (assigned_df with ``_ivf_list`` column, centroids as
+    list[list[float]]). At 100 TB fit on a sample (``fit_fraction``) —
+    centroid quality needs only a representative subset — while
+    assignment stays a single broadcast-free pass (the model is a
+    driver-side constant folded into the plan).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = df.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    fit_on = vecs.sample(fit_fraction, seed=seed) if fit_fraction < 1.0 else vecs
+    model = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_ivf_list").fit(
+        fit_on
+    )
+    assigned = model.transform(vecs).drop("_v")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    exclude_id=None,
+) -> DataFrame:
+    """ANN top-k, IVF flavor: probe the ``n_probe`` inverted lists whose
+    centroids are nearest the query, brute-force cosine inside them.
+
+    The scan prunes to ~n_probe/n_lists of the corpus; at scale the
+    assignment is precomputed and the table is partitioned by
+    ``_ivf_list`` so probing is partition pruning, not a filter.
+    """
+    assigned, centroids = ivf_assignments(df, vec_col, n_lists, seed)
+
+    def l2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probes = sorted(range(len(centroids)), key=lambda i: l2(centroids[i], query_vec))[
+        :n_probe
+    ]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = (
+        assigned.filter(F.col("_ivf_list").isin([int(p) for p in probes]))
+        .select(F.col(id_col), V.cosine(F.col(vec_col), q).alias("cosine_sim"))
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
 def embedding_near_pairs(
     df: DataFrame,
     id_col: str,

@@ -131,6 +131,8 @@ class Project:
         unique_key=None,
         incremental_strategy: str = "append",
         partition_by: tuple[str, ...] = (),
+        bucket_by: tuple[str, ...] = (),
+        buckets: int = 0,
         tags: tuple[str, ...] = (),
         columns: dict[str, dict] | None = None,
     ):
@@ -149,6 +151,8 @@ class Project:
                 unique_key=unique_key,
                 incremental_strategy=incremental_strategy,
                 partition_by=tuple(partition_by),
+                bucket_by=tuple(bucket_by),
+                buckets=buckets,
             )
             node = Node(
                 name=node_name,

@@ -196,6 +196,21 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
+@query("q_cosine_topk_ivf")  # rows-only: k-means lists are engine-side
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 ANN, IVF flavor: k-means coarse quantizer, probe the n_probe
+    nearest inverted lists, exact cosine within them (the
+    partition-pruned alternative to hyperplane LSH)."""
+    from dbt_foundation_spark.operators.similarity import cosine_topk_ivf
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir, 0)
+    top = cosine_topk_ivf(
+        emb, "vec_id", "embedding", qv, k=10, n_lists=8, n_probe=3, exclude_id=0
+    )
+    return top.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
 # ---------- text analysis ----------
 
 

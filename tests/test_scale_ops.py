@@ -1,0 +1,119 @@
+"""Scale-path operators: bucketed materialization, skew toolkit, IVF ANN.
+
+These pin the 100 TB design claims, not just correctness: bucketed
+fact-to-fact joins must plan without a shuffle, salted joins must equal
+their unsalted twins, IVF probing must recall most of the exact top-k.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_foundation_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+from dbt_foundation_spark.operators.skew import (
+    key_skew_profile,
+    salted_join,
+    two_phase_distinct,
+)
+from dbt_foundation_spark.plans.inspect import shuffle_count, sortmerge_join_count
+from dbt_foundation_spark.project import Project
+from dbt_foundation_spark.sources.registry import load_table
+from dbt_foundation_spark.sources.registry import testdata_sources as _sources
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    """Two tables bucketed identically on the join key: the sort-merge
+    join must read buckets co-located — zero Exchange in the plan."""
+    import uuid
+
+    from dbt_foundation_spark.project import Target
+
+    schema = f"t_{uuid.uuid4().hex[:8]}"
+    project = Project(
+        "bucket_proj",
+        spark,
+        sources=_sources(sf_dir),
+        target=Target(name="dev", schema=schema, threads=4),
+    )
+
+    @project.model(materialized="table", bucket_by=("o_custkey",), buckets=8)
+    def fct_orders_bucketed(ctx):
+        return ctx.source("raw", "orders")
+
+    @project.model(materialized="table", bucket_by=("c_custkey",), buckets=8)
+    def dim_customer_bucketed(ctx):
+        return ctx.source("raw", "customer")
+
+    project.run()
+    left = spark.table(f"{schema}.fct_orders_bucketed")
+    right = spark.table(f"{schema}.dim_customer_bucketed")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = left.join(
+            right, left.o_custkey == right.c_custkey
+        ).select("o_orderkey", "c_name")
+        assert sortmerge_join_count(joined) == 1
+        assert shuffle_count(joined) == 0, "bucketed join must not re-shuffle"
+        assert joined.count() == left.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    plain = li.join(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"), ["l_orderkey"]
+    )
+    salted = salted_join(
+        li, orders.withColumnRenamed("o_orderkey", "l_orderkey"), ["l_orderkey"], salt=8
+    )
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_left_join_keeps_unmatched(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    dim = spark.createDataFrame([(1, "x")], "l_orderkey bigint, tag string")
+    plain = li.join(dim, ["l_orderkey"], "left")
+    salted = salted_join(li, dim, ["l_orderkey"], how="left", salt=4)
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_two_phase_distinct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    got = two_phase_distinct(ev, ["event_type"], "user_id")
+    want = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_distinct")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_key_skew_profile(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    prof = key_skew_profile(ev, ["event_type"], top=3).collect()
+    assert len(prof) == 3
+    assert prof[0]["n_rows"] >= prof[-1]["n_rows"]
+    assert 0 < prof[0]["share"] <= 1
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {
+        r["vec_id"]
+        for r in cosine_topk(emb, "vec_id", "embedding", qv, k=10, exclude_id=0).collect()
+    }
+    approx = {
+        r["vec_id"]
+        for r in cosine_topk_ivf(
+            emb, "vec_id", "embedding", qv, k=10, n_lists=8, n_probe=3, exclude_id=0
+        ).collect()
+    }
+    assert len(approx) == 10
+    assert len(exact & approx) >= 6, f"IVF recall too low: {exact & approx}"
