@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis) for the pure-Column function
+library — each example builds ONE DataFrame of generated rows and
+compares Spark's results against an independent pure-Python reference
+implementation (not against the code under test).
+
+max_examples is kept small: one Spark job per example is the cost
+driver, so examples carry many rows instead of many examples.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dbt_foundation_spark.functions.text import (
+    fingerprint,
+    md5_hash64,
+    quality_score,
+    token_count,
+    tokenize,
+)
+from dbt_foundation_spark.functions.utils import generate_surrogate_key
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"), max_codepoint=0x2FF
+        ),
+        min_size=0,
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _py_tokens(s: str) -> list[str]:
+    # mirror JVM regex semantics: Java \s is ASCII-only (no NBSP etc.),
+    # and Spark's trim strips ASCII spaces
+    return re.split(r"[ \t\n\x0b\f\r]+", s.strip(" \t\n\x0b\f\r").lower())
+
+
+@given(texts)
+@SET
+def test_token_count_matches_python(spark, rows):
+    df = spark.createDataFrame([(t,) for t in rows], "text string")
+    got = [r["n"] for r in df.select(token_count("text").alias("n")).collect()]
+    want = [len(_py_tokens(t)) for t in rows]
+    assert got == want
+
+
+@given(texts)
+@SET
+def test_fingerprint_is_whitespace_case_invariant(spark, rows):
+    """fp(text) == fp(  TEXT with collapsed whitespace  ) for every row.
+
+    Case-mangle only when upper() round-trips through lower() (Python
+    expands e.g. 'ß'→'SS', which is a genuine content change)."""
+    noisy = [
+        "  " + (t.upper() if t.upper().lower() == t.lower() else t).replace(" ", "   ") + " "
+        for t in rows
+    ]
+    df = spark.createDataFrame(list(zip(rows, noisy)), "a string, b string")
+    out = df.select(
+        (fingerprint("a") == fingerprint("b")).alias("eq"),
+    ).collect()
+    assert all(r["eq"] for r in out)
+
+
+@given(texts)
+@SET
+def test_md5_hash64_matches_python_reference(spark, rows):
+    df = spark.createDataFrame([(t,) for t in rows], "s string")
+    got = [r["h"] for r in df.select(md5_hash64("s").alias("h")).collect()]
+    want = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in rows]
+    assert got == want
+
+
+@given(texts)
+@SET
+def test_quality_score_bounded(spark, rows):
+    df = spark.createDataFrame([(t,) for t in rows], "text string")
+    out = df.select(quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in out)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+            st.one_of(st.none(), st.text(max_size=20)),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@SET
+def test_surrogate_key_null_safe_and_deterministic(spark, rows):
+    """Distinct (a, b) inputs give distinct keys even when one field is
+    NULL vs the string '_null_'-alike; equal inputs give equal keys."""
+    df = spark.createDataFrame(rows, "a int, b string")
+    out = df.select("a", "b", generate_surrogate_key("a", "b").alias("k")).collect()
+    by_input: dict[tuple, set[str]] = {}
+    for r in out:
+        by_input.setdefault((r["a"], r["b"]), set()).add(r["k"])
+    # determinism: one key per distinct input
+    assert all(len(ks) == 1 for ks in by_input.values())
+    # md5 shape
+    assert all(re.fullmatch(r"[0-9a-f]{32}", next(iter(ks))) for ks in by_input.values())
+
+
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=200))
+@SET
+def test_decimal_routed_sum_is_exact(spark, vals):
+    """dsum (the oracle-determinism device) equals Python's exact sum of
+    the same values quantized to 1e-8."""
+    from decimal import Decimal
+
+    from dbt_foundation_spark.queries._util import dsum
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.select(dsum("x", "s")).collect()[0]["s"]
+    want = float(sum(Decimal(str(round(v, 8))).quantize(Decimal("1.00000000")) for v in vals))
+    assert abs(got - want) < 1e-6
+
+
+@given(texts)
+@SET
+def test_tokenize_never_null_for_nonnull_input(spark, rows):
+    df = spark.createDataFrame([(t,) for t in rows], "text string")
+    out = df.select(tokenize("text").alias("toks")).collect()
+    assert all(r["toks"] is not None and len(r["toks"]) >= 1 for r in out)
