@@ -5,8 +5,9 @@ Four tiers, all shuffle-bounded (never O(n²) across the corpus):
 - exact: hash-groupBy on the raw or fingerprint-normalized text.
 - minhash_lsh: shingles → k minhash values → b bands; candidate pairs
   share a band bucket (the classic MinHash-LSH banding scheme); verify
-  with true Jaccard on token shingles. Hashes are md5-derived →
-  deterministic and engine-portable.
+  with true Jaccard on token shingles. Hashes are xxhash64-derived —
+  deterministic (fixed seed) and JVM-native; only oracle-checked ops
+  (fingerprint) keep the portable md5.
 - simhash: 64-bit weighted-bit signature; candidates share one of four
   16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal); verify
   with bit_count(xor).
@@ -23,8 +24,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbt_foundation_spark.functions.text import (
+    fast_hash64,
     fingerprint,
-    md5_hash64,
     token_ngrams,
     tokenize,
 )
@@ -64,14 +65,14 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, minhash array<bigint> of length num_hashes) per document.
 
-    h_i(s) = (a_i * (H(s) mod P) + b_i) mod P over md5-derived H with
-    P = 2^31-1 — deterministic, portable, and every intermediate product
-    < 2^62 (ANSI-safe).
+    h_i(s) = (a_i * (H(s) mod P) + b_i) mod P over xxhash64-derived H
+    with P = 2^31-1 — deterministic (fixed seed), and every intermediate
+    product < 2^62 (ANSI-safe).
 
-    Shape chosen for codegen, not elegance: explode the shingles, md5
+    Shape chosen for codegen, not elegance: explode the shingles, hash
     ONCE per (doc, shingle) row inside whole-stage codegen, then compute
     the k mins as grouped aggregates. Higher-order-function lambdas are
-    interpreted and re-evaluate subtrees per element (k× md5 per
+    interpreted and re-evaluate subtrees per element (k× the hashing per
     shingle); grouped min-aggs are fused JVM loops with map-side partial
     aggregation, so the doc_id shuffle carries k longs per doc — not the
     shingle set."""
@@ -80,7 +81,7 @@ def minhash_signature(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(token_ngrams(text_col, shingle_len))).alias("_s"),
     )
-    hashed = exploded.select("_id", (md5_hash64("_s") % F.lit(_P)).alias("_h"))
+    hashed = exploded.select("_id", F.pmod(fast_hash64("_s"), F.lit(_P)).alias("_h"))
     aggs = [
         F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"_mh{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -135,14 +136,11 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("minhash").getItem(b * rows_per_band + r).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                        F.xxhash64(
+                            *[
+                                F.col("minhash").getItem(b * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -181,16 +179,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash")
     of the sum over distinct tokens of ±1 according to bit i of the
     token hash.
 
-    Same codegen-first shape as minhash_signature: explode tokens, md5
+    Same codegen-first shape as minhash_signature: explode tokens, hash
     once per (doc, token) row, then 64 grouped ±1 sums (fused JVM
-    aggregate with map-side combine → the shuffle is 64 longs per doc).
-    The earlier higher-order formulation re-evaluated md5 per bit — 64×
-    the hashing work, interpreted."""
+    aggregate with map-side combine → the shuffle is 64 longs per doc)."""
     exploded = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokenize(text_col))).alias("_tok"),
     )
-    hashed = exploded.select("_id", md5_hash64("_tok").alias("_h"))
+    hashed = exploded.select("_id", fast_hash64("_tok").alias("_h"))
     bit_sums = [
         F.sum(F.when(F.getbit("_h", F.lit(i)) == 1, 1).otherwise(-1)).alias(f"_b{i}")
         for i in range(64)
