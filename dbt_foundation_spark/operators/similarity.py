@@ -103,6 +103,7 @@ def ivf_assignments(
     n_lists: int = 16,
     seed: int = 42,
     fit_fraction: float = 1.0,
+    max_iter: int = 8,
 ):
     """IVF coarse quantizer: k-means centroids + per-row list assignment.
 
@@ -117,9 +118,9 @@ def ivf_assignments(
 
     vecs = df.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
     fit_on = vecs.sample(fit_fraction, seed=seed) if fit_fraction < 1.0 else vecs
-    model = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_ivf_list").fit(
-        fit_on
-    )
+    model = KMeans(
+        k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_v", predictionCol="_ivf_list"
+    ).fit(fit_on)
     assigned = model.transform(vecs).drop("_v")
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     return assigned, centroids

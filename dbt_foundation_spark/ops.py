@@ -154,3 +154,46 @@ def lint(project) -> list[str]:
 def get_columns_in_query(df: DataFrame) -> list[str]:
     """M7 dbt.get_columns_in_query — lazy schema, no execution."""
     return list(df.schema.names)
+
+
+class OperationRegistry:
+    """M12 dispatch: named operations resolved through a namespace
+    search order, project overrides shadowing built-ins (the analog of
+    dbt_project.yml:38-44's macro search order project →
+    yuki_snowflake_dbt_tags → dbt_project_evaluator → dbt).
+
+    ``run-operation`` parity: ``registry.run(name, project, **kwargs)``
+    is the engine's ``dbt run-operation name --args '{...}'``
+    (README.md:160-166, 281).
+    """
+
+    def __init__(self, search_order: tuple[str, ...] = ("project", "builtin")):
+        self.search_order = search_order
+        self._ops: dict[tuple[str, str], object] = {}
+
+    def register(self, name: str, fn, namespace: str = "project"):
+        self._ops[(namespace, name)] = fn
+        return fn
+
+    def resolve(self, name: str):
+        for ns in self.search_order:
+            if (ns, name) in self._ops:
+                return self._ops[(ns, name)]
+        known = sorted(n for _, n in self._ops)
+        raise KeyError(f"unknown operation {name!r}; known: {known}")
+
+    def run(self, name: str, *args, **kwargs):
+        return self.resolve(name)(*args, **kwargs)
+
+
+def default_registry() -> OperationRegistry:
+    """Built-in operation set (the reference's macro + package surface)."""
+    from dbt_foundation_spark.evaluator import evaluate
+
+    reg = OperationRegistry()
+    reg.register("list_orphaned_objects", list_orphaned_objects, namespace="builtin")
+    reg.register("star_from_relations", star_from_relations, namespace="builtin")
+    reg.register("union_relations", union_relations, namespace="builtin")
+    reg.register("lint", lint, namespace="builtin")
+    reg.register("project_evaluator", evaluate, namespace="builtin")
+    return reg

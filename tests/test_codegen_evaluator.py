@@ -109,6 +109,24 @@ def test_evaluator_source_fanout(project):
     assert fanout and fanout[0].node == "raw.orders"
 
 
+# ---------- dispatch (M12) ----------
+
+
+def test_operation_dispatch_project_overrides_builtin(project):
+    from dbt_foundation_spark.ops import default_registry
+
+    reg = default_registry()
+    assert callable(reg.resolve("list_orphaned_objects"))
+    assert callable(reg.resolve("project_evaluator"))
+
+    calls = []
+    reg.register("lint", lambda p: calls.append(p.name) or [], namespace="project")
+    assert reg.run("lint", project) == []
+    assert calls == ["eval_proj"], "project namespace must shadow builtin"
+    with pytest.raises(KeyError):
+        reg.resolve("no_such_op")
+
+
 # ---------- plan contracts (SURVEY §4) ----------
 
 
