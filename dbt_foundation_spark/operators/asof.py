@@ -1,0 +1,106 @@
+"""As-of (point-in-time) join — the canonical temporal operator Spark
+has no built-in for (SURVEY §2.C note: the engine inherits Spark's join
+suite; as-of is the Cat-D extension every market-data / feature-store
+pipeline needs).
+
+Implementation is the merge-sort formulation, not a range join:
+
+    union(left ⊕ right) → window over (key ORDER BY ts, side) →
+    last(right payload IGNORE NULLS) → keep left rows
+
+One keyed shuffle + one sort — the same cost as a sort-merge join —
+versus the range-join formulation (l.ts >= r.ts inequality join) which
+explodes to O(|matches per key|²) pairs before aggregation. At 100 TB
+the window shuffle is AQE-skew-splittable and the sort is the same sort
+a SortMergeJoin would do anyway.
+
+Semantics match DuckDB/kdb ASOF JOIN: for each left row, the single
+most recent right row with r.ts <= l.ts (backward; ties at equal ts
+match), or the earliest with r.ts >= l.ts (forward). Unmatched left
+rows survive with NULLs (left-outer flavor).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    right_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the as-of matching right row's columns.
+
+    on: equi-key columns (both sides). right_cols: right payload columns
+    to attach (default: all non-key, non-ts). The matched right
+    timestamp is attached as ``{right_ts}{suffix}``. tolerance: optional
+    SQL interval string (e.g. ``'1 hour'``) bounding the time gap.
+
+    Right rows sharing (key, ts) are nondeterministic under as-of
+    semantics everywhere — pre-aggregate to one row per (key, ts) if
+    that matters (the catalog query does).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    on = list(on)
+    right_ts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != right_ts]
+    right_cols = list(right_cols)
+
+    ts_out = f"{right_ts}{suffix}"
+    payload = {f"_r_{c}": F.col(c) for c in right_cols}
+    payload["_r__ts"] = F.col(right_ts)
+
+    l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    r_tagged = right.select(
+        *on, F.col(right_ts).alias("_ts"), *[expr.alias(name) for name, expr in payload.items()]
+    ).withColumn("_side", F.lit(0))
+    both = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    # backward: right rows sort before left at equal ts (inclusive match)
+    # and the window looks back; forward: reverse time order.
+    order = [F.col("_ts").asc(), F.col("_side").asc()] if direction == "backward" else [
+        F.col("_ts").desc(),
+        F.col("_side").asc(),
+    ]
+    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+
+    matched = both.select(
+        "*",
+        *[
+            F.last(name, ignorenulls=True).over(w).alias(f"_m_{name}")
+            for name in payload
+        ],
+    ).filter(F.col("_side") == 1)
+
+    out = matched.select(
+        *[c for c in left.columns],
+        *[F.col(f"_m__r_{c}").alias(c if c not in left.columns else f"{c}{suffix}") for c in right_cols],
+        F.col("_m__r__ts").alias(ts_out),
+    )
+    if tolerance is not None:
+        gap_ok = (
+            F.col(ts_out) >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col(ts_out) <= F.col(left_ts) + F.expr(f"INTERVAL {tolerance}")
+        )
+        null_cols = [c if c not in left.columns else f"{c}{suffix}" for c in right_cols] + [ts_out]
+        out = out.select(
+            *[c for c in left.columns],
+            *[
+                F.when(gap_ok, F.col(c)).alias(c)
+                for c in null_cols
+            ],
+        )
+    return out

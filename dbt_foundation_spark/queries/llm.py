@@ -450,3 +450,46 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_frames"))
         .orderBy("media_id")
     )
+
+
+# ---------- temporal (as-of join) ----------
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH l AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), r AS (
+        SELECT user_id, ts, CAST(MAX(CAST(value AS DECIMAL(18,8))) AS DOUBLE) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT l.user_id, l.event_id, l.ts,
+           r.purchase_value, r.ts AS ts_right
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cat-D temporal: for every click, the user's most recent prior
+    purchase (point-in-time correct — no future leakage). Oracle is
+    DuckDB's native ASOF LEFT JOIN; right side pre-aggregated to one
+    row per (user, ts) so as-of tie semantics are engine-independent."""
+    from dbt_foundation_spark.operators.asof import asof_join
+
+    events = t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max(F.col("value").cast("decimal(18,8)"))
+            .cast("double")
+            .alias("purchase_value")
+        )
+    )
+    return asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_cols=["purchase_value"]
+    )

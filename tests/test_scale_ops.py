@@ -117,3 +117,49 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     }
     assert len(approx) == 10
     assert len(exact & approx) >= 6, f"IVF recall too low: {exact & approx}"
+
+
+def test_asof_join_backward_forward_tolerance(spark):
+    from dbt_foundation_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, 1), ("a", 20, 2), ("a", 5, 3), ("b", 7, 4)],
+        "k string, ts int, lv int",
+    )
+    right = spark.createDataFrame(
+        [("a", 8, 100.0), ("a", 15, 200.0), ("b", 9, 300.0)],
+        "k string, ts int, rv double",
+    )
+    back = {
+        r["lv"]: (r["rv"], r["ts_right"])
+        for r in asof_join(left, right, on=["k"], left_ts="ts").collect()
+    }
+    assert back == {1: (100.0, 8), 2: (200.0, 15), 3: (None, None), 4: (None, None)}
+
+    fwd = {
+        r["lv"]: (r["rv"], r["ts_right"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", direction="forward"
+        ).collect()
+    }
+    assert fwd == {1: (200.0, 15), 2: (None, None), 3: (100.0, 8), 4: (300.0, 9)}
+
+
+def test_asof_join_tolerance(spark):
+    from dbt_foundation_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00", 1), ("a", "2024-01-01 12:00:00", 2)],
+        "k string, ts string, lv int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 09:30:00", 7.0)], "k string, ts string, rv double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["lv"]: r["rv"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", tolerance="1 hour"
+        ).collect()
+    }
+    # 10:00 is within 1h of 09:30; 12:00 is not
+    assert out == {1: 7.0, 2: None}
