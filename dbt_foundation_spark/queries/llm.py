@@ -493,3 +493,36 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         clicks, purchases, on=["user_id"], left_ts="ts", right_cols=["purchase_value"]
     )
+
+
+@query(
+    "q_range_bin_join",
+    oracle="""
+    WITH iv AS (
+        SELECT CAST(a AS DOUBLE) AS lo, CAST(a + 7 AS DOUBLE) AS hi,
+               'band' || CAST(a AS VARCHAR) AS band
+        FROM (SELECT unnest(range(0, 50, 5)) AS a)
+    )
+    SELECT band, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,8))) AS DOUBLE) AS sum_price
+    FROM lineitem JOIN iv
+      ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    """,
+)
+def q_range_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cat-D range join via the binned equi-join rewrite (operators/
+    rangejoin.py) — identical results to the theta join, keyed-shuffle
+    cost instead of nested-loop."""
+    from dbt_foundation_spark.operators.rangejoin import point_in_interval_join
+    from dbt_foundation_spark.queries._util import dsum
+
+    li = t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    iv = spark.createDataFrame(
+        [(float(a), float(a + 7), f"band{a}") for a in range(0, 50, 5)],
+        "lo double, hi double, band string",
+    )
+    joined = point_in_interval_join(li, iv, "l_quantity", "lo", "hi", bin_width=5.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "sum_price")
+    )

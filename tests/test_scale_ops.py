@@ -163,3 +163,38 @@ def test_asof_join_tolerance(spark):
     }
     # 10:00 is within 1h of 09:30; 12:00 is not
     assert out == {1: 7.0, 2: None}
+
+
+def test_point_in_interval_join_equals_theta(spark, sf_dir):
+    from dbt_foundation_spark.operators.rangejoin import point_in_interval_join
+
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").alias("x")
+    ).limit(2000)
+    iv = spark.createDataFrame(
+        [(float(a), float(a + 7), f"band{a}") for a in range(0, 50, 5)],
+        "lo double, hi double, band string",
+    )
+    binned = point_in_interval_join(pts, iv, "x", "lo", "hi", bin_width=5.0)
+    theta = pts.join(iv, (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")))
+    assert binned.count() == theta.count() > 0
+    assert binned.exceptAll(theta).count() == 0
+    assert theta.exceptAll(binned).count() == 0
+
+
+def test_interval_overlap_join_equals_theta(spark):
+    from dbt_foundation_spark.operators.rangejoin import (
+        interval_overlap_join,
+        suggest_bin_width,
+    )
+
+    rows_l = [(float(i), float(i + 3), i) for i in range(0, 40, 2)]
+    rows_r = [(float(i * 1.5), float(i * 1.5 + 4), i) for i in range(0, 25)]
+    left = spark.createDataFrame(rows_l, "ls double, le double, lid int")
+    right = spark.createDataFrame(rows_r, "rs double, re double, rid int")
+    w = suggest_bin_width(left, "ls", "le")
+    binned = interval_overlap_join(left, right, "ls", "le", "rs", "re", bin_width=w)
+    theta = left.join(right, (F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le")))
+    assert binned.count() == theta.count() > 0
+    assert binned.exceptAll(theta).count() == 0
+    assert theta.exceptAll(binned).count() == 0
