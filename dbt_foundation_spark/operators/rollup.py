@@ -1,0 +1,99 @@
+"""Hypertable-style rollup cascade (continuous-aggregate pattern).
+
+Multi-resolution time aggregates where each coarser level is computed
+FROM the next finer level, not from raw data — at 100 TB the 1-day
+rollup re-aggregates ~24 rows per key from the 1-hour rollup instead of
+re-scanning billions of events. Works because the aggregates carried are
+re-aggregatable (count/sum/min/max; avg = sum/count at read time) and
+each coarser bucket width is a multiple of the finer one.
+
+Batch twin of a streaming materialized view: run the finest level
+incrementally (insert_overwrite by day partition), re-derive the
+cascade from it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dur_seconds(d: str) -> int:
+    n, unit = d.split()
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+    return int(n) * mult[unit.rstrip("s")]
+
+
+def rollup_cascade(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    levels: Sequence[str] = ("1 hour", "1 day"),
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Stacked multi-resolution rollup: one output row per (level,
+    bucket, group) with re-aggregatable measures (n_events, sum_value,
+    min_value, max_value). ``levels`` must be increasing and each a
+    multiple of the previous."""
+    group_cols = list(group_cols)
+    secs = [_dur_seconds(lv) for lv in levels]
+    for a, b in zip(secs, secs[1:]):
+        if b % a != 0:
+            raise ValueError(f"levels must nest: {b}s not a multiple of {a}s")
+
+    sum_t = "decimal(28,8)"  # exact, re-aggregatable, overflow headroom
+
+    finest = (
+        df.groupBy(F.window(ts_col, levels[0]).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast(sum_t)).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            F.lit(levels[0]).alias("level"),
+            F.col("w.start").alias("bucket_start"),
+            F.col("w.end").alias("bucket_end"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+    out = finest
+    prev = finest
+    for lv in levels[1:]:
+        coarser = (
+            prev.groupBy(F.window("bucket_start", lv).alias("w"), *group_cols)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+            .select(
+                F.lit(lv).alias("level"),
+                F.col("w.start").alias("bucket_start"),
+                F.col("w.end").alias("bucket_end"),
+                *group_cols,
+                "n_events",
+                "sum_value",
+                "min_value",
+                "max_value",
+            )
+        )
+        out = out.unionByName(coarser)
+        prev = coarser
+    return out
+
+
+def read_avg(sum_value: Column | str, n_events: Column | str) -> Column:
+    """avg at read time from the carried re-aggregatables."""
+    s = F.col(sum_value) if isinstance(sum_value, str) else sum_value
+    n = F.col(n_events) if isinstance(n_events, str) else n_events
+    return (s.cast("double") / n).alias("avg_value")

@@ -290,3 +290,50 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "q_rollup_cascade",
+    oracle="""
+    WITH hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+               event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(28,8))) AS sum_value
+        FROM events GROUP BY 1, 2
+    ), daily AS (
+        SELECT time_bucket(INTERVAL '1 day', bucket_start) AS bucket_start,
+               event_type,
+               SUM(n_events) AS n_events,
+               SUM(sum_value) AS sum_value
+        FROM hourly GROUP BY 1, 2
+    )
+    SELECT '1 hour' AS level, bucket_start, event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(sum_value AS DOUBLE) AS sum_value
+    FROM hourly
+    UNION ALL
+    SELECT '1 day' AS level, bucket_start, event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(sum_value AS DOUBLE) AS sum_value
+    FROM daily
+    """,
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: 1-hour buckets
+    from raw events, 1-day buckets re-aggregated FROM the hourly rollup
+    (operators/rollup.py) — the multi-resolution pattern that never
+    rescans raw data for coarser levels."""
+    from dbt_foundation_spark.operators.rollup import rollup_cascade
+
+    events = t(spark, sf_dir, "events")
+    out = rollup_cascade(
+        events, "ts", "value", levels=("1 hour", "1 day"), group_cols=("event_type",)
+    )
+    return out.select(
+        "level",
+        "bucket_start",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )

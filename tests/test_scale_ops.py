@@ -198,3 +198,26 @@ def test_interval_overlap_join_equals_theta(spark):
     assert binned.count() == theta.count() > 0
     assert binned.exceptAll(theta).count() == 0
     assert theta.exceptAll(binned).count() == 0
+
+
+def test_rollup_cascade_reaggregates_exactly(spark, sf_dir):
+    """Daily buckets derived FROM hourly must equal daily-from-raw."""
+    from dbt_foundation_spark.operators.rollup import rollup_cascade
+
+    from dbt_foundation_spark.queries._util import t as _t
+
+    ev = _t(spark, sf_dir, "events")
+    out = rollup_cascade(ev, "ts", "value", ("1 hour", "1 day"), ("event_type",))
+    daily_from_cascade = out.filter(F.col("level") == "1 day").select(
+        "bucket_start", "event_type", "n_events", F.col("sum_value").cast("double")
+    )
+    daily_from_raw = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,8)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events", "sum_value")
+    )
+    assert daily_from_cascade.exceptAll(daily_from_raw).count() == 0
+    assert daily_from_raw.exceptAll(daily_from_cascade).count() == 0
