@@ -247,21 +247,38 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """D2 (exact-Jaccard flavor): within explicit blocks (e.g. language
-    + length bucket), all-pairs token-shingle Jaccard. Blocks bound the
-    quadratic term; the join is an equi-join on the block key."""
+    + length bucket), all-pairs shingle Jaccard via an inverted index.
+
+    Shape: explode distinct shingles → self-equi-join on (block,
+    shingle) → count co-occurrences per pair → |A∪B| = |A|+|B|−|A∩B|.
+    No arrays ever cross a shuffle, pairs with zero overlap are never
+    materialized (jaccard ≥ t > 0 needs ≥1 common shingle), and every
+    join is keyed. The candidate bound is Σ_shingle df(s)² per block —
+    at corpus scale drop ultra-frequent shingles first (stopword
+    shingles contribute pairs, not signal)."""
     sh = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("_id"),
         F.array_distinct(token_ngrams(text_col, shingle_len)).alias("_sh"),
     )
-    left = sh.select(*block_cols, F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    right = sh.select(*block_cols, F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        left.join(right, block_cols)
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    inv = sh.select(*block_cols, "_id", F.explode("_sh").alias("_s"))
+    left = inv.select(*block_cols, F.col("_id").alias("id_a"), "_s")
+    right = inv.select(*block_cols, F.col("_id").alias("id_b"), "_s")
+    common = (
+        left.join(right, block_cols + ["_s"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", F.try_divide(inter, union))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    with_sizes = common.join(
+        sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a"
+    ).join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+    jac = F.try_divide(
+        F.col("_common"), F.col("_na") + F.col("_nb") - F.col("_common")
+    )
+    return (
+        with_sizes.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -104,34 +104,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2 n-gram Jaccard near-dup (token-set flavor), blocked by
-    (lang, length-bucket) — the quadratic term is bounded per block and
-    the join is a keyed equi-join."""
+    """D2 n-gram Jaccard near-dup (token-set flavor: shingle_len=1),
+    blocked by (lang, length-bucket), computed via the inverted-index
+    formulation in operators/dedup.py — no arrays cross any shuffle."""
+    from dbt_foundation_spark.operators.dedup import ngram_jaccard_pairs
+
     docs = t(spark, sf_dir, "documents").withColumn(
         "len_bucket", (F.col("n_chars") / 50).cast("long")
     )
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        "len_bucket",
-        F.array_distinct(X.tokenize("text")).alias("tok"),
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["lang", "len_bucket"], shingle_len=1, threshold=0.6
     )
-    left = toks.select(
-        "lang", "len_bucket", F.col("doc_id").alias("id_a"), F.col("tok").alias("tok_a")
-    )
-    right = toks.select(
-        "lang", "len_bucket", F.col("doc_id").alias("id_b"), F.col("tok").alias("tok_b")
-    )
-    jac = F.size(F.array_intersect("tok_a", "tok_b")).cast("double") / F.size(
-        F.array_union("tok_a", "tok_b")
-    )
-    return (
-        left.join(right, ["lang", "len_bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.6)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 @query("q_embedding_neardup")  # rows-only: hyperplane-LSH blocking
