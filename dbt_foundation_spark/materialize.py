@@ -199,3 +199,10 @@ def _swap_in(project: Project, rel: str, df: DataFrame, node: Node) -> None:
     _writer(node, df).mode("overwrite").saveAsTable(staging)
     spark.sql(f"DROP TABLE IF EXISTS {rel}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {rel}")
+    if node.config.partition_by:
+        # RENAME moves the table dir but catalog partition entries keep
+        # their pre-rename locations → scans see 0 rows. Partition
+        # discovery re-registers them (a file listing — cheap next to
+        # the write we just did).
+        spark.sql(f"MSCK REPAIR TABLE {rel}")
+    spark.sql(f"REFRESH TABLE {rel}")

@@ -1,0 +1,108 @@
+"""End-to-end example project — the engine's user-facing surface in one
+file, mirroring how the reference project is used day-to-day:
+
+    dbt run            → build_project(...).run()
+    dbt test           → run_tests(project, ...)
+    dbt run-operation list_orphaned_objects → ops registry
+    project_evaluator  → evaluator.evaluate
+
+Run directly (uses sf0.001 testdata):  python examples/pipeline.py
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_foundation_spark.evaluator import evaluate
+from dbt_foundation_spark.ops import default_registry
+from dbt_foundation_spark.project import Project, Target
+from dbt_foundation_spark.sources.registry import testdata_sources
+from dbt_foundation_spark.testing import not_null, relationships, run_tests
+
+
+def build_project(spark, sf_dir: str, schema: str = "example") -> Project:
+    project = Project(
+        "example_project",
+        spark,
+        sources=testdata_sources(sf_dir),
+        target=Target(name="dev", schema=schema, threads=4),
+    )
+
+    # --- staging layer: 1:1 views over sources (reference default
+    #     materialization, dbt_project.yml:32-36) ---
+
+    @project.model(
+        columns={"o_orderkey": {"tests": ["unique", "not_null"], "description": "pk"}}
+    )
+    def stg_orders(ctx):
+        return ctx.source("raw", "orders")
+
+    @project.model
+    def stg_lineitem(ctx):
+        return ctx.source("raw", "lineitem")
+
+    @project.model
+    def stg_customer(ctx):
+        return ctx.source("raw", "customer")
+
+    # --- marts: a partitioned CTAS table and an incremental merge ---
+
+    @project.model(materialized="table", partition_by=("l_returnflag",))
+    def fct_pricing_summary(ctx):
+        li = ctx.ref("stg_lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.avg("l_discount").alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    @project.model(
+        materialized="incremental", incremental_strategy="merge", unique_key="c_custkey"
+    )
+    def dim_customer(ctx):
+        return ctx.ref("stg_customer")
+
+    return project
+
+
+def run_example_tests(project: Project):
+    """Declared column tests (from model metadata) + a singular
+    relationships test, dbt-test style: pass iff zero violation rows."""
+    declared = run_tests(project)  # unique/not_null from columns metadata
+    singular = run_tests(
+        project,
+        tests={
+            "stg_lineitem": {
+                "fk_orders": [
+                    relationships(
+                        "l_orderkey", project._node_frame("stg_orders"), "o_orderkey"
+                    )
+                ]
+            },
+            "fct_pricing_summary": {"flag_not_null": [not_null("l_returnflag")]},
+        },
+    )
+    return declared + singular
+
+
+def main() -> None:  # pragma: no cover - direct invocation path
+    from dbt_foundation_spark.session import get_spark
+
+    spark = get_spark(app_name="example_pipeline")
+    project = build_project(spark, "/root/testdata/sf0.001")
+    for r in project.run():
+        print(f"{r.status:8s} {r.node}")
+    for t in run_example_tests(project):
+        print(f"{t.status:5s} {t.model}.{t.test}")
+    for f in evaluate(project):
+        print(f"lint: {f}")
+    default_registry().run("list_orphaned_objects", project)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,28 @@
+"""The examples/pipeline.py walkthrough must actually work end-to-end."""
+
+from __future__ import annotations
+
+import sys
+import uuid
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from examples.pipeline import build_project, run_example_tests
+
+
+def test_example_pipeline_end_to_end(spark, sf_dir):
+    schema = f"ex_{uuid.uuid4().hex[:8]}"
+    project = build_project(spark, sf_dir, schema=schema)
+    try:
+        results = project.run()
+        assert {r.status for r in results} == {"success"}, results
+        # re-run: incremental merge path (table now exists)
+        results2 = project.run()
+        assert {r.status for r in results2} == {"success"}, results2
+        tests = run_example_tests(project)
+        assert tests and all(t.status == "pass" for t in tests), tests
+        mart = spark.table(f"{schema}.fct_pricing_summary")
+        assert mart.count() > 0
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
