@@ -35,8 +35,30 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity; NULL when either norm is zero (try_divide)."""
-    return F.try_divide(dot(a, b), norm(a) * norm(b))
+    """Cosine similarity; NULL when either norm is zero (try_divide).
+
+    Single fused pass: one zip_with + one aggregate carries (x·y, |a|²,
+    |b|²) in a struct accumulator — one array traversal per row instead
+    of three, and each field sums in array order so results are
+    bit-identical to the separate-pass formulation."""
+    pairs = F.zip_with(
+        to_double_array(a),
+        to_double_array(b),
+        lambda x, y: F.struct((x * y).alias("xy"), (x * x).alias("xx"), (y * y).alias("yy")),
+    )
+    acc0 = F.struct(
+        F.lit(0.0).alias("d"), F.lit(0.0).alias("na"), F.lit(0.0).alias("nb")
+    )
+    sums = F.aggregate(
+        pairs,
+        acc0,
+        lambda acc, p: F.struct(
+            (acc["d"] + p["xy"]).alias("d"),
+            (acc["na"] + p["xx"]).alias("na"),
+            (acc["nb"] + p["yy"]).alias("nb"),
+        ),
+    )
+    return F.try_divide(sums["d"], F.sqrt(sums["na"]) * F.sqrt(sums["nb"]))
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:
@@ -45,9 +67,19 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
 
 
 def normalize(a: Column | str) -> Column:
-    """Unit-normalize (NULL-safe: zero vector → NULL elements)."""
-    n = norm(a)
-    return F.transform(to_double_array(a), lambda x: F.try_divide(x, n))
+    """Unit-normalize (NULL-safe: zero vector → NULL elements).
+
+    The norm is bound as a lambda variable (1-element transform) — a
+    bare reference inside the per-element lambda would re-run the whole
+    norm aggregate per element (O(dim²) per row)."""
+    arr = to_double_array(a)
+    return F.get(
+        F.transform(
+            F.array(norm(a)),
+            lambda n: F.transform(arr, lambda x: F.try_divide(x, n)),
+        ),
+        0,
+    )
 
 
 def mean(a: Column | str) -> Column:
