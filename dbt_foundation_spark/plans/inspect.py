@@ -71,10 +71,14 @@ def sortmerge_join_count(df: DataFrame) -> int:
 
 def wholestage_codegen_ids(df: DataFrame) -> list[int]:
     """Distinct WholeStageCodegen span ids — wider/fewer spans mean more
-    of the query runs as fused JVM loops."""
-    return sorted(
-        {int(x) for x in re.findall(r"WholeStageCodegen \((\d+)\)", explain_text(df))}
-    )
+    of the query runs as fused JVM loops. Formatted mode tags nodes with
+    ``[codegen id : N]``; simple mode prints ``WholeStageCodegen (N)``.
+    NOTE: with AQE enabled (the engine default) codegen ids appear only
+    in the executed final plan — pre-execution explain returns []."""
+    text = explain_text(df)
+    ids = re.findall(r"\[codegen id : (\d+)\]", text)
+    ids += re.findall(r"WholeStageCodegen \((\d+)\)", text)
+    return sorted({int(x) for x in ids})
 
 
 def python_eval_count(df: DataFrame) -> int:
