@@ -1,0 +1,66 @@
+"""Deterministic sampling for training-data pipelines.
+
+`df.sample`/`sampleBy` are seed-deterministic but partition-layout
+dependent (a repartition changes the sample) and engine-specific. These
+samplers decide membership from a content hash of the row's id, so the
+sample is stable under repartitioning, incremental reprocessing (a doc
+keeps its fate across runs), AND reproducible in any engine with md5 —
+which is what makes the DuckDB oracle able to check them row-for-row.
+
+Membership: md5(id || ':' || salt) taken as a 32-bit hex prefix,
+compared against floor(fraction * 2^32) rendered in hex — lexicographic
+compare of fixed-width lowercase hex equals numeric compare, so the
+whole predicate stays a codegen'd string comparison (no bigint parsing,
+which DuckDB's SQL surface lacks for hex).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_bucket(id_col: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(f":{salt}"))), 1, 8)
+
+
+def _threshold_hex(fraction: float) -> str:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(int(fraction * (1 << 32)), "08x")
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~fraction of rows, decided per-row by content hash."""
+    return df.filter(
+        _hash_bucket(F.col(id_col), salt) < F.lit(_threshold_hex(fraction))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum hash sampling (e.g. downsample web text to 10%, keep
+    100% of books). Strata not listed get default_fraction."""
+    thresh = F.lit(_threshold_hex(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(_threshold_hex(frac))
+        ).otherwise(thresh)
+    return df.filter(_hash_bucket(F.col(id_col), salt) < thresh)
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, test_fraction: float = 0.1, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive, content-stable split — a row never migrates
+    between train and test across runs or repartitions."""
+    test_pred = _hash_bucket(F.col(id_col), salt) < F.lit(_threshold_hex(test_fraction))
+    return df.filter(~test_pred), df.filter(test_pred)

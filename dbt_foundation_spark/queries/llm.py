@@ -510,3 +510,53 @@ def q_range_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "sum_price")
     )
+
+
+@query(
+    "q_epoch_shuffle",
+    oracle="""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':epoch1') AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    LIMIT 100
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data epoch shuffle: a deterministic, engine-portable
+    global order from md5(id || epoch) — a new permutation per epoch,
+    reproducible across runs and engines, and a plain range-partitioned
+    sort at scale (no driver-side randomness)."""
+    docs = t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch1")))
+    return (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 8)
+          < CASE lang WHEN 'en' THEN '19999999'
+                      WHEN 'de' THEN '80000000'
+                      ELSE '33333333' END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data stratified sampling: per-language keep rates via
+    content-hash thresholds (operators/sampling.py) — stable under
+    repartitioning and incremental reruns, oracle-checkable row-for-row."""
+    from dbt_foundation_spark.operators.sampling import stratified_sample
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        fractions={"en": 0.1, "de": 0.5},
+        default_fraction=0.2,
+    )

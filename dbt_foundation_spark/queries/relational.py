@@ -414,3 +414,44 @@ def q_test_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return equality(part)(part)
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.90) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont` semantics). The approximate path for 100 TB
+    is `approx_percentile` (t-digest) — same call shape, bounded
+    memory; exact is kept here because the oracle can check it."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.90)").alias("p90"),
+    )
+
+
+@query(
+    "q_list_agg",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list(n_name ORDER BY n_name), ',') AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation (sort_array ∘ collect_list — the
+    deterministic form; bare collect_list order is partition-dependent
+    and must never be exposed)."""
+    n = t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+    )

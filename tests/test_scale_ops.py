@@ -221,3 +221,22 @@ def test_rollup_cascade_reaggregates_exactly(spark, sf_dir):
     )
     assert daily_from_cascade.exceptAll(daily_from_raw).count() == 0
     assert daily_from_raw.exceptAll(daily_from_cascade).count() == 0
+
+
+def test_hash_sampling_stable_and_disjoint(spark, sf_dir):
+    from dbt_foundation_spark.operators.sampling import (
+        hash_sample,
+        train_test_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    s1 = hash_sample(docs, "doc_id", 0.3)
+    s2 = hash_sample(docs.repartition(7), "doc_id", 0.3)
+    # stability under repartitioning: identical membership
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    n, total = s1.count(), docs.count()
+    assert abs(n / total - 0.3) < 0.1, f"{n}/{total}"
+
+    train, test = train_test_split(docs, "doc_id", test_fraction=0.2)
+    assert train.count() + test.count() == total
+    assert train.join(test, "doc_id").count() == 0
