@@ -176,3 +176,10 @@ def lang_id(col: Column | str) -> Column:
     ordered = F.sort_array(pairs, asc=False)
     top = ordered.getItem(0)
     return F.when(top.score > 0, top.lang).otherwise(F.lit("und"))
+
+
+def chunk_spans(toks: Column, chunk_tokens: int, stride: int) -> Column:
+    """Chunk start indices (0-based) covering the token array with the
+    given stride: i while i*stride < len."""
+    n = F.array_size(toks)
+    return F.sequence(F.lit(0), F.floor((n - 1) / F.lit(stride)).cast("int"))

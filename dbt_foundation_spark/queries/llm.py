@@ -560,3 +560,36 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         fractions={"en": 0.1, "de": 0.5},
         default_fraction=0.2,
     )
+
+
+@query(
+    "q_doc_chunks",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok
+        FROM documents
+    )
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(tok[(i*5+1):(i*5+10)], ' ') AS chunk_text
+    FROM toks, (SELECT unnest(range(0, 10000)) AS i)
+    WHERE i*5 < len(tok)
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: overlapping token windows (10 tokens,
+    stride 5) per document. Explode the span index first so the token
+    array is a row attribute when sliced — one tokenize per document,
+    chunk construction fully in codegen, and chunk rows co-partitioned
+    with their document (no shuffle at all)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokenize("text").alias("_toks"))
+    spans = toks.select(
+        "doc_id", "_toks", F.explode(X.chunk_spans(F.col("_toks"), 10, 5)).alias("chunk_idx")
+    )
+    return spans.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", F.slice(F.col("_toks"), F.col("chunk_idx") * 5 + 1, F.lit(10))).alias(
+            "chunk_text"
+        ),
+    )
