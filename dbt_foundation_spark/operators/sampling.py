@@ -27,7 +27,13 @@ def _hash_bucket(id_col: Column, salt: str) -> Column:
 def _threshold_hex(fraction: float) -> str:
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return format(int(fraction * (1 << 32)), "08x")
+    v = int(fraction * (1 << 32))
+    if v >= 1 << 32:
+        # 9-char '100000000' would string-compare WRONG against 8-char
+        # hashes ('f…' > '1…'); 'ffffffffff' is a strict upper bound for
+        # every 8-char hex prefix, including 'ffffffff' itself.
+        return "ffffffffff"
+    return format(v, "08x")
 
 
 def hash_sample(

@@ -240,3 +240,12 @@ def test_hash_sampling_stable_and_disjoint(spark, sf_dir):
     train, test = train_test_split(docs, "doc_id", test_fraction=0.2)
     assert train.count() + test.count() == total
     assert train.join(test, "doc_id").count() == 0
+
+
+def test_hash_sampling_boundary_fractions(spark, sf_dir):
+    from dbt_foundation_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    total = docs.count()
+    assert hash_sample(docs, "doc_id", 1.0).count() == total
+    assert hash_sample(docs, "doc_id", 0.0).count() == 0
