@@ -66,8 +66,8 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_dedup_minhash")  # rows-only: LSH banding (components unit-tested)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2 MinHash-LSH near-dup pairs: shingle → 32 md5-derived minhashes
-    → 8 bands → bucket equi-join → true-Jaccard verify ≥ 0.5."""
+    """D2 MinHash-LSH near-dup pairs: shingle → 32 seeded-universal-hash
+    minhashes → 8 bands → bucket equi-join → true-Jaccard verify ≥ 0.5."""
     from dbt_foundation_spark.operators.dedup import minhash_lsh_pairs
 
     docs = t(spark, sf_dir, "documents")

@@ -167,3 +167,28 @@ def test_pricing_summary_plan_shape(spark, sf_dir):
     assert s["shuffles"] <= 2, s
     assert s["python_row_udfs"] == 0
     assert any("l_shipdate" in f for f in s["pushed_filters"]), s["pushed_filters"]
+
+
+def test_heavy_query_plan_shapes_pinned(spark, sf_dir):
+    """Shuffle budgets for the heavy catalog queries — locks in the
+    codegen-aggregate/inverted-index/id-only-join designs so a refactor
+    that quietly reintroduces an extra shuffle or a Python UDF fails
+    here, not at 100 TB."""
+    import __spark_entry__ as e
+
+    budgets = {
+        "q_dedup_minhash": 6,   # sig agg + band join + 2 re-attach joins
+        "q_dedup_simhash": 4,   # sig agg + chunk join + pair dedup
+        "q_ngram_jaccard": 4,   # inverted-index join + pair agg + size joins
+        "q_asof_join": 3,       # union window + pre-agg
+        "q_rollup_cascade": 3,  # hour agg + day re-agg + union alignment
+        "q_doc_chunks": 0,      # chunking must not shuffle at all
+        "q_stratified_sample": 0,
+        "q_epoch_shuffle": 1,   # the global sort
+    }
+    qs = e.queries()
+    for name, budget in budgets.items():
+        df = qs[name](spark, sf_dir)
+        s = plan_summary(df)
+        assert s["shuffles"] <= budget, f"{name}: {s['shuffles']} > {budget}"
+        assert s["python_row_udfs"] == 0, name
