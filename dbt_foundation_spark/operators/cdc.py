@@ -1,0 +1,62 @@
+"""CDC fold — collapse a change log (insert/update/delete events) into
+the latest snapshot per key.
+
+The batch core of every incremental ingestion pipeline: given rows
+(key, seq, op, payload) where op ∈ {I, U, D} and seq orders changes
+within a key (commit LSN, kafka offset, updated_at), the snapshot is
+the payload of the highest-seq change per key, with keys whose latest
+change is a delete dropped.
+
+One window over (key ORDER BY seq DESC) — a single keyed shuffle; at
+100 TB the log is partitioned by ingest date so the fold reads only new
+partitions and merges with the previous snapshot (see
+materialize._incremental merge for the table-side half).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cdc_snapshot(
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Latest non-deleted row per key. Ties on seq resolve to the
+    delete-last interpretation (delete wins a tied seq — the safe
+    reading of an ambiguous log)."""
+    keys = list(keys)
+    is_delete = (F.col(op_col) == delete_op).cast("int")
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), is_delete.desc()
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn")
+    )
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Merge a new change batch into an existing snapshot: fold the
+    batch, then anti-join the old snapshot against every touched key
+    (updates AND deletes) and union the fresh rows — the no-MERGE
+    parquet rewrite, one anti-join + one fold."""
+    keys = list(keys)
+    folded = cdc_snapshot(changes, keys, seq_col, op_col, delete_op)
+    touched = changes.select(*keys).distinct()
+    kept = snapshot.join(touched, keys, "left_anti")
+    return kept.unionByName(folded.select(*snapshot.columns))

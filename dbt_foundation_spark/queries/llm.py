@@ -593,3 +593,43 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_text"
         ),
     )
+
+
+@query(
+    "q_cdc_snapshot",
+    oracle="""
+    WITH log AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus,
+               (o_orderkey % 3) AS version,
+               CASE WHEN md5(CAST(o_orderkey AS VARCHAR)) < '1a' THEN 'D'
+                    WHEN (o_orderkey % 3) = 0 THEN 'I' ELSE 'U' END AS op
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, o_orderstatus, version, op
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_orderkey
+            ORDER BY version DESC, CASE WHEN op = 'D' THEN 1 ELSE 0 END DESC
+        ) AS rn
+        FROM log
+    )
+    WHERE rn = 1 AND op != 'D'
+    """,
+)
+def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC fold: synthesize a deterministic change log over orders
+    (op/version derived from the key), collapse to the latest
+    non-deleted version per key (operators/cdc.py) — the batch core of
+    incremental ingestion."""
+    from dbt_foundation_spark.operators.cdc import cdc_snapshot
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    log = orders.withColumn("version", F.col("o_orderkey") % 3).withColumn(
+        "op",
+        F.when(F.md5(F.col("o_orderkey").cast("string")) < "1a", "D")
+        .when(F.col("o_orderkey") % 3 == 0, "I")
+        .otherwise("U"),
+    )
+    return cdc_snapshot(log, ["o_orderkey"], "version")

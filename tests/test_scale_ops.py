@@ -249,3 +249,21 @@ def test_hash_sampling_boundary_fractions(spark, sf_dir):
     total = docs.count()
     assert hash_sample(docs, "doc_id", 1.0).count() == total
     assert hash_sample(docs, "doc_id", 0.0).count() == 0
+
+
+def test_cdc_apply_merges_batches(spark):
+    from dbt_foundation_spark.operators.cdc import cdc_apply, cdc_snapshot
+
+    log1 = spark.createDataFrame(
+        [(1, 1, "I", "a"), (2, 1, "I", "b"), (1, 2, "U", "a2")],
+        "k int, seq int, op string, v string",
+    )
+    snap1 = cdc_snapshot(log1, ["k"], "seq")
+    assert {(r["k"], r["v"]) for r in snap1.collect()} == {(1, "a2"), (2, "b")}
+
+    log2 = spark.createDataFrame(
+        [(2, 2, "D", None), (3, 1, "I", "c"), (1, 3, "U", "a3")],
+        "k int, seq int, op string, v string",
+    )
+    snap2 = cdc_apply(snap1.select("k", "seq", "op", "v"), log2, ["k"], "seq")
+    assert {(r["k"], r["v"]) for r in snap2.collect()} == {(1, "a3"), (3, "c")}
