@@ -175,3 +175,71 @@ def run_to_parquet(
         writer = writer.trigger(availableNow=True)
     q = writer.start()
     q.awaitTermination()
+
+
+_SESSION_STATE = "start timestamp, last_ts timestamp, n_events bigint"
+_SESSION_OUT = "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+
+
+def sessionize_with_state(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful sessionization: per-user sessions closed by an
+    event-time timeout (the applyInPandasWithState wiring point for
+    business-rule sessions that `session_window` can't express —
+    per-user gaps, caps, or splits would slot into the same loop).
+
+    A session closes when the watermark passes last_ts + gap; closed
+    sessions are emitted in append mode, open ones stay in state.
+
+    Assumes micro-batches arrive roughly time-ordered per key (the
+    normal shape for log ingestion; the clamped timeout below absorbs
+    modest disorder). Arbitrarily out-of-order streams need the
+    buffer-in-state formulation (hold events until the watermark passes,
+    as the built-in session_window does) — same wiring, more state."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import datetime as _dt
+
+        gap = _dt.timedelta(seconds=gap_seconds)
+        out = []
+        if state.hasTimedOut:
+            start, last_ts, n = state.get
+            out.append((key[0], start, last_ts, n))
+            state.remove()
+        else:
+            start, last_ts, n = (None, None, 0)
+            if state.exists:
+                start, last_ts, n = state.get
+            rows = pd.concat(list(pdfs))
+            for ts in sorted(rows["ts"]):
+                ts = ts.to_pydatetime()
+                if last_ts is not None and (ts - last_ts) > gap:
+                    out.append((key[0], start, last_ts, n))
+                    start, last_ts, n = (ts, ts, 1)
+                else:
+                    start = start or ts
+                    last_ts, n = ts, n + 1
+            if last_ts is not None:
+                state.update((start, last_ts, n))
+                # out-of-order micro-batches can put last_ts+gap behind
+                # the already-advanced watermark — clamp, else Spark
+                # rejects the timeout; the session then closes on the
+                # next watermark advance (it is already beyond its gap)
+                deadline = int((last_ts + gap).timestamp() * 1000) + 1
+                state.setTimeoutTimestamp(
+                    max(deadline, state.getCurrentWatermarkMs() + 1)
+                )
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

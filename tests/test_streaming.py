@@ -165,3 +165,61 @@ def test_streaming_hourly_feeds_batch_daily_rollup(spark, sf_dir, staging):
     assert want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stateful_sessionization_matches_session_window(spark, sf_dir, staging):
+    """Closed sessions from the stateful operator must be a subset of
+    the batch session_window sessions, and exactly equal for sessions
+    whose timeout the final watermark passed."""
+    from dbt_foundation_spark.streaming.pipeline import sessionize_with_state
+
+    # stage time-ordered ARRIVAL (the operator's documented assumption —
+    # log-ingestion shape). The file source orders by modification time,
+    # so write each time-quarter as its own append with a distinct
+    # mtime tick.
+    import time as _time
+
+    ev = _events(spark, sf_dir)
+    bounds = ev.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) / 4
+    ordered_dir = staging["root"] / "events_ordered"
+    for i in range(4):
+        chunk = ev.filter(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (lo + (i + 1) * span) if i < 3 else F.lit(True))
+        )
+        chunk.coalesce(1).write.mode("append").parquet(str(ordered_dir))
+        _time.sleep(1.1)
+    stream = read_event_stream(spark, str(ordered_dir), max_files_per_trigger=1)
+    sessions = sessionize_with_state(stream, gap_seconds=1800)
+    run_available_now(sessions, _ckpt(staging), "s_state_sessions", output_mode="append")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("s_state_sessions").collect()
+    }
+    batch = (
+        _events(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert got, "no sessions closed"
+    assert got <= want, f"stateful emitted sessions not in batch: {sorted(got - want)[:3]}"
+    # sessions ending well before the stream's end must all have closed
+    max_end = max(e for _, _, e, _ in want)
+    import datetime
+
+    cutoff = max_end - datetime.timedelta(hours=2)
+    want_closed = {s for s in want if s[2] <= cutoff}
+    got_closed = {s for s in got if s[2] <= cutoff}
+    assert got_closed == want_closed
