@@ -1,0 +1,70 @@
+"""Table maintenance — compaction (the no-Delta OPTIMIZE analog).
+
+Incremental appends (materialize._incremental 'append') accumulate one
+file set per batch; after thousands of micro-batches a 100 TB table is
+millions of small files and scan planning + open() overhead dominate.
+``compact_table`` rewrites a managed parquet table to ~target-sized
+files, preserving the partition layout, via the same staging-swap used
+by materializations (write new, catalog-rename — readers never see a
+partial table).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+
+def table_file_stats(spark: SparkSession, relation: str) -> dict:
+    """(n_files, total_bytes) for a managed parquet table's data files."""
+    files = spark.sql(f"SELECT input_file_name() AS f FROM {relation}").distinct()
+    names = [r["f"] for r in files.collect()]
+    import os
+
+    total = 0
+    for uri in names:
+        path = uri.removeprefix("file:")
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            pass
+    return {"n_files": len(names), "total_bytes": total}
+
+
+def compact_table(
+    spark: SparkSession,
+    relation: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: tuple[str, ...] = (),
+) -> dict:
+    """Rewrite ``relation`` into ceil(total/target) files (per partition
+    layout if ``partition_by`` given). Returns before/after stats.
+
+    Bucketed tables must not be compacted this way (the rewrite would
+    drop the bucket spec) — detect and refuse.
+    """
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {relation}").collect()
+    if any("Num Buckets" in (r["col_name"] or "") for r in desc):
+        raise ValueError(f"{relation} is bucketed; compaction would drop the bucket spec")
+
+    before = table_file_stats(spark, relation)
+    n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
+
+    df = spark.table(relation)
+    staging = f"{relation}__compact_tmp"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    writer = (
+        (df.repartition(n_out, *partition_by) if partition_by else df.repartition(n_out))
+        .write.format("parquet")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.mode("overwrite").saveAsTable(staging)
+    spark.sql(f"DROP TABLE IF EXISTS {relation}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {relation}")
+    if partition_by:
+        spark.sql(f"MSCK REPAIR TABLE {relation}")
+    spark.sql(f"REFRESH TABLE {relation}")
+    after = table_file_stats(spark, relation)
+    return {"before": before, "after": after, "target_files": n_out}

@@ -267,3 +267,47 @@ def test_cdc_apply_merges_batches(spark):
     )
     snap2 = cdc_apply(snap1.select("k", "seq", "op", "v"), log2, ["k"], "seq")
     assert {(r["k"], r["v"]) for r in snap2.collect()} == {(1, "a3"), (3, "c")}
+
+
+def test_compact_table_shrinks_file_count(spark, sf_dir):
+    import uuid
+
+    from dbt_foundation_spark.operators.maintenance import (
+        compact_table,
+        table_file_stats,
+    )
+
+    schema = f"cmp_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {schema}")
+    rel = f"{schema}.orders_frag"
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        # simulate many-small-appends fragmentation
+        orders.repartition(24).write.mode("overwrite").saveAsTable(rel)
+        n_rows = spark.table(rel).count()
+        before = table_file_stats(spark, rel)
+        assert before["n_files"] >= 24
+
+        stats = compact_table(spark, rel, target_file_bytes=64 * 1024 * 1024)
+        assert stats["after"]["n_files"] < before["n_files"]
+        assert spark.table(rel).count() == n_rows
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+
+
+def test_compact_refuses_bucketed(spark, sf_dir):
+    import uuid
+
+    from dbt_foundation_spark.operators.maintenance import compact_table
+
+    schema = f"cmp_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {schema}")
+    rel = f"{schema}.orders_bucketed"
+    try:
+        load_table(spark, sf_dir, "orders").write.bucketBy(
+            4, "o_custkey"
+        ).sortBy("o_custkey").mode("overwrite").saveAsTable(rel)
+        with pytest.raises(ValueError, match="bucketed"):
+            compact_table(spark, rel)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
