@@ -29,10 +29,31 @@ def quote_identifier(name: str) -> str:
     return f"`{escaped}`"
 
 
+def get_relations_by_pattern(
+    spark, schema_pattern: str, table_pattern: str = ".*"
+) -> list[str]:
+    """dbt_utils.get_relations_by_pattern analog: 2-part relation names
+    whose schema/table match the (anchored) regex patterns — the
+    catalog-driven input that feeds union_relations for sharded tables
+    (e.g. events_2024_.*)."""
+    schema_re = re.compile(f"^{schema_pattern}$")
+    table_re = re.compile(f"^{table_pattern}$")
+    out = []
+    for db in spark.catalog.listDatabases():
+        if not schema_re.match(db.name):
+            continue
+        for t_ in spark.catalog.listTables(db.name):
+            if t_.tableType != "TEMPORARY" and table_re.match(t_.name):
+                out.append(f"{db.name}.{t_.name}")
+    return sorted(out)
+
+
 def star_from_relations(
     frames: list[DataFrame],
     relation_alias: str | None = None,
     except_: list[str] | None = None,
+    prefix: str = "",
+    suffix: str = "",
 ) -> list[str]:
     """M1: merged, quoted column list across relations minus ``except_``.
 
@@ -49,8 +70,14 @@ def star_from_relations(
     )
     exclude = {c.lower() for c in (except_ or [])}
     cols = [c for c in merged.columns if c.lower() not in exclude]
-    prefix = f"{relation_alias}." if relation_alias else ""
-    return [f"{prefix}{quote_identifier(c)}" for c in cols]
+    rel = f"{relation_alias}." if relation_alias else ""
+    if prefix or suffix:
+        # dbt_utils.star output-rename form: col AS prefix || col || suffix
+        return [
+            f"{rel}{quote_identifier(c)} AS {quote_identifier(prefix + c + suffix)}"
+            for c in cols
+        ]
+    return [f"{rel}{quote_identifier(c)}" for c in cols]
 
 
 def union_relations(

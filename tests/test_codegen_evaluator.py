@@ -192,3 +192,24 @@ def test_heavy_query_plan_shapes_pinned(spark, sf_dir):
         s = plan_summary(df)
         assert s["shuffles"] <= budget, f"{name}: {s['shuffles']} > {budget}"
         assert s["python_row_udfs"] == 0, name
+
+
+def test_get_relations_by_pattern_and_star_rename(spark, sf_dir):
+    import uuid
+
+    from dbt_foundation_spark.ops import get_relations_by_pattern, star_from_relations
+
+    schema = f"pat_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {schema}")
+    try:
+        for shard in ("events_2024_01", "events_2024_02", "other_table"):
+            load_table(spark, sf_dir, "nation").write.saveAsTable(f"{schema}.{shard}")
+        rels = get_relations_by_pattern(spark, schema, r"events_2024_.*")
+        assert rels == [f"{schema}.events_2024_01", f"{schema}.events_2024_02"]
+
+        cols = star_from_relations(
+            [spark.table(rels[0])], except_=["n_comment"], prefix="src_"
+        )
+        assert "`n_nationkey` AS `src_n_nationkey`" in cols
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
