@@ -11,7 +11,7 @@ verification value — the components are unit-tested instead).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_foundation_spark.functions import text as X
@@ -633,3 +633,68 @@ def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("U"),
     )
     return cdc_snapshot(log, ["o_orderkey"], "version")
+
+
+@query(
+    "q_vocab_encode",
+    oracle=r"""
+    WITH vocab AS (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS token_id
+        FROM (
+            SELECT token, COUNT(*) AS n FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+                FROM documents
+            ) GROUP BY token
+        )
+        QUALIFY token_id < 64
+    ), split AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, tok, unnest(range(1, len(tok) + 1)) AS ord FROM split
+    ), toks AS (
+        SELECT doc_id, tok[ord] AS token, ord FROM pos
+    )
+    SELECT doc_id,
+           array_to_string(list(COALESCE(CAST(v.token_id AS VARCHAR), '<unk>')
+                                ORDER BY ord), ' ') AS input_ids
+    FROM toks LEFT JOIN vocab v USING (token)
+    GROUP BY doc_id
+    """,
+)
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-at-scale: corpus-derived top-64 vocabulary (frequency
+    then lexicographic ids), then token→id encoding per document via a
+    BROADCAST join of the vocab against the exploded token stream —
+    the standard shape for vocab encoding at 100 TB (the vocab is tiny,
+    the stream is not; order restored by position)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(X.tokenize("text")).alias("pos", "token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "token_id",
+            F.row_number().over(Window.orderBy(F.desc("n"), "token")) - 1,
+        )
+        .filter(F.col("token_id") < 64)
+        .select("token", "token_id")
+    )
+    encoded = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "token_id"))
+                    ),
+                    lambda s: F.coalesce(s["token_id"].cast("string"), F.lit("<unk>")),
+                ),
+                " ",
+            ).alias("input_ids")
+        )
+    )
+    return encoded
