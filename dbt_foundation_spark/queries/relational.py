@@ -455,3 +455,29 @@ def q_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.groupBy("n_regionkey").agg(
         F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
     )
+
+
+@query(
+    "q_join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, CAST(o.n_orders AS BIGINT) AS n_orders
+    FROM customer c
+    FULL OUTER JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer equi-join (customers x per-customer order counts) —
+    completes the join family (inner/semi/anti/range elsewhere).
+    Pre-aggregating the fact side before the join keeps the outer join
+    row-bounded by the dimension at any scale."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    counts = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return cust.join(
+        counts, cust.c_custkey == counts.o_custkey, "full_outer"
+    ).select("c_custkey", "c_name", "n_orders")
