@@ -481,3 +481,27 @@ def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         counts, cust.c_custkey == counts.o_custkey, "full_outer"
     ).select("c_custkey", "c_name", "n_orders")
+
+
+@query(
+    "q_conditional_agg",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_large,
+           {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END", "open_value")}
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: count_if (Spark 4 native) + guarded sum
+    — the FILTER-clause family, one pass over the fact table."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+        dsum(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0.0),
+            "open_value",
+        ),
+    )
