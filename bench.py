@@ -43,13 +43,29 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+    # Full per-query timings go to a sidecar file; stdout gets one COMPACT
+    # line (top-5 slowest only) so the driver's bounded capture never
+    # truncates the JSON (round-1 BENCH had parsed:null from a ~2.5 KB line).
+    detail = {
+        "metric": "catalog_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    Path(__file__).resolve().parent.joinpath("bench_detail.json").write_text(
+        json.dumps(detail, indent=1)
+    )
+    top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
                 "metric": "catalog_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": top5,
+                "n_queries": len(timings),
+                "detail": "bench_detail.json",
                 "sf": sf,
             }
         )

@@ -102,9 +102,13 @@ def _incremental(project: Project, node: Node, df: DataFrame) -> None:
         return
     if strategy == "insert_overwrite":
         if node.config.partition_by:
-            # dynamic partition overwrite: replace only arriving partitions
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            df.write.insertInto(rel, overwrite=True)
+            # dynamic partition overwrite: replace only arriving partitions.
+            # Per-write option (not session conf) so concurrent DAG nodes
+            # on other threads keep static-overwrite semantics; insertInto
+            # is positional, so align to the target column order first.
+            df.select(*spark.table(rel).columns).write.option(
+                "partitionOverwriteMode", "dynamic"
+            ).insertInto(rel, overwrite=True)
         else:
             _swap_in(project, rel, df, node)
         return

@@ -207,9 +207,24 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """D2 (simhash flavor): pairs with hamming(simhash) ≤ max_hamming.
 
-    Blocking: 4 chunks of 16 bits — hamming ≤ 3 guarantees at least one
-    chunk identical (pigeonhole), so candidates = equi-join per chunk.
+    Blocking: the 64 signature bits are split into ``max_hamming + 1``
+    chunks — a pair within the radius differs in at most ``max_hamming``
+    bits, so by pigeonhole at least one chunk is identical and candidates
+    reduce to an equi-join per chunk. Deriving the chunk count from the
+    radius (rather than a fixed 4×16-bit split, whose guarantee stops at
+    hamming ≤ 3) keeps recall exact at ANY configured radius. Note the
+    recall/cost trade: more chunks = narrower chunks = bigger buckets;
+    radii ≳ 15 (chunks ≤ 4 bits) degenerate toward all-pairs.
     """
+    if not 0 <= max_hamming <= 31:
+        raise ValueError(
+            f"max_hamming={max_hamming}: need 0 <= max_hamming <= 31 "
+            "(chunks below 2 bits make LSH blocking meaningless)"
+        )
+    n_chunks = max_hamming + 1
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1] * rem + [base] * (n_chunks - rem)
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
     sh = simhash(df, id_col, text_col)
     chunks = sh.select(
         "_id",
@@ -219,9 +234,11 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                        F.shiftright("simhash", offsets[c])
+                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
+                        .alias("ck"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("cc"),
@@ -245,6 +262,7 @@ def ngram_jaccard_pairs(
     block_cols: list[str],
     shingle_len: int = 3,
     threshold: float = 0.5,
+    max_df: int = 100_000,
 ) -> DataFrame:
     """D2 (exact-Jaccard flavor): within explicit blocks (e.g. language
     + length bucket), all-pairs shingle Jaccard via an inverted index.
@@ -254,8 +272,15 @@ def ngram_jaccard_pairs(
     No arrays ever cross a shuffle, pairs with zero overlap are never
     materialized (jaccard ≥ t > 0 needs ≥1 common shingle), and every
     join is keyed. The candidate bound is Σ_shingle df(s)² per block —
-    at corpus scale drop ultra-frequent shingles first (stopword
-    shingles contribute pairs, not signal)."""
+    ``max_df`` caps it by dropping postings whose per-block document
+    frequency exceeds the cap BEFORE the self-join (stopword shingles
+    contribute pairs, not signal; one posting with df=10⁶ alone is 10¹²
+    candidates). The df-count window partitions on the SAME key the
+    self-join shuffles on, so the guard adds no extra exchange. Set
+    sizes stay full-set (zero-shuffle F.size), so a binding cap yields a
+    LOWER-BOUND jaccard (dropped shingles count in |A∪B| but not |A∩B|)
+    — exact whenever no shingle exceeds the cap, which the default
+    guarantees at test scale. ``max_df=None`` disables the guard."""
     sh = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("_id"),
@@ -263,6 +288,13 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     inv = sh.select(*block_cols, "_id", F.explode("_sh").alias("_s"))
+    if max_df is not None:
+        dfreq = Window.partitionBy(*block_cols, "_s")
+        inv = (
+            inv.withColumn("_df", F.count(F.lit(1)).over(dfreq))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
     left = inv.select(*block_cols, F.col("_id").alias("id_a"), "_s")
     right = inv.select(*block_cols, F.col("_id").alias("id_b"), "_s")
     common = (

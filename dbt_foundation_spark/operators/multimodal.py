@@ -79,12 +79,19 @@ def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
     return [b / 255.0 for b in h[:dim]]
 
 
-def extract_features(df: DataFrame, dim: int = 8, target_partitions: int | None = None) -> DataFrame:
+def extract_features(
+    df: DataFrame,
+    dim: int = 8,
+    target_partitions: int | None = None,
+    decode_fn=None,
+) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow batches, not rows).
 
-    When a real decoder is present (HAS_PIL), plug it into the loop
-    body; the Spark-side contract (schema, batching, pruning) is
-    identical either way.
+    ``decode_fn(payload: bytes) -> list[float]`` plugs in a real backend
+    (PIL/torchvision/ffmpeg); the default is the deterministic fake
+    featurizer, independent of what imports happen to be installed —
+    the Spark-side contract (schema, batching, pruning) is identical
+    either way.
 
     target_partitions sizes the Python-worker fan-out: each partition
     spawns an Arrow worker, so tiny inputs should coalesce (worker
@@ -93,13 +100,11 @@ def extract_features(df: DataFrame, dim: int = 8, target_partitions: int | None 
     """
     if target_partitions is not None:
         df = df.coalesce(target_partitions)
+    decode = decode_fn or (lambda p: _fake_decode_features(p, dim))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not HAS_PIL:
-                feats = [_fake_decode_features(p, dim) for p in pdf["payload"]]
-            else:  # pragma: no cover - backend not in this container
-                raise NotImplementedError("real decode backend wiring point")
+            feats = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -39,7 +39,11 @@ def point_in_interval_join(
 
     Each interval replicates into its covered bins via an explode of a
     sequence — linear in total covered bins, then one keyed shuffle.
+    Inner-only: the exact predicate is re-checked AFTER the bin join, so
+    any outer variant would silently drop its null-extended rows.
     """
+    if how != "inner":
+        raise ValueError("point_in_interval_join supports how='inner' only")
     extra_on = list(extra_on or [])
     p = points.withColumn("_bin", _bin(F.col(point_col), bin_width))
     iv = intervals.withColumn(

@@ -102,20 +102,27 @@ def ivf_assignments(
     vec_col: str,
     n_lists: int = 16,
     seed: int = 42,
-    fit_fraction: float = 1.0,
+    fit_fraction: float | None = None,
     max_iter: int = 8,
+    target_fit_rows: int = 1_000_000,
 ):
     """IVF coarse quantizer: k-means centroids + per-row list assignment.
 
     Returns (assigned_df with ``_ivf_list`` column, centroids as
-    list[list[float]]). At 100 TB fit on a sample (``fit_fraction``) —
-    centroid quality needs only a representative subset — while
-    assignment stays a single broadcast-free pass (the model is a
-    driver-side constant folded into the plan).
+    list[list[float]]). The k-means fit runs on a SAMPLE sized to
+    ``target_fit_rows`` by default (fraction = target/count, capped at
+    1.0) — a coarse quantizer needs a representative subset, never a
+    multi-pass ML job over the full 100 TB corpus. Below the target the
+    fraction resolves to 1.0, so test-scale results are exact. Pass
+    ``fit_fraction`` to override. Assignment stays a single pass (the
+    model is a driver-side constant folded into the plan).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    if fit_fraction is None:
+        n = df.count()  # parquet metadata count — one cheap job
+        fit_fraction = min(1.0, target_fit_rows / max(n, 1))
     vecs = df.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
     fit_on = vecs.sample(fit_fraction, seed=seed) if fit_fraction < 1.0 else vecs
     model = KMeans(

@@ -59,10 +59,14 @@ def two_phase_distinct(
 ) -> DataFrame:
     """Exact per-key distinct count, skew-resistant: phase 1 dedups on
     (keys, value) — the hot key's distinct values hash across reducers —
-    phase 2 counts the (already small) distinct pairs per key."""
+    phase 2 counts the (already small) distinct pairs per key.
+
+    NULL values are excluded, matching ``COUNT(DISTINCT x)``; keys whose
+    values are all NULL therefore don't appear (SQL would report 0)."""
     keys = list(keys)
     return (
         df.select(*keys, value)
+        .filter(F.col(value).isNotNull())
         .dropDuplicates(keys + [value])
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias(alias))

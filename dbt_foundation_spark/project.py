@@ -340,11 +340,21 @@ class Project:
             failed.update(r.node for r in results if r.status == "skipped")
             if not todo:
                 continue
+            before = set(self._materialized)
             with ThreadPoolExecutor(max_workers=self.target.threads) as pool:
                 for res in pool.map(self._execute_node, todo):
                     results.append(res)
                     if res.status == "error":
                         failed.add(res.node)
+            # Capture-phase frames downstream of a node persisted this
+            # generation embed its PRE-materialization frame (an
+            # incremental's delta batch, a snapshot's raw input without
+            # dbt_valid_* columns). Invalidate them so later generations
+            # rebuild against the persisted relation via _node_frame.
+            newly = self._materialized - before
+            if newly:
+                for name in self.manifest.downstream(newly) - newly:
+                    self._frames.pop(name, None)
         return results
 
     # ---------- state:modified+ ----------

@@ -78,12 +78,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_dedup_simhash")  # rows-only: 64-bit signature + chunk blocking
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2 SimHash near-dup pairs: 64-bit weighted-bit signature, 16-bit
-    chunk blocking (pigeonhole for hamming ≤ 3), bit_count(xor) verify."""
+    """D2 SimHash near-dup pairs: 64-bit weighted-bit signature, 4×16-bit
+    chunk blocking (pigeonhole guarantees recall for hamming ≤ 3),
+    bit_count(xor) verify. The operator derives the chunk count from the
+    radius, so recall is exact for any max_hamming."""
     from dbt_foundation_spark.operators.dedup import simhash_near_pairs
 
     docs = t(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=16)
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
 @query(
@@ -675,11 +677,16 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
+        # top-K cut FIRST (TakeOrderedAndProject: per-partition heaps, K
+        # rows to the driver-side merge) so the id-assigning global
+        # window below runs over ≤ 64 rows — never the full distinct
+        # vocabulary through a single reducer.
+        .orderBy(F.desc("n"), "token")
+        .limit(64)
         .withColumn(
             "token_id",
             F.row_number().over(Window.orderBy(F.desc("n"), "token")) - 1,
         )
-        .filter(F.col("token_id") < 64)
         .select("token", "token_id")
     )
     encoded = (

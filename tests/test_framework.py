@@ -177,6 +177,55 @@ def test_snapshot_scd2(project, spark):
     assert len(closed) == 1 and closed[0].name == "alice"
 
 
+def test_downstream_of_incremental_reads_merged_relation(project, spark):
+    """Regression: a model downstream of an incremental upstream must read
+    the merged persisted relation, not the capture-phase frame (which is
+    only the run's delta batch)."""
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string").createOrReplaceTempView(
+        "dsrc"
+    )
+
+    @project.model(materialized="incremental", incremental_strategy="merge", unique_key="id")
+    def inc_up(ctx):
+        return spark.table("dsrc")
+
+    @project.model(materialized="table")
+    def dstream(ctx):
+        return ctx.ref("inc_up")
+
+    project.run()
+    drel = project.relation_name(project.manifest["dstream"])
+    assert spark.table(drel).count() == 2
+
+    # second invocation delivers a 1-row delta; downstream must see 3 rows
+    spark.createDataFrame([(3, "c")], "id int, v string").createOrReplaceTempView("dsrc")
+    p2 = _reattach(project)
+    p2.run()
+    assert {r.id for r in spark.table(drel).collect()} == {1, 2, 3}
+
+
+def test_downstream_of_snapshot_sees_scd2_columns(project, spark):
+    """Regression: same-run consumer of a snapshot must see the persisted
+    SCD2 relation (dbt_scd_id/dbt_valid_*), not the raw capture frame."""
+    spark.createDataFrame(
+        [(1, "x", "2024-01-01 00:00:00")], "id int, name string, updated_at string"
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp")).createOrReplaceTempView(
+        "snap_src2"
+    )
+
+    @project.snapshot(unique_key="id", strategy="timestamp", updated_at="updated_at")
+    def snap_up(ctx):
+        return spark.table("snap_src2")
+
+    @project.model(materialized="table")
+    def snap_consumer(ctx):
+        return ctx.ref("snap_up")
+
+    project.run()
+    rel = project.relation_name(project.manifest["snap_consumer"])
+    assert {"dbt_scd_id", "dbt_valid_from", "dbt_valid_to"} <= set(spark.table(rel).columns)
+
+
 def test_generic_test_family(spark):
     df = spark.createDataFrame(
         [(1, "a", 10.0), (2, "b", 20.0), (2, "b", 30.0), (4, None, -5.0)],

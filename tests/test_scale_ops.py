@@ -311,3 +311,62 @@ def test_compact_refuses_bucketed(spark, sf_dir):
             compact_table(spark, rel)
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+
+
+def test_two_phase_distinct_ignores_nulls(spark):
+    """COUNT(DISTINCT x) semantics: NULLs don't count; all-NULL keys
+    drop out (SQL reports 0 — callers coalesce if they need the row)."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", None), ("b", None), ("c", 2), ("c", 3)],
+        "k string, v int",
+    )
+    got = {r["k"]: r["n_distinct"] for r in two_phase_distinct(df, ["k"], "v").collect()}
+    assert got == {"a": 1, "c": 2}
+
+
+def test_ngram_jaccard_max_df_caps_candidates(spark):
+    """A stopword shingle shared by every doc must not generate O(n²)
+    candidate pairs once its document frequency exceeds max_df."""
+    from dbt_foundation_spark.operators.dedup import ngram_jaccard_pairs
+
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, f"the unique{i} token{i}") for i in range(n)], "doc_id long, text string"
+    ).withColumn("blk", F.lit(0))
+    # unguarded: 'the' pairs every doc with every other -> n*(n-1)/2 candidates
+    # (all below threshold, but the join still materializes them)
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["blk"], shingle_len=1, threshold=0.1, max_df=5
+    )
+    assert capped.count() == 0
+    # guard must NOT change results when no shingle exceeds the cap
+    near = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta"), (3, "zz yy xx")],
+        "doc_id long, text string",
+    ).withColumn("blk", F.lit(0))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            near, "doc_id", "text", ["blk"], shingle_len=1, threshold=0.4
+        ).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_point_in_interval_join_rejects_outer(spark):
+    from dbt_foundation_spark.operators.rangejoin import point_in_interval_join
+
+    pts = spark.createDataFrame([(1, 5.0)], "id int, x double")
+    iv = spark.createDataFrame([(1, 0.0, 10.0)], "iid int, s double, e double")
+    with pytest.raises(ValueError):
+        point_in_interval_join(pts, iv, "x", "s", "e", bin_width=1.0, how="left")
+
+
+def test_extract_features_decode_fn_plugs_in(spark):
+    from dbt_foundation_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=8)
+    out = extract_features(media, dim=4, decode_fn=lambda p: [float(len(p or b""))]).collect()
+    assert all(r["features"] == [256.0] for r in out)
+    default = extract_features(media, dim=4).collect()
+    assert all(len(r["features"]) == 4 for r in default)
