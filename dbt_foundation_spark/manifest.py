@@ -44,6 +44,9 @@ class Node:
     depends_on: set[str] = field(default_factory=set)
     source_deps: set[tuple[str, str]] = field(default_factory=set)
     columns: dict[str, dict] = field(default_factory=dict)  # docs/tests metadata
+    package: str | None = None  # owning package (2-arg ref target)
+    base_name: str | None = None  # logical name for versioned models
+    version: int | None = None  # model version (ref version= kwarg)
 
     @property
     def alias(self) -> str:
@@ -66,13 +69,69 @@ class Node:
 class Manifest:
     """Node registry + DAG with topological scheduling order."""
 
+    _AMBIGUOUS = "!ambiguous"
+
     def __init__(self) -> None:
         self.nodes: dict[str, Node] = {}
+        # ref-resolution index: (package|None, logical name) -> {version|None: node key}
+        self._refs: dict[tuple[str | None, str], dict[int | None, str]] = {}
+        self._latest: dict[tuple[str | None, str], int] = {}
 
     def add(self, node: Node) -> None:
         if node.name in self.nodes:
             raise ValueError(f"duplicate node name: {node.name}")
         self.nodes[node.name] = node
+        base = node.base_name or node.name
+        for pkg in {node.package, None}:
+            versions = self._refs.setdefault((pkg, base), {})
+            existing = versions.get(node.version)
+            if existing is not None and existing != node.name:
+                if pkg is None:
+                    # same logical name from two packages: unqualified
+                    # ref becomes ambiguous, package-qualified still works
+                    versions[node.version] = self._AMBIGUOUS
+                else:
+                    raise ValueError(
+                        f"duplicate model {base!r} v{node.version} in package {pkg!r}"
+                    )
+            else:
+                versions[node.version] = node.name
+
+    def set_latest_version(self, base: str, version: int, package: str | None = None) -> None:
+        """Pin which version an unversioned ref resolves to (dbt's
+        ``latest_version`` config; default is the highest version)."""
+        for pkg in {package, None}:
+            self._latest[(pkg, base)] = version
+
+    def resolve_ref(
+        self, name: str, package: str | None = None, version: int | None = None
+    ) -> str:
+        """Node key for ``ref([package,] name[, version=n])`` — the
+        reference's override forwards exactly these shapes
+        (macros/overrides/ref.sql:10-26)."""
+        versions = self._refs.get((package, name))
+        if not versions:
+            if package is None and version is None and name in self.nodes:
+                return name  # direct node-key hit (e.g. 'fact.v2')
+            raise KeyError(
+                f"ref({name!r}"
+                + (f", package={package!r}" if package else "")
+                + "): unknown model"
+            )
+        if version is not None:
+            key = versions.get(version)
+            if key is None:
+                raise KeyError(f"ref({name!r}, version={version}): no such version")
+        elif None in versions:
+            key = versions[None]  # unversioned model wins for a bare ref
+        else:
+            latest = self._latest.get((package, name), max(v for v in versions))
+            key = versions[latest]
+        if key == self._AMBIGUOUS:
+            raise KeyError(
+                f"ref({name!r}) is ambiguous across packages — use ref(package, {name!r})"
+            )
+        return key
 
     def __contains__(self, name: str) -> bool:
         return name in self.nodes

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from dbt_foundation_spark.functions.text import (
     fast_hash64,
     fingerprint,
+    md5_hash64,
     token_ngrams,
     tokenize,
 )
@@ -62,6 +63,7 @@ def minhash_signature(
     text_col: str,
     num_hashes: int = 32,
     shingle_len: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, minhash array<bigint> of length num_hashes) per document.
 
@@ -75,13 +77,19 @@ def minhash_signature(
     interpreted and re-evaluate subtrees per element (k× the hashing per
     shingle); grouped min-aggs are fused JVM loops with map-side partial
     aggregation, so the doc_id shuffle carries k longs per doc — not the
-    shingle set."""
+    shingle set.
+
+    ``portable=True`` swaps the base hash to :func:`md5_hash64` so the
+    identical signature math can be replayed in any engine with md5
+    (the cross-engine-oracle path); default xxhash64 stays the fast
+    engine-internal choice."""
     coeffs = _hash_coeffs(num_hashes)
+    base_hash = md5_hash64 if portable else fast_hash64
     exploded = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(token_ngrams(text_col, shingle_len))).alias("_s"),
     )
-    hashed = exploded.select("_id", F.pmod(fast_hash64("_s"), F.lit(_P)).alias("_h"))
+    hashed = exploded.select("_id", F.pmod(base_hash("_s"), F.lit(_P)).alias("_h"))
     aggs = [
         F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"_mh{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -114,6 +122,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_len: int = 3,
     jaccard_threshold: float = 0.7,
+    portable: bool = False,
 ) -> DataFrame:
     """D2: near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -128,21 +137,20 @@ def minhash_lsh_pairs(
     shipping shingles through it would multiply shuffle volume ×bands.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_len)
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_len, portable)
+
+    def bucket(b: int):
+        vals = [F.col("minhash").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+        if portable:  # cross-engine-replayable bucket key (no xxhash64)
+            return F.concat_ws("|", *[v.cast("string") for v in vals])
+        return F.xxhash64(*vals).cast("string")
+
     banded = sig.select(
         "_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("minhash").getItem(b * rows_per_band + r)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )

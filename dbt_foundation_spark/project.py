@@ -65,16 +65,28 @@ class Context:
         self.target = project.target
         self._capture = capture
 
-    def ref(self, name: str) -> DataFrame:
+    def ref(self, *args: str, version: int | None = None, v: int | None = None) -> DataFrame:
         """Resolve an upstream model by logical name (2-part semantics).
 
-        Reference: macros/overrides/ref.sql:10-26 — the database part is
-        never embedded; resolution goes through the manifest.
+        Reference: macros/overrides/ref.sql:10-26 — supports exactly the
+        override's shapes: ``ref('model')``, ``ref('package', 'model')``,
+        ``ref('model', version=n)`` / ``v=n``. The database part is never
+        embedded; resolution goes through the manifest.
         """
-        if name not in self.project.manifest:
-            raise KeyError(f"ref('{name}'): unknown node (from {self.node.name})")
-        self.node.depends_on.add(name)
-        return self.project._node_frame(name)
+        if version is None:
+            version = v
+        if len(args) == 1:
+            package, name = None, args[0]
+        elif len(args) == 2:
+            package, name = args
+        else:
+            raise TypeError(f"ref() takes 1 or 2 positional args, got {len(args)}")
+        try:
+            key = self.project.manifest.resolve_ref(name, package=package, version=version)
+        except KeyError as e:
+            raise KeyError(f"{e.args[0]} (from {self.node.name})") from None
+        self.node.depends_on.add(key)
+        return self.project._node_frame(key)
 
     def source(self, source_name: str, table_name: str) -> DataFrame:
         """Resolve a declared source (models/sources.yml analog)."""
@@ -135,18 +147,33 @@ class Project:
         buckets: int = 0,
         tags: tuple[str, ...] = (),
         columns: dict[str, dict] | None = None,
+        package: str | None = None,
+        version: int | None = None,
+        latest_version: bool = False,
     ):
         """Register a model: ``@project.model`` on ``(ctx) -> DataFrame``,
-        or ``project.model(sql_text, name=...)`` for a SQL-string model."""
+        or ``project.model(sql_text, name=...)`` for a SQL-string model.
+
+        ``package`` and ``version`` feed the manifest's ref index so
+        consumers can ``ref(package, name)`` / ``ref(name, version=n)``
+        (reference macros/overrides/ref.sql:10-26). A versioned model's
+        registry key is ``name.vN`` and its default relation alias
+        ``name_vN``; bare refs resolve to the highest version unless one
+        is pinned with ``latest_version=True``."""
 
         def register(obj):
             node_name = name or getattr(obj, "__name__", None)
             if not node_name:
                 raise ValueError("SQL-string models need an explicit name=")
+            base = node_name
+            if version is not None:
+                node_name = f"{base}.v{version}"
+            if package is not None and node_name in self.manifest:
+                node_name = f"{package}.{node_name}"
             cfg = NodeConfig(
                 materialized=materialized,
                 schema=schema,
-                alias=alias,
+                alias=alias or (f"{base}_v{version}" if version is not None else None),
                 tags=tuple(tags),
                 unique_key=unique_key,
                 incremental_strategy=incremental_strategy,
@@ -161,26 +188,40 @@ class Project:
                 fn=obj if callable(obj) else None,
                 sql=None if callable(obj) else str(obj),
                 columns=columns or {},
+                package=package,
+                base_name=base if base != node_name else None,
+                version=version,
             )
             if node.sql is not None:
                 for m in re.finditer(r"\bref\(['\"](\w+)['\"]\)", node.sql):
                     node.depends_on.add(m.group(1))
             self.manifest.add(node)
+            if version is not None and latest_version:
+                self.manifest.set_latest_version(base, version, package)
             return obj
 
         if fn is None:
             return register
         return register(fn)
 
-    def seed(self, name: str, path: str, schema: str | None = None) -> None:
-        """CSV seed (dbt_project.yml:17 seed-paths analog)."""
+    def seed(
+        self,
+        name: str,
+        path: str,
+        schema: str | None = None,
+        column_types: dict[str, str] | None = None,
+    ) -> None:
+        """CSV seed (dbt_project.yml:17 seed-paths analog).
+
+        ``column_types`` mirrors dbt's seed ``+column_types`` config:
+        per-column Spark type DDL (e.g. ``{"zip": "string"}``) applied at
+        PARSE time, so inference can't destroy data first (zip codes
+        keeping leading zeros is the canonical case)."""
+        cfg = NodeConfig(materialized="table", schema=schema)
+        if column_types:
+            cfg.extra["column_types"] = dict(column_types)
         self.manifest.add(
-            Node(
-                name=name,
-                resource_type="seed",
-                config=NodeConfig(materialized="table", schema=schema),
-                path=path,
-            )
+            Node(name=name, resource_type="seed", config=cfg, path=path)
         )
 
     def snapshot(
@@ -255,11 +296,23 @@ class Project:
     def build_frame(self, node: Node) -> DataFrame:
         """Compile one node to a DataFrame (records edges as a side effect)."""
         if node.resource_type == "seed":
-            return (
-                self.spark.read.option("header", "true")
-                .option("inferSchema", "true")
-                .csv(node.path)
+            reader = self.spark.read.option("header", "true")
+            overrides = node.config.extra.get("column_types") or {}
+            if not overrides:
+                return reader.option("inferSchema", "true").csv(node.path)
+            # infer once for the non-overridden columns, then re-read with
+            # the merged explicit schema so overridden columns are PARSED
+            # as their declared type (a post-hoc cast would re-type data
+            # inference already mangled, e.g. zip codes to ints)
+            inferred = reader.option("inferSchema", "true").csv(node.path).schema
+            unknown = set(overrides) - {f.name for f in inferred}
+            if unknown:
+                raise ValueError(f"seed {node.name}: column_types for unknown columns {sorted(unknown)}")
+            ddl = ", ".join(
+                f"`{f.name}` {overrides.get(f.name, f.dataType.simpleString())}"
+                for f in inferred
             )
+            return reader.schema(ddl).csv(node.path)
         ctx = Context(self, node)
         if node.sql is not None:
             for dep in node.depends_on:

@@ -71,6 +71,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_unpivot",
     "q_union_relations",
     "q_rollup_cascade",
+    "q_dedup_minhash_portable",
+    "q_info_schema_views",
 )
 
 

@@ -76,6 +76,77 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_portable_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    """DuckDB replay of the PORTABLE minhash pipeline: identical base
+    hash (md5 60-bit → mod P), identical LCG coefficients, identical
+    banding — so the full LSH candidate set (not just verified pairs)
+    is cross-engine checked."""
+    from dbt_foundation_spark.operators.dedup import _P, _hash_coeffs
+
+    coeffs = _hash_coeffs(num_hashes)
+    r = num_hashes // bands
+    mins = ",\n           ".join(
+        f"MIN((h0 * {a} + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_rows = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('|', "
+        + ", ".join(f"mh{b * r + j}" for j in range(r))
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    jac = (
+        "CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(sa.toks, sb.toks)))"
+    )
+    return rf"""
+    WITH sh AS (
+        SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        FROM documents
+    ), posting AS (
+        SELECT doc_id, unnest(toks) AS s FROM sh
+    ), hashed AS (
+        SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT % {_P} AS h0 FROM posting
+    ), sig AS (
+        SELECT doc_id,
+           {mins}
+        FROM hashed GROUP BY doc_id
+    ), banded AS (
+        {band_rows}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round({jac}, 6) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.id_a
+    JOIN sh sb ON sb.doc_id = cand.id_b
+    WHERE {jac} >= {threshold}
+    """
+
+
+@query("q_dedup_minhash_portable", oracle=_minhash_portable_oracle(16, 4, 0.5))
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 MinHash-LSH with the PORTABLE (md5-based) signature: the
+    DuckDB oracle replays the exact hash/band math, so the whole LSH
+    pipeline — not just the verified output — is correctness-gated.
+    Token shingles (len=1) keep the SQL twin exact."""
+    from dbt_foundation_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        shingle_len=1,
+        jaccard_threshold=0.5,
+        portable=True,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 @query("q_dedup_simhash")  # rows-only: 64-bit signature + chunk blocking
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 SimHash near-dup pairs: 64-bit weighted-bit signature, 4×16-bit

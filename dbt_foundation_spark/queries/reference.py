@@ -248,6 +248,43 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_info_schema_views",
+    oracle="""
+    SELECT DISTINCT table_type AS object_type, table_name AS object_name
+    FROM information_schema.tables
+    WHERE table_name IN ('region','nation','customer','supplier','part','orders',
+                         'lineitem','events','documents','embeddings')
+      AND table_type = 'VIEW'
+    ORDER BY object_name
+    """,
+)
+def q_info_schema_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 with a real cross-engine oracle: register the testdata tables
+    as views, then read them back from the information schema — both
+    engines list the same 10 (VIEW, name) rows. Filtered to the known
+    names so concurrent catalog churn (other queries' tables) can't
+    leak in; schema column omitted (session-namespace names differ by
+    engine, not by semantics).
+
+    Reference: macros/list_orphaned_objects.sql:24-32.
+    """
+    from dbt_foundation_spark.queries._util import TABLES
+    from dbt_foundation_spark.sources.registry import information_schema_tables
+
+    register_views(spark, sf_dir)
+    ist = information_schema_tables(spark)
+    return (
+        ist.filter(F.col("table_name").isin(list(TABLES)) & (F.col("table_type") == "VIEW"))
+        .select(
+            F.col("table_type").alias("object_type"),
+            F.col("table_name").alias("object_name"),
+        )
+        .dropDuplicates()
+        .orderBy("object_name")
+    )
+
+
 @query("q_catalog_tables")  # rows-only: spark.catalog has no DuckDB twin
 def q_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/A7/A10/A20/A24: information-schema scan with the macro's shape.

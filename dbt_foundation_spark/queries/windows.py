@@ -4,8 +4,8 @@ The reference is batch-only ELT (no streaming anywhere in
 /root/reference — §2.J); tumbling/sliding/session windows here are the
 batch analogs over the events table. The sessionization uses the
 canonical lag+cumsum formulation (identical semantics in both engines);
-the native session_window op lives in operators/windows.py and is
-covered rows-only.
+the native session_window flavor is q_session_window_native at the
+bottom of this file and is covered rows-only.
 """
 
 from __future__ import annotations

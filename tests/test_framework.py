@@ -321,3 +321,74 @@ def test_state_modified_selector(project, spark):
     project.manifest["base_m"].fn = None
     sel = project.modified_plus(state)
     assert sel == {"base_m", "child_m"}
+
+
+def test_ref_package_and_version_variants(project, spark, tmp_path):
+    """ref('pkg','model'), ref('model', version=n), ref('model', v=n) —
+    the reference override's full surface (macros/overrides/ref.sql)."""
+
+    @project.model(materialized="table", package="pkg_a")
+    def shared_dim(ctx):
+        return spark.range(3).withColumnRenamed("id", "k")
+
+    # same logical name from a second package -> unqualified ref ambiguous
+    project.model(
+        "SELECT 99 AS k",
+        name="shared_dim",
+        materialized="table",
+        package="pkg_b",
+    )
+
+    @project.model(materialized="table", version=1)
+    def fact(ctx):
+        return spark.range(2).withColumnRenamed("id", "n")
+
+    @project.model(materialized="table", version=2)
+    def fact(ctx):  # noqa: F811
+        return spark.range(5).withColumnRenamed("id", "n")
+
+    @project.model(materialized="table")
+    def consumer(ctx):
+        a = ctx.ref("pkg_a", "shared_dim")
+        latest = ctx.ref("fact")          # -> v2 (highest)
+        pinned = ctx.ref("fact", version=1)
+        alias_kw = ctx.ref("fact", v=2)
+        return spark.createDataFrame(
+            [(a.count(), latest.count(), pinned.count(), alias_kw.count())],
+            "n_dim long, n_latest long, n_v1 long, n_v2 long",
+        )
+
+    results = {r.node: r.status for r in project.run()}
+    assert results["consumer"] == "success"
+    rel = project.relation_name(project.manifest["consumer"])
+    row = spark.table(rel).first()
+    assert (row.n_dim, row.n_latest, row.n_v1, row.n_v2) == (3, 5, 2, 5)
+    # versioned relations get name_vN aliases
+    assert project.manifest["fact.v2"].alias == "fact_v2"
+
+    @project.model(materialized="table", name="amb_consumer")
+    def amb(ctx):
+        return ctx.ref("shared_dim")  # ambiguous across pkg_a/pkg_b
+
+    res = {r.node: r for r in project.run(select={"amb_consumer"})}
+    assert res["amb_consumer"].status == "error"
+    assert "ambiguous" in res["amb_consumer"].message
+
+
+def test_seed_column_types_override(project, spark, tmp_path):
+    """dbt seed +column_types: declared types are applied at parse time —
+    zip codes stay strings with leading zeros intact."""
+    csv = tmp_path / "zips.csv"
+    csv.write_text("city,zip,pop\na,02134,10\nb,90210,20\n")
+    project.seed("zips_typed", str(csv), column_types={"zip": "string"})
+    project.seed("zips_inferred", str(csv))
+    project.run()
+    typed = project.relation_name(project.manifest["zips_typed"])
+    inferred = project.relation_name(project.manifest["zips_inferred"])
+    assert dict(spark.table(typed).dtypes)["zip"] == "string"
+    assert {r.zip for r in spark.table(typed).collect()} == {"02134", "90210"}
+    assert dict(spark.table(inferred).dtypes)["zip"] in ("int", "bigint")
+    with pytest.raises(ValueError):
+        p2 = Project("bad_seed", spark)
+        p2.seed("oops", str(csv), column_types={"nope": "string"})
+        p2.build_frame(p2.manifest["oops"])
