@@ -48,6 +48,47 @@ def get_relations_by_pattern(
     return sorted(out)
 
 
+def get_relations_by_prefix(spark, schema: str, prefix: str) -> list[str]:
+    """dbt_utils.get_relations_by_prefix: the common special case of
+    get_relations_by_pattern (prefix-anchored table match)."""
+    return get_relations_by_pattern(spark, re.escape(schema), f"{re.escape(prefix)}.*")
+
+
+def get_column_values(
+    df: DataFrame, column: str, order_by: str = "count desc", max_records: int | None = None
+) -> list:
+    """dbt_utils.get_column_values: distinct values of a column, ordered
+    by frequency (default) or value, optionally capped. Driver-side by
+    contract (the macro returns a Jinja list) — the aggregate itself is
+    a map-side-combined groupBy; only the distinct values come back."""
+    counts = df.groupBy(column).agg(F.count(F.lit(1)).alias("count"))
+    if order_by == "count desc":
+        counts = counts.orderBy(F.desc("count"), F.col(column))
+    else:
+        counts = counts.orderBy(column)
+    if max_records is not None:
+        counts = counts.limit(max_records)
+    return [r[0] for r in counts.select(column).collect()]
+
+
+def get_filtered_columns_in_relation(df: DataFrame, except_: list[str] | None = None) -> list[str]:
+    """dbt_utils.get_filtered_columns_in_relation: column names minus
+    the exclusion list (pure schema introspection, no execution)."""
+    exclude = {c.lower() for c in (except_ or [])}
+    return [c for c in df.columns if c.lower() not in exclude]
+
+
+def get_query_results_as_dict(spark, sql: str) -> dict[str, list]:
+    """dbt_utils.get_query_results_as_dict: column-name → value-list of a
+    query's result. Driver-side by contract (the macro feeds Jinja) —
+    use only for small control queries, never data movement."""
+    rows = spark.sql(sql).collect()
+    if not rows:
+        return {}
+    cols = rows[0].__fields__
+    return {c: [r[c] for r in rows] for c in cols}
+
+
 def star_from_relations(
     frames: list[DataFrame],
     relation_alias: str | None = None,

@@ -73,6 +73,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_rollup_cascade",
     "q_dedup_minhash_portable",
     "q_info_schema_views",
+    "q_crossdb_datemath",
+    "q_crossdb_listagg",
+    "q_udtf_chunks",
 )
 
 

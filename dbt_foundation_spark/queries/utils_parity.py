@@ -293,3 +293,91 @@ def q_union_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer").drop("c_mktsegment")
     supp = t(spark, sf_dir, "supplier")
     return union_relations({"customer": cust, "supplier": supp})
+
+
+@query(
+    "q_crossdb_datemath",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus_3m,
+           CAST(date_diff('day', o_orderdate, DATE '1995-06-17') AS BIGINT) AS day_diff,
+           CAST(date_diff('month', o_orderdate, DATE '1995-06-17') AS BIGINT) AS mo_diff,
+           CAST(date_diff('week', o_orderdate, DATE '1995-06-17') AS BIGINT) AS wk_diff,
+           CAST(last_day(o_orderdate) AS VARCHAR) AS eom,
+           split_part(o_orderpriority, '-', 1) AS prio_code,
+           CAST(strpos(o_orderpriority, 'URGENT') AS BIGINT) AS pos_urgent
+    FROM orders
+    """,
+)
+def q_crossdb_datemath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt cross-database macro surface (dbt.dateadd/datediff/last_day/
+    split_part/position) with Snowflake boundary-count datediff
+    semantics — DuckDB's date_diff counts the same boundaries, making
+    the whole family cross-engine checkable. Pure Column exprs, one
+    projection, no shuffle."""
+    from dbt_foundation_spark.functions import crossdb as C
+
+    orders = t(spark, sf_dir, "orders")
+    ref_date = F.lit("1995-06-17").cast("date")
+    return orders.select(
+        "o_orderkey",
+        C.dateadd("month", 3, "o_orderdate").cast("string").alias("plus_3m"),
+        C.datediff("day", "o_orderdate", ref_date).alias("day_diff"),
+        C.datediff("month", "o_orderdate", ref_date).alias("mo_diff"),
+        C.datediff("week", "o_orderdate", ref_date).alias("wk_diff"),
+        C.last_day("o_orderdate").cast("string").alias("eom"),
+        C.split_part("o_orderpriority", "-", 1).alias("prio_code"),
+        C.position("URGENT", "o_orderpriority").cast("bigint").alias("pos_urgent"),
+    )
+
+
+@query(
+    "q_crossdb_listagg",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_crossdb_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt.listagg: ordered string aggregation (collect_list →
+    array_sort → array_join; the sort happens on the already-grouped
+    small lists, not via a global orderBy)."""
+    from dbt_foundation_spark.functions import crossdb as C
+
+    nation = t(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        C.listagg("n_name", ",", order_by="n_name").alias("nations")
+    )
+
+
+@query(
+    "q_udtf_chunks",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok
+        FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(tok[(i*5+1):(i*5+10)], ' ') AS chunk_text
+    FROM toks, (SELECT unnest(range(0, 10000)) AS i)
+    WHERE i*5 < len(tok)
+    """,
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDTF extension point, end-to-end: a Python UDTF registered
+    under a SQL name, LATERAL-joined in a SQL-string query, matching the
+    Column-based chunker's oracle. Subset (doc_id % 20) bounds the
+    Python-worker cost — UDTFs are the explicit slow path and q_doc_chunks
+    is the production (zero-shuffle, codegen) formulation."""
+    from dbt_foundation_spark.functions.udtf import register_udtfs
+    from dbt_foundation_spark.queries._util import register_views
+
+    register_udtfs(spark)
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text
+        FROM documents d, LATERAL text_chunks(d.text, 10, 5) c
+        WHERE d.doc_id % 20 = 0
+        """
+    )

@@ -243,3 +243,81 @@ def sessionize_with_state(events: DataFrame, gap_seconds: int = 1800) -> DataFra
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_BUFFER_STATE = "buffer array<bigint>"
+
+
+def sessionize_buffered(
+    events: DataFrame, gap_seconds: int = 1800, watermark_delay: str = "0 seconds"
+) -> DataFrame:
+    """Sessionization that tolerates ARBITRARY within-watermark disorder:
+    events are buffered in state and a session is emitted only once the
+    watermark has passed its last event + gap — the point at which the
+    watermark contract guarantees no earlier event can still arrive.
+    This is the buffer-in-state formulation `sessionize_with_state`'s
+    docstring defers to (the built-in session_window does the same
+    internally); the cost is state linear in the open-session event
+    count instead of O(1) per key.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import datetime as _dt
+
+        # buffer holds MICROsecond epoch stamps — event time at full
+        # parquet precision (ms truncation would emit session bounds
+        # that disagree with the batch session_window oracle)
+        buf = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            buf.extend(int(ts.value // 1_000) for ts in pdf["ts"])
+        buf.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        sessions: list[list[int]] = []
+        for ts_us in buf:
+            if sessions and ts_us - sessions[-1][-1] <= gap_us:
+                sessions[-1].append(ts_us)
+            else:
+                sessions.append([ts_us])
+
+        out, kept_sessions = [], []
+        for s in sessions:
+            if s[-1] + gap_us < wm_us:  # no in-watermark event can extend it
+                out.append(
+                    (
+                        key[0],
+                        _dt.datetime.fromtimestamp(s[0] / 1e6, _dt.timezone.utc).replace(tzinfo=None),
+                        _dt.datetime.fromtimestamp(s[-1] / 1e6, _dt.timezone.utc).replace(tzinfo=None),
+                        len(s),
+                    )
+                )
+            else:
+                kept_sessions.append(s)
+
+        if kept_sessions:
+            state.update(([ts for s in kept_sessions for ts in s],))
+            # wake at the EARLIEST pending session's deadline — keying
+            # the timeout off the newest event would strand older
+            # sessions whenever the key stops receiving data
+            first_deadline_ms = (kept_sessions[0][-1] + gap_us) // 1000
+            state.setTimeoutTimestamp(
+                max(first_deadline_ms + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_BUFFER_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -223,3 +223,63 @@ def test_stateful_sessionization_matches_session_window(spark, sf_dir, staging):
     want_closed = {s for s in want if s[2] <= cutoff}
     got_closed = {s for s in got if s[2] <= cutoff}
     assert got_closed == want_closed
+
+
+def test_buffered_sessionization_handles_cross_batch_disorder(spark, sf_dir, staging):
+    """sessionize_buffered must reproduce batch session_window EXACTLY
+    for closable sessions even when ~20% of each chunk's tail arrives a
+    micro-batch LATE (cross-batch disorder within the watermark delay) —
+    the case the O(1)-state operator documents as out of scope."""
+    import datetime
+    import time as _time
+
+    from dbt_foundation_spark.streaming.pipeline import sessionize_buffered
+
+    ev = _events(spark, sf_dir)
+    b = ev.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    lo, hi = b["lo"], b["hi"]
+    span = (hi - lo) / 4
+    late_w = datetime.timedelta(hours=2)
+    # deterministic 20% of rows are "late": they ship one chunk later
+    late_pred = F.crc32(F.concat_ws("|", F.col("user_id"), F.col("ts").cast("string"))) % 5 == 0
+    ddir = staging["root"] / "events_disordered"
+    for i in range(4):
+        start = lo + i * span
+        end = (lo + (i + 1) * span) if i < 3 else hi + datetime.timedelta(seconds=1)
+        in_chunk = (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
+        in_tail = F.col("ts") >= F.lit(end - late_w)
+        on_time = ev.filter(in_chunk & ~(late_pred & in_tail & F.lit(i < 3)))
+        prev_end = start
+        from_prev = ev.filter(
+            (F.col("ts") >= F.lit(prev_end - late_w)) & (F.col("ts") < F.lit(prev_end)) & late_pred
+        ) if i > 0 else None
+        chunk = on_time.unionByName(from_prev) if from_prev is not None else on_time
+        chunk.coalesce(1).write.mode("append").parquet(str(ddir))
+        _time.sleep(1.1)
+
+    stream = read_event_stream(spark, str(ddir), max_files_per_trigger=1)
+    sessions = sessionize_buffered(stream, gap_seconds=1800, watermark_delay="130 minutes")
+    run_available_now(sessions, _ckpt(staging), "s_buf_sessions", output_mode="append")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("s_buf_sessions").collect()
+    }
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert got, "no sessions closed"
+    assert got <= want, f"buffered emitted sessions not in batch: {sorted(got - want)[:3]}"
+    # everything closable by the final watermark must have closed, exactly
+    cutoff = hi - datetime.timedelta(minutes=130) - datetime.timedelta(minutes=31)
+    want_closed = {s for s in want if s[2] <= cutoff}
+    got_closed = {s for s in got if s[2] <= cutoff}
+    assert got_closed == want_closed
