@@ -77,10 +77,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_portable_oracle(num_hashes: int, bands: int, threshold: float) -> str:
-    """DuckDB replay of the PORTABLE minhash pipeline: identical base
-    hash (md5 60-bit → mod P), identical LCG coefficients, identical
-    banding — so the full LSH candidate set (not just verified pairs)
-    is cross-engine checked."""
+    """DuckDB replay of the PORTABLE minhash pipeline: identical 3-token
+    shingles, identical base hash (md5 60-bit → mod P), identical LCG
+    coefficients, identical banding — so the full LSH candidate set (not
+    just verified pairs) is cross-engine checked."""
     from dbt_foundation_spark.operators.dedup import _P, _hash_coeffs
 
     coeffs = _hash_coeffs(num_hashes)
@@ -100,8 +100,17 @@ def _minhash_portable_oracle(num_hashes: int, bands: int, threshold: float) -> s
     )
     return rf"""
     WITH sh AS (
-        SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
-        FROM documents
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+                        ELSE list_transform(range(1, len(tok) - 1),
+                                            i -> array_to_string(tok[i:i+2], ' '))
+                   END
+               ) AS toks
+        FROM (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok
+            FROM documents
+        )
     ), posting AS (
         SELECT doc_id, unnest(toks) AS s FROM sh
     ), hashed AS (
@@ -128,9 +137,13 @@ def _minhash_portable_oracle(num_hashes: int, bands: int, threshold: float) -> s
 @query("q_dedup_minhash_portable", oracle=_minhash_portable_oracle(16, 4, 0.5))
 def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 MinHash-LSH with the PORTABLE (md5-based) signature: the
-    DuckDB oracle replays the exact hash/band math, so the whole LSH
-    pipeline — not just the verified output — is correctness-gated.
-    Token shingles (len=1) keep the SQL twin exact."""
+    DuckDB oracle replays the exact shingle/hash/band math, so the whole
+    LSH pipeline — not just the verified output — is correctness-gated.
+    3-token shingles (the production default): this synthetic corpus
+    draws words from a shared vocabulary, so word-set similarity is high
+    between unrelated docs and len=1 shingles explode the candidate set
+    ~50× — the same selectivity reasoning applies to any 100 TB corpus
+    with a narrow vocabulary."""
     from dbt_foundation_spark.operators.dedup import minhash_lsh_pairs
 
     docs = t(spark, sf_dir, "documents")
@@ -140,7 +153,7 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         num_hashes=16,
         bands=4,
-        shingle_len=1,
+        shingle_len=3,
         jaccard_threshold=0.5,
         portable=True,
     )
