@@ -76,6 +76,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_crossdb_datemath",
     "q_crossdb_listagg",
     "q_udtf_chunks",
+    "q_cosine_topk_lsh",
+    "q_embedding_neardup",
 )
 
 

@@ -4,9 +4,11 @@ Dedup (exact / fingerprint / minhash-LSH / simhash / n-gram Jaccard /
 embedding), similarity search (brute-force + LSH ANN), text analysis
 (tokens, quality, language-ID, BPE-ish counts), JSON/VARIANT and array
 ops, multimodal plumbing. Oracle-checked wherever DuckDB can express the
-same deterministic computation; LSH pipelines are rows-only (their
-internal hashes are portable, but replicating banding in SQL adds no
-verification value — the components are unit-tested instead).
+same deterministic computation — including the LSH pipelines whose
+hash/banding math is portable (md5-based minhash replayed in SQL,
+seeded hyperplane signatures inlined as literals); only xxhash64-based
+signatures (engine-internal by design) and catalog/stateful ops stay
+rows-only, with components unit-tested instead.
 """
 
 from __future__ import annotations
@@ -204,16 +206,59 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query("q_embedding_neardup")  # rows-only: hyperplane-LSH blocking
+def _plane_sig_sql(m: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB expression for the hyperplane-LSH signature of column
+    ``emb`` (DOUBLE[]): bit i = sign(emb · plane_i), planes inlined as
+    literals from the same seeded generator the Spark side uses —
+    signatures are therefore bit-identical across engines (both dot
+    products accumulate sequentially in array order)."""
+    from dbt_foundation_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(dim, m, seed)
+    terms = [
+        f"CASE WHEN list_dot_product(emb, [{', '.join(repr(x) for x in p)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    ]
+    return " + ".join(terms)
+
+
+_COS_SQL = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@query(
+    "q_embedding_neardup",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+               {_plane_sig_sql()} AS sig
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_SQL.format(a="a.emb", b="b.emb")}, 6) AS cosine_sim
+    FROM sigs a JOIN sigs b
+      ON a.sig = b.sig AND a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a="a.emb", b="b.emb")} >= 0.25
+    """,
+)
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 embedding near-dup: random-hyperplane LSH buckets (+label
-    block) → within-bucket cosine ≥ 0.9."""
+    block) → within-bucket cosine above a threshold. The DuckDB oracle
+    replays the seeded hyperplanes as literals, checking the LSH
+    blocking itself. The synthetic embeddings are random (no planted
+    near-dups; within-bucket cosine tops out ~0.36), so the catalog
+    query thresholds at 0.25 to exercise the emit path with real rows —
+    production near-dup filtering would use the operator default 0.9."""
     from dbt_foundation_spark.operators.similarity import embedding_near_pairs
 
     emb = t(spark, sf_dir, "embeddings")
-    return embedding_near_pairs(
-        emb, "vec_id", "embedding", threshold=0.9, m=8, block_col="label"
+    pairs = embedding_near_pairs(
+        emb, "vec_id", "embedding", threshold=0.25, m=8, block_col="label"
     )
+    return pairs.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
 # ---------- similarity search ----------
@@ -254,10 +299,30 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_cosine_topk_lsh")  # rows-only: ANN probe set is engine-side
+@query(
+    "q_cosine_topk_lsh",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               {_plane_sig_sql()} AS sig
+        FROM embeddings
+    ), q AS (
+        SELECT sig AS qsig, emb AS qv FROM sigs WHERE vec_id = 0
+    )
+    SELECT s.vec_id,
+           round({_COS_SQL.format(a="s.emb", b="q.qv")}, 6) AS cosine_sim
+    FROM sigs s, q
+    WHERE s.vec_id != 0
+      AND (s.sig = q.qsig OR xor(s.sig, q.qsig) IN (1,2,4,8,16,32,64,128))
+    ORDER BY {_COS_SQL.format(a="s.emb", b="q.qv")} DESC, s.vec_id
+    LIMIT 10
+    """,
+)
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 ANN: hyperplane-LSH bucket + hamming-1 multi-probe, then exact
-    cosine within the probed slice (the 100 TB scale path)."""
+    cosine within the probed slice (the 100 TB scale path). Oracle
+    replays the seeded hyperplane signatures and the multi-probe set in
+    DuckDB — the ANN pruning itself is cross-engine checked."""
     from dbt_foundation_spark.operators.similarity import cosine_topk_lsh
 
     emb = t(spark, sf_dir, "embeddings")
