@@ -28,23 +28,25 @@ def _c(col: Column | str) -> Column:
 
 
 def dateadd(datepart: str, interval: int, col: Column | str) -> Column:
-    """dbt.dateadd: add N dateparts. Date parts stay DATE; time parts
-    promote to TIMESTAMP (Snowflake behavior)."""
+    """dbt.dateadd: add N dateparts, preserving the input type
+    (Snowflake behavior): DATE + date part stays DATE; TIMESTAMP keeps
+    its time-of-day (incl. fractional seconds); time parts promote DATE
+    to TIMESTAMP. Interval arithmetic (``col + make_interval(...)``)
+    gives exactly these typing rules in Spark — add_months/date_add
+    would silently return DATE for timestamp inputs."""
     p = datepart.lower()
     c = _c(col)
-    if p == "year":
-        return F.add_months(c, 12 * interval)
-    if p == "quarter":
-        return F.add_months(c, 3 * interval)
-    if p == "month":
-        return F.add_months(c, interval)
-    if p == "week":
-        return F.date_add(c, 7 * interval)
-    if p == "day":
-        return F.date_add(c, interval)
+    months = {"year": 12, "quarter": 3, "month": 1}
+    if p in months:
+        return c + F.make_interval(months=F.lit(months[p] * interval))
+    if p in ("week", "day"):
+        days = (7 if p == "week" else 1) * interval
+        return c + F.make_interval(days=F.lit(days))
     if p in ("hour", "minute", "second"):
+        # date + sub-day interval throws in Spark; the explicit cast is
+        # the promotion Snowflake applies implicitly
         seconds = {"hour": 3600, "minute": 60, "second": 1}[p] * interval
-        return (c.cast("timestamp").cast("long") + F.lit(seconds)).cast("timestamp")
+        return c.cast("timestamp") + F.make_interval(secs=F.lit(seconds))
     raise ValueError(f"dateadd: unknown datepart {datepart!r}")
 
 
@@ -113,8 +115,11 @@ def concat(*cols: Column | str) -> Column:
 
 
 def hash_(col: Column | str) -> Column:
-    """dbt.hash: md5 of the value, NULL-safe (dbt casts then md5s)."""
-    return F.md5(F.coalesce(_c(col).cast("string"), F.lit("")))
+    """dbt.hash: md5 of the stringified value, NULL-propagating (dbt's
+    hash macro and Snowflake md5 both return NULL for NULL — coalescing
+    here would hash-collide NULL with ''; NULL-safe coalescing belongs
+    to generate_surrogate_key only)."""
+    return F.md5(_c(col).cast("string"))
 
 
 def any_value(col: Column | str) -> Column:

@@ -47,6 +47,9 @@ class Node:
     package: str | None = None  # owning package (2-arg ref target)
     base_name: str | None = None  # logical name for versioned models
     version: int | None = None  # model version (ref version= kwarg)
+    # SQL-string models: parsed ref() shapes (package, name, version),
+    # resolved to node keys at run time (registration order independent)
+    sql_refs: tuple[tuple[str | None, str, int | None], ...] = ()
 
     @property
     def alias(self) -> str:

@@ -233,6 +233,15 @@ def simhash_near_pairs(
     base, rem = divmod(64, n_chunks)
     widths = [base + 1] * rem + [base] * (n_chunks - rem)
     offsets = [sum(widths[:c]) for c in range(n_chunks)]
+
+    def chunk_val(c: int):
+        if widths[c] == 64:  # max_hamming=0: the chunk IS the signature
+            return F.col("simhash")  # ((1<<64)-1 would overflow BIGINT)
+        return (
+            F.shiftright("simhash", offsets[c])
+            .bitwiseAND(F.lit((1 << widths[c]) - 1))
+        )
+
     sh = simhash(df, id_col, text_col)
     chunks = sh.select(
         "_id",
@@ -240,12 +249,7 @@ def simhash_near_pairs(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", offsets[c])
-                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
-                        .alias("ck"),
-                    )
+                    F.struct(F.lit(c).alias("chunk"), chunk_val(c).alias("ck"))
                     for c in range(n_chunks)
                 ]
             )

@@ -55,6 +55,59 @@ def generate_schema_name(custom_schema_name: str | None, target: Target) -> str:
     return custom_schema_name.strip()
 
 
+# Every ref() shape Context.ref accepts, for SQL-string models:
+# ref('m') / ref('pkg', 'm') / ref('m', version=2) / ref('m', v=2) /
+# ref('fact.v2') (direct versioned node key — hence [\w.]).
+_SQL_REF_RE = re.compile(
+    r"""\bref\(\s*
+        ['"](?P<a>[\w.]+)['"]
+        (?:\s*,\s*
+            (?:['"](?P<b>[\w.]+)['"]
+             |(?:version|v)\s*=\s*(?P<ver>\d+)
+            )
+        )?
+        \s*\)""",
+    re.VERBOSE,
+)
+
+
+def _ref_shape(m: re.Match) -> tuple[str, str | None, int | None]:
+    """(name, package, version) from a _SQL_REF_RE match — the
+    resolve_ref argument order."""
+    if m.group("b") is not None:
+        return m.group("b"), m.group("a"), None
+    ver = int(m.group("ver")) if m.group("ver") else None
+    return m.group("a"), None, ver
+
+
+def _parse_sql_refs(sql: str) -> tuple[tuple[str | None, str, int | None], ...]:
+    """All ref() calls in a SQL-string model as (package, name, version).
+
+    A ``ref(`` occurrence the grammar can't parse raises immediately: a
+    silently dropped ref would mean a missing DAG edge and the model
+    scheduled before its upstream exists.
+    """
+    spans: list[tuple[int, int]] = []
+    refs: list[tuple[str | None, str, int | None]] = []
+    for m in _SQL_REF_RE.finditer(sql):
+        spans.append(m.span())
+        name, pkg, ver = _ref_shape(m)
+        refs.append((pkg, name, ver))
+    for m in re.finditer(r"\bref\(", sql):
+        if not any(s <= m.start() < e for s, e in spans):
+            snippet = sql[m.start() : m.start() + 60]
+            raise ValueError(
+                f"unsupported ref() shape in SQL-string model: {snippet!r}"
+            )
+    return tuple(refs)
+
+
+def _ephemeral_view(key: str) -> str:
+    """Temp-view name for an unpersisted upstream (node keys may contain
+    dots — 'fact.v2' — which view names can't)."""
+    return f"__ephemeral_{key.replace('.', '__')}"
+
+
 class Context:
     """Per-node execution context passed to model functions."""
 
@@ -193,8 +246,7 @@ class Project:
                 version=version,
             )
             if node.sql is not None:
-                for m in re.finditer(r"\bref\(['\"](\w+)['\"]\)", node.sql):
-                    node.depends_on.add(m.group(1))
+                node.sql_refs = _parse_sql_refs(node.sql)
             self.manifest.add(node)
             if version is not None and latest_version:
                 self.manifest.set_latest_version(base, version, package)
@@ -283,15 +335,28 @@ class Project:
         return self._frames[name]
 
     def resolve_sql(self, node: Node) -> str:
-        """Compile a SQL-string model: ``ref('x')`` → 2-part relation name
-        for persisted upstreams, temp-view name for virtual ones."""
-        return re.sub(
-            r"\bref\(['\"](\w+)['\"]\)",
-            lambda m: self.relation_name(self.manifest[m.group(1)])
-            if m.group(1) in self._materialized
-            else f"__ephemeral_{m.group(1)}",
-            node.sql,
-        )
+        """Compile a SQL-string model: every ref() shape the function
+        ``Context.ref`` supports (1-arg, 2-arg package, version=/v=,
+        dotted version keys) → 2-part relation name for persisted
+        upstreams, temp-view name for virtual ones."""
+
+        def sub(m: re.Match) -> str:
+            key = self.manifest.resolve_ref(*_ref_shape(m))
+            if key in self._materialized:
+                return self.relation_name(self.manifest[key])
+            return _ephemeral_view(key)
+
+        return _SQL_REF_RE.sub(sub, node.sql)
+
+    def _bind_sql_refs(self, node: Node) -> None:
+        """Resolve a SQL-string model's parsed ref() shapes into DAG
+        edges. Deferred to run/build time (not registration) so models
+        can be registered in any order and versioned/packaged refs
+        resolve to their true node keys (``fact.v2``)."""
+        for pkg, name, ver in node.sql_refs:
+            node.depends_on.add(
+                self.manifest.resolve_ref(name, package=pkg, version=ver)
+            )
 
     def build_frame(self, node: Node) -> DataFrame:
         """Compile one node to a DataFrame (records edges as a side effect)."""
@@ -315,9 +380,10 @@ class Project:
             return reader.schema(ddl).csv(node.path)
         ctx = Context(self, node)
         if node.sql is not None:
+            self._bind_sql_refs(node)
             for dep in node.depends_on:
                 if dep not in self._materialized:
-                    self._node_frame(dep).createOrReplaceTempView(f"__ephemeral_{dep}")
+                    self._node_frame(dep).createOrReplaceTempView(_ephemeral_view(dep))
             return self.spark.sql(self.resolve_sql(node))
         return node.fn(ctx)
 
@@ -373,6 +439,9 @@ class Project:
         for node in self.manifest.nodes.values():
             if node.resource_type in ("model", "snapshot", "seed"):
                 self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.schema_for(node)}")
+        for node in self.manifest.nodes.values():
+            if node.sql is not None:
+                self._bind_sql_refs(node)  # edges exist even if capture fails
         self._capture_edges()
         runnable = {
             n.name

@@ -41,6 +41,23 @@ def test_dateadd_clamps_month_end(spark):
     assert ts == datetime.datetime(2024, 2, 1, 1, 30)
 
 
+def test_dateadd_preserves_input_type(spark):
+    # Snowflake semantics: TIMESTAMP input keeps its time-of-day (incl.
+    # fractional seconds) under date parts; DATE stays DATE; time parts
+    # promote DATE to TIMESTAMP.
+    ts = F.lit("2024-01-31 22:30:00.123456").cast("timestamp")
+    got = _one(spark, C.dateadd("day", 1, ts))
+    assert got == datetime.datetime(2024, 2, 1, 22, 30, 0, 123456)
+    got = _one(spark, C.dateadd("month", 1, ts))
+    assert got == datetime.datetime(2024, 2, 29, 22, 30, 0, 123456)
+    got = _one(spark, C.dateadd("second", 1, ts))
+    assert got == datetime.datetime(2024, 1, 31, 22, 30, 1, 123456)
+    d = F.lit("2024-01-31").cast("date")
+    assert _one(spark, C.dateadd("day", 1, d)) == datetime.date(2024, 2, 1)
+    promoted = _one(spark, C.dateadd("hour", 3, d))
+    assert promoted == datetime.datetime(2024, 1, 31, 3, 0)
+
+
 def test_last_day_quarter_year(spark):
     d = F.lit("2024-05-17").cast("date")
     assert _one(spark, C.last_day(d)) == datetime.date(2024, 5, 31)
@@ -69,7 +86,10 @@ def test_string_and_cast_helpers(spark):
     assert _one(spark, C.right(F.lit("abcdef"), 0)) == ""
     assert _one(spark, C.regexp_instr(F.lit("xxab12"), r"[0-9]+")) == 5
     assert _one(spark, C.regexp_instr(F.lit("xxab"), r"[0-9]+")) == 0
-    assert _one(spark, C.hash_(F.lit(None).cast("string"))) is not None
+    # dbt.hash / Snowflake md5 propagate NULL (coalescing to '' would
+    # hash-collide NULL with the empty string)
+    assert _one(spark, C.hash_(F.lit(None).cast("string"))) is None
+    assert _one(spark, C.hash_(F.lit("x"))) == _one(spark, F.md5(F.lit("x")))
 
 
 def test_udtf_registration_and_lateral(spark):

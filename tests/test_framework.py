@@ -375,6 +375,49 @@ def test_ref_package_and_version_variants(project, spark, tmp_path):
     assert "ambiguous" in res["amb_consumer"].message
 
 
+def test_sql_model_ref_shapes(project, spark):
+    """SQL-string models support the same ref() shapes as function
+    models — 2-arg package refs, version=/v= kwargs, dotted node keys —
+    and get DAG edges for each (round-2 advisor: a \\w+-only regex
+    dropped these, scheduling consumers before their upstream)."""
+    # consumer registered FIRST: resolution must not depend on order
+    project.model(
+        "SELECT (SELECT COUNT(*) FROM ref('pkg_a', 'dim_sql')) AS n_dim, "
+        "(SELECT COUNT(*) FROM ref('fact_sql', version=1)) AS n_v1, "
+        "(SELECT COUNT(*) FROM ref('fact_sql', v=2)) AS n_v2, "
+        "(SELECT COUNT(*) FROM ref('fact_sql.v2')) AS n_key, "
+        "(SELECT COUNT(*) FROM ref('fact_sql')) AS n_latest",
+        name="sql_ref_consumer",
+        materialized="table",
+    )
+
+    @project.model(materialized="table", package="pkg_a")
+    def dim_sql(ctx):
+        return spark.range(3)
+
+    @project.model(materialized="table", version=1)
+    def fact_sql(ctx):
+        return spark.range(2)
+
+    @project.model(materialized="table", version=2)
+    def fact_sql(ctx):  # noqa: F811
+        return spark.range(5)
+
+    results = {r.node: r for r in project.run()}
+    assert results["sql_ref_consumer"].status == "success", results[
+        "sql_ref_consumer"
+    ].message
+    deps = project.manifest["sql_ref_consumer"].depends_on
+    assert {"dim_sql", "fact_sql.v1", "fact_sql.v2"} <= deps
+    row = spark.table(
+        project.relation_name(project.manifest["sql_ref_consumer"])
+    ).first()
+    assert (row.n_dim, row.n_v1, row.n_v2, row.n_key, row.n_latest) == (3, 2, 5, 5, 5)
+
+    with pytest.raises(ValueError, match="unsupported ref"):
+        project.model("SELECT * FROM ref(some_var)", name="bad_ref_model")
+
+
 def test_seed_column_types_override(project, spark, tmp_path):
     """dbt seed +column_types: declared types are applied at parse time —
     zip codes stay strings with leading zeros intact."""

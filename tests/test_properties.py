@@ -159,7 +159,7 @@ def test_simhash_blocking_drops_no_qualifying_pair(spark, sf_dir):
     sig = simhash(docs, "doc_id", "text").cache()
     left = sig.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"))
     right = sig.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"))
-    for radius in (3, 7, 16):
+    for radius in (0, 3, 7, 16):  # 0 = full-signature equality (1 chunk)
         brute = (
             left.crossJoin(right)
             .filter(F.col("id_a") < F.col("id_b"))
