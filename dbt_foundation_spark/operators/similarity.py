@@ -9,8 +9,9 @@
   This is the 100 TB path: the scan prunes to ~ (1+m)/2^m of the data.
   (cf. PAPERS.md: top-k similarity EDBT'20, REPOSE ICDE'21 — reference
   for the block-and-verify pattern, no code derived.)
-- pairwise near-dup: embedding_near_pairs in operators/dedup.py style,
-  LSH-bucket-blocked cosine join.
+- pairwise near-dup: embedding_near_pairs in operators/dedup.py style —
+  BANDED hyperplane-LSH blocking (any-band match), cosine verify on the
+  candidate set only.
 """
 
 from __future__ import annotations
@@ -175,25 +176,67 @@ def embedding_near_pairs(
     vec_col: str,
     threshold: float = 0.9,
     m: int = 8,
+    bands: int = 4,
     seed: int = 42,
     block_col: str | None = None,
 ) -> DataFrame:
     """D2 (embedding flavor): pairs with cosine ≥ threshold.
 
-    Blocking: LSH bucket equality (high-cosine pairs agree on most
-    hyperplane signs; multi-band variants trade recall). Optional
-    extra block_col (e.g. a label/partition) further bounds buckets.
+    Blocking: BANDED hyperplane LSH — the m signature bits are split
+    into ``bands`` bands of r = m/bands bits; a pair is a candidate iff
+    ANY band agrees (the minhash banding scheme applied to hyperplane
+    signs). Single-signature equality (bands=1) silently caps recall:
+    at cosine 0.9 a bit agrees with p = 1 − θ/π ≈ 0.86, so all 8 bits
+    agree only ~29% of the time, while 4 bands × 2 bits lift recall to
+    1 − (1 − p²)⁴ ≈ 99.5%. Optional block_col (e.g. a label/partition)
+    further bounds buckets.
+
+    Scale shape (mirrors minhash_lsh_pairs): the band self-join carries
+    only (band, bucket[, block], id) — vectors are re-attached to the
+    much smaller candidate-pair set by two keyed equi-joins before the
+    cosine verify, so the banding shuffle is bytes-per-row-bounded.
     """
+    if m % bands != 0:
+        raise ValueError(f"m={m} must be divisible by bands={bands}")
+    r = m // bands
     sample = df.select(vec_col).first()
     dim = len(sample[0])
     planes = random_hyperplanes(dim, m, seed)
-    sig = df.withColumn("_sig", V.hyperplane_signature(F.col(vec_col), planes))
-    keys = ["_sig"] + ([block_col] if block_col else [])
-    left = sig.select(*keys, F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    right = sig.select(*keys, F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        *([F.col(block_col)] if block_col else []),
+        V.hyperplane_signature(F.col(vec_col), planes).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        *([block_col] if block_col else []),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("_sig", b * r)
+                        .bitwiseAND(F.lit((1 << r) - 1))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", *([block_col] if block_col else []), "bb.band", "bb.bucket")
+    keys = ["band", "bucket"] + ([block_col] if block_col else [])
+    left = banded.select(*keys, F.col("_id").alias("id_a"))
+    right = banded.select(*keys, F.col("_id").alias("id_b"))
+    cand = (
         left.join(right, keys)
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    return (
+        cand.join(vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va")), "id_a")
+        .join(vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb")), "id_b")
         .withColumn("cosine_sim", V.cosine("_va", "_vb"))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")

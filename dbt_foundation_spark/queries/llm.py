@@ -229,6 +229,14 @@ _COS_SQL = (
 )
 
 
+# banded LSH candidate predicate: band b of an m-bit signature is bits
+# [r*b, r*b+r) → (sig // (2^r)^b) % 2^r; a pair is a candidate iff ANY
+# band agrees (replayed as an OR-join so DuckDB checks the banding math)
+_BAND_MATCH_SQL = " OR ".join(
+    f"((a.sig // {4**b}) % 4) = ((b.sig // {4**b}) % 4)" for b in range(4)
+)
+
+
 @query(
     "q_embedding_neardup",
     oracle=f"""
@@ -240,15 +248,17 @@ _COS_SQL = (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_COS_SQL.format(a="a.emb", b="b.emb")}, 6) AS cosine_sim
     FROM sigs a JOIN sigs b
-      ON a.sig = b.sig AND a.label = b.label AND a.vec_id < b.vec_id
+      ON a.label = b.label AND a.vec_id < b.vec_id AND ({_BAND_MATCH_SQL})
     WHERE {_COS_SQL.format(a="a.emb", b="b.emb")} >= 0.25
     """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2 embedding near-dup: random-hyperplane LSH buckets (+label
-    block) → within-bucket cosine above a threshold. The DuckDB oracle
-    replays the seeded hyperplanes as literals, checking the LSH
-    blocking itself. The synthetic embeddings are random (no planted
+    """D2 embedding near-dup: BANDED random-hyperplane LSH (4 bands ×
+    2 bits — any-band match; single-signature equality capped recall at
+    ~29% for cosine-0.9 pairs, the round-2 weakness) + label block →
+    cosine verify on candidates. The DuckDB oracle replays the seeded
+    hyperplanes as literals AND the band-match predicate, checking the
+    banding itself. The synthetic embeddings are random (no planted
     near-dups; within-bucket cosine tops out ~0.36), so the catalog
     query thresholds at 0.25 to exercise the emit path with real rows —
     production near-dup filtering would use the operator default 0.9."""
@@ -256,7 +266,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     pairs = embedding_near_pairs(
-        emb, "vec_id", "embedding", threshold=0.25, m=8, block_col="label"
+        emb, "vec_id", "embedding", threshold=0.25, m=8, bands=4, block_col="label"
     )
     return pairs.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
 

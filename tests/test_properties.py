@@ -175,3 +175,43 @@ def test_simhash_blocking_drops_no_qualifying_pair(spark, sf_dir):
     sig.unpersist()
     with pytest.raises(ValueError):
         simhash_near_pairs(docs, "doc_id", "text", max_hamming=40)
+
+
+def test_embedding_banded_lsh_recall(spark):
+    """Recall property for the round-2 weakness: banded hyperplane LSH
+    (4 bands × 2 bits) must keep ≥95% of planted cosine-≥0.9 pairs —
+    single-signature blocking (the old scheme) found only ~(1−θ/π)^8 ≈
+    29% of them. Fully deterministic: seeded noise, seeded hyperplanes."""
+    import math
+    import random
+
+    from dbt_foundation_spark.operators.similarity import embedding_near_pairs
+
+    rng = random.Random(7)
+    dim, n_planted = 16, 150
+    rows = []
+    for i in range(n_planted):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        nv = math.sqrt(sum(x * x for x in v))
+        v = [x / nv for x in v]
+        # orthonormal noise direction → twin at an exact chosen cosine
+        w = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        d = sum(a * b for a, b in zip(w, v))
+        w = [a - d * b for a, b in zip(w, v)]
+        nw = math.sqrt(sum(x * x for x in w))
+        w = [x / nw for x in w]
+        c = rng.uniform(0.905, 0.99)  # margin above the 0.9 threshold
+        s = math.sqrt(1.0 - c * c)
+        twin = [c * a + s * b for a, b in zip(v, w)]
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, twin))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_pairs(
+            df, "vec_id", "embedding", threshold=0.9, m=8, bands=4
+        ).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(n_planted)}
+    recall = len(got & planted) / n_planted
+    assert recall >= 0.95, f"banded LSH recall {recall:.3f} < 0.95"
