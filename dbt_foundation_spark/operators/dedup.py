@@ -182,21 +182,44 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash") -> DataFrame:
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "simhash",
+    portable: bool = False,
+) -> DataFrame:
     """(id, simhash bigint) per document. Bit i of the signature = sign
     of the sum over distinct tokens of ±1 according to bit i of the
     token hash.
 
     Same codegen-first shape as minhash_signature: explode tokens, hash
     once per (doc, token) row, then 64 grouped ±1 sums (fused JVM
-    aggregate with map-side combine → the shuffle is 64 longs per doc)."""
+    aggregate with map-side combine → the shuffle is 64 longs per doc).
+
+    ``portable=True`` mirrors minhash: the token hash becomes two md5
+    halves (hex chars 1-15 → bits 0-59, chars 16-30 → bits 60-63), so
+    the identical bit math replays in any engine with md5 — the
+    cross-engine-oracle path. Default xxhash64 stays the fast flavor."""
     exploded = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokenize(text_col))).alias("_tok"),
     )
-    hashed = exploded.select("_id", fast_hash64("_tok").alias("_h"))
+    if portable:
+        md5c = F.md5("_tok")
+        hashed = exploded.select(
+            "_id",
+            F.conv(F.substring(md5c, 1, 15), 16, 10).cast("bigint").alias("_h"),
+            F.conv(F.substring(md5c, 16, 15), 16, 10).cast("bigint").alias("_h2"),
+        )
+        def bit(i: int):
+            return F.getbit("_h", F.lit(i)) if i < 60 else F.getbit("_h2", F.lit(i - 60))
+    else:
+        hashed = exploded.select("_id", fast_hash64("_tok").alias("_h"))
+        def bit(i: int):
+            return F.getbit("_h", F.lit(i))
     bit_sums = [
-        F.sum(F.when(F.getbit("_h", F.lit(i)) == 1, 1).otherwise(-1)).alias(f"_b{i}")
+        F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"_b{i}")
         for i in range(64)
     ]
     # bit 63 of a signed long is the sign bit → its power is -2^63
@@ -211,7 +234,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash")
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """D2 (simhash flavor): pairs with hamming(simhash) ≤ max_hamming.
 
@@ -242,7 +269,7 @@ def simhash_near_pairs(
             .bitwiseAND(F.lit((1 << widths[c]) - 1))
         )
 
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col, portable=portable)
     chunks = sh.select(
         "_id",
         "simhash",
