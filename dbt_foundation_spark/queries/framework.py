@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_foundation_spark.queries import query
-from dbt_foundation_spark.queries._util import t
+from dbt_foundation_spark.queries._util import dsum, sql_dsum, t
 
 
 def _project(spark: SparkSession, sf_dir: str):
@@ -31,13 +31,20 @@ def _cleanup(project) -> None:
     project.spark.sql(f"DROP DATABASE IF EXISTS {project.target.schema} CASCADE")
 
 
-@query("q_table_rebuild")  # rows-only (B2: CTAS materialization)
+@query(
+    "q_table_rebuild",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
 def q_table_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2: config(materialized='table') full-rebuild CTAS.
 
     Reference: models/example/my_first_dbt_model.sql:10. Builds a table
     model twice (rebuild path exercises staging-swap) and returns its
-    content read back from the catalog.
+    content read back from the catalog; the oracle recomputes the same
+    aggregate directly from source, pinning the CTAS+swap round-trip.
     """
     p = _project(spark, sf_dir)
 
@@ -59,10 +66,22 @@ def q_table_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
-@query("q_incremental_append")  # rows-only (B3)
+@query(
+    "q_incremental_append",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderkey) AS n_keys,
+           {sql_dsum("o_totalprice", "sum_price")}
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
 def q_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B3: incremental materialization, append strategy — second
-    invocation processes only new rows (here: a later date slice)."""
+    invocation processes only new rows (a later date slice). The two
+    slices partition orders on date, so the final table must equal the
+    full source table — the DuckDB oracle aggregates source directly,
+    replaying base+delta (round-2 ask #4)."""
     p = _project(spark, sf_dir)
     orders = t(spark, sf_dir, "orders")
     slice_a = orders.filter(F.col("o_orderdate") < "1997-01-01")
@@ -84,19 +103,123 @@ def q_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p2.run()
     out = spark.table(p.relation_name(p.manifest["fct_orders_inc"]))
-    result = out.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("o_orderkey").alias("n_keys"),
+    result = (
+        out.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("o_orderstatus")
     )
     rows = result.collect()
     _cleanup(p)
     return spark.createDataFrame(rows, result.schema)
 
 
-@query("q_snapshot_scd2")  # rows-only (B5)
+@query(
+    "q_incremental_merge",
+    oracle=f"""
+    WITH base AS (
+        SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ), delta AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 1000 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    ), merged AS (
+        SELECT * FROM delta
+        UNION ALL
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           {sql_dsum("o_totalprice", "sum_price")}
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: incremental MERGE — the no-Delta anti-join+union rewrite
+    (materialize.py `_incremental` 'merge'), the riskiest hand-rolled
+    logic in the engine. Base is the pre-1997 slice; the delta OVERLAPS
+    it (1996 onward, with bumped prices), so the merge must both update
+    existing keys and insert new ones. The DuckDB oracle replays the
+    same base+delta fold in SQL."""
+    p = _project(spark, sf_dir)
+    orders = t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderdate") < "1997-01-01")
+    delta = orders.filter(F.col("o_orderdate") >= "1996-01-01").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    state = {"batch": base}
+
+    @p.model(
+        materialized="incremental",
+        incremental_strategy="merge",
+        unique_key="o_orderkey",
+    )
+    def fct_orders_merged(ctx):
+        return state["batch"]
+
+    p.run()
+    state["batch"] = delta
+    p2 = _project(spark, sf_dir)
+    p2.target = p.target
+
+    @p2.model(
+        materialized="incremental",
+        incremental_strategy="merge",
+        unique_key="o_orderkey",
+        name="fct_orders_merged",
+    )
+    def fct_orders_merged2(ctx):
+        return state["batch"]
+
+    p2.run()
+    out = spark.table(p.relation_name(p.manifest["fct_orders_merged"]))
+    result = (
+        out.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    rows = result.collect()
+    _cleanup(p)
+    return spark.createDataFrame(rows, result.schema)
+
+
+@query(
+    "q_snapshot_scd2",
+    oracle=f"""
+    WITH versions AS (
+        -- wave-1 rows for changed keys get CLOSED at the wave-2 time
+        SELECT c_mktsegment, c_acctbal, FALSE AS is_open FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        -- open versions: changed keys carry wave-2 values, others wave-1
+        SELECT c_mktsegment,
+               c_acctbal + CASE WHEN c_mktsegment = 'BUILDING' THEN 100 ELSE 0 END,
+               TRUE
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_versions,
+           SUM(CASE WHEN is_open THEN 1 ELSE 0 END) AS n_open,
+           SUM(CASE WHEN is_open THEN 0 ELSE 1 END) AS n_closed,
+           {sql_dsum("CASE WHEN is_open THEN c_acctbal END", "open_acctbal")}
+    FROM versions GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
 def q_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5: SCD2 snapshot over a mutating customer dimension — first
-    capture, then an update wave; returns version counts."""
+    capture, then an update wave touching ONLY one market segment (the
+    unchanged rows must keep their open wave-1 version: change
+    detection, closing and inserting are all exercised). The DuckDB
+    oracle replays the SCD2 fold: changed keys get a closed wave-1 row
+    plus an open wave-2 row, unchanged keys one open wave-1 row
+    (round-2 ask #4)."""
     p = _project(spark, sf_dir)
     cust = t(spark, sf_dir, "customer").withColumn(
         "updated_at", F.lit("2024-01-01 00:00:00").cast("timestamp")
@@ -108,13 +231,18 @@ def q_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         return wave["df"]
 
     p.run()
-    # second wave: bump acctbal for one market segment
+    # second wave: bump acctbal + advance updated_at for ONE segment;
+    # all other rows arrive identical (same updated_at -> not fresh)
+    changed = F.col("c_mktsegment") == "BUILDING"
     wave["df"] = cust.withColumn(
         "c_acctbal",
-        F.when(F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal") + 100).otherwise(
-            F.col("c_acctbal")
+        F.when(changed, F.col("c_acctbal") + 100).otherwise(F.col("c_acctbal")),
+    ).withColumn(
+        "updated_at",
+        F.when(changed, F.lit("2024-02-01 00:00:00").cast("timestamp")).otherwise(
+            F.col("updated_at")
         ),
-    ).withColumn("updated_at", F.lit("2024-02-01 00:00:00").cast("timestamp"))
+    )
     p2 = _project(spark, sf_dir)
     p2.target = p.target
 
@@ -126,10 +254,20 @@ def q_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p2.run()
     snap = spark.table(p.relation_name(p.manifest["dim_customer"]))
-    result = snap.agg(
-        F.count(F.lit(1)).alias("n_versions"),
-        F.sum(F.when(F.col("dbt_valid_to").isNull(), 1).otherwise(0)).alias("n_open"),
-        F.sum(F.when(F.col("dbt_valid_to").isNotNull(), 1).otherwise(0)).alias("n_closed"),
+    result = (
+        snap.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(F.when(F.col("dbt_valid_to").isNull(), 1).otherwise(0)).alias("n_open"),
+            F.sum(F.when(F.col("dbt_valid_to").isNotNull(), 1).otherwise(0)).alias(
+                "n_closed"
+            ),
+            dsum(
+                F.when(F.col("dbt_valid_to").isNull(), F.col("c_acctbal")),
+                "open_acctbal",
+            ),
+        )
+        .orderBy("c_mktsegment")
     )
     rows = result.collect()
     _cleanup(p)

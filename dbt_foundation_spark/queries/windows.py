@@ -275,10 +275,39 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_session_window_native")  # rows-only: native op, engine-private edges
+@query(
+    "q_session_window_native",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
 def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F.session_window (the Spark-native gap-session operator; verified
-    present in 4.1.2 — same op drives streaming sessionization)."""
+    present in 4.1.2 — same op drives streaming sessionization). The
+    oracle is the lag+cumsum sessionization already proven equivalent
+    for q_session_window — pinning the native operator's gap-merge
+    boundary behavior (gap == timeout starts a new session)
+    cross-engine (round-2 ask #6)."""
     events = t(spark, sf_dir, "events")
     return (
         events.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
