@@ -14,22 +14,34 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def table_file_stats(spark: SparkSession, relation: str) -> dict:
-    """(n_files, total_bytes) for a managed parquet table's data files."""
-    files = spark.sql(f"SELECT input_file_name() AS f FROM {relation}").distinct()
-    names = [r["f"] for r in files.collect()]
-    import os
+    """(n_files, total_bytes) for a managed parquet table's data files.
 
-    total = 0
-    for uri in names:
-        path = uri.removeprefix("file:")
-        try:
-            total += os.path.getsize(path)
-        except OSError:
-            pass
-    return {"n_files": len(names), "total_bytes": total}
+    Computed DISTRIBUTIVELY from the ``_metadata`` hidden columns
+    (file_path/file_size): dedup per file on the executors, aggregate,
+    fetch ONE row. No per-file driver collect, no getsize syscall loop —
+    at 100 TB that was millions of driver-side rows (round-2 finding)."""
+    row = (
+        spark.table(relation)
+        .select(
+            F.col("_metadata.file_path").alias("_p"),
+            F.col("_metadata.file_size").alias("_s"),
+        )
+        .groupBy("_p")
+        .agg(F.first("_s").alias("_s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("_s").alias("total_bytes"),
+        )
+        .first()
+    )
+    return {
+        "n_files": int(row["n_files"]),
+        "total_bytes": int(row["total_bytes"] or 0),
+    }
 
 
 def compact_table(

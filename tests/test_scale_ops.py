@@ -288,6 +288,23 @@ def test_compact_table_shrinks_file_count(spark, sf_dir):
         before = table_file_stats(spark, rel)
         assert before["n_files"] >= 24
 
+        # the distributed _metadata aggregation must equal filesystem
+        # ground truth (the op used to collect() per-file rows + getsize)
+        from pathlib import Path
+
+        loc = next(
+            r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {rel}").collect()
+            if r["col_name"] == "Location"
+        )
+        data_files = [
+            p
+            for p in Path(loc.removeprefix("file:")).rglob("*")
+            if p.is_file() and not p.name.startswith(("_", "."))
+        ]
+        assert before["n_files"] == len(data_files)
+        assert before["total_bytes"] == sum(p.stat().st_size for p in data_files)
+
         stats = compact_table(spark, rel, target_file_bytes=64 * 1024 * 1024)
         assert stats["after"]["n_files"] < before["n_files"]
         assert spark.table(rel).count() == n_rows
