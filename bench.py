@@ -34,6 +34,17 @@ def main() -> None:
     # warm the JVM + parquet footer caches once with the flagship query
     qs["q_pricing_summary"](spark, sf_dir).collect()
 
+    # fixed per-query overhead floor: the cheapest possible plan through
+    # the same build→noop-write path. Everything up to this floor is
+    # session/scheduler constant, not operator cost — report it so
+    # per-query deltas can be read against it (round-2 ask #7).
+    floor_runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        floor_runs.append(time.perf_counter() - t0)
+    overhead_floor = round(sorted(floor_runs)[len(floor_runs) // 2], 4)
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
@@ -51,6 +62,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "overhead_floor_sec": overhead_floor,
+        "overhead_floor_total": round(overhead_floor * len(timings), 2),
         "sf": sf,
     }
     Path(__file__).resolve().parent.joinpath("bench_detail.json").write_text(
@@ -65,6 +78,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": top5,
                 "n_queries": len(timings),
+                "overhead_floor_sec": overhead_floor,
                 "detail": "bench_detail.json",
                 "sf": sf,
             }

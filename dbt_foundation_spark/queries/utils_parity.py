@@ -321,7 +321,11 @@ def q_crossdb_datemath(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref_date = F.lit("1995-06-17").cast("date")
     return orders.select(
         "o_orderkey",
-        C.dateadd("month", 3, "o_orderdate").cast("string").alias("plus_3m"),
+        # cast to DATE first: dateadd is type-preserving now (r3), and a
+        # TIMESTAMP input would correctly come back as a TIMESTAMP
+        C.dateadd("month", 3, F.col("o_orderdate").cast("date"))
+        .cast("string")
+        .alias("plus_3m"),
         C.datediff("day", "o_orderdate", ref_date).alias("day_diff"),
         C.datediff("month", "o_orderdate", ref_date).alias("mo_diff"),
         C.datediff("week", "o_orderdate", ref_date).alias("wk_diff"),
