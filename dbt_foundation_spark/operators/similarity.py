@@ -175,7 +175,7 @@ def embedding_near_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.9,
-    m: int = 8,
+    m: int = 16,
     bands: int = 4,
     seed: int = 42,
     block_col: str | None = None,
@@ -187,9 +187,12 @@ def embedding_near_pairs(
     ANY band agrees (the minhash banding scheme applied to hyperplane
     signs). Single-signature equality (bands=1) silently caps recall:
     at cosine 0.9 a bit agrees with p = 1 − θ/π ≈ 0.86, so all 8 bits
-    agree only ~29% of the time, while 4 bands × 2 bits lift recall to
-    1 − (1 − p²)⁴ ≈ 99.5%. Optional block_col (e.g. a label/partition)
-    further bounds buckets.
+    agree only ~29% of the time. The default 4 bands × 4 bits keeps
+    recall 1 − (1 − p⁴)⁴ ≈ 96% at cosine 0.9 while admitting only
+    1 − (1 − 0.5⁴)⁴ ≈ 23% of UNCORRELATED pairs as candidates — band
+    width is the recall/selectivity dial (fewer bits per band ≈
+    all-pairs; the r=2 variant admits ~68% of random pairs). Optional
+    block_col (e.g. a label/partition) further bounds buckets.
 
     Scale shape (mirrors minhash_lsh_pairs): the band self-join carries
     only (band, bucket[, block], id) — vectors are re-attached to the

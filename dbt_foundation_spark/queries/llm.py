@@ -305,7 +305,7 @@ _COS_SQL = (
 # [r*b, r*b+r) → (sig // (2^r)^b) % 2^r; a pair is a candidate iff ANY
 # band agrees (replayed as an OR-join so DuckDB checks the banding math)
 _BAND_MATCH_SQL = " OR ".join(
-    f"((a.sig // {4**b}) % 4) = ((b.sig // {4**b}) % 4)" for b in range(4)
+    f"((a.sig // {16**b}) % 16) = ((b.sig // {16**b}) % 16)" for b in range(4)
 )
 
 
@@ -314,7 +314,7 @@ _BAND_MATCH_SQL = " OR ".join(
     oracle=f"""
     WITH sigs AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
-               {_plane_sig_sql()} AS sig
+               {_plane_sig_sql(m=16)} AS sig
         FROM embeddings
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -326,19 +326,20 @@ _BAND_MATCH_SQL = " OR ".join(
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 embedding near-dup: BANDED random-hyperplane LSH (4 bands ×
-    2 bits — any-band match; single-signature equality capped recall at
-    ~29% for cosine-0.9 pairs, the round-2 weakness) + label block →
-    cosine verify on candidates. The DuckDB oracle replays the seeded
-    hyperplanes as literals AND the band-match predicate, checking the
-    banding itself. The synthetic embeddings are random (no planted
-    near-dups; within-bucket cosine tops out ~0.36), so the catalog
-    query thresholds at 0.25 to exercise the emit path with real rows —
+    4 bits — any-band match; single-signature equality capped recall at
+    ~29% for cosine-0.9 pairs, the round-2 weakness, while 2-bit bands
+    would admit ~68% of random pairs) + label block → cosine verify on
+    candidates. The DuckDB oracle replays the seeded hyperplanes as
+    literals AND the band-match predicate, checking the banding itself.
+    The synthetic embeddings are random (no planted near-dups;
+    within-bucket cosine tops out ~0.36), so the catalog query
+    thresholds at 0.25 to exercise the emit path with real rows —
     production near-dup filtering would use the operator default 0.9."""
     from dbt_foundation_spark.operators.similarity import embedding_near_pairs
 
     emb = t(spark, sf_dir, "embeddings")
     pairs = embedding_near_pairs(
-        emb, "vec_id", "embedding", threshold=0.25, m=8, bands=4, block_col="label"
+        emb, "vec_id", "embedding", threshold=0.25, m=16, bands=4, block_col="label"
     )
     return pairs.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
 

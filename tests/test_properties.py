@@ -179,7 +179,7 @@ def test_simhash_blocking_drops_no_qualifying_pair(spark, sf_dir):
 
 def test_embedding_banded_lsh_recall(spark):
     """Recall property for the round-2 weakness: banded hyperplane LSH
-    (4 bands × 2 bits) must keep ≥95% of planted cosine-≥0.9 pairs —
+    (4 bands × 4 bits) must keep ≥95% of planted cosine-≥0.9 pairs —
     single-signature blocking (the old scheme) found only ~(1−θ/π)^8 ≈
     29% of them. Fully deterministic: seeded noise, seeded hyperplanes."""
     import math
@@ -209,7 +209,7 @@ def test_embedding_banded_lsh_recall(spark):
     got = {
         (r["id_a"], r["id_b"])
         for r in embedding_near_pairs(
-            df, "vec_id", "embedding", threshold=0.9, m=8, bands=4
+            df, "vec_id", "embedding", threshold=0.9, m=16, bands=4
         ).collect()
     }
     planted = {(2 * i, 2 * i + 1) for i in range(n_planted)}
