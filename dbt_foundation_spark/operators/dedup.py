@@ -218,8 +218,10 @@ def simhash(
         hashed = exploded.select("_id", fast_hash64("_tok").alias("_h"))
         def bit(i: int):
             return F.getbit("_h", F.lit(i))
+    # ±1 as arithmetic (2*bit − 1), not CaseWhen: 64 fewer branch nodes
+    # per row in the codegen'd aggregate
     bit_sums = [
-        F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"_b{i}")
+        F.sum(bit(i) * 2 - 1).alias(f"_b{i}")
         for i in range(64)
     ]
     # bit 63 of a signed long is the sign bit → its power is -2^63

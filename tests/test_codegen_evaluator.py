@@ -179,6 +179,8 @@ def test_heavy_query_plan_shapes_pinned(spark, sf_dir):
     budgets = {
         "q_dedup_minhash": 6,   # sig agg + band join + 2 re-attach joins
         "q_dedup_simhash": 4,   # sig agg + chunk join + pair dedup
+        "q_dedup_simhash_portable": 4,  # same shape, md5-half hashes
+        "q_embedding_neardup": 4,  # band join + pair dedup + 2 re-attach joins
         "q_ngram_jaccard": 4,   # inverted-index join + pair agg + size joins
         "q_asof_join": 3,       # union window + pre-agg
         "q_rollup_cascade": 3,  # hour agg + day re-agg + union alignment
