@@ -127,6 +127,18 @@ def uniq_token_ratio(col: Column | str) -> Column:
     return F.size(F.array_distinct(toks)) / F.greatest(F.array_size(toks), F.lit(1))
 
 
+def dup_ngram_ratio(col: Column | str, n: int = 2) -> Column:
+    """Gopher-style repetition signal: fraction of word n-grams that are
+    duplicates of an earlier one (0 = all distinct, →1 = the document
+    loops). The standard filter for boilerplate/generated text in
+    training-data pipelines; pure Column arithmetic over the shingle
+    array, no shuffle."""
+    grams = token_ngrams(col, n)
+    return F.lit(1.0) - F.try_divide(
+        F.size(F.array_distinct(grams)), F.size(grams)
+    )
+
+
 def mean_token_length(col: Column | str) -> Column:
     toks = tokenize(col)
     total = F.aggregate(

@@ -182,6 +182,60 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Collapse near-dup pairs into duplicate clusters: (id, component)
+    where component = the minimum id reachable through the pair graph —
+    the step that turns pairwise LSH output into "keep one doc per
+    cluster" at corpus scale.
+
+    Iterative min-label propagation: each round is one keyed equi-join +
+    groupBy-min (map-side combined), and ``localCheckpoint`` truncates
+    the lineage so the plan stays O(1) across rounds (on a real cluster
+    use a reliable checkpoint dir instead). Rounds needed = component
+    diameter; near-dup clusters are small (2-5 docs), so this converges
+    in 2-3 rounds — never O(|V|) like a driver-side union-find. The
+    convergence probe is the strictly-decreasing exact sum of labels
+    (decimal — no bigint overflow at any corpus size), one scalar per
+    round."""
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_nbr"))
+        .select(F.col("src").alias("id"), F.least("src", "_nbr").alias("comp"))
+        .localCheckpoint()
+    )
+
+    def _probe(df: DataFrame):
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+
+    prev = _probe(labels)
+    for _ in range(max_iterations):
+        prop = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.src") == F.col("l.id"))
+            .select(F.col("e.dst").alias("id"), F.col("l.comp").alias("comp"))
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        cur = _probe(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
 def simhash(
     df: DataFrame,
     id_col: str,

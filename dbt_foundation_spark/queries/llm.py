@@ -78,11 +78,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_portable_oracle(num_hashes: int, bands: int, threshold: float) -> str:
-    """DuckDB replay of the PORTABLE minhash pipeline: identical 3-token
-    shingles, identical base hash (md5 60-bit → mod P), identical LCG
-    coefficients, identical banding — so the full LSH candidate set (not
-    just verified pairs) is cross-engine checked."""
+_MINHASH_JAC_SQL = (
+    "CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)"
+    " / len(list_distinct(list_concat(sa.toks, sb.toks)))"
+)
+
+
+def _minhash_portable_ctes(num_hashes: int, bands: int) -> str:
+    """Shared CTE body replaying the PORTABLE minhash pipeline in
+    DuckDB: identical 3-token shingles, identical base hash (md5 60-bit
+    → mod P), identical LCG coefficients, identical banding — so the
+    full LSH candidate set (not just verified pairs) is cross-engine
+    checked. Ends at the ``cand`` CTE; callers append the verify (and
+    optionally the cluster-collapse recursion)."""
     from dbt_foundation_spark.operators.dedup import _P, _hash_coeffs
 
     coeffs = _hash_coeffs(num_hashes)
@@ -96,12 +104,7 @@ def _minhash_portable_oracle(num_hashes: int, bands: int, threshold: float) -> s
         + ") AS bucket FROM sig"
         for b in range(bands)
     )
-    jac = (
-        "CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)"
-        " / len(list_distinct(list_concat(sa.toks, sb.toks)))"
-    )
-    return rf"""
-    WITH sh AS (
+    return rf"""sh AS (
         SELECT doc_id,
                list_distinct(
                    CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
@@ -127,12 +130,17 @@ def _minhash_portable_oracle(num_hashes: int, bands: int, threshold: float) -> s
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    )
-    SELECT id_a, id_b, round({jac}, 6) AS jaccard
+    )"""
+
+
+def _minhash_portable_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    return f"""
+    WITH {_minhash_portable_ctes(num_hashes, bands)}
+    SELECT id_a, id_b, round({_MINHASH_JAC_SQL}, 6) AS jaccard
     FROM cand
     JOIN sh sa ON sa.doc_id = cand.id_a
     JOIN sh sb ON sb.doc_id = cand.id_b
-    WHERE {jac} >= {threshold}
+    WHERE {_MINHASH_JAC_SQL} >= {threshold}
     """
 
 
@@ -160,6 +168,59 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable=True,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "q_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_portable_ctes(16, 4)},
+    pairs AS (
+        SELECT id_a, id_b FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+        WHERE {_MINHASH_JAC_SQL} >= 0.5
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ), reach(id, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(lab) AS component
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER collapse: portable minhash-LSH pairs →
+    connected components via iterative min-label propagation (one keyed
+    shuffle per round, lineage-truncated) → (doc_id, component=min id
+    reachable), the "keep one doc per cluster" step of corpus dedup.
+    The DuckDB oracle replays the ENTIRE pipeline: md5 minhash +
+    banding + Jaccard verify, then the transitive closure as a
+    recursive CTE — so both the pair graph and the clustering are
+    cross-engine checked."""
+    from dbt_foundation_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        shingle_len=3,
+        jaccard_threshold=0.5,
+        portable=True,
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    ).orderBy("doc_id")
 
 
 @query("q_dedup_simhash")  # rows-only: xxhash64 signature is engine-internal
@@ -575,6 +636,53 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", X.bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+def _ngram_sql(n: int) -> str:
+    """DuckDB twin of functions.text.token_ngrams over the ``tok``
+    token array (short texts yield one shingle of all tokens)."""
+    return (
+        f"CASE WHEN len(tok) < {n} THEN [array_to_string(tok, ' ')] "
+        f"ELSE list_transform(range(1, len(tok) - {n} + 2), "
+        f"i -> array_to_string(tok[i:i+{n - 1}], ' ')) END"
+    )
+
+
+def _dup_ratio_sql(grams: str) -> str:
+    return (
+        f"round(1.0 - CAST(len(list_distinct({grams})) AS DOUBLE)"
+        f" / len({grams}), 6)"
+    )
+
+
+@query(
+    "q_repetition_signals",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok
+        FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 - CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok), 6)
+               AS dup_token_ratio,
+           {_dup_ratio_sql(_ngram_sql(2))} AS dup_bigram_ratio,
+           {_dup_ratio_sql(_ngram_sql(3))} AS dup_trigram_ratio
+    FROM toks
+    """,
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 Gopher-style repetition filters: duplicate token / bigram /
+    trigram fractions per document — the standard boilerplate and
+    generated-text detectors in a training-data pipeline. Pure Column
+    arithmetic (one scan, zero shuffles); the DuckDB oracle replays the
+    identical shingle construction."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(F.lit(1.0) - X.uniq_token_ratio("text"), 6).alias("dup_token_ratio"),
+        F.round(X.dup_ngram_ratio("text", 2), 6).alias("dup_bigram_ratio"),
+        F.round(X.dup_ngram_ratio("text", 3), 6).alias("dup_trigram_ratio"),
     )
 
 

@@ -387,3 +387,20 @@ def test_extract_features_decode_fn_plugs_in(spark):
     assert all(r["features"] == [256.0] for r in out)
     default = extract_features(media, dim=4).collect()
     assert all(len(r["features"]) == 4 for r in default)
+
+
+def test_connected_components_multihop(spark):
+    """Cluster collapse: min-label propagation must cross multi-hop
+    chains (1-2-3-4 needs >1 round) and keep disjoint clusters apart."""
+    from dbt_foundation_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (8, 9), (9, 10)],
+        "id_a long, id_b long",
+    )
+    got = {(r["id"], r["comp"]) for r in connected_components(pairs).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (5, 5), (6, 5),
+        (8, 8), (9, 8), (10, 8),
+    }
