@@ -78,6 +78,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_table_rebuild",
     "q_session_window_native",
     "q_embedding_neardup",
+    "q_dedup_components",
+    "q_repetition_signals",
     "q_crossdb_datemath",
     # (c) regression-prone re-checks
     "q_dedup_minhash_portable",
@@ -93,8 +95,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_bpe_token_count",
     "q_json_props",
     "q_crossdb_listagg",
-    "q_udtf_chunks",
-    "q_surrogate_key",
 )
 
 
