@@ -177,6 +177,41 @@ def run_to_parquet(
     q.awaitTermination()
 
 
+def run_into_incremental(
+    project,
+    node_name: str,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> None:
+    """Bridge a stream into the materialization framework: each
+    micro-batch is applied with the node's configured INCREMENTAL
+    strategy via ``foreachBatch`` — ``append`` for pure event streams,
+    ``merge`` (unique_key) to upsert late re-deliveries so at-least-once
+    batches still converge to exactly-once table state. dbt has no
+    streaming story; this is the engine's extension: the same node
+    definition serves batch backfill and continuous ingestion, and the
+    checkpoint makes restarts resume mid-stream."""
+    from dbt_foundation_spark.materialize import _incremental
+
+    node = project.manifest[node_name]
+    if node.config.materialized != "incremental":
+        raise ValueError(
+            f"{node_name}: run_into_incremental needs materialized='incremental'"
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _incremental(project, node, batch_df)
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
+
+
 _SESSION_STATE = "start timestamp, last_ts timestamp, n_events bigint"
 _SESSION_OUT = "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
 
