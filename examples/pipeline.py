@@ -11,6 +11,11 @@ Run directly (uses sf0.001 testdata):  python examples/pipeline.py
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 from pyspark.sql import functions as F
 
 from dbt_foundation_spark.evaluator import evaluate
