@@ -203,9 +203,12 @@ def connected_components(
     (decimal — no bigint overflow at any corpus size), one scalar per
     round."""
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # checkpoint the edge list too: it usually hangs off an expensive
+    # upstream DAG (the whole LSH pipeline) that would otherwise
+    # re-execute on every propagation round
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("_nbr"))

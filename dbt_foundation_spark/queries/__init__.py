@@ -79,6 +79,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_session_window_native",
     "q_embedding_neardup",
     "q_dedup_components",
+    "q_dedup_corpus",
     "q_repetition_signals",
     "q_crossdb_datemath",
     # (c) regression-prone re-checks
@@ -94,7 +95,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_lang_id",
     "q_bpe_token_count",
     "q_json_props",
-    "q_crossdb_listagg",
 )
 
 

@@ -223,6 +223,66 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "q_dedup_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_portable_ctes(16, 4)},
+    pairs AS (
+        SELECT id_a, id_b FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+        WHERE {_MINHASH_JAC_SQL} >= 0.5
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ), reach(id, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ), comp AS (
+        SELECT id, MIN(lab) AS component FROM reach GROUP BY id
+    )
+    SELECT d.lang, COUNT(*) AS n_docs,
+           SUM(CASE WHEN c.id IS NULL OR c.id = c.component
+                    THEN 0 ELSE 1 END) AS n_removed
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus dedup: minhash-LSH pairs → cluster collapse →
+    drop every doc that is not its cluster's canonical (min-id) member.
+    Reports per-language corpus size and removals — the actual
+    training-data dedup materialization, with the whole pipeline
+    (hashing, banding, verify, clustering, filter) replayed in the
+    DuckDB oracle."""
+    from dbt_foundation_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_len=3,
+        jaccard_threshold=0.5, portable=True,
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    removed = F.when(
+        F.col("comp").isNull() | (F.col("id") == F.col("comp")), 0
+    ).otherwise(1)
+    return (
+        docs.join(comps, docs["doc_id"] == comps["id"], "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(removed).alias("n_removed"),
+        )
+        .orderBy("lang")
+    )
+
+
 @query("q_dedup_simhash")  # rows-only: xxhash64 signature is engine-internal
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 SimHash near-dup pairs: 64-bit weighted-bit signature with
