@@ -1,0 +1,154 @@
+"""Sequence packing — assemble documents into fixed token-budget
+training sequences.
+
+Reference scope: the reference pipeline (dbt-foundation) stops at
+relational marts; packing is part of the mandated LLM-pipeline surface
+(BASELINE.json Cat D) that a training-data engine needs downstream of
+dedup/quality filtering.
+
+Two flavors, one contract (adds ``seq_id`` + ``seq_offset`` columns):
+
+``pack_sequences``
+    Contiguous-fill packing via a window cumulative sum:
+    ``seq_id = floor((cumsum(tokens) - tokens) / budget)`` over a
+    deterministic order. A document whose tokens straddle a budget
+    boundary stays in the sequence where it *starts*, so a sequence can
+    overflow ``budget`` by up to ``max(doc_tokens) - 1`` — the standard
+    SQL-expressible approximation of greedy packing. Fully declarative:
+    one shuffle (the window partition), codegen'd arithmetic, and
+    replayable in any engine with window functions — which is what lets
+    the DuckDB oracle check it row-for-row.
+
+``pack_sequences_greedy``
+    Exact first-fit-by-order greedy: a sequence is closed as soon as the
+    next document would exceed ``budget`` (oversized documents get a
+    sequence of their own). Needs sequential state per group, so it runs
+    as an ``applyInPandas`` over the same partition key — the Arrow-batch
+    escape hatch for semantics a window can't express.
+
+Scale (100 TB): both flavors shuffle once on the packing partition key.
+Pack within real pipeline units (shard/epoch/lang) or pass
+``bucket_by=(id_col, n)`` to spread a huge corpus over ``n`` independent
+packing groups — sequences never span groups, every group packs in
+parallel, and no global window (= single reducer) ever exists.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _grouping(
+    df: DataFrame,
+    partition_cols: Sequence[str] | None,
+    bucket_by: tuple[str, int] | None,
+) -> tuple[DataFrame, list[str], list[str]]:
+    """Resolve the packing groups; returns (df, group_cols, added_cols)."""
+    group_cols = list(partition_cols or [])
+    added: list[str] = []
+    if bucket_by is not None:
+        id_col, n = bucket_by
+        if n < 1:
+            raise ValueError(f"bucket count must be >= 1, got {n}")
+        # pmod of the numeric id — portable (same result in any engine
+        # with integer modulo), unlike hash()-based bucketing.
+        df = df.withColumn("_pack_bucket", F.pmod(F.col(id_col).cast("bigint"), F.lit(n)))
+        group_cols.append("_pack_bucket")
+        added.append("_pack_bucket")
+    if not group_cols:
+        raise ValueError(
+            "pack_sequences needs partition_cols and/or bucket_by: a global "
+            "window is a single-reducer bottleneck at scale"
+        )
+    return df, group_cols, added
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    order_cols: Sequence[str],
+    partition_cols: Sequence[str] | None = None,
+    bucket_by: tuple[str, int] | None = None,
+) -> DataFrame:
+    """Contiguous-fill packing (window cumsum; oracle-replayable).
+
+    Adds ``seq_id`` (0-based within each packing group) and
+    ``seq_offset`` (token offset of this document inside its sequence —
+    ``cumsum_before mod budget`` for non-straddling documents).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    df, group_cols, added = _grouping(df, partition_cols, bucket_by)
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    before = (F.sum(tokens_col).over(w) - F.col(tokens_col)).cast("bigint")
+    out = df.withColumn(
+        "seq_id", (before / F.lit(budget)).cast("bigint")
+    ).withColumn("seq_offset", before - F.col("seq_id") * F.lit(budget))
+    return out.drop(*added) if added else out
+
+
+def _greedy_pack(pdf: pd.DataFrame, tokens_col: str, budget: int) -> pd.DataFrame:
+    seq_ids, offsets = [], []
+    seq_id, fill = 0, 0
+    for tok in pdf[tokens_col]:
+        tok = int(tok)
+        if fill > 0 and fill + tok > budget:
+            seq_id += 1
+            fill = 0
+        seq_ids.append(seq_id)
+        offsets.append(fill)
+        fill += tok
+        if fill >= budget:  # full (or oversized single doc): close it
+            seq_id += 1
+            fill = 0
+    pdf = pdf.copy()
+    pdf["seq_id"] = pd.Series(seq_ids, index=pdf.index, dtype="int64")
+    pdf["seq_offset"] = pd.Series(offsets, index=pdf.index, dtype="int64")
+    return pdf
+
+
+def pack_sequences_greedy(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    order_cols: Sequence[str],
+    partition_cols: Sequence[str] | None = None,
+    bucket_by: tuple[str, int] | None = None,
+) -> DataFrame:
+    """Exact first-fit greedy packing via ``applyInPandas`` per group.
+
+    Sequences never exceed ``budget`` unless a single document does (an
+    oversized document occupies a sequence alone). One shuffle on the
+    group key; state per group is O(1) (a running fill counter), the
+    Arrow batch is the group's rows ordered by ``order_cols``.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    df, group_cols, added = _grouping(df, partition_cols, bucket_by)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("seq_id", LongType()), StructField("seq_offset", LongType())]
+    )
+    order = list(order_cols)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _greedy_pack(pdf.sort_values(order, kind="mergesort"), tokens_col, budget)
+
+    out = df.groupBy(*group_cols).applyInPandas(fn, schema=schema)
+    return out.drop(*added) if added else out
+
+
+def sequence_stats(packed: DataFrame, tokens_col: str, group_cols: Iterable[str]) -> DataFrame:
+    """Per-sequence fill stats (docs, tokens) — the packing-efficiency
+    audit a pipeline runs after :func:`pack_sequences`."""
+    return packed.groupBy(*group_cols, "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens_col).cast("bigint").alias("n_tokens"),
+    )

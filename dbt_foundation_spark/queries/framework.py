@@ -206,8 +206,8 @@ def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_mktsegment,
            COUNT(*) AS n_versions,
-           SUM(CASE WHEN is_open THEN 1 ELSE 0 END) AS n_open,
-           SUM(CASE WHEN is_open THEN 0 ELSE 1 END) AS n_closed,
+           CAST(SUM(CASE WHEN is_open THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN is_open THEN 0 ELSE 1 END) AS BIGINT) AS n_closed,
            {sql_dsum("CASE WHEN is_open THEN c_acctbal END", "open_acctbal")}
     FROM versions GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,

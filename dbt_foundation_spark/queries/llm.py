@@ -244,8 +244,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id, MIN(lab) AS component FROM reach GROUP BY id
     )
     SELECT d.lang, COUNT(*) AS n_docs,
-           SUM(CASE WHEN c.id IS NULL OR c.id = c.component
-                    THEN 0 ELSE 1 END) AS n_removed
+           CAST(SUM(CASE WHEN c.id IS NULL OR c.id = c.component
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
     FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
     GROUP BY d.lang ORDER BY d.lang
     """,
@@ -1105,3 +1105,50 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return encoded
+
+
+# ---------- training-sequence assembly ----------
+
+
+@query(
+    "q_sequence_pack",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+                   AS n_tokens,
+               doc_id % 4 AS bucket
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS before
+        FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor(before / 512) AS BIGINT) AS seq_id,
+           CAST(before - CAST(floor(before / 512) AS BIGINT) * 512 AS BIGINT)
+               AS seq_offset
+    FROM cum
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/packing.py): contiguous-fill
+    documents into 512-token sequences, packed independently per
+    (lang, doc_id%4) group — one window shuffle, no global ordering, so
+    the 100 TB corpus packs with per-group parallelism. The exact
+    first-fit flavor (pack_sequences_greedy) is applyInPandas-backed and
+    pytest-verified against a reference implementation."""
+    from dbt_foundation_spark.operators.packing import pack_sequences
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", X.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs,
+        "n_tokens",
+        budget=512,
+        order_cols=["doc_id"],
+        partition_cols=["lang"],
+        bucket_by=("doc_id", 4),
+    )

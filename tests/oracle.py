@@ -50,6 +50,14 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, oracle_sql: str, name: str
     assert len(got) == len(want), f"{name}: rowcount spark={len(got)} oracle={len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]
+        # The driver's value-hash stringifies cells, so int64 78 vs
+        # float64 78.0 is a driver MISMATCH even though it compares
+        # numerically equal — reject dtype-class drift outright.
+        if pd.api.types.is_float_dtype(g) != pd.api.types.is_float_dtype(w):
+            raise AssertionError(
+                f"{name}.{c}: dtype class mismatch spark={g.dtype} oracle={w.dtype} "
+                f"(driver hashes strings: 78 != 78.0 — CAST the oracle aggregate)"
+            )
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
             ok = (g.isna() & w.isna()) | (g.astype("float64") == w.astype("float64"))
             if not ok.all():

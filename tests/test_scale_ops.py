@@ -404,3 +404,56 @@ def test_connected_components_multihop(spark):
         (5, 5), (6, 5),
         (8, 8), (9, 8), (10, 8),
     }
+
+
+def test_pack_sequences_greedy_exact_first_fit(spark):
+    from dbt_foundation_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_greedy,
+    )
+
+    rows = [(i, "g", tok) for i, tok in enumerate([100, 200, 300, 512, 600, 50, 462, 1, 511, 2])]
+    df = spark.createDataFrame(rows, "id bigint, grp string, tok bigint")
+    out = {
+        r["id"]: (r["seq_id"], r["seq_offset"])
+        for r in pack_sequences_greedy(
+            df, "tok", budget=512, order_cols=["id"], partition_cols=["grp"]
+        ).collect()
+    }
+
+    # reference first-fit-by-order: close a sequence when the next doc
+    # would overflow; oversized docs sit alone; exactly-full closes.
+    expect, seq, fill = {}, 0, 0
+    for i, tok in enumerate([100, 200, 300, 512, 600, 50, 462, 1, 511, 2]):
+        if fill > 0 and fill + tok > 512:
+            seq, fill = seq + 1, 0
+        expect[i] = (seq, fill)
+        fill += tok
+        if fill >= 512:
+            seq, fill = seq + 1, 0
+    assert out == expect
+
+    # greedy never overflows the budget (except oversized singletons)
+    from collections import defaultdict
+
+    fills = defaultdict(int)
+    n_docs = defaultdict(int)
+    for i, tok in enumerate([100, 200, 300, 512, 600, 50, 462, 1, 511, 2]):
+        fills[out[i][0]] += tok
+        n_docs[out[i][0]] += 1
+    for s, total in fills.items():
+        assert total <= 512 or n_docs[s] == 1
+
+    # contiguous-fill flavor agrees on a budget no document straddles
+    big = pack_sequences(df, "tok", budget=10**6, order_cols=["id"], partition_cols=["grp"])
+    assert [r["seq_id"] for r in big.orderBy("id").collect()] == [0] * 10
+
+
+def test_pack_sequences_rejects_global_window(spark):
+    import pytest as _pytest
+
+    from dbt_foundation_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 5)], "id bigint, tok bigint")
+    with _pytest.raises(ValueError, match="single-reducer"):
+        pack_sequences(df, "tok", budget=8, order_cols=["id"])
