@@ -1,0 +1,73 @@
+"""Benchmark-contamination detection — token n-gram overlap between a
+training corpus and a benchmark/eval set.
+
+Part of the mandated LLM-pipeline surface (BASELINE.json Cat D): before
+training, every corpus document is scored by how many of its token
+n-grams also occur anywhere in the benchmark set, so contaminated
+documents can be dropped or flagged (the standard n-gram
+decontamination used by public LLM data pipelines).
+
+Shape at 100 TB: the benchmark side is eval sets — thousands of
+documents, millions of distinct n-grams — while the corpus is the
+100 TB. So the distinct benchmark-gram set is BROADCAST (one hash set
+per executor, no shuffle of the corpus gram stream for the join); the
+corpus side is one explode → per-doc distinct → map-side-combined
+aggregate. Grams travel as fixed-width hashes, not strings, so shuffle
+bytes are bounded per row. With ``portable=True`` the gram hash is md5
+(reproducible in any engine — lets the DuckDB oracle replay the whole
+pipeline); default is xxhash64, the cheap JVM-native path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbt_foundation_spark.functions import text as X
+
+
+def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int, portable: bool) -> DataFrame:
+    gram = F.explode(X.token_ngrams(text_col, n)).alias("_gram")
+    hashed = (F.md5 if portable else F.xxhash64)(F.col("_gram")).alias("_g")
+    return df.select(F.col(id_col), gram).select(id_col, hashed).distinct()
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    portable: bool = False,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Score each corpus document's n-gram overlap with the benchmark.
+
+    Returns one row per corpus document: ``(id_col, n_grams,
+    n_contaminated, contamination)`` where ``contamination`` is the
+    fraction of the document's distinct n-grams that appear anywhere in
+    the benchmark set (rounded to 6 — oracle-comparable). Documents
+    shorter than ``n`` tokens contribute a single all-token shingle
+    (``token_ngrams`` semantics), so ``n_grams >= 1`` always.
+
+    Set ``broadcast_bench=False`` only if the benchmark gram set is too
+    big for executor memory — the join then falls back to a keyed
+    shuffle on the gram hash.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    grams = _doc_grams(corpus, id_col, text_col, n, portable)
+    bgrams = _doc_grams(bench, id_col, text_col, n, portable).select("_g").distinct()
+    if broadcast_bench:
+        bgrams = F.broadcast(bgrams)
+    hit = F.when(bgrams["_g"].isNotNull(), 1).otherwise(0)
+    joined = grams.join(bgrams, grams["_g"] == bgrams["_g"], "left").select(
+        F.col(id_col), hit.alias("_hit")
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("_hit").cast("bigint").alias("n_contaminated"),
+        F.round(
+            F.sum("_hit").cast("double") / F.count(F.lit(1)), 6
+        ).alias("contamination"),
+    )

@@ -70,3 +70,56 @@ def train_test_split(
     between train and test across runs or repartitions."""
     test_pred = _hash_bucket(F.col(id_col), salt) < F.lit(_threshold_hex(test_fraction))
     return df.filter(~test_pred), df.filter(test_pred)
+
+
+def mixture_resample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    target_weights: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Resample a multi-domain corpus to a target mixture (e.g. 50% web,
+    30% books, 20% code) by downsampling only — the output is the
+    LARGEST sample achieving the target ratios without upsampling any
+    domain: T = min_d(n_d / w_d) rows in expectation, acceptance rate
+    r_d = T * w_d / n_d per domain. Domains not listed are dropped;
+    only weight RATIOS matter (the formula is scale-invariant, no
+    normalization step to drift cross-engine).
+
+    Fully declarative: one tiny groupBy for the domain counts, a 1-row
+    min() for the cap, a broadcast join of per-domain rates, then the
+    same content-hash membership predicate as :func:`hash_sample` — so
+    membership is stable under repartitioning/reruns AND replayable in
+    any engine with md5 (the rate→hex threshold is rendered with
+    floor/hex/lpad, identical arithmetic both sides). At 100 TB the
+    corpus is touched exactly twice (count pass + filter pass), never
+    shuffled.
+    """
+    if not target_weights:
+        raise ValueError("target_weights must be non-empty")
+    if any(w <= 0 for w in target_weights.values()):
+        raise ValueError(f"weights must be > 0: {target_weights}")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        sorted(target_weights.items()), f"{domain_col} string, _wt double"
+    )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    sized = counts.join(F.broadcast(wdf), domain_col)
+    cap = sized.agg(F.min(F.col("_n") / F.col("_wt")).alias("_cap"))
+    rates = sized.crossJoin(F.broadcast(cap)).select(
+        domain_col,
+        (F.col("_cap") * F.col("_wt") / F.col("_n")).alias("_rate"),
+    )
+    thr = F.when(F.col("_rate") >= 1.0, F.lit("ffffffffff")).otherwise(
+        F.lpad(
+            F.lower(F.hex(F.floor(F.col("_rate") * F.lit(4294967296.0)).cast("bigint"))),
+            8,
+            "0",
+        )
+    )
+    return (
+        df.join(F.broadcast(rates.withColumn("_thr", thr)), domain_col)
+        .filter(_hash_bucket(F.col(id_col), salt) < F.col("_thr"))
+        .drop("_rate", "_thr")
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbt_foundation_spark.functions import vectors as V
@@ -243,4 +243,58 @@ def embedding_near_pairs(
         .withColumn("cosine_sim", V.cosine("_va", "_vb"))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 5,
+    exclude_self: bool = True,
+    num_salts: int = 32,
+) -> DataFrame:
+    """Batch k-NN: the exact top-k cosine neighbors in ``corpus`` for
+    EVERY query vector (the many-query generalization of
+    :func:`cosine_topk`). Returns (query_id, corpus_id, cosine_sim),
+    exact sim ranking, deterministic id tiebreak.
+
+    Scale shape (100 TB corpus, thousands of queries): the query side is
+    BROADCAST (nested-loop against each corpus partition — the scan
+    stays partition-parallel, no corpus shuffle), then top-k is taken in
+    TWO phases so no single reducer ever sees a whole query's candidate
+    list: phase 1 ranks within (query, salt=corpus_id % num_salts)
+    groups, keeping k rows per group; phase 2 ranks the surviving
+    k*num_salts rows per query. Salting by the corpus id is
+    deterministic — results are identical for any num_salts >= 1.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if num_salts < 1:
+        raise ValueError(f"num_salts must be >= 1, got {num_salts}")
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv")
+    )
+    pairs = corpus.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col(corpus_id) != F.col("query_id"))
+    sims = pairs.select(
+        "query_id",
+        F.col(corpus_id).alias("corpus_id"),
+        V.cosine(F.col(corpus_vec), F.col("_qv")).alias("cosine_sim"),
+    )
+    order = [F.desc("cosine_sim"), F.col("corpus_id")]
+    partial = Window.partitionBy(
+        "query_id", F.pmod(F.col("corpus_id").cast("bigint"), F.lit(num_salts))
+    ).orderBy(*order)
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        sims.withColumn("_r", F.row_number().over(partial))
+        .filter(F.col("_r") <= k)
+        .withColumn("_r", F.row_number().over(final))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
     )

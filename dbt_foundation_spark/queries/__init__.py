@@ -82,19 +82,21 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_corpus",
     "q_repetition_signals",
     "q_crossdb_datemath",
-    # (c) regression-prone re-checks
+    # (b2) queries first added this round — no driver row exists yet
+    "q_sequence_pack",
+    "q_contamination",
+    "q_knn_join",
+    "q_domain_mix",
+    # (c) regression-prone re-checks (text family keeps its r2-green
+    # rows; q_lang_id/q_bpe_token_count stay as family sentinels)
     "q_dedup_minhash_portable",
     "q_ngram_jaccard",
     "q_dedup_exact",
     "q_dedup_fingerprint",
     "q_cosine_topk",
     "q_cosine_topk_lsh",
-    "q_token_counts",
-    "q_doc_quality",
-    "q_quality_filter",
     "q_lang_id",
     "q_bpe_token_count",
-    "q_json_props",
 )
 
 

@@ -1152,3 +1152,123 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_cols=["lang"],
         bucket_by=("doc_id", 4),
     )
+
+
+@query(
+    "q_contamination",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(tok[i:i+4], ' ')) AS g
+        FROM toks, (SELECT unnest(range(1, 100001)) AS i) r
+        WHERE i <= greatest(len(tok) - 4, 1)
+    ), bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_contaminated,
+           round(CAST(SUM(CASE WHEN b.g IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS contamination
+    FROM (SELECT * FROM grams WHERE doc_id % 97 <> 0) c
+    LEFT JOIN bench b USING (g)
+    GROUP BY c.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/contamination.py): score
+    every corpus document by the fraction of its distinct 5-gram
+    shingles that appear in a held-out benchmark slice (doc_id % 97).
+    Bench grams broadcast (eval sets are tiny vs the 100 TB corpus);
+    md5-portable gram hashes let DuckDB replay the whole pipeline."""
+    from dbt_foundation_spark.operators.contamination import ngram_contamination
+
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(corpus, bench, "doc_id", "text", n=5, portable=True)
+
+
+@query(
+    "q_knn_join",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % 125 = 0
+    ), c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), sims AS (
+        SELECT q.query_id, c.vec_id AS corpus_id,
+               list_dot_product(cv, qv)
+                 / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+                 AS sim
+        FROM q, c
+        WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, corpus_id, round(sim, 6) AS cosine_sim
+    FROM sims
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, corpus_id) <= 5
+    ORDER BY query_id, sim DESC, corpus_id
+    """,
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join (operators/similarity.py knn_join): exact top-5
+    cosine neighbors for every query vector (vec_id % 125) at once —
+    query side broadcast, salted two-phase top-k so no per-query single
+    reducer. Ranking on the exact double (bit-identical fold order in
+    both engines); rounded only for output."""
+    from dbt_foundation_spark.operators.similarity import knn_join
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 125 == 0)
+    out = knn_join(
+        queries, emb, "vec_id", "vec_id", "embedding", "embedding", k=5
+    )
+    return out.select(
+        "query_id",
+        "corpus_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+    ).orderBy("query_id", F.desc("cosine_sim"), "corpus_id")
+
+
+@query(
+    "q_domain_mix",
+    oracle="""
+    WITH w(source, wt) AS (
+        VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)
+    ), counts AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), sized AS (
+        SELECT counts.source, n, wt FROM counts JOIN w USING (source)
+    ), cap AS (
+        SELECT MIN(n / wt) AS c FROM sized
+    ), rates AS (
+        SELECT source,
+               CASE WHEN (cap.c * wt / n) >= 1.0 THEN 'ffffffffff'
+                    ELSE lpad(lower(hex(CAST(floor((cap.c * wt / n) * 4294967296.0)
+                                             AS BIGINT))), 8, '0')
+               END AS thr
+        FROM sized, cap
+    )
+    SELECT d.source, d.doc_id, d.lang
+    FROM documents d JOIN rates USING (source)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8) < thr
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture resampling (operators/sampling.py
+    mixture_resample): downsample sources to a 50/30/20 target mix —
+    the largest sample hitting the ratios with no upsampling.
+    Content-hash membership (stable under repartitioning, replayed
+    row-for-row by the oracle); two corpus passes, zero shuffles of
+    the corpus itself."""
+    from dbt_foundation_spark.operators.sampling import mixture_resample
+
+    docs = t(spark, sf_dir, "documents").select("source", "doc_id", "lang")
+    return mixture_resample(
+        docs, "doc_id", "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )

@@ -457,3 +457,36 @@ def test_pack_sequences_rejects_global_window(spark):
     df = spark.createDataFrame([(1, 5)], "id bigint, tok bigint")
     with _pytest.raises(ValueError, match="single-reducer"):
         pack_sequences(df, "tok", budget=8, order_cols=["id"])
+
+
+def test_ngram_contamination_known_overlap(spark):
+    from dbt_foundation_spark.operators.contamination import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # contains bench's "b c d" 3-gram
+            (2, "x y z w v u"),        # disjoint
+            (3, "a b"),                # short doc -> single shingle "a b"
+        ],
+        "id bigint, body string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "q b c d r"), (101, "a b")], "id bigint, body string"
+    )
+    out = {
+        r["id"]: (r["n_grams"], r["n_contaminated"], r["contamination"])
+        for r in ngram_contamination(corpus, bench, "id", "body", n=3).collect()
+    }
+    # doc1: grams {abc,bcd,cde,def}; bench has {qbc,bcd,cdr} + {"a b"} -> 1 hit
+    assert out[1] == (4, 1, 0.25)
+    assert out[2] == (4, 0, 0.0)
+    assert out[3] == (1, 1, 1.0)  # "a b" shingle matches bench doc 101
+
+    # shuffle-join fallback gives identical results
+    alt = {
+        r["id"]: (r["n_grams"], r["n_contaminated"], r["contamination"])
+        for r in ngram_contamination(
+            corpus, bench, "id", "body", n=3, broadcast_bench=False
+        ).collect()
+    }
+    assert alt == out
