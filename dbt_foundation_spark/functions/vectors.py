@@ -89,6 +89,40 @@ def mean(a: Column | str) -> Column:
     )
 
 
+def int8_quantize(col: Column | str) -> Column:
+    """Scalar (per-vector min/max) int8-range quantization:
+    Struct(lo double, hi double, codes array<int> in [0, 255]).
+
+    code_i = round((x_i − lo) / scale), scale = max((hi − lo)/255, 1e-12)
+    — the degenerate constant vector quantizes to all-zero codes instead
+    of dividing by zero. Dequantize: x̂_i = lo + code_i · scale.
+
+    This is the storage/compute trade behind every large ANN deployment
+    (4× smaller than float32, SIMD-friendly int math): at 100 TB of
+    embeddings the quantized copy is what the candidate scan reads, with
+    exact re-scoring on the shortlist only. Pure higher-order-function
+    expression — lo/scale are bound ONCE through a 1-element transform
+    (see :func:`normalize`), so cost is O(dim) per row, and every step
+    is plain IEEE double arithmetic any engine reproduces bit-for-bit.
+    """
+    arr = to_double_array(col)
+    lo = F.array_min(arr)
+    hi = F.array_max(arr)
+    scale = F.greatest((hi - lo) / F.lit(255.0), F.lit(1e-12))
+
+    def build(b: Column) -> Column:
+        return F.struct(
+            b["lo"].alias("lo"),
+            b["hi"].alias("hi"),
+            F.transform(
+                arr, lambda x: F.round((x - b["lo"]) / b["s"]).cast("int")
+            ).alias("codes"),
+        )
+
+    bound = F.array(F.struct(lo.alias("lo"), hi.alias("hi"), scale.alias("s")))
+    return F.get(F.transform(bound, build), 0)
+
+
 def hyperplane_signature(col: Column | str, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature: bit i = sign(v · plane_i),
     packed into a BIGINT bucket id. ``planes`` are fixed (seeded)

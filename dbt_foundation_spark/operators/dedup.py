@@ -114,6 +114,33 @@ def _hash_coeffs(k: int) -> list[tuple[int, int]]:
     return coeffs
 
 
+def _band_buckets(
+    sig: DataFrame, bands: int, rows_per_band: int, portable: bool
+) -> DataFrame:
+    """(_id, band, bucket) — one row per (doc, band), bucket = the band's
+    r consecutive minhash values collapsed to a string key. Portable mode
+    keeps the raw values joined with '|' (replayable anywhere); the fast
+    flavor compresses them through xxhash64 (shorter shuffle keys)."""
+
+    def bucket(b: int):
+        vals = [F.col("minhash").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+        if portable:  # cross-engine-replayable bucket key (no xxhash64)
+            return F.concat_ws("|", *[v.cast("string") for v in vals])
+        return F.xxhash64(*vals).cast("string")
+
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -138,24 +165,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_len, portable)
-
-    def bucket(b: int):
-        vals = [F.col("minhash").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
-        if portable:  # cross-engine-replayable bucket key (no xxhash64)
-            return F.concat_ws("|", *[v.cast("string") for v in vals])
-        return F.xxhash64(*vals).cast("string")
-
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+    banded = _band_buckets(sig, bands, rows_per_band, portable)
 
     left = banded.select("band", "bucket", F.col("_id").alias("id_a"))
     right = banded.select("band", "bucket", F.col("_id").alias("id_b"))
@@ -179,6 +189,70 @@ def minhash_lsh_pairs(
         pairs.withColumn("jaccard", F.try_divide(inter, union))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_join(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_len: int = 3,
+    jaccard_threshold: float = 0.7,
+    portable: bool = False,
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs between a NEW batch and an
+    existing corpus — (new_id, corpus_id, jaccard ≥ threshold) — with
+    candidates generated ONLY across the two sides, never within either.
+
+    This is the daily-ingest shape at 100 TB: the corpus side's
+    signatures/bands are a precomputed, incrementally-maintained index
+    (recompute here for self-containment; in production persist the
+    ``_band_buckets`` output partitioned by (band, bucket) and this
+    becomes a pruned equi-join touching only the new batch's buckets).
+    Cost scales with |new| × collision rate, not |corpus|² — re-running
+    the full self-join dedup per ingest would be quadratic in corpus
+    size over time.
+
+    Same banding math as :func:`minhash_lsh_pairs`, so a doc's signature
+    is identical whether it arrives in the batch or sat in the corpus —
+    the incremental result equals the cross-side subset of the full
+    self-join's output (the property the DuckDB oracle checks).
+    """
+    rows_per_band = num_hashes // bands
+    sig_new = minhash_signature(new_df, id_col, text_col, num_hashes, shingle_len, portable)
+    sig_corpus = minhash_signature(
+        corpus_df, id_col, text_col, num_hashes, shingle_len, portable
+    )
+    banded_new = _band_buckets(sig_new, bands, rows_per_band, portable)
+    banded_corpus = _band_buckets(sig_corpus, bands, rows_per_band, portable)
+    cand = (
+        banded_new.select("band", "bucket", F.col("_id").alias("new_id"))
+        .join(
+            banded_corpus.select("band", "bucket", F.col("_id").alias("corpus_id")),
+            ["band", "bucket"],
+        )
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+
+    def shingles(df: DataFrame, alias: str, sh_alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(alias),
+            F.array_distinct(token_ngrams(text_col, shingle_len)).alias(sh_alias),
+        )
+
+    pairs = cand.join(shingles(new_df, "new_id", "sh_a"), "new_id").join(
+        shingles(corpus_df, "corpus_id", "sh_b"), "corpus_id"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jaccard", F.try_divide(inter, union))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "corpus_id", "jaccard")
     )
 
 

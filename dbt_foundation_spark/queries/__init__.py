@@ -87,16 +87,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_contamination",
     "q_knn_join",
     "q_domain_mix",
-    # (c) regression-prone re-checks (text family keeps its r2-green
-    # rows; q_lang_id/q_bpe_token_count stay as family sentinels)
+    "q_pii_redact",
+    "q_quality_quantile",
+    "q_embedding_quantize",
+    "q_dedup_incremental",
+    # (c) regression-prone re-checks (families whose r2-green rows are
+    # simplest take the overflow seats; q_dedup_exact/_fingerprint/
+    # q_lang_id/q_bpe_token_count stay pytest-gated past slot 50)
     "q_dedup_minhash_portable",
     "q_ngram_jaccard",
-    "q_dedup_exact",
-    "q_dedup_fingerprint",
     "q_cosine_topk",
     "q_cosine_topk_lsh",
-    "q_lang_id",
-    "q_bpe_token_count",
 )
 
 
@@ -134,6 +135,7 @@ def _ensure_loaded() -> None:
         return
     # Import side effects register every query.
     from dbt_foundation_spark.queries import (  # noqa: F401
+        curation,
         framework,
         llm,
         reference,

@@ -1,0 +1,214 @@
+"""Training-data curation queries (SURVEY §2.L, round-3 additions).
+
+The four steps a production corpus pipeline runs after dedup: PII
+scrubbing, per-language quality-quantile cuts, embedding quantization
+for the ANN index, and incremental (new-batch-vs-corpus) dedup. Every
+query has a DuckDB oracle that replays the full computation — including
+the regex scrub and the minhash banding — cross-engine.
+
+Reference parity: the dbt reference (dbt-foundation) has no curation
+surface of its own; these belong to the BASELINE.json Cat-D mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_foundation_spark.functions import redact as R
+from dbt_foundation_spark.functions import text as X
+from dbt_foundation_spark.functions import vectors as V
+from dbt_foundation_spark.queries import query
+from dbt_foundation_spark.queries._util import t
+from dbt_foundation_spark.queries.llm import (
+    _MINHASH_JAC_SQL,
+    _minhash_portable_ctes,
+    QUALITY_SCORE_SQL,
+)
+
+# ---------- PII / secret redaction ----------
+
+# The synthetic corpus contains no PII, so the query plants one
+# deterministic instance of each category per document — the SAME
+# concat expression in both engines — and then scrubs it. This makes
+# the oracle exercise every pattern instead of comparing two no-ops.
+_AUG_SQL = (
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR), "
+    "'@example.com or +1415555', "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), "
+    "' from 10.', CAST(doc_id % 256 AS VARCHAR), '.0.1 key ', "
+    "md5(CAST(doc_id AS VARCHAR)))"
+)
+
+
+def _aug_col() -> Column:
+    d = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d,
+        F.lit("@example.com or +1415555"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 key "),
+        F.md5(d),
+    )
+
+
+def _pii_oracle() -> str:
+    scrub, counts = R.pii_sql("text")
+    count_cols = ",\n           ".join(f"{sql} AS n_{name}" for name, sql in counts.items())
+    return f"""
+    WITH aug AS (
+        SELECT doc_id, {_AUG_SQL} AS text FROM documents
+    )
+    SELECT doc_id,
+           {scrub} AS clean_text,
+           {count_cols}
+    FROM aug
+    """
+
+
+@query("q_pii_redact", oracle=_pii_oracle())
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 PII scrub: plant a synthetic email/key/IP/phone per document,
+    then redact all four categories and count matches. One map stage,
+    zero shuffles, RE2-safe regexes (functions/redact.py) — the oracle
+    replays the identical scrub in DuckDB."""
+    docs = t(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _aug_col().alias("text"))
+    counts = R.pii_counts("text")
+    return aug.select(
+        "doc_id",
+        R.redact_pii("text").alias("clean_text"),
+        *[counts[name].alias(f"n_{name}") for name, _, _ in R.PII_PATTERNS],
+    )
+
+
+# ---------- per-language quality quantile gate ----------
+
+
+@query(
+    "q_quality_quantile",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, {QUALITY_SCORE_SQL} AS quality
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, lang, quality,
+               percent_rank() OVER (PARTITION BY lang ORDER BY quality) AS pr
+        FROM scored
+    )
+    SELECT doc_id, lang, round(quality, 6) AS quality, round(pr, 6) AS pct_rank
+    FROM ranked WHERE pr >= 0.5
+    """,
+)
+def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 quantile cut: keep each language's top half by quality score.
+    Unlike the fixed-threshold gate (q_quality_filter), a quantile cut
+    holds the language mix constant — the standard way to budget a
+    multilingual corpus. percent_rank is rank-based, so ties are
+    engine-independent; the window shuffles once on lang (at 100 TB:
+    ~one partition per language — pre-repartition by (lang, salt) and
+    take per-salt quantiles if a single language outgrows an executor).
+    """
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("quality")
+    return (
+        docs.select("doc_id", "lang", X.quality_score("text").alias("quality"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.5)
+        .select(
+            "doc_id",
+            "lang",
+            F.round("quality", 6).alias("quality"),
+            F.round("pr", 6).alias("pct_rank"),
+        )
+    )
+
+
+# ---------- embedding int8 quantization ----------
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               CAST(list_min(embedding) AS DOUBLE) AS lo,
+               CAST(list_max(embedding) AS DOUBLE) AS hi
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS n_dims,
+           lo, hi,
+           array_to_string(
+               list_transform(
+                   embedding,
+                   x -> CAST(round((CAST(x AS DOUBLE) - lo)
+                                   / greatest((hi - lo) / 255.0, 1e-12)) AS INTEGER)
+               ), ',') AS codes_csv
+    FROM s
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/D5 int8 scalar quantization of the embedding column
+    (functions/vectors.int8_quantize): 4× smaller ANN scan at 100 TB,
+    exact re-scoring on the shortlist only. Codes serialized as CSV so
+    the driver's value-hash sees a plain string column. All-IEEE-double
+    arithmetic — the oracle reproduces every code bit-for-bit."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.withColumn("q", V.int8_quantize("embedding"))
+    return q.select(
+        "vec_id",
+        F.array_size("embedding").cast("bigint").alias("n_dims"),
+        F.col("q.lo").alias("lo"),
+        F.col("q.hi").alias("hi"),
+        F.array_join("q.codes", ",").alias("codes_csv"),
+    )
+
+
+# ---------- incremental (new-batch vs corpus) dedup ----------
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH {_minhash_portable_ctes(
+        16, 4,
+        pair_select="a.doc_id AS new_id, b.doc_id AS corpus_id",
+        pair_pred="a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0",
+    )}
+    SELECT new_id, corpus_id, round({_MINHASH_JAC_SQL}, 6) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.new_id
+    JOIN sh sb ON sb.doc_id = cand.corpus_id
+    WHERE {_MINHASH_JAC_SQL} >= 0.5
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 incremental dedup: docs with doc_id % 10 == 0 play the "new
+    batch", the rest the standing corpus; minhash_lsh_join generates
+    candidates ONLY across the two sides. The oracle computes the full
+    corpus banding once and restricts the candidate join to cross-side
+    pairs — identical per-doc signatures, so the results must agree
+    (operators/dedup.py:minhash_lsh_join documents the at-scale shape:
+    persist the corpus band index, join each ingest against it)."""
+    from dbt_foundation_spark.operators.dedup import minhash_lsh_join
+
+    docs = t(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    pairs = minhash_lsh_join(
+        new_batch,
+        corpus,
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        shingle_len=3,
+        jaccard_threshold=0.5,
+        portable=True,
+    )
+    return pairs.select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))

@@ -84,13 +84,20 @@ _MINHASH_JAC_SQL = (
 )
 
 
-def _minhash_portable_ctes(num_hashes: int, bands: int) -> str:
+def _minhash_portable_ctes(
+    num_hashes: int,
+    bands: int,
+    pair_select: str = "a.doc_id AS id_a, b.doc_id AS id_b",
+    pair_pred: str = "a.doc_id < b.doc_id",
+) -> str:
     """Shared CTE body replaying the PORTABLE minhash pipeline in
     DuckDB: identical 3-token shingles, identical base hash (md5 60-bit
     → mod P), identical LCG coefficients, identical banding — so the
     full LSH candidate set (not just verified pairs) is cross-engine
     checked. Ends at the ``cand`` CTE; callers append the verify (and
-    optionally the cluster-collapse recursion)."""
+    optionally the cluster-collapse recursion). ``pair_select`` /
+    ``pair_pred`` reshape the candidate join (the incremental dedup
+    oracle restricts it to cross-side pairs)."""
     from dbt_foundation_spark.operators.dedup import _P, _hash_coeffs
 
     coeffs = _hash_coeffs(num_hashes)
@@ -127,9 +134,9 @@ def _minhash_portable_ctes(num_hashes: int, bands: int) -> str:
     ), banded AS (
         {band_rows}
     ), cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        SELECT DISTINCT {pair_select}
         FROM banded a JOIN banded b
-          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          ON a.band = b.band AND a.bucket = b.bucket AND {pair_pred}
     )"""
 
 
@@ -610,12 +617,9 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_quality_filter",
-    oracle=r"""
-    WITH scored AS (
-        SELECT lang,
-               (CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) BETWEEN 5 AND 10000
+# DuckDB twin of functions.text.quality_score — shared by the quality
+# gate here and the per-language quantile cut in queries/curation.py
+QUALITY_SCORE_SQL = r"""(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) BETWEEN 5 AND 10000
                      THEN 1.0 ELSE 0.0 END
                 + CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS DOUBLE)
                   / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
@@ -624,7 +628,15 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                             BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END
                 + CASE WHEN CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
                             / greatest(length(text), 1) <= 0.3 THEN 1.0 ELSE 0.0 END
-               ) / 4 AS quality
+               ) / 4"""
+
+
+@query(
+    "q_quality_filter",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               {QUALITY_SCORE_SQL} AS quality
         FROM documents
     )
     SELECT lang, COUNT(*) AS n_pass FROM scored WHERE quality >= 0.75

@@ -1,0 +1,82 @@
+"""Unit tests for the curation surface (redaction, quantization,
+incremental dedup) — handcrafted inputs with known answers, independent
+of the DuckDB oracles that tests/test_oracle_parity.py already runs
+over the same queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_foundation_spark.functions.redact import pii_counts, redact_pii
+from dbt_foundation_spark.functions.vectors import int8_quantize
+from dbt_foundation_spark.operators.dedup import minhash_lsh_join, minhash_lsh_pairs
+
+
+def test_redact_pii_all_categories(spark):
+    text = (
+        "mail a.user+tag@sub.example.co.uk or call +4915123456789, "
+        "host 192.168.0.1 token 0123456789abcdef0123456789ABCDEF rest"
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(redact_pii("text").alias("t")).first()["t"]
+    assert got == (
+        "mail <EMAIL> or call <PHONE>, host <IP> token <KEY> rest"
+    )
+    counts = df.select(
+        *[c.alias(n) for n, c in pii_counts("text").items()]
+    ).first()
+    assert (counts["email"], counts["key"], counts["ip"], counts["phone"]) == (1, 1, 1, 1)
+
+
+def test_redact_pii_order_email_wins_over_key(spark):
+    # a 32-hex local-part is an email, not a key; a bare one is a key
+    df = spark.createDataFrame(
+        [("0123456789abcdef0123456789abcdef@example.com",), ("0123456789abcdef0123456789abcdef",)],
+        "text string",
+    )
+    got = [r["t"] for r in df.select(redact_pii("text").alias("t")).collect()]
+    assert got == ["<EMAIL>", "<KEY>"]
+
+
+def test_redact_pii_clean_text_untouched(spark):
+    text = "no pii here, just words and 42 numbers and a dot."
+    df = spark.createDataFrame([(text,)], "text string")
+    assert df.select(redact_pii("text").alias("t")).first()["t"] == text
+
+
+def test_int8_quantize_roundtrip_and_range(spark):
+    rows = [
+        ([0.0, 1.0, 0.5, 0.25],),
+        ([-2.0, 2.0, 0.0, 1.9],),
+        ([3.25, 3.25, 3.25],),  # constant vector → scale floor, codes 0
+    ]
+    df = spark.createDataFrame(rows, "v array<double>")
+    out = df.select(F.col("v"), int8_quantize("v").alias("q")).collect()
+    for r in out:
+        lo, hi, codes = r["q"]["lo"], r["q"]["hi"], r["q"]["codes"]
+        assert lo == min(r["v"]) and hi == max(r["v"])
+        assert all(0 <= c <= 255 for c in codes)
+        scale = max((hi - lo) / 255.0, 1e-12)
+        for x, c in zip(r["v"], codes):
+            assert abs((lo + c * scale) - x) <= scale / 2 + 1e-9
+    assert out[2]["q"]["codes"] == [0, 0, 0]
+
+
+def test_minhash_lsh_join_equals_cross_side_pairs(spark, sf_dir):
+    """The incremental join must reproduce exactly the cross-side subset
+    of the full self-join dedup (same signatures on both paths)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(num_hashes=16, bands=4, shingle_len=3, jaccard_threshold=0.5)
+    full = minhash_lsh_pairs(docs, "doc_id", "text", **kw).collect()
+    want = sorted(
+        (r["id_a"], r["id_b"])
+        if r["id_a"] % 10 == 0
+        else (r["id_b"], r["id_a"])
+        for r in full
+        if (r["id_a"] % 10 == 0) != (r["id_b"] % 10 == 0)
+    )
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    inc = minhash_lsh_join(new_batch, corpus, "doc_id", "text", **kw).collect()
+    got = sorted((r["new_id"], r["corpus_id"]) for r in inc)
+    assert got == want and len(got) > 0
