@@ -62,6 +62,87 @@ def test_int8_quantize_roundtrip_and_range(spark):
     assert out[2]["q"]["codes"] == [0, 0, 0]
 
 
+def test_redact_matches_python_re(spark):
+    """Property check vs an independent Python re reference over ASCII
+    inputs (ASCII only: Java regex \\d/\\w are ASCII, Python's are
+    Unicode — the patterns themselves are engine-portable by design,
+    see functions/redact.py)."""
+    import random
+    import re as pyre
+
+    from dbt_foundation_spark.functions.redact import PII_PATTERNS
+
+    rng = random.Random(11)
+    frags = [
+        "plain words ", "x@y.io ", "a.b-c@mail.example.org ", "+123456789 ",
+        "1.2.3.4 ", "255.255.255.255 ", "deadbeef" * 4 + " ", "short0abc ",
+        "10.0.0 ", "+12345 ", "k=" + "A0" * 20 + " ", "end.",
+    ]
+    texts = ["".join(rng.choices(frags, k=rng.randint(0, 8))) for _ in range(60)]
+
+    def py_redact(s: str) -> str:
+        for _, pat, repl in PII_PATTERNS:
+            s = pyre.sub(pat, repl, s)
+        return s
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["t"] for r in df.select(redact_pii("text").alias("t")).collect()]
+    assert got == [py_redact(t) for t in texts]
+
+
+def test_minhash_index_roundtrip(spark, sf_dir, tmp_path):
+    """Build a persisted band index from the corpus, dedup the new batch
+    against it — must equal the direct (recompute-both-sides) join; then
+    append batch 1 and dedup a later batch against the grown index."""
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_index,
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 > 1)
+    batch1 = docs.filter(F.col("doc_id") % 10 == 0)
+    batch2 = docs.filter(F.col("doc_id") % 10 == 1)
+    kw = dict(num_hashes=16, bands=4, shingle_len=3)
+    path = str(tmp_path / "mh_index")
+
+    build_minhash_index(corpus, "doc_id", "text", path, **kw)
+    got = sorted(
+        (r["new_id"], r["corpus_id"])
+        for r in dedup_against_index(
+            spark, batch1, "doc_id", "text", path, jaccard_threshold=0.5, **kw
+        ).collect()
+    )
+    want = sorted(
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_lsh_join(
+            batch1, corpus, "doc_id", "text", jaccard_threshold=0.5, **kw
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    append_to_index(batch1, "doc_id", "text", path, **kw)
+    got2 = sorted(
+        (r["new_id"], r["corpus_id"])
+        for r in dedup_against_index(
+            spark, batch2, "doc_id", "text", path, jaccard_threshold=0.5, **kw
+        ).collect()
+    )
+    want2 = sorted(
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_lsh_join(
+            batch2,
+            corpus.unionByName(batch1),
+            "doc_id",
+            "text",
+            jaccard_threshold=0.5,
+            **kw,
+        ).collect()
+    )
+    assert got2 == want2
+
+
 def test_minhash_lsh_join_equals_cross_side_pairs(spark, sf_dir):
     """The incremental join must reproduce exactly the cross-side subset
     of the full self-join dedup (same signatures on both paths)."""
