@@ -98,6 +98,44 @@ def cosine_topk_lsh(
     return out.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
 
 
+def cosine_topk_quantized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 30,
+    exclude_id=None,
+) -> DataFrame:
+    """Two-stage ANN over int8-quantized vectors: rank everything on the
+    dequantized (lossy) codes, exact-cosine re-score the shortlist only.
+
+    The 100 TB shape: the scan stage reads the quantized copy (4× fewer
+    bytes than float32 — see functions/vectors.int8_quantize), and the
+    full-precision column is touched for ``shortlist`` rows per query,
+    not the corpus. Here both live in one table, so the win is the
+    pattern, not local bytes. Both stages are codegen'd expressions +
+    TakeOrderedAndProject; quantization noise is why shortlist > k.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = df.withColumn("_z", V.int8_quantize(F.col(vec_col)))
+    scale = F.greatest((F.col("_z.hi") - F.col("_z.lo")) / 255.0, F.lit(1e-12))
+    deq = F.transform(F.col("_z.codes"), lambda c: F.col("_z.lo") + c * scale)
+    out = out.withColumn("approx_sim", V.cosine(deq, q))
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    short = out.orderBy(F.desc("approx_sim"), F.col(id_col)).limit(shortlist)
+    return (
+        short.select(
+            F.col(id_col),
+            "approx_sim",
+            V.cosine(F.col(vec_col), q).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_assignments(
     df: DataFrame,
     vec_col: str,

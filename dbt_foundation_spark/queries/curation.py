@@ -169,6 +169,71 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------- quantized two-stage ANN top-k ----------
+
+_DEQ_SCALE = "greatest((hi - lo) / 255.0, 1e-12)"
+
+
+@query(
+    "q_cosine_topk_quantized",
+    oracle=f"""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), z AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               CAST(list_min(embedding) AS DOUBLE) AS lo,
+               CAST(list_max(embedding) AS DOUBLE) AS hi
+        FROM embeddings WHERE vec_id != 0
+    ), dq AS (
+        SELECT vec_id, emb,
+               list_transform(
+                   emb,
+                   x -> lo + CAST(round((x - lo) / {_DEQ_SCALE}) AS INTEGER)
+                             * {_DEQ_SCALE}
+               ) AS deq
+        FROM z
+    ), short AS (
+        SELECT vec_id, emb,
+               list_dot_product(deq, q.qv)
+               / (sqrt(list_dot_product(deq, deq)) * sqrt(list_dot_product(q.qv, q.qv)))
+                   AS approx_sim
+        FROM dq, q
+        ORDER BY approx_sim DESC, vec_id
+        LIMIT 30
+    )
+    SELECT vec_id,
+           round(approx_sim, 6) AS approx_sim,
+           round(list_dot_product(emb, q.qv)
+                 / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+               AS cosine_sim
+    FROM short, q
+    ORDER BY list_dot_product(emb, q.qv)
+             / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+             vec_id
+    LIMIT 10
+    """,
+)
+def q_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 two-stage ANN: int8-dequantized approximate scan → exact
+    cosine re-score of the top-30 shortlist → top-10. The oracle replays
+    quantize, dequantize, both rankings and both cut points — the whole
+    lossy pipeline is cross-engine checked bit-for-bit."""
+    from dbt_foundation_spark.operators.similarity import cosine_topk_quantized
+
+    from dbt_foundation_spark.queries.llm import _query_vector
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir, 0)
+    top = cosine_topk_quantized(
+        emb, "vec_id", "embedding", qv, k=10, shortlist=30, exclude_id=0
+    )
+    return top.select(
+        "vec_id",
+        F.round("approx_sim", 6).alias("approx_sim"),
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+    )
+
+
 # ---------- incremental (new-batch vs corpus) dedup ----------
 
 
