@@ -505,3 +505,135 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "open_value",
         ),
     )
+
+
+@query(
+    "q_promo_revenue",
+    oracle=f"""
+    WITH j AS (
+        SELECT p_type, l_extendedprice * (1 - l_discount) AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    )
+    SELECT {sql_dsum("CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END", "promo_revenue")},
+           {sql_dsum("rev", "total_revenue")},
+           round(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END AS DECIMAL(18,8))) AS DOUBLE)
+                 / CAST(SUM(CAST(rev AS DECIMAL(18,8))) AS DOUBLE), 6) AS promo_pct
+    FROM j
+    """,
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-style promotion share: lineitem⋈part (part broadcast),
+    one conditional/total decimal-sum pair, scalar ratio. The fact scan
+    carries the shipdate pushdown; no shuffle besides the final 1-group
+    aggregate."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        dsum(promo, "promo_revenue"),
+        dsum(rev, "total_revenue"),
+        F.round(
+            100.0
+            * F.sum(promo.cast("decimal(18,8)")).cast("double")
+            / F.sum(rev.cast("decimal(18,8)")).cast("double"),
+            6,
+        ).alias("promo_pct"),
+    )
+
+
+@query(
+    "q_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               {sql_dsum("l_extendedprice * (1 - l_discount)", "total_revenue")}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-style top supplier: per-supplier revenue, keep the
+    max-revenue supplier(s). The max is one scalar broadcast back over
+    the (small) per-supplier aggregate — never a global sort; supplier
+    dim broadcasts for the name. Decimal-routed sums make the
+    double-equality against the max engine-stable."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx._mx)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-style shipping volume between nation pairs by year.
+    Physical shape: lineitem⋈orders shuffles on orderkey (the only big
+    shuffle); customer/supplier/nation² all broadcast. The group-by is
+    low-cardinality (nations² × years) → map-side partials collapse
+    almost everything before the final exchange."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1._sn_key)
+        .join(F.broadcast(n2), cust.c_nationkey == n2._cn_key)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )

@@ -41,6 +41,54 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
+DOCUMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory of documents parquet files —
+    the streaming-ingest flank of the curation pipeline."""
+    reader = spark.readStream.schema(DOCUMENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def curate_documents(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
+    """Stateless curation map: PII scrub + quality gate + language tag.
+
+    Works unchanged on a batch OR streaming DataFrame — every step is a
+    pure Column expression (functions/redact.py, functions/text.py), so
+    on a stream it needs no watermark, carries no state, and each
+    micro-batch is one map stage. This is the shape to put FIRST in a
+    streaming ingest: scrub/score/filter per batch, then feed the
+    stateful stages (dedup_stream, windowed aggs) a smaller stream."""
+    from dbt_foundation_spark.functions.redact import redact_pii
+    from dbt_foundation_spark.functions.text import lang_id, quality_score
+
+    return (
+        docs.withColumn("quality", quality_score("text"))
+        .filter(F.col("quality") >= min_quality)
+        .select(
+            "doc_id",
+            redact_pii("text").alias("clean_text"),
+            lang_id("text").alias("lang_detected"),
+            F.round("quality", 6).alias("quality"),
+        )
+    )
+
+
 def read_event_stream(
     spark: SparkSession,
     path: str,

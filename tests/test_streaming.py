@@ -109,6 +109,31 @@ def test_stream_dedup_to_parquet(spark, sf_dir, staging):
     assert got.select("event_id").distinct().count() == src.count()
 
 
+def test_streaming_curation_matches_batch(spark, sf_dir, staging):
+    """The stateless curation map (PII scrub + quality gate + lang tag)
+    must produce identical rows on a multi-micro-batch stream and on the
+    batch DataFrame — pinning that every curation step stays stateless
+    and streaming-legal."""
+    from dbt_foundation_spark.streaming.pipeline import (
+        curate_documents,
+        read_document_stream,
+    )
+
+    docs_dir = staging["root"] / "documents"
+    batch_docs = t(spark, sf_dir, "documents")
+    batch_docs.repartition(4).write.mode("overwrite").parquet(str(docs_dir))
+
+    stream = read_document_stream(spark, str(docs_dir), max_files_per_trigger=1)
+    out = staging["root"] / "curated_out"
+    run_to_parquet(curate_documents(stream), str(out), _ckpt(staging))
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(str(out)).collect()
+    )
+    want = sorted(tuple(r) for r in curate_documents(batch_docs).collect())
+    assert got == want and len(got) > 0
+
+
 def test_running_user_totals_cross_batch_state(spark, sf_dir, staging):
     """maxFilesPerTrigger=1 forces 4 micro-batches; the per-user state
     must accumulate across them, so each user's max emitted n_events
