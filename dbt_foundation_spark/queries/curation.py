@@ -23,6 +23,7 @@ from dbt_foundation_spark.queries._util import t
 from dbt_foundation_spark.queries.llm import (
     _MINHASH_JAC_SQL,
     _minhash_portable_ctes,
+    _ngram_sql,
     QUALITY_SCORE_SQL,
 )
 
@@ -166,6 +167,67 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q.lo").alias("lo"),
         F.col("q.hi").alias("hi"),
         F.array_join("q.codes", ",").alias("codes_csv"),
+    )
+
+
+# ---------- corpus filter funnel ----------
+
+# Python list repr doubles as a DuckDB list literal here (single-quoted
+# strings, square brackets)
+_MARKER_HITS_SQL = " + ".join(
+    f"len(list_filter(tok, t -> list_contains({markers!r}, t)))"
+    for markers in (
+        ["der", "die", "das", "und", "zu", "den", "ist"],
+        ["the", "a", "of", "and", "to", "in", "is"],
+        ["el", "la", "de", "y", "que", "en", "los"],
+        ["le", "la", "de", "et", "que", "les", "des"],
+        ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"],
+    )
+)
+
+
+@query(
+    "q_filter_funnel",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               string_split_regex(lower(trim(text)), '\\s+') AS tok
+        FROM documents
+    ), lab AS (
+        SELECT CASE
+            WHEN {QUALITY_SCORE_SQL} < 0.85 THEN 'low_quality'
+            WHEN 1.0 - CAST(len(list_distinct({_ngram_sql(2)})) AS DOUBLE)
+                 / len({_ngram_sql(2)}) > 0.05 THEN 'repetitive'
+            WHEN {_MARKER_HITS_SQL} = 0 THEN 'unknown_lang'
+            ELSE 'keep' END AS drop_reason
+        FROM toks
+    )
+    SELECT drop_reason, COUNT(*) AS n_docs
+    FROM lab GROUP BY drop_reason ORDER BY drop_reason
+    """,
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 end-to-end filter funnel: every document gets its FIRST
+    failing rule (quality gate → repetition gate → language gate) or
+    'keep', and the funnel reports docs per drop reason — the
+    kept/dropped accounting every curation pipeline publishes. One scan,
+    pure Column expressions, one tiny final aggregate; the oracle
+    replays the full rule chain including boundary behavior (unrounded
+    doubles compared against the thresholds in both engines)."""
+    docs = t(spark, sf_dir, "documents")
+    quality = X.quality_score("text")
+    bigram_dup = X.dup_ngram_ratio("text", 2)
+    reason = (
+        F.when(quality < 0.85, "low_quality")
+        .when(bigram_dup > 0.05, "repetitive")
+        .when(X.lang_id("text") == "und", "unknown_lang")
+        .otherwise("keep")
+    )
+    return (
+        docs.select(reason.alias("drop_reason"))
+        .groupBy("drop_reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("drop_reason")
     )
 
 
