@@ -187,6 +187,13 @@ def test_heavy_query_plan_shapes_pinned(spark, sf_dir):
         "q_doc_chunks": 0,      # chunking must not shuffle at all
         "q_stratified_sample": 0,
         "q_epoch_shuffle": 1,   # the global sort
+        "q_pii_redact": 0,      # pure map stage — scrub must not shuffle
+        "q_embedding_quantize": 0,  # per-row quantization, no shuffle
+        "q_quality_quantile": 1,    # the per-lang window shuffle only
+        "q_filter_funnel": 2,       # reason-count agg + 4-row result sort
+        "q_dedup_incremental": 4,   # 2 sig aggs + band join + pair dedup
+        "q_promo_revenue": 1,       # broadcast part join + 1-group agg
+        "q_nation_volume": 3,       # orderkey shuffle + agg + sort
     }
     qs = e.queries()
     for name, budget in budgets.items():
