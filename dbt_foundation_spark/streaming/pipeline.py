@@ -102,6 +102,44 @@ def read_event_stream(
     return reader.parquet(path)
 
 
+def enrich_stream(stream: DataFrame, dim: DataFrame, on: list[str]) -> DataFrame:
+    """Stream-static join: per-micro-batch broadcast of the (batch)
+    dimension against the stream — no state, no watermark needed; the
+    dimension is re-resolved each batch, so slowly-changing dims pick up
+    updates between batches."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    watermark: str = "1 hour",
+    before: str = "10 minutes",
+    after: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner interval join: pair rows sharing ``key``
+    whose event times are within [-before, +after] of each other.
+
+    Both sides carry a watermark and the join predicate bounds the time
+    range in BOTH directions — the two conditions Spark needs to prove
+    state is finite (each side buffers only rows younger than watermark
+    + interval; older state is evicted). Without the two-sided time
+    bound this is an ever-growing state store at 100 TB/day.
+    The right side's columns must be pre-renamed (no shared names).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {before}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {after}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def tumbling_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -109,6 +109,77 @@ def test_stream_dedup_to_parquet(spark, sf_dir, staging):
     assert got.select("event_id").distinct().count() == src.count()
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, staging):
+    """Stream-stream interval join (clicks ⋈ purchases by user within
+    ±10 min) drained availableNow must equal the same join in batch —
+    pinning the watermark + two-sided-time-bound state contract."""
+    from dbt_foundation_spark.streaming.pipeline import (
+        interval_join_streams,
+        read_event_stream,
+    )
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        return clicks, buys
+
+    stream = read_event_stream(spark, staging["events"], max_files_per_trigger=2)
+    s_clicks, s_buys = split(stream)
+    joined = interval_join_streams(s_clicks, s_buys).select("click_id", "purchase_id")
+    run_available_now(joined, _ckpt(staging), "s_interval_join", output_mode="append")
+    got = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in spark.table("s_interval_join").collect()
+    )
+
+    b_clicks, b_buys = split(_events(spark, sf_dir))
+    cond = (
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 10 minutes"))
+        & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 10 minutes"))
+    )
+    want = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in b_clicks.join(b_buys, cond, "inner").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, staging):
+    from dbt_foundation_spark.streaming.pipeline import (
+        enrich_stream,
+        read_event_stream,
+    )
+
+    dim = spark.range(0, 8).select(
+        F.col("id").alias("user_id"), (F.col("id") % 3).alias("cohort")
+    )
+    stream = read_event_stream(spark, staging["events"], max_files_per_trigger=2)
+    run_available_now(
+        enrich_stream(stream, dim, ["user_id"]).select("event_id", "cohort"),
+        _ckpt(staging),
+        "s_enriched",
+        output_mode="append",
+    )
+    got = sorted(
+        (r["event_id"], r["cohort"]) for r in spark.table("s_enriched").collect()
+    )
+    want = sorted(
+        (r["event_id"], r["cohort"])
+        for r in _events(spark, sf_dir)
+        .join(F.broadcast(dim), ["user_id"], "left")
+        .select("event_id", "cohort")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_streaming_curation_matches_batch(spark, sf_dir, staging):
     """The stateless curation map (PII scrub + quality gate + lang tag)
     must produce identical rows on a multi-micro-batch stream and on the
