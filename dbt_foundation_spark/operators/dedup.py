@@ -163,6 +163,29 @@ def minhash_lsh_pairs(
     banding shuffle is bytes-per-row-bounded and AQE-skew-splittable;
     shipping shingles through it would multiply shuffle volume ×bands.
     """
+    pairs = _self_candidate_pairs_with_shingles(
+        df, id_col, text_col, num_hashes, bands, shingle_len, portable
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jaccard", F.try_divide(inter, union))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _self_candidate_pairs_with_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_len: int,
+    portable: bool,
+) -> DataFrame:
+    """Banding self-join candidates (id_a < id_b) with both shingle sets
+    re-attached — the shared front half of the verify-stage pair ops."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_len, portable)
     banded = _band_buckets(sig, bands, rows_per_band, portable)
@@ -179,16 +202,44 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"),
         F.array_distinct(token_ngrams(text_col, shingle_len)).alias("_shingles"),
     )
-    pairs = (
-        cand.join(shingles.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a")), "id_a")
-        .join(shingles.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("sh_b")), "id_b")
+    return cand.join(
+        shingles.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a")), "id_a"
+    ).join(shingles.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("sh_b")), "id_b")
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_len: int = 3,
+    threshold: float = 0.8,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-subset detection: pairs where either containment direction
+    C(A,B) = |A∩B| / |A| (or C(B,A)) reaches ``threshold`` — catches a
+    document quoted or wholly embedded inside another, which symmetric
+    Jaccard under-scores when sizes differ.
+
+    Candidate generation reuses the minhash banding self-join — honest
+    limitation: banding recalls high-JACCARD pairs, so a tiny document
+    buried in a much larger one (high containment, low jaccard) can miss
+    the candidate set. That is the right default for corpus dedup where
+    near-dups are size-comparable; containment-optimal blocking (band
+    the smaller side only, or prefix filtering on rare shingles) is the
+    upgrade path when asymmetric sizes dominate."""
+    pairs = _self_candidate_pairs_with_shingles(
+        df, id_col, text_col, num_hashes, bands, shingle_len, portable
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    c_a = F.try_divide(inter, F.size("sh_a"))
+    c_b = F.try_divide(inter, F.size("sh_b"))
     return (
-        pairs.withColumn("jaccard", F.try_divide(inter, union))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
+        pairs.withColumn("containment_a", c_a)
+        .withColumn("containment_b", c_b)
+        .filter(F.greatest("containment_a", "containment_b") >= threshold)
+        .select("id_a", "id_b", "containment_a", "containment_b")
     )
 
 

@@ -92,14 +92,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_embedding_quantize",
     "q_dedup_incremental",
     "q_cosine_topk_quantized",
+    "q_containment",
     # (c) regression-prone re-checks (families whose r2-green rows are
     # simplest take the overflow seats; q_cosine_topk's exact-cosine
     # math is re-exercised by the quantized variant's re-score stage,
-    # and q_dedup_exact/_fingerprint/q_lang_id/q_bpe_token_count stay
+    # q_cosine_topk_lsh's r2 row stands — unchanged this round — and
+    # q_dedup_exact/_fingerprint/q_lang_id/q_bpe_token_count stay
     # pytest-gated past slot 50)
     "q_dedup_minhash_portable",
     "q_ngram_jaccard",
-    "q_cosine_topk_lsh",
 )
 
 

@@ -170,6 +170,56 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------- containment (near-subset) pairs ----------
+
+_CONT_A_SQL = (
+    "CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) / len(sa.toks)"
+)
+_CONT_B_SQL = (
+    "CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) / len(sb.toks)"
+)
+
+
+@query(
+    "q_containment",
+    oracle=f"""
+    WITH {_minhash_portable_ctes(16, 4)}
+    SELECT id_a, id_b,
+           round({_CONT_A_SQL}, 6) AS containment_a,
+           round({_CONT_B_SQL}, 6) AS containment_b
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.id_a
+    JOIN sh sb ON sb.doc_id = cand.id_b
+    WHERE greatest({_CONT_A_SQL}, {_CONT_B_SQL}) >= 0.6
+    """,
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 near-subset pairs: shingle containment in both directions over
+    the minhash banding candidates (operators/dedup.containment_pairs —
+    the quoted-inside / copied-into detector that symmetric Jaccard
+    under-scores). md5-portable signatures, full pipeline replayed in
+    DuckDB."""
+    from dbt_foundation_spark.operators.dedup import containment_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = containment_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        shingle_len=3,
+        threshold=0.6,
+        portable=True,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
+    )
+
+
 # ---------- corpus filter funnel ----------
 
 # Python list repr doubles as a DuckDB list literal here (single-quoted
