@@ -48,6 +48,31 @@ def materialize(project: Project, node: Node, df: DataFrame) -> tuple[int | None
     raise ValueError(f"unknown materialization: {mat}")
 
 
+def _clear_stale_location(project: Project, rel: str) -> None:
+    """Make managed-table creation idempotent across process restarts.
+
+    A fresh metastore over a stale warehouse directory (the dev/test
+    shape: in-memory Derby catalog, persistent filesystem) fails CTAS
+    with LOCATION_ALREADY_EXISTS — the catalog does not know the table,
+    but its default managed location survives from a previous process.
+    Since the caller has already established the table is absent from
+    the catalog, a directory at its managed location is an orphan:
+    remove it. No-ops for catalogs whose warehouse is non-local."""
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    uri = urlparse(project.spark.conf.get("spark.sql.warehouse.dir", ""))
+    if uri.scheme not in ("", "file") or not uri.path:
+        return
+    parts = rel.lower().split(".")
+    schema, table = (parts[-2], parts[-1]) if len(parts) >= 2 else ("default", parts[-1])
+    base = Path(uri.path)
+    loc = base / table if schema == "default" else base / f"{schema}.db" / table
+    if loc.exists():
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def _writer(node: Node, df: DataFrame):
     w = df.write.format("parquet")
     if node.config.partition_by:
@@ -86,6 +111,7 @@ def _table(project: Project, node: Node, df: DataFrame) -> None:
     if project.spark.catalog.tableExists(rel):
         _swap_in(project, rel, df, node)
     else:
+        _clear_stale_location(project, rel)
         _writer(node, df).mode("overwrite").saveAsTable(rel)
 
 
@@ -94,6 +120,7 @@ def _incremental(project: Project, node: Node, df: DataFrame) -> None:
     spark = project.spark
     rel = project.relation_name(node)
     if not spark.catalog.tableExists(rel):
+        _clear_stale_location(project, rel)
         _writer(node, df).mode("overwrite").saveAsTable(rel)
         return
     strategy = node.config.incremental_strategy
@@ -160,6 +187,7 @@ def _snapshot(project: Project, node: Node, df: DataFrame) -> None:
     )
 
     if not spark.catalog.tableExists(rel):
+        _clear_stale_location(project, rel)
         new.write.format("parquet").mode("overwrite").saveAsTable(rel)
         return
 
@@ -200,6 +228,7 @@ def _swap_in(project: Project, rel: str, df: DataFrame, node: Node) -> None:
     spark = project.spark
     staging = f"{rel}__dbt_tmp"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    _clear_stale_location(project, staging)
     _writer(node, df).mode("overwrite").saveAsTable(staging)
     spark.sql(f"DROP TABLE IF EXISTS {rel}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {rel}")

@@ -72,6 +72,38 @@ def build_project(spark, sf_dir: str, schema: str = "example") -> Project:
     def dim_customer(ctx):
         return ctx.ref("stg_customer")
 
+    # --- curation mart: the LLM-data operators inside the same DAG ---
+
+    @project.model
+    def stg_documents(ctx):
+        return ctx.source("raw", "documents")
+
+    @project.model(materialized="table")
+    def fct_curated_documents(ctx):
+        """Scrub + score + gate the corpus, then drop exact dups —
+        operators and framework composing in one node."""
+        from dbt_foundation_spark.functions.redact import redact_pii
+        from dbt_foundation_spark.functions.text import (
+            fingerprint,
+            lang_id,
+            quality_score,
+        )
+        from dbt_foundation_spark.operators.dedup import exact_dedup
+
+        docs = ctx.ref("stg_documents")
+        curated = (
+            docs.withColumn("quality", F.round(quality_score("text"), 6))
+            .filter(F.col("quality") >= 0.5)
+            .select(
+                "doc_id",
+                redact_pii("text").alias("clean_text"),
+                lang_id("text").alias("lang_detected"),
+                "quality",
+                fingerprint("text").alias("fp"),
+            )
+        )
+        return exact_dedup(curated, ["fp"], keep_order=["doc_id"]).drop("fp")
+
     return project
 
 

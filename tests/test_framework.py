@@ -435,3 +435,27 @@ def test_seed_column_types_override(project, spark, tmp_path):
         p2 = Project("bad_seed", spark)
         p2.seed("oops", str(csv), column_types={"nope": "string"})
         p2.build_frame(p2.manifest["oops"])
+
+
+def test_table_create_over_stale_warehouse_dir(project, spark):
+    """A managed-table CTAS must succeed even when a previous process
+    left an orphan directory at the table's warehouse location (fresh
+    in-memory catalog + persistent filesystem — the restart shape that
+    used to fail with LOCATION_ALREADY_EXISTS)."""
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    schema = project.target.schema
+    wh = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+    stale = wh / f"{schema}.db" / "fct_stale"
+    stale.mkdir(parents=True, exist_ok=True)
+    (stale / "orphan.parquet").write_bytes(b"junk")
+
+    @project.model(materialized="table")
+    def fct_stale(ctx):
+        return spark.range(3).select(F.col("id").alias("n"))
+
+    results = {r.node: r for r in project.run()}
+    assert results["fct_stale"].status == "success", results["fct_stale"]
+    rel = project.relation_name(project.manifest["fct_stale"])
+    assert spark.table(rel).count() == 3
