@@ -366,3 +366,72 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_events_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,8))) OVER w AS DOUBLE) AS sum_value_1h
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.E RANGE-interval frame: each event's trailing-1-hour count and
+    value sum per user — the time-decayed feature shape (rate limiting,
+    rolling exposure) that a ROWS frame cannot express. Ordering is
+    microsecond epoch integers in BOTH engines, so the frame boundary is
+    bit-exact cross-engine; the sum is decimal-routed. One keyed shuffle
+    on user_id."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.sum(F.col("value").cast("decimal(18,8)")).over(w).cast("double").alias("sum_value_1h"),
+    )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+    )
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.E fill-forward gap filling: null out sensor-dropout rows
+    ('error' events stand in for gaps) and carry the last observed value
+    forward per user — F.last(ignorenulls) over a cumulative frame, the
+    canonical time-series imputation. Deterministic tiebreak (ts,
+    event_id); one keyed shuffle."""
+    ev = t(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(v, ignorenulls=True).over(w).alias("filled_value"),
+    )

@@ -133,3 +133,35 @@ def test_get_column_values_and_query_dict(spark, sf_dir):
         spark, "SELECT n_regionkey, COUNT(*) AS n FROM nation_v GROUP BY 1 ORDER BY 1"
     )
     assert d["n_regionkey"] == [0, 1, 2, 3, 4] and sum(d["n"]) == 25
+
+
+def test_trimmed_mean_udaf(spark):
+    import math
+
+    from dbt_foundation_spark.functions.udaf import trimmed_mean_10
+
+    rows = [("a", float(x)) for x in range(1, 11)] + [("a", 1000.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {
+        r["grp"]: r["tm"]
+        for r in df.groupBy("grp").agg(trimmed_mean_10("v").alias("tm")).collect()
+    }
+    # group a: values 1..10 + outlier 1000; 10th/90th pct of the 11
+    # values are 2.0/10.0 -> mean(2..10) = 6.0; the outlier is trimmed
+    assert math.isclose(got["a"], 6.0, rel_tol=1e-12)
+    assert math.isclose(got["b"], 5.0, rel_tol=1e-12)
+
+
+def test_gini_udaf(spark):
+    import math
+
+    from dbt_foundation_spark.functions.udaf import gini_coefficient
+
+    rows = [("eq", 1.0)] * 4 + [("conc", 0.0), ("conc", 0.0), ("conc", 0.0), ("conc", 8.0)]
+    df = spark.createDataFrame([(g, v) for g, v in rows], "grp string, v double")
+    got = {
+        r["grp"]: r["g"]
+        for r in df.groupBy("grp").agg(gini_coefficient("v").alias("g")).collect()
+    }
+    assert math.isclose(got["eq"], 0.0, abs_tol=1e-12)      # uniform
+    assert math.isclose(got["conc"], 0.75, rel_tol=1e-12)   # 1 of 4 holds all
