@@ -637,3 +637,57 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@query(
+    "q_salted_join",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "sum_value")}
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-toolkit join as a catalog query: the (hot-keyed) events fact
+    salted-joins the customer side (operators/skew.salted_join — skewed
+    side salted deterministically, other side replicated across salts),
+    then aggregates per segment. Salting is a pure rewrite, so the
+    oracle is the PLAIN join — results must be identical; what changes
+    is only that a hot user's rows spread over 8 reducers instead of
+    one."""
+    from dbt_foundation_spark.operators.skew import salted_join
+
+    ev = t(spark, sf_dir, "events").select("user_id", "value")
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on=["user_id"], salt=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q_two_phase_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant exact COUNT(DISTINCT): dedup on (key, value)
+    first — a hot key's values hash across reducers — then count the
+    small distinct set per key (operators/skew.two_phase_distinct).
+    Oracle is the plain COUNT(DISTINCT): identical result, different
+    (single-reducer-free) physical shape."""
+    from dbt_foundation_spark.operators.skew import two_phase_distinct
+
+    ev = t(spark, sf_dir, "events")
+    return two_phase_distinct(ev, ["event_type"], "user_id", alias="n_users").orderBy(
+        "event_type"
+    )
