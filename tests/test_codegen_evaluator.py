@@ -194,6 +194,11 @@ def test_heavy_query_plan_shapes_pinned(spark, sf_dir):
         "q_dedup_incremental": 4,   # 2 sig aggs + band join + pair dedup
         "q_promo_revenue": 1,       # broadcast part join + 1-group agg
         "q_nation_volume": 3,       # orderkey shuffle + agg + sort
+        "q_window_range_frame": 1,  # the user_id window shuffle only
+        "q_gap_fill": 1,
+        "q_salted_join": 3,         # (salted) join + agg + sort
+        "q_two_phase_distinct": 3,  # (key,value) dedup + key agg + sort
+        "q_containment": 6,         # same family as q_dedup_minhash
     }
     qs = e.queries()
     for name, budget in budgets.items():
