@@ -138,6 +138,7 @@ def _ensure_loaded() -> None:
         return
     # Import side effects register every query.
     from dbt_foundation_spark.queries import (  # noqa: F401
+        analytics,
         curation,
         framework,
         llm,
