@@ -119,9 +119,10 @@ def interval_join_streams(
     watermark: str = "1 hour",
     before: str = "10 minutes",
     after: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner interval join: pair rows sharing ``key``
-    whose event times are within [-before, +after] of each other.
+    """Stream-stream interval join: pair rows sharing ``key`` whose
+    event times are within [-before, +after] of each other.
 
     Both sides carry a watermark and the join predicate bounds the time
     range in BOTH directions — the two conditions Spark needs to prove
@@ -129,7 +130,17 @@ def interval_join_streams(
     + interval; older state is evicted). Without the two-sided time
     bound this is an ever-growing state store at 100 TB/day.
     The right side's columns must be pre-renamed (no shared names).
+
+    ``how='leftOuter'`` adds null-padded rows for unmatched left rows —
+    emitted only once the watermark passes the row's match horizon
+    (until then a match could still arrive), so with an availableNow
+    drain the LAST ``watermark + after`` of left rows never null-pad:
+    they are still conditionally open when the stream ends. That tail
+    is inherent to outer stream joins, not a bug — downstream consumers
+    either wait for the next trigger or treat the tail as pending.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError("interval_join_streams supports inner/leftOuter")
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (
@@ -137,7 +148,7 @@ def interval_join_streams(
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {before}"))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {after}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def tumbling_counts(

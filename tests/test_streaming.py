@@ -151,6 +151,71 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, staging):
     assert got == want and len(got) > 0
 
 
+def test_stream_stream_left_outer_interval_join(spark, sf_dir, staging):
+    """leftOuter flavor: every inner match must appear, and null-padded
+    rows must be exactly the batch-unmatched left rows old enough that
+    the final watermark had provably closed their match horizon (the
+    within-horizon tail legitimately stays pending — documented in
+    interval_join_streams)."""
+    import datetime
+
+    from dbt_foundation_spark.streaming.pipeline import (
+        interval_join_streams,
+        read_event_stream,
+    )
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        return clicks, buys
+
+    stream = read_event_stream(spark, staging["events"], max_files_per_trigger=2)
+    s_clicks, s_buys = split(stream)
+    joined = interval_join_streams(s_clicks, s_buys, how="leftOuter").select(
+        "click_id", "ts", "purchase_id"
+    )
+    run_available_now(joined, _ckpt(staging), "s_louter_join", output_mode="append")
+    got = spark.table("s_louter_join").collect()
+    got_matched = sorted(
+        (r["click_id"], r["purchase_id"]) for r in got if r["purchase_id"] is not None
+    )
+    got_nulls = {r["click_id"] for r in got if r["purchase_id"] is None}
+
+    b_clicks, b_buys = split(_events(spark, sf_dir))
+    cond = (
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 10 minutes"))
+        & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 10 minutes"))
+    )
+    batch = b_clicks.join(b_buys, cond, "left_outer").collect()
+    want_matched = sorted(
+        (r["click_id"], r["purchase_id"]) for r in batch if r["purchase_id"] is not None
+    )
+    assert got_matched == want_matched and len(got_matched) > 0
+
+    # null-padded rows: exact for left rows whose match horizon closed
+    # before the final GLOBAL watermark — min over both inputs' max
+    # event time, minus the watermark delay — less the after-interval
+    # (their state may hold a future match) and a one-trigger margin
+    # (the watermark commits at batch boundaries, so it can lag the
+    # last rows by one micro-batch)
+    max_rt = max(r["r_ts"] for r in b_buys.collect())
+    max_lt = max(r["ts"] for r in b_clicks.collect())
+    horizon = min(max_rt, max_lt) - datetime.timedelta(hours=1, minutes=20)
+    want_nulls = {r["click_id"] for r in batch if r["purchase_id"] is None}
+    batch_nulls_closed = {
+        r["click_id"] for r in batch if r["purchase_id"] is None and r["ts"] < horizon
+    }
+    assert got_nulls <= want_nulls
+    assert batch_nulls_closed <= got_nulls and len(batch_nulls_closed) > 0
+
+
 def test_stream_static_enrich_matches_batch(spark, sf_dir, staging):
     from dbt_foundation_spark.streaming.pipeline import (
         enrich_stream,
