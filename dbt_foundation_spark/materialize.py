@@ -55,14 +55,32 @@ def _clear_stale_location(project: Project, rel: str) -> None:
     shape: in-memory Derby catalog, persistent filesystem) fails CTAS
     with LOCATION_ALREADY_EXISTS — the catalog does not know the table,
     but its default managed location survives from a previous process.
-    Since the caller has already established the table is absent from
-    the catalog, a directory at its managed location is an orphan:
-    remove it. No-ops for catalogs whose warehouse is non-local."""
-    import shutil
+    Guard rails (a "table absent from the catalog" signal is only
+    trustworthy when the catalog itself is ephemeral): act only for the
+    in-memory catalog — against Hive/persistent metastores a transient
+    catalog miss, an external table parked at the default managed
+    location, or another catalog's table would make this destructive —
+    unless the user explicitly opts in via
+    ``spark.dbt_foundation.clearStaleLocations=true``. And never
+    delete: the orphan directory is renamed aside (``<name>._stale_*``)
+    so a wrong call is recoverable, and rename failures surface instead
+    of being swallowed. No-ops for non-local warehouses."""
+    import uuid
     from pathlib import Path
     from urllib.parse import urlparse
 
-    uri = urlparse(project.spark.conf.get("spark.sql.warehouse.dir", ""))
+    spark = project.spark
+
+    def _conf(key: str, default: str) -> str:
+        try:
+            return spark.conf.get(key, default) or default
+        except Exception:
+            return default
+
+    opted_in = _conf("spark.dbt_foundation.clearStaleLocations", "false") == "true"
+    if _conf("spark.sql.catalogImplementation", "in-memory") != "in-memory" and not opted_in:
+        return
+    uri = urlparse(_conf("spark.sql.warehouse.dir", ""))
     if uri.scheme not in ("", "file") or not uri.path:
         return
     parts = rel.lower().split(".")
@@ -70,7 +88,7 @@ def _clear_stale_location(project: Project, rel: str) -> None:
     base = Path(uri.path)
     loc = base / table if schema == "default" else base / f"{schema}.db" / table
     if loc.exists():
-        shutil.rmtree(loc, ignore_errors=True)
+        loc.rename(loc.with_name(f"{loc.name}._stale_{uuid.uuid4().hex[:8]}"))
 
 
 def _writer(node: Node, df: DataFrame):

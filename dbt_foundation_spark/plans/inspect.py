@@ -69,6 +69,21 @@ def sortmerge_join_count(df: DataFrame) -> int:
     return _node_count(df, "SortMergeJoin")
 
 
+def resolved_hint_count(df: DataFrame) -> int:
+    """Forced join-strategy hints surviving analysis (``ResolvedHint``
+    nodes in the analyzed logical plan, from extended explain). The
+    scale contract: hints are allowed only on inputs whose size is
+    bounded by construction (nation/region, 1-row scalar aggregates, a
+    k-NN query set); any hint on a data-dependent side overrides AQE's
+    size check and OOMs at 100 TB instead of degrading to a shuffle.
+    Counted in the analyzed section only — for API-built plans the
+    parsed section repeats the same ResolvedHint nodes."""
+    text = explain_text(df, "extended")
+    m = re.search(r"== Analyzed Logical Plan ==(.*?)== Optimized", text, re.S)
+    section = m.group(1) if m else text
+    return len(re.findall(r"\bResolvedHint\b", section))
+
+
 def wholestage_codegen_ids(df: DataFrame) -> list[int]:
     """Distinct WholeStageCodegen span ids — wider/fewer spans mean more
     of the query runs as fused JVM loops. Formatted mode tags nodes with

@@ -34,73 +34,71 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness harness only ingests the first 50 entries of
-# ``queries()``.  Round-3 rotation: (a) the 27 oracle-backed queries whose
-# driver rows are stale from round 1 — q_vocab_encode first, its
-# implementation changed AFTER its green row; (b) oracles that are new or
-# whose implementation changed this round; (c) regression-prone dedup/
-# similarity/text families for a fresh re-check. Everything else
-# oracle-backed sorts next (cumulative green rows from r1/r2), rows-only
-# checks go last.
+# ``queries()``.  Round-4 rotation: (a) the 10 oracle-backed queries that
+# have never had a driver row (VERDICT r3 "Next round" #1); (b) queries
+# whose implementation changed this round — broadcast size-guarding
+# (q_join_inner, q_shipping_priority; the other affected marts are in
+# group a), containment-optimal blocking (q_containment), signature
+# hoisting (q_embedding_neardup); (c) the oldest-evidence remainder —
+# r1/r2 rows not refreshed in r3.  Deferred to round 5 (all r2-green,
+# trivial scalar/test macros, unchanged since): q_test_unique,
+# q_test_notnull, q_test_accepted_values, q_test_equal_rowcount,
+# q_test_equality, q_safe_divide, q_width_bucket, q_haversine,
+# q_parse_url, q_slugify.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) stale round-1 rows
-    "q_vocab_encode",
-    "q_pricing_summary",
-    "q_shipping_priority",
-    "q_literal_union",
-    "q_ref_filter",
-    "q_notnull_filter",
-    "q_source_scan",
-    "q_star_except",
-    "q_recent_events",
-    "q_json_extract_agg",
-    "q_group_by_all",
+    # (a) never driver-checked
+    "q_value_outliers",
+    "q_cohort_retention",
+    "q_filter_funnel",
+    "q_promo_revenue",
+    "q_top_supplier",
+    "q_nation_volume",
+    "q_salted_join",
+    "q_two_phase_distinct",
+    "q_window_range_frame",
+    "q_gap_fill",
+    # (b) implementation changed in round 4
     "q_join_inner",
-    "q_join_semi",
-    "q_join_range",
-    "q_fk_orphans",
-    "q_lateral_json",
-    "q_except",
-    "q_intersect",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_array_ops",
-    "q_asof_join",
-    "q_range_bin_join",
-    "q_epoch_shuffle",
-    "q_stratified_sample",
-    "q_doc_chunks",
-    "q_cdc_snapshot",
-    # (b) new or changed oracles this round
-    "q_dedup_simhash_portable",
-    "q_incremental_merge",
-    "q_incremental_append",
-    "q_snapshot_scd2",
-    "q_table_rebuild",
-    "q_session_window_native",
-    "q_embedding_neardup",
-    "q_dedup_components",
-    "q_dedup_corpus",
-    "q_repetition_signals",
-    "q_crossdb_datemath",
-    # (b2) queries first added this round — no driver row exists yet
-    "q_sequence_pack",
-    "q_contamination",
-    "q_knn_join",
-    "q_domain_mix",
-    "q_pii_redact",
-    "q_quality_quantile",
-    "q_embedding_quantize",
-    "q_dedup_incremental",
-    "q_cosine_topk_quantized",
+    "q_shipping_priority",
     "q_containment",
-    # (c) regression-prone re-checks (families whose r2-green rows are
-    # simplest take the overflow seats; q_cosine_topk's exact-cosine
-    # math is re-exercised by the quantized variant's re-score stage,
-    # q_cosine_topk_lsh's r2 row stands — unchanged this round — and
-    # q_dedup_exact/_fingerprint/q_lang_id/q_bpe_token_count stay
-    # pytest-gated past slot 50)
-    "q_dedup_minhash_portable",
-    "q_ngram_jaccard",
+    "q_embedding_neardup",
+    # (c) oldest evidence (green in r1/r2, not re-checked since)
+    "q_dedup_exact",
+    "q_dedup_fingerprint",
+    "q_cosine_topk",
+    "q_cosine_topk_lsh",
+    "q_token_counts",
+    "q_doc_quality",
+    "q_quality_filter",
+    "q_lang_id",
+    "q_bpe_token_count",
+    "q_json_props",
+    "q_info_schema_views",
+    "q_grouping_sets",
+    "q_distinct",
+    "q_topk",
+    "q_percentiles",
+    "q_list_agg",
+    "q_join_outer",
+    "q_conditional_agg",
+    "q_surrogate_key",
+    "q_dedup_rownum",
+    "q_date_spine",
+    "q_generate_series",
+    "q_pivot",
+    "q_unpivot",
+    "q_union_relations",
+    "q_crossdb_listagg",
+    "q_udtf_chunks",
+    "q_window_rank",
+    "q_window_running_sum",
+    "q_window_lag_lead",
+    "q_window_ntile",
+    "q_window_moving_avg",
+    "q_tumbling_window",
+    "q_sliding_window",
+    "q_session_window",
+    "q_rollup_cascade",
 )
 
 

@@ -31,6 +31,7 @@ from dbt_foundation_spark.queries._util import t
                  / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 6) AS zscore
     FROM events e JOIN stats s ON e.user_id = s.user_id
     WHERE s.n > 1
+      AND (s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1) > 0
       AND abs((e.value - s.s1 / s.n)
               / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))) > 2.0
     """,
@@ -40,8 +41,13 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL-routed power sums so both engines compute identical doubles
     — the engine's own stddev builtins use streaming (Welford-style)
     updates whose intermediate rounding is engine-specific and would
-    hash-mismatch. One map-side-combined aggregate + a broadcast-sized
-    stats join back onto the fact."""
+    hash-mismatch. The var > 0 predicate (same expression both engines)
+    drops constant-valued users whose z would be NaN/Inf via 0/0 — NaN
+    sorts above every double in both engines, so without the guard such
+    garbage rows would pass |z| > 2. One map-side-combined aggregate +
+    a stats join back onto the fact; the per-user stats table grows
+    with user cardinality, so its join strategy is AQE's call (no
+    forced broadcast — at 100 TB this is a shuffle join by size)."""
     ev = t(spark, sf_dir, "events")
     # square per-row in DOUBLE (identical IEEE op in both engines), then
     # decimal-route only the ACCUMULATION — a decimal×decimal product
@@ -57,8 +63,8 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
     z = (F.col("value") - mean) / F.sqrt(var)
     return (
-        ev.join(F.broadcast(stats), "user_id")
-        .filter((F.col("n") > 1) & (F.abs(z) > 2.0))
+        ev.join(stats, "user_id")
+        .filter((F.col("n") > 1) & (var > 0) & (F.abs(z) > 2.0))
         .select("event_id", "user_id", F.round(z, 6).alias("zscore"))
     )
 
@@ -85,11 +91,13 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-activity week (weeks
     since a fixed Monday epoch), counted per week-offset of later
     activity — the standard retention triangle. Pure integer date
-    arithmetic (cross-engine exact); the firsts aggregate is
-    broadcast-sized, the distinct is the only wide shuffle."""
+    arithmetic (cross-engine exact); the firsts aggregate grows with
+    distinct users so no forced broadcast (AQE decides — at 100 TB
+    both sides shuffle on user_id), the distinct is the only other
+    wide shuffle."""
     ev = t(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("first_day"))
-    joined = ev.join(F.broadcast(firsts), "user_id")
+    joined = ev.join(firsts, "user_id")
     activity = joined.select(
         "user_id",
         F.floor(F.datediff(F.col("ts").cast("date"), F.col("first_day")) / 7)

@@ -32,13 +32,16 @@ from dbt_foundation_spark.queries._util import dsum, sql_dsum, t
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A16: equi inner join (model-to-model composition, README.md:275).
 
-    customer is the dimension side → explicit broadcast (no shuffle of
-    the orders fact at any scale; at 100 TB the dim still fits executor
-    memory at ~15 M rows x 2 cols)."""
+    customer is the dimension side but GROWS with SF (150k × SF rows),
+    so no forced broadcast hint: AQE + autoBroadcastJoinThreshold pick
+    broadcast while the pruned 2-col dim fits (it does at bench scale)
+    and degrade gracefully to a shuffle join at 100 TB instead of
+    OOMing the executors. Hints stay reserved for provably bounded
+    inputs (nation/region/scalar aggregates)."""
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
         .orderBy("c_mktsegment")
@@ -70,10 +73,12 @@ def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1: relationships test — child keys with no parent (anti-join).
 
     Reference: models/example/schema.yml:10-12 family; dbt-core
-    relationships test semantics. Empty result = FK integrity holds."""
+    relationships test semantics. Empty result = FK integrity holds.
+    The parent-key side grows with SF → no forced broadcast; AQE picks
+    broadcast-anti while the 1-col key set fits, shuffle-anti beyond."""
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("o_custkey"))
-    return orders.join(F.broadcast(cust), "o_custkey", "left_anti").select(
+    return orders.join(cust, "o_custkey", "left_anti").select(
         "o_orderkey", "o_custkey"
     )
 
@@ -93,7 +98,9 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/range join: equi key + inequality band condition.
 
     The equi conjunct keeps this a hash join (band filters post-match) —
-    the pattern that still scales when a pure range join would not."""
+    the pattern that still scales when a pure range join would not.
+    part grows with SF → strategy left to AQE (broadcast by size at
+    bench scale, shuffle-hash/SMJ at 100 TB)."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     cond = (
@@ -102,7 +109,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (li.l_quantity <= part.p_size + 5)
     )
     return (
-        li.join(F.broadcast(part), cond)
+        li.join(part, cond)
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "sum_price"))
         .orderBy("p_brand")
@@ -129,7 +136,9 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-style 3-way join + agg + top-k.
 
-    Physical shape: customer (filtered dim) broadcast into orders, the
+    Physical shape: customer (filtered, 1-col) joins orders with the
+    strategy chosen by AQE — broadcast while the segment slice fits,
+    shuffle beyond (customer grows with SF, so no forced hint); the
     orders->lineitem join shuffles on orderkey, aggregation is partial →
     final, top-k is TakeOrderedAndProject (no global sort)."""
     cust = (
@@ -145,7 +154,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(revenue, "revenue"))
@@ -524,10 +533,11 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q14-style promotion share: lineitem⋈part (part broadcast),
-    one conditional/total decimal-sum pair, scalar ratio. The fact scan
-    carries the shipdate pushdown; no shuffle besides the final 1-group
-    aggregate."""
+    """TPC-H-Q14-style promotion share: lineitem⋈part (strategy by AQE —
+    part grows with SF, so no forced broadcast), one conditional/total
+    decimal-sum pair, scalar ratio. The fact scan carries the shipdate
+    pushdown; no shuffle besides the final 1-group aggregate while the
+    pruned part dim broadcasts by size."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
@@ -535,7 +545,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     return j.agg(
         dsum(promo, "promo_revenue"),
         dsum(rev, "total_revenue"),
@@ -568,9 +578,11 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q15-style top supplier: per-supplier revenue, keep the
     max-revenue supplier(s). The max is one scalar broadcast back over
-    the (small) per-supplier aggregate — never a global sort; supplier
-    dim broadcasts for the name. Decimal-routed sums make the
-    double-equality against the max engine-stable."""
+    the (small) per-supplier aggregate — never a global sort; that hint
+    is kept because a 1-row aggregate is bounded by construction. The
+    supplier dim grows with SF, so its join strategy is left to AQE.
+    Decimal-routed sums make the double-equality against the max
+    engine-stable."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
@@ -583,7 +595,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), rev.total_revenue == mx._mx)
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -609,9 +621,11 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q7-style shipping volume between nation pairs by year.
     Physical shape: lineitem⋈orders shuffles on orderkey (the only big
-    shuffle); customer/supplier/nation² all broadcast. The group-by is
-    low-cardinality (nations² × years) → map-side partials collapse
-    almost everything before the final exchange."""
+    shuffle); nation² keeps forced broadcasts (25 rows, bounded by the
+    data model); customer/supplier grow with SF so their strategy is
+    AQE's call — broadcast by size at bench scale, shuffle at 100 TB.
+    The group-by is low-cardinality (nations² × years) → map-side
+    partials collapse almost everything before the final exchange."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -625,8 +639,8 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == n1._sn_key)
         .join(F.broadcast(n2), cust.c_nationkey == n2._cn_key)
         .groupBy(

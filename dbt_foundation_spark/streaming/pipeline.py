@@ -116,6 +116,7 @@ def interval_join_streams(
     key: str = "user_id",
     left_ts: str = "ts",
     right_ts: str = "r_ts",
+    right_key: str | None = None,
     watermark: str = "1 hour",
     before: str = "10 minutes",
     after: str = "10 minutes",
@@ -129,7 +130,10 @@ def interval_join_streams(
     state is finite (each side buffers only rows younger than watermark
     + interval; older state is evicted). Without the two-sided time
     bound this is an ever-growing state store at 100 TB/day.
-    The right side's columns must be pre-renamed (no shared names).
+    The right side's columns must be pre-renamed (no shared names);
+    ``right_key`` names the renamed key column (default ``r_<key>``,
+    matching the ``right_ts`` convention — pass it explicitly when the
+    right side uses a different rename scheme).
 
     ``how='leftOuter'`` adds null-padded rows for unmatched left rows —
     emitted only once the watermark passes the row's match horizon
@@ -141,10 +145,12 @@ def interval_join_streams(
     """
     if how not in ("inner", "leftOuter"):
         raise ValueError("interval_join_streams supports inner/leftOuter")
+    if right_key is None:
+        right_key = f"r_{key}"
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (
-        (F.col(key) == F.col(f"r_{key}"))
+        (F.col(key) == F.col(right_key))
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {before}"))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {after}"))
     )
@@ -240,9 +246,13 @@ def run_available_now(
     checkpoint_dir: str,
     query_name: str,
     output_mode: str = "update",
-) -> None:
+):
     """Drain everything currently available into an in-memory sink table
-    named ``query_name``, then stop (the batch-parity test harness)."""
+    named ``query_name``, then stop (the batch-parity test harness).
+    Returns the terminated query — its ``recentProgress`` carries the
+    committed per-batch watermarks, which outer-join tests need to
+    compute the exact null-pad horizon instead of guessing a
+    one-trigger margin."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -252,6 +262,7 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+    return q
 
 
 def run_to_parquet(

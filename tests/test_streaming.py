@@ -33,11 +33,38 @@ pytestmark = pytest.mark.usefixtures("spark")
 
 @pytest.fixture(scope="module")
 def staging(spark, sf_dir):
-    """Events staged as 4 parquet files + a scratch area, repo-local."""
+    """Events staged as 4 parquet files + a scratch area, repo-local.
+
+    Two layouts: ``events`` — 4 hash-random files (each spans the whole
+    time range; batches arrive time-interleaved, the harsh case for
+    stateful ops), and ``events_ordered`` — 4 contiguous time slices
+    written sequentially with increasing mtimes, so the file source
+    replays them in event-time order. Outer-join parity tests need the
+    ordered layout: with interleaved files a later batch carries rows
+    below the advanced watermark, which streaming correctly treats as
+    late (drops them) — real behavior, but it makes exact batch parity
+    unassertable."""
+    import time as _time
+
     root = Path("/root/repo/.tmp") / f"stream_{uuid.uuid4().hex[:8]}"
     events_dir = root / "events"
-    _events(spark, sf_dir).repartition(4).write.parquet(str(events_dir))
-    yield {"root": root, "events": str(events_dir)}
+    ev = _events(spark, sf_dir)
+    ev.repartition(4).write.parquet(str(events_dir))
+
+    ordered_dir = root / "events_ordered"
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    width = (hi - lo) / 4
+    for i in range(4):
+        upper = (F.col("ts") < lo + (i + 1) * width) if i < 3 else F.lit(True)
+        sl = ev.filter((F.col("ts") >= lo + i * width) & upper)
+        sl.coalesce(1).write.mode("append").parquet(str(ordered_dir))
+        if i < 3:
+            _time.sleep(1.05)  # distinct mtimes → deterministic replay order
+    yield {
+        "root": root,
+        "events": str(events_dir),
+        "events_ordered": str(ordered_dir),
+    }
     shutil.rmtree(root, ignore_errors=True)
 
 
@@ -151,12 +178,23 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, staging):
     assert got == want and len(got) > 0
 
 
-def test_stream_stream_left_outer_interval_join(spark, sf_dir, staging):
+@pytest.mark.parametrize(
+    "before,after",
+    [("10 minutes", "10 minutes"), ("5 minutes", "20 minutes")],
+    ids=["sym10", "asym5_20"],
+)
+def test_stream_stream_left_outer_interval_join(spark, sf_dir, staging, before, after):
     """leftOuter flavor: every inner match must appear, and null-padded
     rows must be exactly the batch-unmatched left rows old enough that
-    the final watermark had provably closed their match horizon (the
-    within-horizon tail legitimately stays pending — documented in
-    interval_join_streams)."""
+    the final COMMITTED watermark had provably closed their match
+    horizon (the within-horizon tail legitimately stays pending —
+    documented in interval_join_streams). The horizon is derived from
+    the query's own progress (last committed watermark − after) rather
+    than a guessed one-trigger margin, so the assertion stays exact even
+    if file listing order or batching changes how far the watermark
+    lags; maxFilesPerTrigger=1 forces ≥3 watermark advances so the
+    eviction path is exercised across several micro-batches, in both a
+    symmetric and an asymmetric gap config."""
     import datetime
 
     from dbt_foundation_spark.streaming.pipeline import (
@@ -175,13 +213,27 @@ def test_stream_stream_left_outer_interval_join(spark, sf_dir, staging):
         )
         return clicks, buys
 
-    stream = read_event_stream(spark, staging["events"], max_files_per_trigger=2)
+    sink = f"s_louter_join_{uuid.uuid4().hex[:6]}"
+    stream = read_event_stream(spark, staging["events_ordered"], max_files_per_trigger=1)
     s_clicks, s_buys = split(stream)
-    joined = interval_join_streams(s_clicks, s_buys, how="leftOuter").select(
-        "click_id", "ts", "purchase_id"
-    )
-    run_available_now(joined, _ckpt(staging), "s_louter_join", output_mode="append")
-    got = spark.table("s_louter_join").collect()
+    joined = interval_join_streams(
+        s_clicks, s_buys, before=before, after=after, how="leftOuter"
+    ).select("click_id", "ts", "purchase_id")
+    q = run_available_now(joined, _ckpt(staging), sink, output_mode="append")
+
+    # the committed watermark must have advanced ≥3 times across the
+    # 1-file micro-batches (4 staged files + finalizing no-data batch)
+    wms = []
+    for p in q.recentProgress:
+        w = (p.get("eventTime") or {}).get("watermark")
+        if w and w not in wms:
+            wms.append(w)
+    assert len(wms) >= 3, f"watermark advanced only {len(wms)} times: {wms}"
+    final_wm = datetime.datetime.fromisoformat(
+        wms[-1].replace("Z", "+00:00")
+    ).replace(tzinfo=None)
+
+    got = spark.table(sink).collect()
     got_matched = sorted(
         (r["click_id"], r["purchase_id"]) for r in got if r["purchase_id"] is not None
     )
@@ -190,8 +242,8 @@ def test_stream_stream_left_outer_interval_join(spark, sf_dir, staging):
     b_clicks, b_buys = split(_events(spark, sf_dir))
     cond = (
         (F.col("user_id") == F.col("r_user_id"))
-        & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 10 minutes"))
-        & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 10 minutes"))
+        & (F.col("r_ts") >= F.col("ts") - F.expr(f"INTERVAL {before}"))
+        & (F.col("r_ts") <= F.col("ts") + F.expr(f"INTERVAL {after}"))
     )
     batch = b_clicks.join(b_buys, cond, "left_outer").collect()
     want_matched = sorted(
@@ -199,18 +251,16 @@ def test_stream_stream_left_outer_interval_join(spark, sf_dir, staging):
     )
     assert got_matched == want_matched and len(got_matched) > 0
 
-    # null-padded rows: exact for left rows whose match horizon closed
-    # before the final GLOBAL watermark — min over both inputs' max
-    # event time, minus the watermark delay — less the after-interval
-    # (their state may hold a future match) and a one-trigger margin
-    # (the watermark commits at batch boundaries, so it can lag the
-    # last rows by one micro-batch)
-    max_rt = max(r["r_ts"] for r in b_buys.collect())
-    max_lt = max(r["ts"] for r in b_clicks.collect())
-    horizon = min(max_rt, max_lt) - datetime.timedelta(hours=1, minutes=20)
+    # a left row's horizon closes once the watermark passes ts + after:
+    # every batch-unmatched row with ts < final_wm − after MUST have
+    # null-padded, and nothing outside the batch-unmatched set may
+    assert after.endswith(" minutes")
+    after_td = datetime.timedelta(minutes=int(after.split()[0]))
     want_nulls = {r["click_id"] for r in batch if r["purchase_id"] is None}
     batch_nulls_closed = {
-        r["click_id"] for r in batch if r["purchase_id"] is None and r["ts"] < horizon
+        r["click_id"]
+        for r in batch
+        if r["purchase_id"] is None and r["ts"] + after_td < final_wm
     }
     assert got_nulls <= want_nulls
     assert batch_nulls_closed <= got_nulls and len(batch_nulls_closed) > 0
