@@ -211,27 +211,63 @@ def containment_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 32,
-    bands: int = 8,
     shingle_len: int = 3,
     threshold: float = 0.8,
-    portable: bool = False,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-subset detection: pairs where either containment direction
     C(A,B) = |A∩B| / |A| (or C(B,A)) reaches ``threshold`` — catches a
     document quoted or wholly embedded inside another, which symmetric
-    Jaccard under-scores when sizes differ.
+    Jaccard (and therefore minhash banding, whose recall tracks Jaccard)
+    under-scores when sizes differ.
 
-    Candidate generation reuses the minhash banding self-join — honest
-    limitation: banding recalls high-JACCARD pairs, so a tiny document
-    buried in a much larger one (high containment, low jaccard) can miss
-    the candidate set. That is the right default for corpus dedup where
-    near-dups are size-comparable; containment-optimal blocking (band
-    the smaller side only, or prefix filtering on rare shingles) is the
-    upgrade path when asymmetric sizes dominate."""
-    pairs = _self_candidate_pairs_with_shingles(
-        df, id_col, text_col, num_hashes, bands, shingle_len, portable
+    Candidate generation is rare-shingle PREFIX FILTERING, which is
+    EXACT at the threshold: order each doc's distinct shingles by
+    (global document frequency, shingle) and keep a prefix of length
+    ⌊(1−t)·|A|⌋ + 1. If C(A,B) ≥ t then at most (1−t)·|A| of A's
+    shingles are absent from B, so any prefix longer than that must
+    share a shingle with B — joining prefix postings against the full
+    inverted index therefore proposes EVERY qualifying pair (the
+    qualifying direction always belongs to the smaller set, and every
+    doc emits a prefix). Output equals brute-force all-pairs
+    containment, at inverted-index cost.
+
+    Scale shape: the df-count window partitions on the same shingle key
+    the candidate join shuffles on (no extra exchange); rarity ordering
+    makes prefix postings land on LOW-df shingles, so the posting join
+    is Σ_s df_prefix(s)·df(s) with small df — never all-pairs.
+    ``max_df`` optionally drops index postings above a df cap (the
+    stopword guard from ngram_jaccard_pairs); that trades exactness for
+    a hard candidate bound when a pathological corpus needs it."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(token_ngrams(text_col, shingle_len)).alias("_sh"),
     )
+    post = sh.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s"))
+    dfreq = Window.partitionBy("_s")
+    post = post.withColumn("_df", F.count(F.lit(1)).over(dfreq))
+    # +1e-9 counters float round-down of (1−t)·n (e.g. 0.4*35 →
+    # 13.999999...); overshooting only ADDS candidates — recall-safe
+    prefix_len = F.floor((1.0 - threshold) * F.col("_n") + 1e-9) + 1
+    rarity = Window.partitionBy("_id").orderBy("_df", "_s")
+    pref = (
+        post.withColumn("_rn", F.row_number().over(rarity))
+        .filter(F.col("_rn") <= prefix_len)
+        .select(F.col("_id").alias("_pid"), "_s")
+    )
+    index = post if max_df is None else post.filter(F.col("_df") <= max_df)
+    cand = (
+        pref.join(index.select(F.col("_id").alias("_iid"), "_s"), "_s")
+        .filter(F.col("_pid") != F.col("_iid"))
+        .select(
+            F.least("_pid", "_iid").alias("id_a"),
+            F.greatest("_pid", "_iid").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     c_a = F.try_divide(inter, F.size("sh_a"))
     c_b = F.try_divide(inter, F.size("sh_b"))

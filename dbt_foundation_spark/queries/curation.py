@@ -22,6 +22,7 @@ from dbt_foundation_spark.queries import query
 from dbt_foundation_spark.queries._util import t
 from dbt_foundation_spark.queries.llm import (
     _MINHASH_JAC_SQL,
+    _SH_CTE_SQL,
     _minhash_portable_ctes,
     _ngram_sql,
     QUALITY_SCORE_SQL,
@@ -183,22 +184,22 @@ _CONT_B_SQL = (
 @query(
     "q_containment",
     oracle=f"""
-    WITH {_minhash_portable_ctes(16, 4)}
-    SELECT id_a, id_b,
+    WITH {_SH_CTE_SQL}
+    SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
            round({_CONT_A_SQL}, 6) AS containment_a,
            round({_CONT_B_SQL}, 6) AS containment_b
-    FROM cand
-    JOIN sh sa ON sa.doc_id = cand.id_a
-    JOIN sh sb ON sb.doc_id = cand.id_b
+    FROM sh sa
+    JOIN sh sb ON sa.doc_id < sb.doc_id
     WHERE greatest({_CONT_A_SQL}, {_CONT_B_SQL}) >= 0.6
     """,
 )
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2 near-subset pairs: shingle containment in both directions over
-    the minhash banding candidates (operators/dedup.containment_pairs —
-    the quoted-inside / copied-into detector that symmetric Jaccard
-    under-scores). md5-portable signatures, full pipeline replayed in
-    DuckDB."""
+    """D2 near-subset pairs: two-directional shingle containment — the
+    quoted-inside / copied-into detector that symmetric Jaccard
+    under-scores. Candidates come from rare-shingle prefix filtering
+    (operators/dedup.containment_pairs), which is EXACT at the
+    threshold, so the DuckDB oracle is brute-force all-pairs containment
+    — the blocking must lose nothing to stay green."""
     from dbt_foundation_spark.operators.dedup import containment_pairs
 
     docs = t(spark, sf_dir, "documents")
@@ -206,11 +207,8 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         "doc_id",
         "text",
-        num_hashes=16,
-        bands=4,
         shingle_len=3,
         threshold=0.6,
-        portable=True,
     )
     return pairs.select(
         "id_a",

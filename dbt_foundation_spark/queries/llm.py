@@ -83,6 +83,22 @@ _MINHASH_JAC_SQL = (
     " / len(list_distinct(list_concat(sa.toks, sb.toks)))"
 )
 
+# (doc_id, toks = distinct 3-token shingles) — the tokenization every
+# shingle-based oracle shares (identical to functions/text.token_ngrams)
+_SH_CTE_SQL = r"""sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+                        ELSE list_transform(range(1, len(tok) - 1),
+                                            i -> array_to_string(tok[i:i+2], ' '))
+                   END
+               ) AS toks
+        FROM (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok
+            FROM documents
+        )
+    )"""
+
 
 def _minhash_portable_ctes(
     num_hashes: int,
@@ -111,19 +127,7 @@ def _minhash_portable_ctes(
         + ") AS bucket FROM sig"
         for b in range(bands)
     )
-    return rf"""sh AS (
-        SELECT doc_id,
-               list_distinct(
-                   CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
-                        ELSE list_transform(range(1, len(tok) - 1),
-                                            i -> array_to_string(tok[i:i+2], ' '))
-                   END
-               ) AS toks
-        FROM (
-            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok
-            FROM documents
-        )
-    ), posting AS (
+    return rf"""{_SH_CTE_SQL}, posting AS (
         SELECT doc_id, unnest(toks) AS s FROM sh
     ), hashed AS (
         SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT % {_P} AS h0 FROM posting

@@ -198,7 +198,10 @@ def test_heavy_query_plan_shapes_pinned(spark, sf_dir):
         "q_gap_fill": 1,
         "q_salted_join": 3,         # (salted) join + agg + sort
         "q_two_phase_distinct": 3,  # (key,value) dedup + key agg + sort
-        "q_containment": 6,         # same family as q_dedup_minhash
+        "q_containment": 4,         # df window + rarity window + pair dedup
+                                    # (prefix/index join reuses the _s
+                                    # exchange; shingle re-attach broadcasts
+                                    # at this SF)
     }
     qs = e.queries()
     for name, budget in budgets.items():

@@ -177,6 +177,58 @@ def test_simhash_blocking_drops_no_qualifying_pair(spark, sf_dir):
         simhash_near_pairs(docs, "doc_id", "text", max_hamming=40)
 
 
+def test_containment_prefix_filter_finds_asymmetric_pair(spark):
+    """The round-3 gap: a 50-token doc quoted verbatim inside a
+    5000-token doc has containment 1.0 but Jaccard ~0.01, so minhash
+    banding never proposed the pair. Prefix filtering must find it at
+    threshold 0.8 — and, being exact at the threshold, must return
+    EXACTLY the brute-force all-pairs result on a noisy corpus."""
+    import random
+
+    from dbt_foundation_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(11)
+    vocab = [f"w{i:03d}" for i in range(400)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    small = doc(50)
+    big_host = doc(2475) + " " + small + " " + doc(2475)  # 5000 tokens total
+    rows = [(0, small), (1, big_host)]
+    rows += [(i, doc(rng.randint(30, 120))) for i in range(2, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert (0, 1) in got, "planted small-in-big pair missed"
+
+    # exactness: equals brute-force containment over the same shingles
+    from dbt_foundation_spark.functions.text import token_ngrams
+
+    sh = df.select(
+        F.col("doc_id"), F.array_distinct(token_ngrams("text", 3)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.greatest(
+                F.try_divide(inter, F.size("sh_a")),
+                F.try_divide(inter, F.size("sh_b")),
+            )
+            >= 0.8
+        )
+    )
+    want = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    assert got == want, "prefix filtering lost or invented pairs vs brute force"
+
+
 def test_embedding_banded_lsh_recall(spark):
     """Recall property for the round-2 weakness: banded hyperplane LSH
     (4 bands × 4 bits) must keep ≥95% of planted cosine-≥0.9 pairs —
