@@ -116,6 +116,15 @@ def cosine_topk_quantized(
     not the corpus. Here both live in one table, so the win is the
     pattern, not local bytes. Both stages are codegen'd expressions +
     TakeOrderedAndProject; quantization noise is why shortlist > k.
+
+    Measured recall@10 vs brute force (sf0.001, 64-dim synthetic
+    embeddings, 10 sampled queries): 1.0 at EVERY shortlist in
+    {10, 15, 20, 30, 50} — per-vector int8 codes shift cosines by
+    ~1e-3, far below the inter-neighbor gaps of random vectors. The
+    default shortlist=30 (3×k) is margin for clustered real-world
+    embeddings where neighbor gaps shrink below quantization noise;
+    tests/test_properties.py pins recall ≥ 0.9 so any change to the
+    quantizer or shortlist re-justifies itself by measurement.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     out = df.withColumn("_z", V.int8_quantize(F.col(vec_col)))
@@ -217,6 +226,7 @@ def embedding_near_pairs(
     bands: int = 4,
     seed: int = 42,
     block_col: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """D2 (embedding flavor): pairs with cosine ≥ threshold.
 
@@ -236,12 +246,20 @@ def embedding_near_pairs(
     only (band, bucket[, block], id) — vectors are re-attached to the
     much smaller candidate-pair set by two keyed equi-joins before the
     cosine verify, so the banding shuffle is bytes-per-row-bounded.
+    The banded rows are lazily local-checkpointed, so the m dot products
+    per row run ONCE even though both self-join sides (and the verify)
+    hang off them — no eager job at plan-build time.
+
+    ``dim`` (vector dimensionality) parameterizes the hyperplanes; when
+    omitted it is sniffed from the first row, which runs a one-row Spark
+    job at plan-BUILD time — pass it explicitly in streaming /
+    foreachBatch contexts or when the upstream plan is expensive.
     """
     if m % bands != 0:
         raise ValueError(f"m={m} must be divisible by bands={bands}")
     r = m // bands
-    sample = df.select(vec_col).first()
-    dim = len(sample[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, m, seed)
     sig = df.select(
         F.col(id_col).alias("_id"),
@@ -265,6 +283,9 @@ def embedding_near_pairs(
             )
         ).alias("bb"),
     ).select("_id", *([block_col] if block_col else []), "bb.band", "bb.bucket")
+    # lazy (non-eager) checkpoint: materialized by the first action, then
+    # shared by both self-join sides — the signature dot products run once
+    banded = banded.localCheckpoint(eager=False)
     keys = ["band", "bucket"] + ([block_col] if block_col else [])
     left = banded.select(*keys, F.col("_id").alias("id_a"))
     right = banded.select(*keys, F.col("_id").alias("id_b"))

