@@ -69,6 +69,43 @@ def main() -> None:
         warm[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+    # Round-over-round regression flagging (round-3 ask #5): compare
+    # against the PREVIOUS committed bench_detail.json before
+    # overwriting it. Warm-vs-warm where both rounds re-ran the query
+    # warm (the number that scales — cold folds one-time codegen),
+    # cold-vs-cold otherwise; only at the same SF, and only above a
+    # floor that keeps scheduler jitter on sub-second queries from
+    # flagging.
+    detail_path = Path(__file__).resolve().parent / "bench_detail.json"
+    regressions = []
+    try:
+        prev = json.loads(detail_path.read_text())
+    except (OSError, ValueError):
+        prev = None
+    if prev and prev.get("sf") == sf:
+        prev_cold = prev.get("queries", {})
+        prev_warm = prev.get("warm_top10", {})
+        for name, cur in timings.items():
+            cur_w = warm.get(name)
+            if name in prev_warm and cur_w is not None:
+                p, c, kind = prev_warm[name], cur_w, "warm"
+            elif name in prev_cold:
+                p, c, kind = prev_cold[name], cur, "cold"
+            else:
+                continue
+            # ratio + absolute-delta floor: 1.3× of a 0.35 s query is
+            # scheduler jitter, 1.3× of a 2 s query is a real regression
+            if p >= 0.3 and c > 1.3 * p and (c - p) >= 0.25:
+                regressions.append(
+                    {
+                        "query": name,
+                        "prev": p,
+                        "cur": c,
+                        "ratio": round(c / p, 2),
+                        "basis": kind,
+                    }
+                )
+        regressions.sort(key=lambda r: -r["ratio"])
     # Full per-query timings go to a sidecar file; stdout gets one COMPACT
     # line (top-5 slowest only) so the driver's bounded capture never
     # truncates the JSON (round-1 BENCH had parsed:null from a ~2.5 KB line).
@@ -78,13 +115,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "warm_top10": warm,
+        "regressions": regressions,
         "overhead_floor_sec": overhead_floor,
         "overhead_floor_total": round(overhead_floor * len(timings), 2),
         "sf": sf,
     }
-    Path(__file__).resolve().parent.joinpath("bench_detail.json").write_text(
-        json.dumps(detail, indent=1)
-    )
+    detail_path.write_text(json.dumps(detail, indent=1))
     top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
@@ -94,6 +130,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": top5,
                 "warm_top10": warm,
+                "regressions": regressions[:5],
                 "n_queries": len(timings),
                 "overhead_floor_sec": overhead_floor,
                 "detail": "bench_detail.json",
