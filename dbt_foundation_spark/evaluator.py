@@ -23,13 +23,34 @@ coverage" families):
   ``stg_``-prefixed; marts should not.
 - untested_models / undocumented_models: coverage by declared column
   metadata.
+- hard_coded_reference: model body reads a warehouse relation directly
+  (multi-part ``FROM``/``JOIN`` target in SQL models; ``spark.table`` /
+  ``spark.read`` / ``spark.sql`` in function models) instead of going
+  through ``ref()``/``source()`` — the package's
+  ``fct_hard_coded_references``.
+- staging_depends_on_downstream: a ``stg_`` model refs a non-staging
+  model — dependencies must flow staging → marts, never back
+  (``fct_staging_dependent_on_marts_or_intermediate``).
+- duplicate_sources: two declared sources point at the same physical
+  relation (path or catalog table) — ``fct_duplicate_sources``.
 """
 
 from __future__ import annotations
 
+import inspect
+import re
 from dataclasses import dataclass
 
 from dbt_foundation_spark.project import Project
+
+# multi-part FROM/JOIN target left in a SQL model AFTER ref()/source()
+# calls are stripped (same family as the M16 lint's _THREE_PART check,
+# widened to 2-part names: any dotted relation is a bypass)
+_HARD_SQL_TARGET = re.compile(r"\b(?:from|join)\s+([a-zA-Z_]\w*(?:\.\w+)+)", re.I)
+_REF_CALL = re.compile(r"\b(?:ref|source)\s*\([^)]*\)")
+# direct SparkSession reads inside a function model (ctx.spark.table(...)
+# etc.) — the function-model shape of a hard-coded reference
+_HARD_FN_READ = re.compile(r"\bspark\s*\.\s*(table|sql|read)\b")
 
 
 @dataclass(frozen=True)
@@ -95,6 +116,42 @@ def evaluate(project: Project, max_fanout: int = 3) -> list[Finding]:
             findings.append(
                 Finding("naming_convention", name, "stg_ prefix but reads only models")
             )
+        if node.sql is not None:
+            stripped = _REF_CALL.sub("", node.sql)
+            for m in _HARD_SQL_TARGET.finditer(stripped):
+                findings.append(
+                    Finding(
+                        "hard_coded_reference",
+                        name,
+                        f"reads {m.group(1)} directly — use ref()/source()",
+                    )
+                )
+        elif node.fn is not None:
+            try:
+                src = inspect.getsource(node.fn)
+            except (OSError, TypeError):
+                src = ""
+            m = _HARD_FN_READ.search(src)
+            if m:
+                findings.append(
+                    Finding(
+                        "hard_coded_reference",
+                        name,
+                        f"calls spark.{m.group(1)} directly — use "
+                        "ctx.ref()/ctx.source()",
+                    )
+                )
+        if name.startswith("stg_"):
+            for dep in sorted(node.depends_on):
+                if dep in models and not dep.startswith("stg_"):
+                    findings.append(
+                        Finding(
+                            "staging_depends_on_downstream",
+                            name,
+                            f"staging model refs downstream model {dep} — "
+                            "dependencies must flow staging → marts",
+                        )
+                    )
         has_tests = any(c.get("tests") for c in node.columns.values())
         if not has_tests:
             findings.append(Finding("untested_models", name, "no column tests declared"))
@@ -119,4 +176,18 @@ def evaluate(project: Project, max_fanout: int = 3) -> list[Finding]:
         findings.append(
             Finding("unused_sources", f"{src[0]}.{src[1]}", "declared but never read")
         )
+    by_target: dict[str, list[str]] = {}
+    for s in project.sources.items():
+        target = s.catalog_table or (f"{s.fmt}:{s.path}" if s.path else None)
+        if target:
+            by_target.setdefault(target, []).append(f"{s.source_name}.{s.table_name}")
+    for target, decls in sorted(by_target.items()):
+        if len(decls) > 1:
+            findings.append(
+                Finding(
+                    "duplicate_sources",
+                    ", ".join(sorted(decls)),
+                    f"all declared over the same relation {target}",
+                )
+            )
     return findings

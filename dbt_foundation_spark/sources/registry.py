@@ -83,6 +83,10 @@ class SourceRegistry:
     def names(self) -> list[tuple[str, str]]:
         return sorted(self._sources)
 
+    def items(self) -> list[Source]:
+        """All declared sources (the evaluator's duplicate-source scan)."""
+        return [self._sources[k] for k in sorted(self._sources)]
+
     def tables(self, source_name: str) -> list[str]:
         return sorted(t for s, t in self._sources if s == source_name)
 

@@ -8,11 +8,14 @@ physical planning (SURVEY.md §4).
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
 from dbt_foundation_spark.codegen import (
     generate_base_model,
+    generate_model_import_ctes,
     generate_model_yaml,
     generate_source_yaml,
 )
@@ -54,6 +57,46 @@ def test_generate_base_model(spark, sf_dir):
     assert "def stg_orders(ctx):" in stub
     assert 'ctx.source("raw", "orders")' in stub
     assert '"o_orderkey"' in stub  # explicit column list, not SELECT *
+
+
+def test_generate_model_import_ctes_roundtrip(project):
+    @project.model
+    def stg_nation(ctx):
+        return ctx.source("raw", "nation")
+
+    @project.model
+    def stg_region(ctx):
+        return ctx.source("raw", "region")
+
+    project.model(
+        "SELECT n.n_name, r.r_name "
+        "FROM ref('stg_nation') n JOIN ref('stg_region') r "
+        "ON n.n_regionkey = r.r_regionkey "
+        "WHERE r.r_name = 'ASIA'",
+        name="mart_asia",
+    )
+    rewritten = generate_model_import_ctes(project, "mart_asia")
+    # one import CTE per distinct ref, body reads the aliases
+    assert rewritten.startswith("with stg_nation as (")
+    assert "select * from ref('stg_nation')" in rewritten
+    assert "select * from ref('stg_region')" in rewritten
+    assert "FROM stg_nation n JOIN stg_region r" in rewritten
+    # the rewrite still compiles with identical results
+    project.model(rewritten, name="mart_asia_ctes")
+    project.run()
+    a = project._node_frame("mart_asia").orderBy("n_name").collect()
+    b = project._node_frame("mart_asia_ctes").orderBy("n_name").collect()
+    assert a == b and len(a) > 0
+
+    # a model with its own CTEs gets imports spliced before them
+    project.model(
+        "WITH only_asia AS (SELECT * FROM ref('stg_region') WHERE r_name = 'ASIA') "
+        "SELECT r_name FROM only_asia",
+        name="mart_spliced",
+    )
+    spliced = generate_model_import_ctes(project, "mart_spliced")
+    assert spliced.startswith("with stg_region as (")
+    assert re.search(r"stg_region as \(.*\),\s*only_asia AS", spliced, re.S)
 
 
 def test_generate_model_yaml(spark, sf_dir):
@@ -107,6 +150,72 @@ def test_evaluator_source_fanout(project):
     project.run()
     fanout = [f for f in evaluate(project) if f.check == "source_fanout"]
     assert fanout and fanout[0].node == "raw.orders"
+
+
+def test_evaluator_hard_coded_reference(project, spark, sf_dir):
+    # SQL model with a dotted FROM target bypassing ref()/source()
+    spark.sql("CREATE DATABASE IF NOT EXISTS rawdb")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "rawdb.nations_raw"
+    )
+    try:
+        project.model("SELECT * FROM rawdb.nations_raw", name="bad_sql")
+
+        @project.model
+        def bad_fn(ctx):  # function model reading the catalog directly
+            return ctx.spark.table("rawdb.nations_raw")
+
+        @project.model
+        def stg_nation(ctx):  # clean: goes through source()
+            return ctx.source("raw", "nation")
+
+        project.run()
+        hard = {f.node: f.detail for f in evaluate(project) if f.check == "hard_coded_reference"}
+        assert "bad_sql" in hard and "rawdb.nations_raw" in hard["bad_sql"]
+        assert "bad_fn" in hard and "spark.table" in hard["bad_fn"]
+        assert "stg_nation" not in hard
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rawdb.nations_raw")
+        spark.sql("DROP DATABASE IF EXISTS rawdb")
+
+
+def test_evaluator_staging_depends_on_downstream(project):
+    @project.model
+    def stg_orders(ctx):
+        return ctx.source("raw", "orders")
+
+    @project.model
+    def fct_orders(ctx):
+        return ctx.ref("stg_orders")
+
+    @project.model
+    def stg_orders_enriched(ctx):  # wrong direction: staging refs a mart
+        return ctx.ref("fct_orders")
+
+    project.run()
+    wrong = [
+        f for f in evaluate(project) if f.check == "staging_depends_on_downstream"
+    ]
+    assert len(wrong) == 1
+    assert wrong[0].node == "stg_orders_enriched" and "fct_orders" in wrong[0].detail
+
+
+def test_evaluator_duplicate_sources(spark, sf_dir):
+    from dbt_foundation_spark.sources.registry import Source
+
+    reg = _sources(sf_dir)
+    # second declaration over the SAME parquet path as raw.orders
+    reg.add(Source("legacy", "orders_copy", path=f"{sf_dir}/orders.parquet"))
+    project = Project("dup_proj", spark, sources=reg)
+
+    @project.model
+    def stg_orders(ctx):
+        return ctx.source("raw", "orders")
+
+    project.run()
+    dups = [f for f in evaluate(project) if f.check == "duplicate_sources"]
+    assert len(dups) == 1
+    assert "raw.orders" in dups[0].node and "legacy.orders_copy" in dups[0].node
 
 
 # ---------- dispatch (M12) ----------
