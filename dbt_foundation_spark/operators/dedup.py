@@ -400,6 +400,79 @@ def connected_components(
     return labels
 
 
+def repeated_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span signal: per document, how much of it
+    re-occurs VERBATIM elsewhere in the corpus — the memorization /
+    boilerplate risk metric behind exact-substring dedup (near-dup
+    pair detection answers "which docs are similar"; this answers "which
+    spans are shared", catching templated headers/footers and quoted
+    passages that pairwise metrics dilute).
+
+    Returns (id, n_spans, n_repeated, repeated_ratio, max_span_docs):
+    distinct n-token spans per doc, how many of them appear in ≥
+    ``min_docs`` distinct documents, and the widest such spread.
+
+    Shape: distinct spans exploded per doc make the span's window
+    count(*) EQUAL its distinct-doc frequency (no countDistinct), so the
+    whole thing is one span-keyed window + one doc-keyed aggregate — two
+    keyed shuffles, both AQE-skew-splittable, no joins, no arrays
+    crossing a shuffle."""
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(token_ngrams(text_col, n))).alias("_g"),
+    )
+    w = Window.partitionBy("_g")
+    gdf = grams.withColumn("_span_docs", F.count(F.lit(1)).over(w))
+    rep = (F.col("_span_docs") >= min_docs).cast("bigint")
+    return gdf.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(rep).alias("n_repeated"),
+        F.round(F.try_divide(F.sum(rep), F.count(F.lit(1))), 6).alias(
+            "repeated_ratio"
+        ),
+        F.max("_span_docs").alias("max_span_docs"),
+    )
+
+
+def keep_best_per_cluster(
+    labels: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    comp_col: str = "comp",
+    score_col: str = "score",
+) -> DataFrame:
+    """Keeper selection for duplicate clusters: given (id, comp) labels
+    (connected_components output) and per-id scores, pick the HIGHEST-
+    scoring member of each cluster (ties broken by id — deterministic)
+    — the "keep the best copy, not the first" policy a quality-aware
+    corpus dedup wants.
+
+    Returns (comp, keeper_id, n_members, best_score). The ranking
+    window and the size aggregate both key on comp, so the second
+    shuffle reuses the first exchange's partitioning."""
+    joined = labels.join(scores, id_col)
+    w = Window.partitionBy(comp_col).orderBy(F.desc(score_col), F.col(id_col))
+    keepers = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(comp_col),
+            F.col(id_col).alias("keeper_id"),
+            F.col(score_col).alias("best_score"),
+        )
+    )
+    sizes = labels.groupBy(comp_col).agg(F.count(F.lit(1)).alias("n_members"))
+    return keepers.join(sizes, comp_col).select(
+        comp_col, "keeper_id", "n_members", "best_score"
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str,

@@ -57,11 +57,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_two_phase_distinct",
     "q_window_range_frame",
     "q_gap_fill",
-    # (b) implementation changed in round 4
+    # (b) implementation changed or NEW in round 4
     "q_join_inner",
     "q_shipping_priority",
     "q_containment",
     "q_embedding_neardup",
+    "q_repeated_spans",
+    "q_dedup_keep_best",
     # (c) oldest evidence (green in r1/r2, not re-checked since)
     "q_dedup_exact",
     "q_dedup_fingerprint",

@@ -344,6 +344,125 @@ def q_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------- cross-document repeated spans ----------
+
+
+@query(
+    "q_repeated_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tok
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, unnest(list_distinct({_ngram_sql(8)})) AS g FROM toks
+    ), gdf AS (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS span_docs FROM grams
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN span_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeated,
+           round(CAST(SUM(CASE WHEN span_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS repeated_ratio,
+           CAST(MAX(span_docs) AS BIGINT) AS max_span_docs
+    FROM gdf GROUP BY doc_id
+    """,
+)
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D4 cross-doc repeated 8-token spans per document — the
+    exact-substring memorization/boilerplate signal
+    (operators/dedup.repeated_ngram_spans): distinct spans, spans shared
+    by ≥2 docs, the shared fraction, and the widest span spread. Two
+    keyed shuffles (span window + doc aggregate), no joins; the oracle
+    replays span extraction, the window count and the aggregate."""
+    from dbt_foundation_spark.operators.dedup import repeated_ngram_spans
+
+    docs = t(spark, sf_dir, "documents")
+    out = repeated_ngram_spans(docs, "doc_id", "text", n=8, min_docs=2)
+    return out.select(
+        F.col("_id").alias("doc_id"),
+        "n_spans",
+        "n_repeated",
+        "repeated_ratio",
+        "max_span_docs",
+    )
+
+
+# ---------- quality-aware cluster keeper selection ----------
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_portable_ctes(16, 4)},
+    pairs AS (
+        SELECT id_a, id_b FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+        WHERE {_MINHASH_JAC_SQL} >= 0.5
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ), reach(id, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ), comp AS (
+        SELECT id, MIN(lab) AS component FROM reach GROUP BY id
+    ), scored AS (
+        SELECT doc_id, {QUALITY_SCORE_SQL} AS q FROM documents
+    ), ranked AS (
+        SELECT c.component, c.id, s.q,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY s.q DESC, c.id) AS rn,
+               COUNT(*) OVER (PARTITION BY c.component) AS n_members
+        FROM comp c JOIN scored s ON s.doc_id = c.id
+    )
+    SELECT component, id AS keeper_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           round(q, 6) AS best_quality
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup decision chain: minhash pairs → connected
+    components → KEEP THE BEST-QUALITY member per cluster (ties broken
+    by doc_id), not the minimum id — the policy a quality-aware corpus
+    dedup actually ships (operators/dedup.keep_best_per_cluster). The
+    oracle replays the full pipeline: portable minhash banding, Jaccard
+    verify, transitive closure, quality scoring, and the ranked keeper
+    pick."""
+    from dbt_foundation_spark.operators.dedup import (
+        connected_components,
+        keep_best_per_cluster,
+        minhash_lsh_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        shingle_len=3,
+        jaccard_threshold=0.5,
+        portable=True,
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    scored = docs.select(
+        F.col("doc_id").alias("id"), X.quality_score("text").alias("score")
+    )
+    best = keep_best_per_cluster(comps, scored)
+    return best.select(
+        F.col("comp").alias("component"),
+        "keeper_id",
+        "n_members",
+        F.round("best_score", 6).alias("best_quality"),
+    )
+
+
 # ---------- incremental (new-batch vs corpus) dedup ----------
 
 
