@@ -235,7 +235,11 @@ def containment_pairs(
     Scale shape: the df-count window partitions on the same shingle key
     the candidate join shuffles on (no extra exchange); rarity ordering
     makes prefix postings land on LOW-df shingles, so the posting join
-    is Σ_s df_prefix(s)·df(s) with small df — never all-pairs.
+    is Σ_s df_prefix(s)·df(s) with small df — never all-pairs. The join
+    keeps only rows where the PREFIX side is the smaller document: the
+    greater containment direction always belongs to the smaller set
+    (same intersection, smaller denominator), so larger→smaller prefix
+    hits are redundant — recall stays exact, candidates drop ~10-25 %.
     ``max_df`` optionally drops index postings above a df cap (the
     stopword guard from ngram_jaccard_pairs); that trades exactness for
     a hard candidate bound when a pathological corpus needs it."""
@@ -245,7 +249,12 @@ def containment_pairs(
     )
     post = sh.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s"))
     dfreq = Window.partitionBy("_s")
-    post = post.withColumn("_df", F.count(F.lit(1)).over(dfreq))
+    # lazy checkpoint: the exploded+df-counted postings feed BOTH the
+    # prefix side and the index side of the candidate join — materialize
+    # the window pass once instead of twice (no job at plan-build time)
+    post = post.withColumn("_df", F.count(F.lit(1)).over(dfreq)).localCheckpoint(
+        eager=False
+    )
     # +1e-9 counters float round-down of (1−t)·n (e.g. 0.4*35 →
     # 13.999999...); overshooting only ADDS candidates — recall-safe
     prefix_len = F.floor((1.0 - threshold) * F.col("_n") + 1e-9) + 1
@@ -253,12 +262,12 @@ def containment_pairs(
     pref = (
         post.withColumn("_rn", F.row_number().over(rarity))
         .filter(F.col("_rn") <= prefix_len)
-        .select(F.col("_id").alias("_pid"), "_s")
+        .select(F.col("_id").alias("_pid"), F.col("_n").alias("_pn"), "_s")
     )
     index = post if max_df is None else post.filter(F.col("_df") <= max_df)
     cand = (
-        pref.join(index.select(F.col("_id").alias("_iid"), "_s"), "_s")
-        .filter(F.col("_pid") != F.col("_iid"))
+        pref.join(index.select(F.col("_id").alias("_iid"), F.col("_n").alias("_in"), "_s"), "_s")
+        .filter((F.col("_pid") != F.col("_iid")) & (F.col("_pn") <= F.col("_in")))
         .select(
             F.least("_pid", "_iid").alias("id_a"),
             F.greatest("_pid", "_iid").alias("id_b"),
