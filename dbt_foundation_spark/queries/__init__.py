@@ -64,6 +64,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_embedding_neardup",
     "q_repeated_spans",
     "q_dedup_keep_best",
+    "q_returned_customers",
+    "q_priority_shipments",
+    "q_brand_revenue",
+    "q_big_orders",
     # (c) oldest evidence (green in r1/r2, not re-checked since)
     "q_dedup_exact",
     "q_dedup_fingerprint",

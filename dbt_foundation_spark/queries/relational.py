@@ -705,3 +705,152 @@ def q_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_phase_distinct(ev, ["event_type"], "user_id", alias="n_users").orderBy(
         "event_type"
     )
+
+
+@query(
+    "q_returned_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-style returned-item ranking: which customers returned
+    the most revenue. Physical shape: the returnflag filter is pushed
+    into the lineitem scan (the fact shrinks ~25% before any join),
+    lineitem⋈orders shuffles on orderkey, customer's strategy is AQE's
+    call (grows with SF), nation broadcasts (bounded 25 rows). Top-20 is
+    TakeOrderedAndProject over the per-customer aggregate — no global
+    sort. Decimal-routed revenue makes the DESC ranking engine-stable;
+    c_custkey tiebreaks."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_priority_shipments",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY ship_year
+    ORDER BY ship_year
+    """,
+)
+def q_priority_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-style priority accounting (adapted to the testdata
+    schema: ship-year stands in for shipmode): one fact⋈fact equi-join
+    on orderkey — the canonical shuffle join both sides of which exceed
+    any broadcast threshold at scale, exactly where AQE's skew split
+    earns its keep — then a two-way conditional count with map-side
+    partials collapsing to one row per year."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.sum(high.cast("bigint")).alias("high_line_count"),
+            F.sum((~high).cast("bigint")).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+@query(
+    "q_brand_revenue",
+    oracle=f"""
+    SELECT {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 25)
+       OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-style disjunctive-predicate revenue: an OR-of-ANDs
+    spanning both join sides. The single-side conjuncts are derivable:
+    Catalyst pushes p_brand IN (...) to the part scan and the overall
+    quantity envelope (1..35) to the lineitem scan, so both inputs
+    shrink BEFORE the join even though the full predicate can only be
+    evaluated after it — the optimizer behavior this query exists to
+    pin. Part's join strategy is AQE's (grows with SF)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qty = F.col("l_quantity")
+    pred = (
+        ((F.col("p_brand") == "Brand#12") & qty.between(1, 15))
+        | ((F.col("p_brand") == "Brand#23") & qty.between(10, 25))
+        | ((F.col("p_brand") == "Brand#34") & qty.between(20, 35))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(pred)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@query(
+    "q_big_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, {sql_dsum("l_quantity", "total_qty")}
+        FROM lineitem GROUP BY l_orderkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS DOUBLE) > 140
+    )
+    SELECT c_custkey, c_name, o_orderkey, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-style large-volume orders: aggregate-then-join — the
+    per-order quantity rollup (keyed shuffle with map-side partials)
+    happens BEFORE touching orders/customer, so the join inputs are the
+    few qualifying orders, not the fact table. The decimal HAVING
+    threshold and ranking are engine-stable; orderkey tiebreaks. At
+    100 TB the rollup output is a vanishing fraction of lineitem, so
+    both downstream joins broadcast by size under AQE — unhinted."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > 140)
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "total_qty")
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(25)
+    )
