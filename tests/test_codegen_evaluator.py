@@ -311,6 +311,9 @@ def test_heavy_query_plan_shapes_pinned(spark, sf_dir):
                                     # (prefix/index join reuses the _s
                                     # exchange; shingle re-attach broadcasts
                                     # at this SF)
+        "q_repeated_spans": 2,      # span window + doc aggregate, no joins
+        "q_dedup_keep_best": 9,     # LSH pair pipeline + per-round component
+                                    # join + keeper window/size agg on comp
     }
     qs = e.queries()
     for name, budget in budgets.items():
