@@ -242,12 +242,25 @@ def containment_pairs(
     hits are redundant — recall stays exact, candidates drop ~10-25 %.
     ``max_df`` optionally drops index postings above a df cap (the
     stopword guard from ngram_jaccard_pairs); that trades exactness for
-    a hard candidate bound when a pathological corpus needs it."""
+    a hard candidate bound when a pathological corpus needs it.
+
+    Posting keys are xxhash64(shingle) — longs shuffle and compare far
+    cheaper than shingle strings. Collisions only MERGE shingles, which
+    can only raise hash-space containment above shingle containment, so
+    every qualifying pair is still proposed (recall-safe); the verify
+    stage computes true containment on the real shingle arrays."""
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(token_ngrams(text_col, shingle_len)).alias("_sh"),
     )
-    post = sh.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s"))
+    # array_distinct AFTER hashing: an intra-doc 64-bit collision would
+    # otherwise waste a prefix slot and void the pigeonhole guarantee;
+    # _n is the distinct-HASH count so the prefix bound is exact in the
+    # space the join actually runs in
+    post = sh.select(
+        "_id",
+        F.array_distinct(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_hs"),
+    ).select("_id", F.size("_hs").alias("_n"), F.explode("_hs").alias("_s"))
     dfreq = Window.partitionBy("_s")
     # lazy checkpoint: the exploded+df-counted postings feed BOTH the
     # prefix side and the index side of the candidate join — materialize

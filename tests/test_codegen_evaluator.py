@@ -248,6 +248,34 @@ def test_filter_pushdown_and_pruning(spark, sf_dir):
     assert set(schema) == {"l_shipdate", "l_returnflag", "l_quantity"}, schema
 
 
+def test_disjunctive_predicate_derives_single_side_pushdowns(spark, sf_dir):
+    """Q19-shape contract: an OR-of-ANDs spanning both join sides must
+    still shrink BOTH scans — Catalyst derives the brand IN-list for the
+    part scan and the quantity envelope for the lineitem scan even
+    though the full predicate only evaluates post-join."""
+    from dbt_foundation_spark.queries import all_queries
+
+    df = all_queries()["q_brand_revenue"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed, "quantity envelope must reach the lineitem scan"
+    assert "p_brand" in pushed, "brand IN-list must reach the part scan"
+    s = plan_summary(df)
+    assert s["python_row_udfs"] == 0
+
+
+def test_aggregate_before_join_shape(spark, sf_dir):
+    """Q18-shape contract: the per-order rollup runs before any join, so
+    the plan has exactly one Exchange (the rollup key) and the
+    orders/customer joins broadcast by size — unhinted."""
+    from dbt_foundation_spark.queries import all_queries
+
+    df = all_queries()["q_big_orders"](spark, sf_dir)
+    s = plan_summary(df)
+    assert s["shuffles"] <= 1, s
+    assert s["broadcast_joins"] >= 2, s
+    assert s["python_row_udfs"] == 0
+
+
 def test_small_dim_join_broadcasts(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")

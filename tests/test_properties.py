@@ -222,6 +222,54 @@ def test_quantized_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.9, f"quantized ANN recall {recall:.3f} < 0.9"
 
 
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    """Recall gate for the IVF ANN variant (the last one without a
+    measured bound — banded-LSH and quantized already carry theirs):
+    probing 8 of 16 inverted lists must keep mean top-10 recall >= 0.7
+    vs brute force over sampled queries. Random (clusterless) synthetic
+    embeddings are IVF's worst case — neighbors scatter across lists, so
+    recall ~ n_probe/n_lists is the floor and the bound is set above it
+    to catch assignment bugs, not to flatter the quantizer; clustered
+    real-world embeddings recall far higher at the same probe count."""
+    import random
+
+    from dbt_foundation_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    n = emb.count()
+    rng = random.Random(5)
+    qids = rng.sample(range(n), 5)
+    k, total = 10, 0.0
+    for qid in qids:
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).select("embedding").first()[0]
+        ]
+        brute = {
+            r["vec_id"]
+            for r in cosine_topk(
+                emb, "vec_id", "embedding", qv, k=k, exclude_id=qid
+            ).collect()
+        }
+        ivf = {
+            r["vec_id"]
+            for r in cosine_topk_ivf(
+                emb,
+                "vec_id",
+                "embedding",
+                qv,
+                k=k,
+                n_lists=16,
+                n_probe=8,
+                exclude_id=qid,
+            ).collect()
+        }
+        total += len(brute & ivf) / k
+    emb.unpersist()
+    recall = total / len(qids)
+    assert recall >= 0.7, f"IVF ANN recall {recall:.3f} < 0.7"
+
+
 def test_containment_prefix_filter_finds_asymmetric_pair(spark):
     """The round-3 gap: a 50-token doc quoted verbatim inside a
     5000-token doc has containment 1.0 but Jaccard ~0.01, so minhash
