@@ -298,28 +298,41 @@ def test_containment_prefix_filter_finds_asymmetric_pair(spark):
     }
     assert (0, 1) in got, "planted small-in-big pair missed"
 
-    # exactness: equals brute-force containment over the same shingles
+    # exactness at EVERY threshold (exercises the float-epsilon prefix
+    # bound at many (1-t)*n values): equals brute-force containment
     from dbt_foundation_spark.functions.text import token_ngrams
 
     sh = df.select(
         F.col("doc_id"), F.array_distinct(token_ngrams("text", 3)).alias("sh")
-    )
+    ).cache()
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    brute = (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.greatest(
-                F.try_divide(inter, F.size("sh_a")),
-                F.try_divide(inter, F.size("sh_b")),
+    for thr in (0.5, 0.7, 0.8, 0.95):
+        brute = (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.greatest(
+                    F.try_divide(inter, F.size("sh_a")),
+                    F.try_divide(inter, F.size("sh_b")),
+                )
+                >= thr
             )
-            >= 0.8
         )
-    )
-    want = {(r["id_a"], r["id_b"]) for r in brute.collect()}
-    assert got == want, "prefix filtering lost or invented pairs vs brute force"
+        want = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+        got_t = (
+            got
+            if thr == 0.8
+            else {
+                (r["id_a"], r["id_b"])
+                for r in containment_pairs(
+                    df, "doc_id", "text", threshold=thr
+                ).collect()
+            }
+        )
+        assert got_t == want, f"t={thr}: prefix filter lost or invented pairs"
+    sh.unpersist()
 
 
 def test_embedding_banded_lsh_recall(spark):
