@@ -244,23 +244,34 @@ def containment_pairs(
     stopword guard from ngram_jaccard_pairs); that trades exactness for
     a hard candidate bound when a pathological corpus needs it.
 
-    Posting keys are xxhash64(shingle) — longs shuffle and compare far
-    cheaper than shingle strings. Collisions only MERGE shingles, which
-    can only raise hash-space containment above shingle containment, so
-    every qualifying pair is still proposed (recall-safe); the verify
-    stage computes true containment on the real shingle arrays."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(token_ngrams(text_col, shingle_len)).alias("_sh"),
-    )
+    Posting keys AND the verify arrays are xxhash64(shingle) — longs
+    shuffle, hash and compare far cheaper than shingle strings (the
+    verify carries two ~|sh| arrays through the candidate join, so its
+    bytes dominate; at sf0.1 switching it from string to long arrays
+    cut the warm verify stage ~2.5×). Collisions only MERGE shingles:
+    in candidate generation that can only raise hash-space containment
+    above shingle containment, so every qualifying pair is still
+    proposed (recall-safe). The verify computes containment in hash
+    space too; it equals string-shingle containment unless two DISTINCT
+    shingles in the compared pair collide in 64 bits — across a corpus
+    of S distinct shingles the expected number of colliding pairs is
+    S²/2⁶⁵ (≈2·10⁻⁹ at S=260 k), so the emitted values are the exact
+    string-space values with overwhelming probability, and the DuckDB
+    string-space oracle stays green."""
     # array_distinct AFTER hashing: an intra-doc 64-bit collision would
     # otherwise waste a prefix slot and void the pigeonhole guarantee;
     # _n is the distinct-HASH count so the prefix bound is exact in the
     # space the join actually runs in
-    post = sh.select(
-        "_id",
-        F.array_distinct(F.transform("_sh", lambda s: F.xxhash64(s))).alias("_hs"),
-    ).select("_id", F.size("_hs").alias("_n"), F.explode("_hs").alias("_s"))
+    hs = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.transform(
+                F.array_distinct(token_ngrams(text_col, shingle_len)),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("_hs"),
+    )
+    post = hs.select("_id", F.size("_hs").alias("_n"), F.explode("_hs").alias("_s"))
     dfreq = Window.partitionBy("_s")
     # lazy checkpoint: the exploded+df-counted postings feed BOTH the
     # prefix side and the index side of the candidate join — materialize
@@ -288,8 +299,8 @@ def containment_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     pairs = cand.join(
-        sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
-    ).join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        hs.select(F.col("_id").alias("id_a"), F.col("_hs").alias("sh_a")), "id_a"
+    ).join(hs.select(F.col("_id").alias("id_b"), F.col("_hs").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     c_a = F.try_divide(inter, F.size("sh_a"))
     c_b = F.try_divide(inter, F.size("sh_b"))

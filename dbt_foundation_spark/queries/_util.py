@@ -66,6 +66,33 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition an UNDERSIZED scan up to the cluster's
+    default parallelism — identity when the scan already has enough
+    splits.
+
+    Why this exists: the bench parquet files are single-row-group and
+    sub-megabyte (documents at sf0.1 is 0.6 MB compressed), so Spark's
+    byte-range splitting yields ONE input partition — and every
+    CPU-heavy operator downstream (shingling explodes 0.6 MB of text
+    into ~260 k posting rows, hyperplane signatures run m dot products
+    per vector) serializes on one core out of 32. At 100 TB the same
+    scan arrives as thousands of splits and this helper is a no-op by
+    its own guard; locally it is the difference between 1× and 32×
+    parallelism on the dominant stage. The shuffle it adds moves only
+    the raw scan bytes — strictly smaller than the expansion the
+    downstream stages produce from them.
+
+    Use it ONLY under compute-heavy pipelines (dedup, similarity,
+    multimodal decode); plain filter/agg marts are cheaper unsharded
+    than reshuffled.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register testdata tables as temp views for Spark-SQL queries."""
     for name in names or TABLES:

@@ -19,7 +19,7 @@ from dbt_foundation_spark.functions import redact as R
 from dbt_foundation_spark.functions import text as X
 from dbt_foundation_spark.functions import vectors as V
 from dbt_foundation_spark.queries import query
-from dbt_foundation_spark.queries._util import t
+from dbt_foundation_spark.queries._util import fan_out, t
 from dbt_foundation_spark.queries.llm import (
     _MINHASH_JAC_SQL,
     _SH_CTE_SQL,
@@ -205,7 +205,7 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1: 153k vs 393k candidates over 5000 docs)."""
     from dbt_foundation_spark.operators.dedup import containment_pairs
 
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     pairs = containment_pairs(
         docs,
         "doc_id",
@@ -380,7 +380,7 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays span extraction, the window count and the aggregate."""
     from dbt_foundation_spark.operators.dedup import repeated_ngram_spans
 
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     out = repeated_ngram_spans(docs, "doc_id", "text", n=8, min_docs=2)
     return out.select(
         F.col("_id").alias("doc_id"),
@@ -442,7 +442,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     pairs = minhash_lsh_pairs(
         docs,
         "doc_id",
@@ -494,7 +494,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist the corpus band index, join each ingest against it)."""
     from dbt_foundation_spark.operators.dedup import minhash_lsh_join
 
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     new_batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     pairs = minhash_lsh_join(

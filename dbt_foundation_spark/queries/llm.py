@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from dbt_foundation_spark.functions import text as X
 from dbt_foundation_spark.functions import vectors as V
 from dbt_foundation_spark.queries import query
-from dbt_foundation_spark.queries._util import t
+from dbt_foundation_spark.queries._util import fan_out, t
 
 # ---------- dedup ----------
 
@@ -72,7 +72,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhashes → 8 bands → bucket equi-join → true-Jaccard verify ≥ 0.5."""
     from dbt_foundation_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     return minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.5
     )
@@ -167,7 +167,7 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a narrow vocabulary."""
     from dbt_foundation_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     pairs = minhash_lsh_pairs(
         docs,
         "doc_id",
@@ -217,7 +217,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     pairs = minhash_lsh_pairs(
         docs,
         "doc_id",
@@ -273,7 +273,7 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text",
         num_hashes=16, bands=4, shingle_len=3,
@@ -303,7 +303,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross-engine-verified one."""
     from dbt_foundation_spark.operators.dedup import simhash_near_pairs
 
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
@@ -371,7 +371,7 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round-2 ask #3)."""
     from dbt_foundation_spark.operators.dedup import simhash_near_pairs
 
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     pairs = simhash_near_pairs(docs, "doc_id", "text", max_hamming=3, portable=True)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
@@ -401,7 +401,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation in operators/dedup.py — no arrays cross any shuffle."""
     from dbt_foundation_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = t(spark, sf_dir, "documents").withColumn(
+    docs = fan_out(spark, t(spark, sf_dir, "documents")).withColumn(
         "len_bucket", (F.col("n_chars") / 50).cast("long")
     )
     pairs = ngram_jaccard_pairs(
@@ -469,7 +469,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     production near-dup filtering would use the operator default 0.9."""
     from dbt_foundation_spark.operators.similarity import embedding_near_pairs
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
     # dim=64 is pinned by the testdata generator AND by the oracle's
     # inlined hyperplane literals (_plane_sig_sql default) — passing it
     # avoids the one-row dim-sniff job at plan-build time
@@ -557,7 +557,7 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned alternative to hyperplane LSH)."""
     from dbt_foundation_spark.operators.similarity import cosine_topk_ivf
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
     qv = _query_vector(spark, sf_dir, 0)
     top = cosine_topk_ivf(
         emb, "vec_id", "embedding", qv, k=10, n_lists=8, n_probe=3, exclude_id=0
@@ -1206,7 +1206,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-portable gram hashes let DuckDB replay the whole pipeline."""
     from dbt_foundation_spark.operators.contamination import ngram_contamination
 
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return ngram_contamination(corpus, bench, "doc_id", "text", n=5, portable=True)
@@ -1243,7 +1243,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines); rounded only for output."""
     from dbt_foundation_spark.operators.similarity import knn_join
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 125 == 0)
     out = knn_join(
         queries, emb, "vec_id", "vec_id", "embedding", "embedding", k=5
