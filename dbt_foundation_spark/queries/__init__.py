@@ -58,6 +58,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_window_range_frame",
     "q_gap_fill",
     # (b) implementation changed or NEW in round 4
+    "q_exists_priority",
+    "q_local_volume",
+    "q_market_share",
+    "q_nation_profit",
+    "q_customer_distribution",
+    "q_small_qty_revenue",
+    "q_waiting_suppliers",
+    "q_idle_customers",
+    "q_important_nations",
     "q_join_inner",
     "q_shipping_priority",
     "q_containment",

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_foundation_spark.queries import query
-from dbt_foundation_spark.queries._util import dsum, sql_dsum, t
+from dbt_foundation_spark.queries._util import davg, dsum, sql_davg, sql_dsum, t
 
 
 @query(
@@ -853,4 +853,452 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "o_orderkey", "total_qty")
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(25)
+    )
+
+
+# ---------- subquery-shape marts (EXISTS / correlated / scalar) ----------
+
+
+@query(
+    "q_exists_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-style priority check: orders in a quarter having at
+    least one deep-discount line. The EXISTS is a LEFT SEMI join —
+    Spark's physical form of a decorrelated EXISTS — so each order
+    emits at most once no matter how many lines qualify (a plain inner
+    join would need a post-join dedup). The quarter predicate pushes to
+    the orders scan and the discount predicate to the lineitem scan;
+    both inputs shrink before the orderkey shuffle. At 100 TB the semi
+    join carries only l_orderkey on the probe side — the narrowest
+    possible shuffle of the fact table."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    disc = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.05)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(disc, orders.o_orderkey == disc.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_local_volume",
+    oracle=f"""
+    SELECT n_name, {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style local-supplier volume: revenue from orders where
+    the customer and the line's supplier share a nation, by nation
+    within one region. Six-way join: the region→nation chain is a
+    bounded broadcast (25/5 rows) that prunes suppliers BEFORE the
+    fact joins; lineitem⋈orders⋈customer shuffle on their keys with
+    the year predicate pushed into the orders scan. The
+    c_nationkey = s_nationkey clause is a second equi-conjunct on the
+    supplier join, not a filter afterward — Catalyst keeps it in the
+    join condition so no cross-nation pairs ever materialize."""
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "q_market_share",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))
+                         ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))) AS DOUBLE)
+           AS mkt_share
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = cn.n_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY order_year
+    ORDER BY order_year
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-style market share: the fraction of a region's revenue
+    supplied by one nation, per year — a conditional aggregate over a
+    seven-way join with nation joined TWICE under different roles
+    (customer side restricts to the region, supplier side tags the
+    numerator). Both nation broadcasts are bounded dims; the share is
+    an exact-decimal numerator and denominator in ONE aggregate pass
+    (no self-join of per-year totals), divided as doubles at the end."""
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cnation = (
+        t(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    snation = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,8)")
+    national = F.when(F.col("sn_name") == "NATION_3", rev).otherwise(
+        F.lit(0).cast("decimal(18,8)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cnation), cust.c_nationkey == F.col("cn_key"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(snation), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            (F.sum(national).cast("double") / F.sum(rev).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+        .orderBy("order_year")
+    )
+
+
+@query(
+    "q_nation_profit",
+    oracle=f"""
+    SELECT n_name,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           {sql_dsum("l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.01", "profit")}
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, order_year
+    ORDER BY n_name, order_year DESC
+    """,
+)
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-style product profit by supplier nation and year, for
+    parts matching a name pattern (retailprice-derived carrying cost
+    stands in for ps_supplycost — the testdata has no partsupp). The
+    LIKE prunes part BEFORE its join (contains-pushdown reaches the
+    scan as a StringContains filter); part and nation broadcast as
+    bounded-growth dims under AQE, lineitem⋈orders shuffles on
+    orderkey. The per-row profit expression is evaluated in double
+    with the same association order as the oracle, then decimal-summed
+    exactly."""
+    part = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.01)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(dsum(profit, "profit"))
+        .orderBy("n_name", F.desc("order_year"))
+    )
+
+
+@query(
+    "q_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-style customer order-count distribution — the
+    canonical two-level aggregate with a LEFT join whose SECONDARY
+    predicate lives in the join condition, not a WHERE (filtering
+    afterward would drop zero-order customers; COUNT(o_orderkey)
+    counts non-NULLs so they come out as c_count = 0). First agg keys
+    on c_custkey (the join's own shuffle key — no extra exchange),
+    second on the tiny c_count domain. Customer-side skew is the
+    classic AQE skew-split case at scale."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q_small_qty_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,8))) AS DOUBLE) / 7.0
+           AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#12'
+      AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-style small-quantity revenue: lines of one brand whose
+    quantity is below half the part's corpus-wide average. Runs through
+    spark.sql with a GENUINE correlated scalar subquery so Catalyst's
+    decorrelation (RewriteCorrelatedScalarSubquery → per-partkey
+    aggregate + join) is exercised, not hand-replicated. AVG(l_quantity)
+    is order-insensitive here because quantities are integral doubles
+    (exact partial sums); the revenue total is decimal-routed. At scale
+    the decorrelated aggregate keys on l_partkey — the same shuffle key
+    as the main join, which AQE coalesces into adjacent stages."""
+    from dbt_foundation_spark.queries._util import register_views
+
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,8))) AS DOUBLE) / 7.0
+               AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#12'
+          AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+@query(
+    "q_waiting_suppliers",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l1.l_suppkey AS suppkey, l1.l_orderkey AS orderkey
+        FROM lineitem l1 JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM pairs JOIN supplier ON s_suppkey = suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-style suppliers-who-kept-orders-waiting: in
+    multi-supplier orders, the supplier who was the ONLY one to ship
+    late (>90 days after the order date). The oracle states it with
+    EXISTS / NOT EXISTS; the Spark plan reformulates both quantifiers
+    as ONE per-order aggregate — n_suppliers >= 2 and n_late_suppliers
+    == 1 — because a distinct-count per key subsumes 'exists another'
+    and 'not exists another late' at a single shuffle, where the
+    literal translation would be two more self-joins of the fact
+    table. Late (supplier, order) pairs then join back to the
+    qualifying orders; top-20 is TakeOrderedAndProject."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    )
+    sole_late_orders = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+    ).select(F.col("l_orderkey").alias("qual_orderkey"))
+    late_pairs = (
+        lo.filter(late).select("l_suppkey", "l_orderkey").distinct()
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late_pairs.join(
+            sole_late_orders, late_pairs.l_orderkey == F.col("qual_orderkey")
+        )
+        .join(supp, late_pairs.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q_idle_customers",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           {sql_dsum("c_acctbal", "total_acctbal")}
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,8))) AS DOUBLE)
+                              / COUNT(c_acctbal)
+                       FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= '2000-01-01')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-style idle high-balance customers: above-average
+    account balance, no recent orders, grouped by segment. Two
+    subquery shapes in one mart: the global-average threshold is a
+    1-row aggregate broadcast into a cross join (bounded by
+    construction — the correct broadcast use), and NOT EXISTS is a
+    LEFT ANTI join against the date-pruned orders scan (the predicate
+    pushes down, so the anti join probes only recent orders). The
+    average is decimal-routed on both engines so the > comparison sees
+    bit-identical thresholds."""
+    cust = t(spark, sf_dir, "customer")
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal", "avg_bal")
+    )
+    recent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q_important_nations",
+    oracle="""
+    WITH nrev AS (
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name, revenue
+    FROM nrev
+    WHERE revenue > (SELECT 0.04 * CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                                 AS DECIMAL(18,8))) AS DOUBLE)
+                     FROM lineitem JOIN supplier ON s_suppkey = l_suppkey)
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-style important-stock cut: supplier nations whose
+    revenue exceeds a FRACTION OF THE GLOBAL TOTAL — the
+    scalar-subquery-in-HAVING shape. The per-nation aggregate is
+    computed once and reused for both the rows and the threshold
+    (Spark reuses the exchange); the global total is a 1-row broadcast
+    into the filter, computed as ONE exact decimal sum over the joined
+    fact — summing the ~25 per-nation doubles instead would be
+    order-dependent in the last ulp and could flip a boundary nation
+    between engines. The 0.04 multiplier is exact against the same
+    double on both sides."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nrev = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    total = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "t"))
+        .select((F.lit(0.04) * F.col("t")).alias("threshold"))
+    )
+    return (
+        nrev.crossJoin(F.broadcast(total))
+        .filter(F.col("revenue") > F.col("threshold"))
+        .select("n_name", "revenue")
+        .orderBy(F.desc("revenue"), "n_name")
     )
