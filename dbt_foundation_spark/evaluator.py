@@ -33,6 +33,13 @@ coverage" families):
   (``fct_staging_dependent_on_marts_or_intermediate``).
 - duplicate_sources: two declared sources point at the same physical
   relation (path or catalog table) — ``fct_duplicate_sources``.
+- test_coverage / documentation_coverage: PROJECT-WIDE ratios of models
+  carrying column tests / docs, flagged when below a configurable
+  threshold (the package's ``fct_test_coverage`` /
+  ``fct_documentation_coverage`` with their
+  ``test_coverage_target`` / ``documentation_coverage_target`` vars,
+  both defaulting to 100%) — distinct from the per-model
+  untested/undocumented rows, which name the offenders.
 """
 
 from __future__ import annotations
@@ -63,10 +70,17 @@ class Finding:
         return f"[{self.check}] {self.node}: {self.detail}"
 
 
-def evaluate(project: Project, max_fanout: int = 3) -> list[Finding]:
+def evaluate(
+    project: Project,
+    max_fanout: int = 3,
+    test_coverage_target: float = 1.0,
+    documentation_coverage_target: float = 1.0,
+) -> list[Finding]:
     manifest = project.manifest
     models = {n.name: n for n in manifest.models()}
     findings: list[Finding] = []
+    n_tested = 0
+    n_documented = 0
 
     children: dict[str, list[str]] = {name: [] for name in models}
     for n in models.values():
@@ -153,11 +167,37 @@ def evaluate(project: Project, max_fanout: int = 3) -> list[Finding]:
                         )
                     )
         has_tests = any(c.get("tests") for c in node.columns.values())
-        if not has_tests:
+        if has_tests:
+            n_tested += 1
+        else:
             findings.append(Finding("untested_models", name, "no column tests declared"))
         has_docs = any(c.get("description") for c in node.columns.values())
-        if not has_docs:
+        if has_docs:
+            n_documented += 1
+        else:
             findings.append(Finding("undocumented_models", name, "no column docs declared"))
+
+    if models:
+        test_cov = n_tested / len(models)
+        if test_cov < test_coverage_target:
+            findings.append(
+                Finding(
+                    "test_coverage",
+                    "<project>",
+                    f"{n_tested}/{len(models)} models tested "
+                    f"({test_cov:.0%} < target {test_coverage_target:.0%})",
+                )
+            )
+        doc_cov = n_documented / len(models)
+        if doc_cov < documentation_coverage_target:
+            findings.append(
+                Finding(
+                    "documentation_coverage",
+                    "<project>",
+                    f"{n_documented}/{len(models)} models documented "
+                    f"({doc_cov:.0%} < target {documentation_coverage_target:.0%})",
+                )
+            )
 
     src_consumers: dict[tuple[str, str], list[str]] = {}
     for n in models.values():

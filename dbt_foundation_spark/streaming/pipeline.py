@@ -464,3 +464,84 @@ def sessionize_buffered(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def run_dedup_ingest(
+    stream_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_len: int = 3,
+    jaccard_threshold: float = 0.7,
+    portable: bool = False,
+    available_now: bool = True,
+) -> None:
+    """Continuous corpus ingestion with near-dup admission control: each
+    micro-batch is deduplicated (a) against the PERSISTED minhash band
+    index — the already-admitted corpus — and (b) within itself, then
+    the survivors are appended to ``out_path`` and folded into the
+    index, so the next micro-batch sees them as corpus.
+
+    This is the streaming flank of operators/dedup_index: the 100 TB
+    daily-ingest loop (build index once → dedup each ingest → admit)
+    driven by ``foreachBatch`` instead of a scheduler. Per batch the
+    cost is |batch| × collision rate — the corpus is touched only
+    through the (band, bucket)-clustered index files, never recomputed
+    or rescanned.
+
+    Admission policy (documented contract, pinned by the parity test):
+    a doc is DROPPED iff it matches an already-admitted corpus doc at
+    ``jaccard_threshold``, or it matches a SMALLER-id doc in the same
+    batch (greedy pairwise — in an a~b, b~c chain with a<b<c, both b
+    and c are dropped even though a and c may not match directly;
+    cluster-keeper selection is the batch operator
+    ``keep_best_per_cluster``'s job, not the ingest gate's). Batch
+    order is the stream's trigger order, so admission is
+    order-dependent by design — first writer wins, exactly like the
+    sequential daily-ingest loop it replaces.
+
+    The index read inside the sink happens per micro-batch (foreachBatch
+    bodies run driver-side per trigger), so appends from batch N are
+    visible to batch N+1 — the property the within-one-job variant
+    (joining a static snapshot) would silently lose."""
+    from dbt_foundation_spark.operators.dedup import minhash_lsh_pairs
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_index,
+        dedup_against_index,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()  # pin: file batches re-list lazily
+        vs_corpus = dedup_against_index(
+            spark, batch_df, id_col, text_col, index_path,
+            num_hashes=num_hashes, bands=bands, shingle_len=shingle_len,
+            jaccard_threshold=jaccard_threshold, portable=portable,
+        ).select(F.col("new_id").alias("_drop_id"))
+        within = minhash_lsh_pairs(
+            batch_df, id_col, text_col,
+            num_hashes=num_hashes, bands=bands, shingle_len=shingle_len,
+            jaccard_threshold=jaccard_threshold, portable=portable,
+        ).select(F.greatest("id_a", "id_b").alias("_drop_id"))
+        drops = vs_corpus.union(within).distinct()
+        survivors = batch_df.join(
+            drops, batch_df[id_col] == drops._drop_id, "left_anti"
+        ).localCheckpoint()  # two consumers below — compute the gate once
+        survivors.write.mode("append").parquet(out_path)
+        append_to_index(
+            survivors, id_col, text_col, index_path,
+            num_hashes=num_hashes, bands=bands, shingle_len=shingle_len,
+            portable=portable,
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()

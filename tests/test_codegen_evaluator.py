@@ -218,6 +218,31 @@ def test_evaluator_duplicate_sources(spark, sf_dir):
     assert "raw.orders" in dups[0].node and "legacy.orders_copy" in dups[0].node
 
 
+def test_evaluator_coverage_thresholds(project):
+    @project.model(columns={"id": {"tests": ["unique"], "description": "pk"}})
+    def stg_covered(ctx):
+        return ctx.source("raw", "orders")
+
+    @project.model
+    def stg_bare(ctx):
+        return ctx.source("raw", "lineitem")
+
+    project.run()
+    # 1/2 models tested+documented: default 100% targets both fire
+    checks = {f.check: f.detail for f in evaluate(project)}
+    assert "1/2 models tested (50% < target 100%)" == checks["test_coverage"]
+    assert "1/2 models documented (50% < target 100%)" == checks["documentation_coverage"]
+    # thresholds are configurable: at 50% neither fires
+    relaxed = {
+        f.check
+        for f in evaluate(
+            project, test_coverage_target=0.5, documentation_coverage_target=0.5
+        )
+    }
+    assert "test_coverage" not in relaxed
+    assert "documentation_coverage" not in relaxed
+
+
 # ---------- dispatch (M12) ----------
 
 

@@ -541,3 +541,88 @@ def test_stream_into_incremental_merge(spark, staging):
         assert got == want
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+
+
+def test_dedup_ingest_stream_matches_sequential(spark, sf_dir, staging):
+    """run_dedup_ingest must equal the sequential daily-ingest loop it
+    replaces: same per-batch ops (index dedup -> within-batch greedy
+    pairwise -> admit) applied to the same batches in the same order.
+    The planted cross-batch duplicate pins the property that separates
+    foreachBatch from a static-snapshot join: batch 1's admissions are
+    corpus by the time batch 2 arrives."""
+    import shutil
+    import time as _time
+
+    from dbt_foundation_spark.operators.dedup import minhash_lsh_pairs
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_index,
+        build_minhash_index,
+        dedup_against_index,
+    )
+    from dbt_foundation_spark.streaming.pipeline import (
+        read_document_stream,
+        run_dedup_ingest,
+    )
+
+    root = staging["root"]
+    texts = [
+        r["text"]
+        for r in t(spark, sf_dir, "documents").orderBy("doc_id").limit(30).collect()
+    ]
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, tx, "en", "src0", len(tx)) for i, tx in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    corpus = docs(list(enumerate(texts[:20])))
+    params = dict(num_hashes=16, bands=4, shingle_len=3)
+
+    batches = [
+        # fresh 1000-1002; 1005 duplicates corpus doc 0; 1006~1007 in-batch pair
+        docs([(1000, texts[20]), (1001, texts[21]), (1002, texts[22]),
+              (1005, texts[0]), (1006, texts[23]), (1007, texts[23])]),
+        # 1100 duplicates 1006 (admitted LAST batch — cross-batch corpus
+        # visibility); 1101 fresh
+        docs([(1100, texts[23]), (1101, texts[24])]),
+    ]
+
+    # --- streaming run ---
+    s_index = str(root / "s_index")
+    build_minhash_index(corpus, "doc_id", "text", s_index, **params)
+    stream_dir = root / "ingest_stream"
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(str(stream_dir))
+        if i < len(batches) - 1:
+            _time.sleep(1.05)  # distinct mtimes -> deterministic batch order
+    out = str(root / "ingest_out")
+    run_dedup_ingest(
+        read_document_stream(spark, str(stream_dir), max_files_per_trigger=1),
+        "doc_id", "text", s_index, out, _ckpt(staging),
+        jaccard_threshold=0.7, **params,
+    )
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+
+    # --- sequential reference: same policy, same order, separate index ---
+    q_index = str(root / "q_index")
+    build_minhash_index(corpus, "doc_id", "text", q_index, **params)
+    want = []
+    for b in batches:
+        vs = dedup_against_index(
+            spark, b, "doc_id", "text", q_index, jaccard_threshold=0.7, **params
+        ).select(F.col("new_id").alias("d"))
+        within = minhash_lsh_pairs(
+            b, "doc_id", "text", jaccard_threshold=0.7, **params
+        ).select(F.greatest("id_a", "id_b").alias("d"))
+        drops = {r["d"] for r in vs.union(within).distinct().collect()}
+        keep = b.filter(~F.col("doc_id").isin(list(drops)) if drops else F.lit(True))
+        want += [r["doc_id"] for r in keep.select("doc_id").collect()]
+        append_to_index(keep, "doc_id", "text", q_index, **params)
+    assert got == sorted(want)
+    assert 1005 not in got          # corpus duplicate rejected
+    assert 1006 in got and 1007 not in got  # in-batch greedy pairwise
+    assert 1100 not in got          # batch-1 admission visible to batch 2
+    assert 1101 in got
+    for p in ("s_index", "q_index", "ingest_stream", "ingest_out"):
+        shutil.rmtree(root / p, ignore_errors=True)
