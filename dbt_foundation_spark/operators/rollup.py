@@ -97,3 +97,69 @@ def read_avg(sum_value: Column | str, n_events: Column | str) -> Column:
     s = F.col(sum_value) if isinstance(sum_value, str) else sum_value
     n = F.col(n_events) if isinstance(n_events, str) else n_events
     return (s.cast("double") / n).alias("avg_value")
+
+
+def sketch_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    levels: Sequence[str] = ("1 hour", "1 day"),
+    group_cols: Sequence[str] = (),
+    lg_k: int = 12,
+) -> DataFrame:
+    """Distinct-count rollup cascade via MERGEABLE HLL sketches (Spark
+    4 native DataSketches: hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate).
+
+    COUNT DISTINCT is the one common measure rollup_cascade cannot
+    carry — distincts don't add across buckets. Sketches restore
+    re-aggregatability: each finest bucket stores an HLL binary sketch
+    of its keys, and every coarser level UNIONS the child sketches —
+    never rescans raw data. At 100 TB this is the canonical
+    pre-aggregation pattern (daily uniques from hourly sketches, 30-day
+    uniques from daily ones, all from one raw scan), and the sketch
+    column (~2^lg_k bytes) shuffles instead of the key set.
+
+    Exactness contract (pinned in tests): sketch union is
+    DETERMINISTIC — union-of-children equals a sketch built straight
+    from the raw slice bit-for-bit in estimate terms — and the estimate
+    error is bounded (~1.6%/sqrt(2^lg_k), ~2.5% at the default
+    lg_k=12, tested against exact countDistinct). Output carries BOTH
+    the sketch (for further rollups) and its estimate (for reads).
+    """
+    group_cols = list(group_cols)
+    secs = [_dur_seconds(lv) for lv in levels]
+    for a, b in zip(secs, secs[1:]):
+        if b % a != 0:
+            raise ValueError(f"levels must nest: {b}s not a multiple of {a}s")
+
+    finest = (
+        df.groupBy(F.window(ts_col, levels[0]).alias("w"), *group_cols)
+        .agg(F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sketch"))
+        .select(
+            F.lit(levels[0]).alias("level"),
+            F.col("w.start").alias("bucket_start"),
+            F.col("w.end").alias("bucket_end"),
+            *group_cols,
+            "sketch",
+        )
+    )
+    out = finest
+    prev = finest
+    for lv in levels[1:]:
+        coarser = (
+            prev.groupBy(F.window("bucket_start", lv).alias("w"), *group_cols)
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
+            .select(
+                F.lit(lv).alias("level"),
+                F.col("w.start").alias("bucket_start"),
+                F.col("w.end").alias("bucket_end"),
+                *group_cols,
+                "sketch",
+            )
+        )
+        out = out.unionByName(coarser)
+        prev = coarser
+    return out.withColumn(
+        "n_distinct_est", F.hll_sketch_estimate("sketch")
+    )

@@ -67,6 +67,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_waiting_suppliers",
     "q_idle_customers",
     "q_important_nations",
+    "q_fuzzy_match",
+    "q_window_first_last",
+    "q_window_cume_dist",
     "q_join_inner",
     "q_shipping_priority",
     "q_containment",

@@ -1292,3 +1292,36 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_resample(
         docs, "doc_id", "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
     )
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS distance
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-family fuzzy matching: distinct part-name pairs within edit
+    distance 3 via operators/fuzzy.fuzzy_pairs — exact q-gram
+    count-filter blocking (multiset gram join + vacuous-bound short
+    band), never the all-pairs cross join the oracle runs. The oracle
+    IS brute force, so the blocking must lose nothing to stay green —
+    same exactness contract as q_containment. Distance must agree
+    cross-engine (unit-cost Levenshtein in both)."""
+    from dbt_foundation_spark.operators.fuzzy import fuzzy_pairs
+
+    names = t(spark, sf_dir, "part").select("p_name").distinct()
+    return (
+        fuzzy_pairs(names, "p_name", "p_name", max_distance=3, q=2)
+        .select(
+            F.col("id_a").alias("name_a"),
+            F.col("id_b").alias("name_b"),
+            "distance",
+        )
+        .orderBy("name_a", "name_b")
+    )

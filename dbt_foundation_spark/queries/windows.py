@@ -435,3 +435,86 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last(v, ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@query(
+    "q_window_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value)  OVER w AS last_v,
+           nth_value(value, 2) OVER w AS second_v
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.E frame navigation: each event tagged with its user's first,
+    last and second observed value — the session-bracketing shape
+    (entry/exit price, first-touch attribution). The UNBOUNDED-both
+    frame makes last_value well-defined (the default frame would peg it
+    to CURRENT ROW — the classic silent-wrong-answer); nth_value(2) is
+    NULL for single-event users on both engines. Deterministic order
+    (ts, event_id); one keyed shuffle."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.nth_value("value", 2).over(w).alias("second_v"),
+    )
+
+
+@query(
+    "q_window_cume_dist",
+    oracle="""
+    SELECT event_id, user_id,
+           round(cume_dist()    OVER w, 6) AS cd,
+           round(percent_rank() OVER w, 6) AS pr
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.E relative-standing functions: cume_dist and percent_rank of
+    each event's value within its user — the per-entity percentile
+    feature. Both are rank ratios (exact small-integer divisions —
+    cross-engine identical before rounding; the round(6) only
+    normalizes repr). event_id tiebreak makes ranks deterministic; one
+    keyed shuffle, no extra exchange beyond the sort."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@query("q_sketch_rollup")  # rows-only: HLL binary sketches have no DuckDB twin;
+# union-consistency and error bounds are pinned in tests/test_scale_ops.py
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.E/§2.L mergeable distinct-count rollup: hourly HLL sketches of
+    active users, day level built by UNIONING the hourly sketches
+    (operators/rollup.sketch_rollup) — the pre-aggregation that makes
+    COUNT DISTINCT re-aggregatable at 100 TB. Emits (level, bucket,
+    estimate); the binary sketch column is dropped for the driver
+    (non-comparable bytes), kept in the operator output."""
+    from dbt_foundation_spark.operators.rollup import sketch_rollup
+
+    ev = t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        sketch_rollup(ev, "ts", "user_id", levels=("1 hour", "1 day"))
+        .select("level", "bucket_start", "bucket_end", "n_distinct_est")
+        .orderBy("level", "bucket_start")
+    )

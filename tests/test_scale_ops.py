@@ -528,3 +528,83 @@ def test_ngram_contamination_known_overlap(spark):
         ).collect()
     }
     assert alt == out
+
+
+def test_fuzzy_pairs_exact_vs_bruteforce(spark):
+    """fuzzy_pairs' q-gram count filter + short-band union must equal
+    brute-force Levenshtein over every pair — including empty strings,
+    strings shorter than q (no grams at all), and repeated-gram strings
+    where only the MULTISET intersection bound is sound."""
+    import itertools
+    import random
+
+    from dbt_foundation_spark.operators.fuzzy import fuzzy_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, len(b) + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[len(b)]
+
+    rng = random.Random(11)
+    rows = [
+        (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 8))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    for d, q in [(1, 2), (2, 2), (2, 3)]:
+        got = {
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in fuzzy_pairs(df, "id", "s", max_distance=d, q=q).collect()
+        }
+        want = {
+            (i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if lev(a, b) <= d
+        }
+        assert got == want, f"d={d} q={q}: {len(got)} vs {len(want)}"
+
+
+def test_sketch_rollup_union_equals_direct(spark, sf_dir):
+    """The HLL cascade's coarser levels are built by UNIONING child
+    sketches; DataSketches union is deterministic, so the day-level
+    estimate must EQUAL the estimate of a sketch built directly from
+    the raw day slice — and every estimate must sit within the bounded
+    relative error of the exact distinct count."""
+    from dbt_foundation_spark.operators.rollup import sketch_rollup
+    from dbt_foundation_spark.queries._util import t
+
+    ev = t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sketch_rollup(ev, "ts", "user_id", levels=("1 hour", "1 day")).cache()
+
+    day_est = {
+        r["bucket_start"]: r["n_distinct_est"]
+        for r in out.filter(F.col("level") == "1 day").collect()
+    }
+    direct = {
+        r["d"]: r["est"]
+        for r in ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("est")
+        )
+        .select(F.col("w.start").alias("d"), "est")
+        .collect()
+    }
+    assert day_est == direct  # union-of-children == direct, exactly
+
+    exact = {
+        r["d"]: r["n"]
+        for r in ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("w.start").alias("d"), "n")
+        .collect()
+    }
+    for d, n in exact.items():
+        assert abs(day_est[d] - n) <= max(3, 0.05 * n), (d, day_est[d], n)
+    out.unpersist()
