@@ -30,6 +30,7 @@ class NodeConfig:
     partition_by: tuple[str, ...] = ()
     bucket_by: tuple[str, ...] = ()  # hive-bucketed table layout
     buckets: int = 0  # bucket count (with bucket_by)
+    cluster_by: tuple[str, ...] = ()  # sort-within-files data-skipping layout
     extra: dict[str, Any] = field(default_factory=dict)
 
 

@@ -92,6 +92,15 @@ def _clear_stale_location(project: Project, rel: str) -> None:
 
 
 def _writer(node: Node, df: DataFrame):
+    if node.config.cluster_by and not node.config.bucket_by:
+        # sort INSIDE each task's output file so parquet row-group
+        # min/max stats become selective: a point/range filter on the
+        # cluster columns then skips whole row groups at scan time (the
+        # warehouse-free analog of clustering keys / Z-ordering for one
+        # dimension). No shuffle added — ordering is per-partition.
+        # Bucketed tables already sortBy inside buckets; cluster_by is
+        # the layout knob for UNbucketed tables.
+        df = df.sortWithinPartitions(*node.config.cluster_by)
     w = df.write.format("parquet")
     if node.config.partition_by:
         w = w.partitionBy(*node.config.partition_by)

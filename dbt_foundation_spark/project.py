@@ -198,6 +198,7 @@ class Project:
         partition_by: tuple[str, ...] = (),
         bucket_by: tuple[str, ...] = (),
         buckets: int = 0,
+        cluster_by: tuple[str, ...] = (),
         tags: tuple[str, ...] = (),
         columns: dict[str, dict] | None = None,
         package: str | None = None,
@@ -233,6 +234,7 @@ class Project:
                 partition_by=tuple(partition_by),
                 bucket_by=tuple(bucket_by),
                 buckets=buckets,
+                cluster_by=tuple(cluster_by),
             )
             node = Node(
                 name=node_name,

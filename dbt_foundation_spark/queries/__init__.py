@@ -67,6 +67,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_waiting_suppliers",
     "q_idle_customers",
     "q_important_nations",
+    "q_min_cost_supplier",
+    "q_forecast_revenue",
+    "q_supplier_variety",
+    "q_excess_shippers",
     "q_fuzzy_match",
     "q_window_first_last",
     "q_window_cume_dist",

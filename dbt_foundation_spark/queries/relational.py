@@ -11,7 +11,7 @@ strategy (broadcast vs shuffle) and every agg is map-side combinable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_foundation_spark.queries import query
@@ -1301,4 +1301,159 @@ def q_important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("revenue") > F.col("threshold"))
         .select("n_name", "revenue")
         .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "q_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           round(unit_cost, 6) AS best_cost
+    FROM cost c
+    WHERE unit_cost = (SELECT MIN(unit_cost) FROM cost c2
+                       WHERE c2.l_partkey = c.l_partkey)
+    ORDER BY partkey, suppkey
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-style cheapest supplier per part (unit cost derived
+    from lineitem — no partsupp in the testdata). The oracle keeps
+    Q2's correlated-MIN formulation; the Spark plan is the argmin-
+    via-window rewrite (min over a partkey partition, keep equal rows)
+    — ONE shuffle on the partition key versus the decorrelated
+    aggregate-plus-self-join, and the idiomatic Spark shape for
+    per-group argmin. Ties keep all tied suppliers on both engines.
+    Unit cost is a single per-row division (no summation), so
+    cross-engine doubles are identical; round(6) only normalizes
+    repr."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        cost.withColumn("_best", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("_best"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            F.round("unit_cost", 6).alias("best_cost"),
+        )
+        .orderBy("partkey", "suppkey")
+    )
+
+
+@query(
+    "q_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum("l_extendedprice * l_discount", "revenue_delta")}
+    FROM lineitem
+    WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-style what-if revenue delta: a pure scan-and-aggregate
+    whose THREE conjuncts must all reach the parquet scan (year range,
+    discount band, quantity cap — PLANS.md pins the PushedFilters).
+    The minimal single-stage shape: no join, no window, one partial+
+    final aggregate; at 100 TB this is purely scan-bandwidth-bound,
+    the query that measures the engine's floor."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount").between(0.03, 0.05))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue_delta"))
+    )
+
+
+@query(
+    "q_supplier_variety",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = l_partkey
+    WHERE p_brand NOT IN ('Brand#11', 'Brand#22')
+      AND p_size IN (5, 10, 15, 20)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-style supplier variety: distinct suppliers per
+    (brand, type, size) for an attribute slice, excluding a brand
+    denylist (NOT IN — Catalyst turns it into scan-pushable
+    Not(In(...)) conjuncts). The (part, supplier) relation is derived
+    by a DISTINCT over lineitem — at scale that pre-dedup shrinks the
+    fact to partsupp cardinality BEFORE the join, and the distinct
+    count re-shuffles only the surviving slice. Ordering matches Q16's
+    (count desc, then keys)."""
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = t(spark, sf_dir, "part").filter(
+        ~F.col("p_brand").isin("Brand#11", "Brand#22")
+        & F.col("p_size").isin(5, 10, 15, 20)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q_excess_shippers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%red%'
+          AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,8))) AS DOUBLE) > 400
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-style heavy shippers of a part family: suppliers whose
+    1997 shipped quantity of 'red' parts exceeded a threshold — the
+    IN-over-grouped-subquery shape. Spark form: aggregate the pruned
+    fact slice (LIKE + year both pushed), HAVING-filter it, LEFT SEMI
+    join supplier against the surviving keys — the subquery side
+    shrinks to qualifying suppliers before touching the outer table,
+    and at 100 TB the semi join probe is a broadcast of those few
+    keys. Decimal-routed HAVING sum on both engines."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").contains("red")).select(
+        "p_partkey"
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    heavy = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity", "qty"))
+        .filter(F.col("qty") > 400)
+        .select("l_suppkey")
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .orderBy("s_suppkey")
     )

@@ -608,3 +608,41 @@ def test_sketch_rollup_union_equals_direct(spark, sf_dir):
     for d, n in exact.items():
         assert abs(day_est[d] - n) <= max(3, 0.05 * n), (d, day_est[d], n)
     out.unpersist()
+
+
+def test_cluster_by_sorts_within_files(spark, sf_dir):
+    """cluster_by must leave each written parquet file internally sorted
+    on the cluster column (the property row-group min/max skipping
+    rides on) without adding a shuffle or changing the row set."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dbt_foundation_spark.project import Project
+    from dbt_foundation_spark.sources.registry import testdata_sources
+
+    project = Project(
+        "clust_proj", spark, sources=testdata_sources(sf_dir)
+    )
+
+    @project.model(materialized="table", cluster_by=("o_custkey",))
+    def clustered_orders(ctx):
+        return ctx.source("raw", "orders").repartition(4)
+
+    project.run()
+    rel = project.relation_name(project.manifest["clustered_orders"])
+    got = spark.table(rel)
+    want = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert got.count() == want.count()
+
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {rel}")
+        .filter(F.col("col_name") == "Location")
+        .first()["data_type"]
+    ).replace("file:", "")
+    files = glob.glob(f"{loc}/*.parquet")
+    assert len(files) >= 2  # repartition(4) -> several files, each sorted
+    for f in files:
+        vals = pq.read_table(f, columns=["o_custkey"])["o_custkey"].to_pylist()
+        assert vals == sorted(vals), f
+    spark.sql(f"DROP TABLE {rel}")
