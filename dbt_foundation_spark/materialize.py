@@ -142,6 +142,59 @@ def _table(project: Project, node: Node, df: DataFrame) -> None:
         _writer(node, df).mode("overwrite").saveAsTable(rel)
 
 
+def _align(df: DataFrame, target_schema) -> DataFrame:
+    """Project ``df`` onto ``target_schema``: matching columns cast to
+    the target type, missing columns NULL-filled."""
+    cols = []
+    have = set(df.columns)
+    for f in target_schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def _evolved_schema(project: Project, node: Node, rel: str, df: DataFrame):
+    """dbt's on_schema_change contract for incremental runs: compare the
+    batch schema with the target table and return the schema the run
+    should write (reference parity: dbt-core incremental docs; the
+    reference project pins no models but the framework semantics are
+    Cat B). Policies:
+
+    - ignore (default): target schema wins — new batch columns are
+      dropped, vanished ones NULL-fill.
+    - fail: any added/removed column aborts the run.
+    - append_new_columns: target grows by the batch's new columns
+      (old rows read NULL there); removed columns stay, NULL-filled.
+    - sync_all_columns: target becomes the batch's column set (common
+      columns keep the target's position and type).
+    """
+    import pyspark.sql.types as T
+
+    policy = node.config.on_schema_change
+    existing = project.spark.table(rel).schema
+    have = {f.name for f in existing.fields}
+    added = [f for f in df.schema.fields if f.name not in have]
+    batch_cols = set(df.columns)
+    removed = [f.name for f in existing.fields if f.name not in batch_cols]
+    if not added and not removed:
+        return existing, False
+    if policy == "fail":
+        raise ValueError(
+            f"{node.name}: schema changed (added={[f.name for f in added]}, "
+            f"removed={removed}) and on_schema_change='fail'"
+        )
+    if policy == "ignore":
+        return existing, False
+    if policy == "append_new_columns":
+        return T.StructType(list(existing.fields) + added), True
+    if policy == "sync_all_columns":
+        kept = [f for f in existing.fields if f.name in batch_cols]
+        return T.StructType(kept + added), True
+    raise ValueError(f"unknown on_schema_change policy: {policy}")
+
+
 def _incremental(project: Project, node: Node, df: DataFrame) -> None:
     """B3: append / insert_overwrite / merge without MERGE INTO."""
     spark = project.spark
@@ -151,10 +204,35 @@ def _incremental(project: Project, node: Node, df: DataFrame) -> None:
         _writer(node, df).mode("overwrite").saveAsTable(rel)
         return
     strategy = node.config.incremental_strategy
+    target, evolved = _evolved_schema(project, node, rel, df)
+    df = _align(df, target)
+    if evolved and strategy == "append":
+        removed_kept = set(spark.table(rel).columns) - {f.name for f in target.fields}
+        if not removed_kept:
+            # pure column addition: physical ALTER, then append — no rewrite
+            existing_names = set(spark.table(rel).columns)
+            adds = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in target.fields
+                if f.name not in existing_names
+            )
+            if adds:
+                spark.sql(f"ALTER TABLE {rel} ADD COLUMNS ({adds})")
+        else:
+            # column removal on plain parquet = rewrite: align history to
+            # the new schema once, then fall through to the append below
+            history = _align(spark.table(rel), target)
+            _swap_in(project, rel, history, node)
     if strategy == "append":
         _writer(node, df).mode("append").saveAsTable(rel)
         return
     if strategy == "insert_overwrite":
+        if evolved:
+            raise ValueError(
+                f"{node.name}: schema evolution with insert_overwrite would "
+                "silently desync untouched partitions — rebuild the table or "
+                "use on_schema_change='ignore'/'fail'"
+            )
         if node.config.partition_by:
             # dynamic partition overwrite: replace only arriving partitions.
             # Per-write option (not session conf) so concurrent DAG nodes
@@ -171,8 +249,24 @@ def _incremental(project: Project, node: Node, df: DataFrame) -> None:
         if not keys:
             raise ValueError(f"{node.name}: merge strategy requires unique_key")
         keys = [keys] if isinstance(keys, str) else list(keys)
-        existing = spark.table(rel)
-        merged = existing.join(df, on=keys, how="left_anti").unionByName(df)
+        existing = _align(spark.table(rel), target)
+        preds = node.config.incremental_predicates
+        if preds:
+            # dbt's incremental_predicates: only existing rows INSIDE the
+            # predicate window are scanned for key matches (at 100 TB the
+            # predicate is what keeps the anti-join from reading the whole
+            # table — typically a partition bound). Rows outside the window
+            # are kept verbatim EVEN IF their key re-arrives — the
+            # documented dbt trade-off, not a bug.
+            window = F.expr(" AND ".join(f"({p})" for p in preds))
+            inside = existing.filter(window)
+            outside = existing.filter(~window | window.isNull())
+            merged = (
+                outside.unionByName(inside.join(df, on=keys, how="left_anti"))
+                .unionByName(df)
+            )
+        else:
+            merged = existing.join(df, on=keys, how="left_anti").unionByName(df)
         _swap_in(project, rel, merged, node)
         return
     raise ValueError(f"unknown incremental strategy: {strategy}")

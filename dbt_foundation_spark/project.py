@@ -199,6 +199,8 @@ class Project:
         bucket_by: tuple[str, ...] = (),
         buckets: int = 0,
         cluster_by: tuple[str, ...] = (),
+        on_schema_change: str = "ignore",
+        incremental_predicates: tuple[str, ...] = (),
         tags: tuple[str, ...] = (),
         columns: dict[str, dict] | None = None,
         package: str | None = None,
@@ -235,6 +237,8 @@ class Project:
                 bucket_by=tuple(bucket_by),
                 buckets=buckets,
                 cluster_by=tuple(cluster_by),
+                on_schema_change=on_schema_change,
+                incremental_predicates=tuple(incremental_predicates),
             )
             node = Node(
                 name=node_name,

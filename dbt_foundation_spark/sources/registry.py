@@ -43,6 +43,11 @@ class Source:
     fmt: str = "parquet"
     options: dict[str, str] = field(default_factory=dict)
     catalog_table: str | None = None  # catalog-backed source (2-part name)
+    # dbt source-freshness contract (dbt-core `freshness:` block under a
+    # source): the event-time column and the warn/error staleness budgets
+    loaded_at_field: str | None = None
+    warn_after_seconds: int | None = None
+    error_after_seconds: int | None = None
 
     def load(self, spark: SparkSession) -> DataFrame:
         if self.catalog_table:
@@ -118,3 +123,55 @@ def information_schema_tables(spark: SparkSession) -> DataFrame:
             table_type = "VIEW" if t.tableType in ("TEMPORARY", "VIEW") else "TABLE"
             rows.append((table_type, t.namespace[0] if t.namespace else db.name, t.name))
     return spark.createDataFrame(rows, "table_type string, table_schema string, table_name string")
+
+
+def check_freshness(
+    spark: SparkSession,
+    registry: "SourceRegistry",
+    now=None,
+) -> list[dict]:
+    """dbt ``source freshness`` analog: for every source declaring a
+    ``loaded_at_field``, compute ``max(loaded_at)`` (one agg per source —
+    at scale this is a metadata-cheap max that partition stats usually
+    answer) and grade the staleness against the declared budgets.
+
+    Returns one dict per declared-freshness source:
+    ``{source, table, max_loaded_at, age_seconds, status}`` with status
+    in pass | warn | error (error wins when both budgets are blown;
+    a NULL max — empty source — is an error). ``now`` is injectable for
+    deterministic tests; defaults to the engine clock.
+    """
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    if now is None:
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    out: list[dict] = []
+    for src in registry.items():
+        if not src.loaded_at_field:
+            continue
+        mx = (
+            src.load(spark)
+            .agg(F.max(F.col(src.loaded_at_field).cast("timestamp")).alias("m"))
+            .first()["m"]
+        )
+        if mx is None:
+            age, status = None, "error"
+        else:
+            age = (now - mx).total_seconds()
+            status = "pass"
+            if src.warn_after_seconds is not None and age > src.warn_after_seconds:
+                status = "warn"
+            if src.error_after_seconds is not None and age > src.error_after_seconds:
+                status = "error"
+        out.append(
+            {
+                "source": src.source_name,
+                "table": src.table_name,
+                "max_loaded_at": mx,
+                "age_seconds": age,
+                "status": status,
+            }
+        )
+    return out

@@ -459,3 +459,124 @@ def test_table_create_over_stale_warehouse_dir(project, spark):
     assert results["fct_stale"].status == "success", results["fct_stale"]
     rel = project.relation_name(project.manifest["fct_stale"])
     assert spark.table(rel).count() == 3
+
+
+def test_on_schema_change_policies(project, spark):
+    """dbt's on_schema_change for incrementals: ignore (default) keeps
+    the target schema, fail aborts, append_new_columns evolves the
+    table in place (old rows NULL), sync_all_columns follows the batch
+    including removals."""
+    import pytest as _pytest
+
+    spark.createDataFrame([(1, "a")], "id int, v string").createOrReplaceTempView(
+        "sc_src"
+    )
+
+    for policy in ("ignore", "fail", "append_new_columns", "sync_all_columns"):
+        @project.model(
+            name=f"sc_{policy}",
+            materialized="incremental",
+            incremental_strategy="append",
+            on_schema_change=policy,
+        )
+        def sc_model(ctx):
+            return spark.table("sc_src")
+
+    project.run()
+
+    # second run: column v gone, column w added
+    spark.createDataFrame([(2, 9.5)], "id int, w double").createOrReplaceTempView(
+        "sc_src"
+    )
+
+    rels = {
+        p: project.relation_name(project.manifest[f"sc_{p}"])
+        for p in ("ignore", "fail", "append_new_columns", "sync_all_columns")
+    }
+
+    p2 = _reattach(project, models=("sc_ignore",))
+    p2.run(select={"sc_ignore"})
+    got = {(r.id, r.v) for r in spark.table(rels["ignore"]).collect()}
+    assert got == {(1, "a"), (2, None)}  # w dropped, v NULL-filled
+
+    p3 = _reattach(project, models=("sc_fail",))
+    res = {r.node: r for r in p3.run(select={"sc_fail"})}
+    assert res["sc_fail"].status == "error"
+    assert "on_schema_change" in (res["sc_fail"].message or "")
+
+    p4 = _reattach(project, models=("sc_append_new_columns",))
+    p4.run(select={"sc_append_new_columns"})
+    rows = {
+        (r.id, r.v, r.w)
+        for r in spark.table(rels["append_new_columns"]).collect()
+    }
+    assert rows == {(1, "a", None), (2, None, 9.5)}  # evolved in place
+
+    p5 = _reattach(project, models=("sc_sync_all_columns",))
+    p5.run(select={"sc_sync_all_columns"})
+    sync = spark.table(rels["sync_all_columns"])
+    assert set(sync.columns) == {"id", "w"}  # v removed, w added
+    assert {(r.id, r.w) for r in sync.collect()} == {(1, None), (2, 9.5)}
+
+
+def test_incremental_predicates_bound_merge_scan(project, spark):
+    """incremental_predicates: only existing rows inside the predicate
+    window are candidates for key-replacement; rows outside are kept
+    verbatim even when their key re-arrives (dbt's documented
+    trade-off — the predicate is what keeps a 100 TB merge from
+    scanning the whole table)."""
+    spark.createDataFrame(
+        [(1, 10, "2020"), (2, 20, "2024")], "id int, v int, yr string"
+    ).createOrReplaceTempView("ip_src")
+
+    @project.model(
+        materialized="incremental",
+        incremental_strategy="merge",
+        unique_key="id",
+        incremental_predicates=("yr >= '2023'",),
+    )
+    def ip_merge(ctx):
+        return spark.table("ip_src")
+
+    project.run()
+    rel = project.relation_name(project.manifest["ip_merge"])
+    # re-arrivals: id=1 lives OUTSIDE the window (yr 2020) -> duplicate
+    # kept; id=2 lives inside -> replaced
+    spark.createDataFrame(
+        [(1, 11, "2024"), (2, 22, "2024")], "id int, v int, yr string"
+    ).createOrReplaceTempView("ip_src")
+    p2 = _reattach(project, models=("ip_merge",))
+    p2.run(select={"ip_merge"})
+    got = sorted((r.id, r.v) for r in spark.table(rel).collect())
+    assert got == [(1, 10), (1, 11), (2, 22)]
+
+
+def test_source_freshness_grades(spark, sf_dir):
+    import datetime as dt
+
+    from dbt_foundation_spark.sources.registry import (
+        Source,
+        SourceRegistry,
+        check_freshness,
+    )
+
+    reg = SourceRegistry()
+    reg.add(
+        Source(
+            "raw", "orders", path=f"{sf_dir}/orders.parquet",
+            loaded_at_field="o_orderdate",
+            warn_after_seconds=3600, error_after_seconds=86400,
+        )
+    )
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    mx = ords.agg(F.max(F.col("o_orderdate").cast("timestamp"))).first()[0]
+
+    fresh = check_freshness(spark, reg, now=mx + dt.timedelta(seconds=60))[0]
+    assert fresh["status"] == "pass" and fresh["age_seconds"] == 60
+    warn = check_freshness(spark, reg, now=mx + dt.timedelta(seconds=7200))[0]
+    assert warn["status"] == "warn"
+    err = check_freshness(spark, reg, now=mx + dt.timedelta(days=2))[0]
+    assert err["status"] == "error"
+    # sources without loaded_at_field are skipped, not graded
+    reg.add(Source("raw", "nation", path=f"{sf_dir}/nation.parquet"))
+    assert len(check_freshness(spark, reg, now=mx)) == 1
