@@ -152,32 +152,79 @@ def ivf_assignments(
     seed: int = 42,
     fit_fraction: float | None = None,
     max_iter: int = 8,
-    target_fit_rows: int = 1_000_000,
+    target_fit_rows: int = 100_000,
 ):
     """IVF coarse quantizer: k-means centroids + per-row list assignment.
 
     Returns (assigned_df with ``_ivf_list`` column, centroids as
-    list[list[float]]). The k-means fit runs on a SAMPLE sized to
-    ``target_fit_rows`` by default (fraction = target/count, capped at
-    1.0) — a coarse quantizer needs a representative subset, never a
-    multi-pass ML job over the full 100 TB corpus. Below the target the
-    fraction resolves to 1.0, so test-scale results are exact. Pass
-    ``fit_fraction`` to override. Assignment stays a single pass (the
-    model is a driver-side constant folded into the plan).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    list[list[float]]). The fit is a SEEDED driver-side Lloyd's over an
+    Arrow-collected sample capped at ``target_fit_rows`` (100k × 64
+    doubles ≈ 50 MB — a coarse quantizer needs a representative subset,
+    never a multi-pass distributed ML job over the 100 TB corpus; the
+    earlier MLlib KMeans formulation spent seconds of job-scheduling
+    overhead to fit 2000 sampled rows). Below the cap the sample is the
+    whole input, so test-scale fits are exact and deterministic.
+
+    Assignment is DISTRIBUTED and single-pass: the centroids fold into
+    the plan as literals and ``_ivf_list`` is argmin over the n_lists
+    squared-distance expressions — a map-only stage, no model object,
+    streaming/foreachBatch-safe."""
+    import numpy as np
 
     if fit_fraction is None:
         n = df.count()  # parquet metadata count — one cheap job
         fit_fraction = min(1.0, target_fit_rows / max(n, 1))
-    vecs = df.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
-    fit_on = vecs.sample(fit_fraction, seed=seed) if fit_fraction < 1.0 else vecs
-    model = KMeans(
-        k=n_lists, seed=seed, maxIter=max_iter, featuresCol="_v", predictionCol="_ivf_list"
-    ).fit(fit_on)
-    assigned = model.transform(vecs).drop("_v")
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    fit_on = df.sample(fit_fraction, seed=seed) if fit_fraction < 1.0 else df
+    X = np.array(
+        fit_on.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .toPandas()["v"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    if len(X) < n_lists:
+        raise ValueError(f"need >= {n_lists} sample vectors, got {len(X)}")
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding (D² sampling): matches the init quality of
+    # MLlib's k-means|| at this scale — uniform init measurably lost
+    # list balance (recall@10 0.56 vs 0.62 at n_probe=4/16 on the
+    # synthetic corpus)
+    first = int(rng.integers(len(X)))
+    centers = [X[first]]
+    d2min = ((X - centers[0]) ** 2).sum(axis=1)
+    for _ in range(n_lists - 1):
+        probs = d2min / d2min.sum() if d2min.sum() > 0 else None
+        nxt = int(rng.choice(len(X), p=probs))
+        centers.append(X[nxt])
+        d2min = np.minimum(d2min, ((X - centers[-1]) ** 2).sum(axis=1))
+    centers = np.array(centers)
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=-1)
+        labels = d2.argmin(axis=1)
+        for j in range(n_lists):
+            members = X[labels == j]
+            if len(members):
+                centers[j] = members.mean(axis=0)
+    centroids = [[float(x) for x in c] for c in centers]
+
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+            for c in centroids
+        ]
+    )
+    # argmin = position of the min element (ties -> first, like numpy)
+    assigned = df.withColumn(
+        "_ivf_list", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
     return assigned, centroids
 
 
@@ -201,7 +248,9 @@ def cosine_topk_ivf(
 
     Measured recall@10 vs brute force (sf0.001, 64-dim RANDOM synthetic
     embeddings — IVF's worst case, neighbors scatter across lists):
-    0.76 at n_probe=4/16, 0.88 at n_probe=8/16.
+    0.88 at n_probe=8/16; 0.56-0.62 at n_probe=4/16 (seed-sensitive at
+    that probe fraction on random vectors — list boundaries are
+    arbitrary when there is no cluster structure to find).
     tests/test_properties.py pins ≥0.7 at n_probe=8 to catch
     assignment bugs; clustered real-world embeddings recall far higher
     at the same probe fraction.
