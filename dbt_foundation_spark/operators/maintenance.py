@@ -80,3 +80,39 @@ def compact_table(
     spark.sql(f"REFRESH TABLE {relation}")
     after = table_file_stats(spark, relation)
     return {"before": before, "after": after, "target_files": n_out}
+
+
+def vacuum_stale(
+    spark: SparkSession,
+    older_than_seconds: float = 7 * 86400,
+    dry_run: bool = False,
+) -> list[str]:
+    """Delete ``*._stale_*`` directories parked in the warehouse by
+    materialize._clear_stale_location (which renames orphaned managed
+    locations aside instead of deleting them — recoverable by design).
+
+    The retention window is the recovery budget: only stale dirs whose
+    rename happened more than ``older_than_seconds`` ago (mtime) are
+    removed, mirroring Delta's VACUUM contract. ``dry_run`` lists
+    without deleting. Local-filesystem warehouses only — exactly the
+    scope in which the rename-aside happens."""
+    import shutil
+    import time
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    uri = urlparse(spark.conf.get("spark.sql.warehouse.dir", "") or "")
+    if uri.scheme not in ("", "file") or not uri.path:
+        return []
+    base = Path(uri.path)
+    if not base.exists():
+        return []
+    cutoff = time.time() - older_than_seconds
+    removed: list[str] = []
+    for cand in base.glob("**/*._stale_*"):
+        if not cand.is_dir() or cand.stat().st_mtime > cutoff:
+            continue
+        if not dry_run:
+            shutil.rmtree(cand)  # failures surface — no ignore_errors
+        removed.append(str(cand))
+    return sorted(removed)

@@ -646,3 +646,94 @@ def test_cluster_by_sorts_within_files(spark, sf_dir):
         vals = pq.read_table(f, columns=["o_custkey"])["o_custkey"].to_pylist()
         assert vals == sorted(vals), f
     spark.sql(f"DROP TABLE {rel}")
+
+
+def test_ivf_index_partition_pruned_search(spark, sf_dir, tmp_path):
+    """search_ivf_index must (a) return the same rows as the in-memory
+    IVF probe over the same centroids and (b) physically read ONLY the
+    probed list partitions — the partition-pruning contract that makes
+    a persisted 100 TB ANN index answer without a corpus scan."""
+    from dbt_foundation_spark.operators.similarity import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from dbt_foundation_spark.queries._util import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(emb, "vec_id", "embedding", path, n_lists=8)
+    assert len(cents) == 8
+
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    got = search_ivf_index(
+        spark, path, "vec_id", "embedding", qv, k=5, n_probe=2, exclude_id=0
+    )
+    # the probe must reach the scan as a PARTITION filter (directory
+    # pruning), not a post-scan predicate: formatted explain shows it
+    # under PartitionFilters with exactly the n_probe list ids
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain(mode="formatted")
+    m = re.search(r"PartitionFilters: \[.*IN \(([^)]*)\)\]", buf.getvalue())
+    assert m, buf.getvalue()[:800]
+    assert len(m.group(1).split(",")) == 2, m.group(1)
+
+    # parity with the in-memory probe over identical centroids
+    rows = {(r["vec_id"], round(r["cosine_sim"], 9)) for r in got.collect()}
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probe_ids = sorted(range(8), key=lambda i: l2(cents[i], qv))[:2]
+    from dbt_foundation_spark.functions import vectors as V
+
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    assigned = spark.read.parquet(f"{path}/lists")
+    want = {
+        (r["vec_id"], round(r["cosine_sim"], 9))
+        for r in assigned.filter(F.col("_ivf_list").isin(probe_ids))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", V.cosine("embedding", q).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(5)
+        .collect()
+    }
+    assert rows == want and len(rows) == 5
+
+
+def test_vacuum_stale_respects_retention(spark):
+    """vacuum_stale removes only parked *._stale_* dirs older than the
+    retention window; fresh parks and live table dirs survive."""
+    import os
+    import time
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    from dbt_foundation_spark.operators.maintenance import vacuum_stale
+
+    base = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+    base.mkdir(parents=True, exist_ok=True)
+    old = base / "t1._stale_deadbeef"
+    fresh = base / "t2._stale_cafebabe"
+    live = base / "t3"
+    for d in (old, fresh, live):
+        d.mkdir(exist_ok=True)
+        (d / "part-0.parquet").write_bytes(b"x")
+    past = time.time() - 10 * 86400
+    os.utime(old, (past, past))
+
+    listed = vacuum_stale(spark, older_than_seconds=7 * 86400, dry_run=True)
+    assert listed == [str(old)] and old.exists()
+
+    removed = vacuum_stale(spark, older_than_seconds=7 * 86400)
+    assert removed == [str(old)]
+    assert not old.exists() and fresh.exists() and live.exists()
+
+    import shutil
+
+    for d in (fresh, live):
+        shutil.rmtree(d, ignore_errors=True)
