@@ -545,3 +545,118 @@ def run_dedup_ingest(
         writer = writer.trigger(availableNow=True)
     q = writer.start()
     q.awaitTermination()
+
+
+def sessionize_tws(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Sessionization on transformWithStateInPandas — Spark 4's typed
+    successor to applyInPandasWithState (named state variables, explicit
+    event-time TIMERS instead of a single timeout slot). Semantics are
+    IDENTICAL to :func:`sessionize_with_state` (O(1) state per user,
+    session closes when the watermark passes last_ts + gap, closed
+    sessions emitted in append mode) — the parity test pins all three
+    sessionizers against each other, so the two stateful APIs guard one
+    another.
+
+    Mechanics worth pinning: timers fire in handleExpiredTimer when the
+    watermark passes their expiry; a timer registered for an
+    already-passed instant still fires on the next watermark advance,
+    which is exactly the clamped-timeout behavior the
+    applyInPandasWithState version hand-codes. Stale timers left behind
+    by a session that was extended are re-checked against the CURRENT
+    gap deadline and re-registered instead of emitting early.
+
+    Requires ``protobuf`` (the TWS state-server wire protocol is
+    protobuf-framed); raises a clear error when absent rather than
+    crashing the streaming Python runner mid-query. The parity test
+    skips in protobuf-less environments — this container is one — and
+    the applyInPandasWithState twin carries the covered path."""
+    try:
+        from google.protobuf import descriptor as _descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise RuntimeError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pyspark's TWS state protocol); install protobuf or use "
+            "sessionize_with_state, which has identical semantics"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+
+    def _us(ts) -> int:
+        return int(ts.value // 1_000)  # pandas Timestamp ns -> µs
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # µs longs, not timestamps: exact integer state arithmetic
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "start long, last_ts long, n bigint"
+            )
+
+        def _emit(self, key):
+            start, last, n = self._sess.get()
+            self._sess.clear()
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            start, last, n = (None, None, 0)
+            if self._sess.exists():
+                start, last, n = self._sess.get()
+            ts_all = []
+            for pdf in rows:
+                ts_all.extend(_us(t) for t in pdf["ts"])
+            for t in sorted(ts_all):
+                if last is not None and t - last > gap_us:
+                    yield pd.DataFrame(
+                        {
+                            "user_id": [key[0]],
+                            "session_start": [pd.Timestamp(start, unit="us")],
+                            "session_end": [pd.Timestamp(last, unit="us")],
+                            "n_events": [n],
+                        }
+                    )
+                    start, last, n = t, t, 1
+                else:
+                    start = start if start is not None else t
+                    last, n = t, n + 1
+            if last is not None:
+                self._sess.update((start, last, n))
+                self._handle.registerTimer((last + gap_us) // 1000 + 1)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._sess.exists():
+                return iter(())
+            _, last, _ = self._sess.get()
+            deadline_ms = (last + gap_us) // 1000 + 1
+            if timerValues.getCurrentWatermarkInMs() >= deadline_ms:
+                yield self._emit(key)
+            else:
+                # stale timer from before the session was extended:
+                # re-arm for the current deadline, emit nothing
+                self._handle.registerTimer(
+                    max(deadline_ms, timerValues.getCurrentWatermarkInMs() + 1)
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionProcessor(),
+            outputStructType=_SESSION_OUT,
+            outputMode="append",
+            timeMode="EventTime",
+        )
+    )

@@ -737,3 +737,24 @@ def test_vacuum_stale_respects_retention(spark):
 
     for d in (fresh, live):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_analyze_tables_feeds_cbo(spark, sf_dir):
+    """analyze_tables must land table-level stats in the catalog (the
+    CBO's broadcast/join-reorder feed) and per-column stats when asked."""
+    import uuid
+
+    from dbt_foundation_spark.operators.maintenance import analyze_tables
+    from dbt_foundation_spark.sources.registry import load_table
+
+    rel = f"default.stats_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "nation").write.saveAsTable(rel)
+    try:
+        got = analyze_tables(spark, [rel], columns={rel: ["n_nationkey", "n_name"]})
+        assert got[rel]["row_count"] == 25
+        assert got[rel]["size_bytes"] and got[rel]["size_bytes"] > 0
+        colstats = spark.sql(f"DESCRIBE EXTENDED {rel} n_nationkey").collect()
+        kv = {r["info_name"]: r["info_value"] for r in colstats}
+        assert kv.get("distinct_count") == "25"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {rel}")

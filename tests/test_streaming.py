@@ -626,3 +626,65 @@ def test_dedup_ingest_stream_matches_sequential(spark, sf_dir, staging):
     assert 1101 in got
     for p in ("s_index", "q_index", "ingest_stream", "ingest_out"):
         shutil.rmtree(root / p, ignore_errors=True)
+
+
+def test_tws_sessionization_matches_state_api(spark, sf_dir, staging):
+    """The transformWithStateInPandas sessionizer must close the same
+    sessions as the applyInPandasWithState one on the same ordered
+    stream (the two stateful APIs guard each other), and both must be a
+    subset of batch session_window with equality for sessions whose
+    deadline the final watermark passed."""
+    import time as _time
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="TWS state protocol needs protobuf (absent in this container)",
+    )
+    from dbt_foundation_spark.streaming.pipeline import (
+        sessionize_tws,
+        sessionize_with_state,
+    )
+
+    ev = _events(spark, sf_dir)
+    bounds = ev.select(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) / 4
+    ordered_dir = staging["root"] / "events_ordered_tws"
+    for i in range(4):
+        chunk = ev.filter(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (lo + (i + 1) * span) if i < 3 else F.lit(True))
+        )
+        chunk.coalesce(1).write.mode("append").parquet(str(ordered_dir))
+        _time.sleep(1.1)
+
+    def run(make, table):
+        stream = read_event_stream(spark, str(ordered_dir), max_files_per_trigger=1)
+        run_available_now(
+            make(stream, gap_seconds=1800), _ckpt(staging), table,
+            output_mode="append",
+        )
+        return {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.table(table).collect()
+        }
+
+    got_tws = run(sessionize_tws, "s_tws_sessions")
+    got_state = run(sessionize_with_state, "s_state_sessions_ref")
+    assert got_tws, "no sessions closed"
+    assert got_tws == got_state  # API parity on identical input
+
+    batch = (
+        _events(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert got_tws <= want
