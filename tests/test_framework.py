@@ -580,3 +580,77 @@ def test_source_freshness_grades(spark, sf_dir):
     # sources without loaded_at_field are skipped, not graded
     reg.add(Source("raw", "nation", path=f"{sf_dir}/nation.parquet"))
     assert len(check_freshness(spark, reg, now=mx)) == 1
+
+
+def test_unit_tests_function_and_sql_models(project, spark):
+    """dbt-1.8-style unit tests: model logic runs against mocked
+    ref/source fixture rows (partial columns NULL-fill with the real
+    input's types), output compared on exactly the expect columns."""
+    from dbt_foundation_spark.unit_tests import run_unit_test
+
+    @project.model
+    def stg_ut_orders(ctx):
+        return ctx.source("raw", "orders")
+
+    @project.model
+    def fct_big_spenders(ctx):
+        return (
+            ctx.ref("stg_ut_orders")
+            .groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("spend"))
+            .filter(F.col("spend") > 100.0)
+        )
+
+    r = run_unit_test(
+        project,
+        "fct_big_spenders",
+        given={"stg_ut_orders": [
+            {"o_custkey": 1, "o_totalprice": 60.0},
+            {"o_custkey": 1, "o_totalprice": 50.0},
+            {"o_custkey": 2, "o_totalprice": 99.0},
+        ]},
+        expect=[{"o_custkey": 1, "spend": 110.0}],
+    )
+    assert r.status == "pass", r.message
+
+    # failure is reported, not raised
+    bad = run_unit_test(
+        project,
+        "fct_big_spenders",
+        given={"stg_ut_orders": [{"o_custkey": 2, "o_totalprice": 99.0}]},
+        expect=[{"o_custkey": 2, "spend": 99.0}],
+    )
+    assert bad.status == "fail" and "rows differ" in bad.message
+
+    # source mocking + partial fixture (other orders columns NULL-fill)
+    r2 = run_unit_test(
+        project,
+        "stg_ut_orders",
+        given={"raw.orders": [{"o_orderkey": 7, "o_totalprice": 1.5}]},
+        expect=[{"o_orderkey": 7, "o_orderstatus": None}],
+    )
+    assert r2.status == "pass", r2.message
+
+    # SQL-string model
+    project.model(
+        "SELECT o_custkey, COUNT(*) AS n FROM ref('stg_ut_orders') GROUP BY o_custkey",
+        name="sql_ut_counts",
+    )
+    r3 = run_unit_test(
+        project,
+        "sql_ut_counts",
+        given={"stg_ut_orders": [{"o_custkey": 3}, {"o_custkey": 3}]},
+        expect=[{"o_custkey": 3, "n": 2}],
+    )
+    assert r3.status == "pass", r3.message
+
+    # unmocked read and never-read mock both fail loudly
+    gap = run_unit_test(project, "fct_big_spenders", given={}, expect=[])
+    assert gap.status == "error" and "not mocked" in gap.message
+    stale = run_unit_test(
+        project,
+        "stg_ut_orders",
+        given={"raw.orders": [], "raw.lineitem": [{"l_orderkey": 1}]},
+        expect=[],
+    )
+    assert stale.status == "error" and "never read" in stale.message
