@@ -32,6 +32,8 @@ class NodeConfig:
     buckets: int = 0  # bucket count (with bucket_by)
     cluster_by: tuple[str, ...] = ()  # sort-within-files data-skipping layout
     on_schema_change: str = "ignore"  # ignore | fail | append_new_columns | sync_all_columns
+    pre_hook: tuple[str, ...] = ()  # SQL run before materialization ({this} -> relation)
+    post_hook: tuple[str, ...] = ()  # SQL run after materialization
     incremental_predicates: tuple[str, ...] = ()  # SQL conjuncts bounding the merge scan
     extra: dict[str, Any] = field(default_factory=dict)
 

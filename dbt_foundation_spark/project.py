@@ -201,6 +201,8 @@ class Project:
         cluster_by: tuple[str, ...] = (),
         on_schema_change: str = "ignore",
         incremental_predicates: tuple[str, ...] = (),
+        pre_hook: tuple[str, ...] = (),
+        post_hook: tuple[str, ...] = (),
         tags: tuple[str, ...] = (),
         columns: dict[str, dict] | None = None,
         package: str | None = None,
@@ -239,6 +241,8 @@ class Project:
                 cluster_by=tuple(cluster_by),
                 on_schema_change=on_schema_change,
                 incremental_predicates=tuple(incremental_predicates),
+                pre_hook=tuple(pre_hook),
+                post_hook=tuple(post_hook),
             )
             node = Node(
                 name=node_name,
@@ -426,10 +430,17 @@ class Project:
         t0 = time.perf_counter()
         try:
             self._tag(node)
+            # dbt pre/post hooks: arbitrary SQL around the
+            # materialization; {this} resolves to the node's relation
+            # (dbt's {{ this }}). Hook failures fail the node.
+            for hook in node.config.pre_hook:
+                self.spark.sql(hook.replace("{this}", self.relation_name(node)))
             df = self._frames.get(node.name)
             if df is None:
                 df = self.build_frame(node)
             rows, persisted = materialize(self, node, df)
+            for hook in node.config.post_hook:
+                self.spark.sql(hook.replace("{this}", self.relation_name(node)))
             if persisted:
                 self._materialized.add(node.name)
                 self._frames.pop(node.name, None)  # consumers read the relation

@@ -283,3 +283,77 @@ def run_tests(
         except Exception as e:  # noqa: BLE001
             results.append(TestResult(model, label, "error", message=str(e)))
     return results
+
+
+# ---------- configured runs: severity / thresholds / store_failures ----------
+
+
+_CMP_RE = __import__("re").compile(r"^\s*(!=|>=|<=|>|<|=)\s*(\d+)\s*$")
+
+
+def _threshold_met(condition: str, failures: int) -> bool:
+    """dbt threshold strings: '!=0' (default), '>10', '>=5', ..."""
+    m = _CMP_RE.match(condition)
+    if not m:
+        raise ValueError(f"unsupported threshold expression: {condition!r}")
+    op, rhs = m.group(1), int(m.group(2))
+    return {
+        "!=": failures != rhs,
+        ">=": failures >= rhs,
+        "<=": failures <= rhs,
+        ">": failures > rhs,
+        "<": failures < rhs,
+        "=": failures == rhs,
+    }[op]
+
+
+@dataclass
+class TestSpec:
+    """One configured test — dbt's test-config block.
+
+    severity='warn' caps the outcome at warn; error_if/warn_if are
+    failure-count thresholds (dbt defaults: '!=0'); store_failures
+    persists the violation rows to an audit table named
+    ``<schema>.test_failures__<model>__<label>`` so failures are
+    queryable after the run (dbt's --store-failures)."""
+
+    model: str
+    label: str
+    fn: TestFn
+    severity: str = "error"  # error | warn
+    error_if: str = "!=0"
+    warn_if: str = "!=0"
+    store_failures: bool = False
+    limit: int | None = None
+
+
+def run_configured_tests(project, specs: list[TestSpec]) -> list[TestResult]:
+    """Execute TestSpecs with dbt severity semantics: count violations,
+    then status = error if (severity=error and error_if met), else warn
+    if warn_if met, else pass."""
+    import re as _re
+
+    results: list[TestResult] = []
+    for s in specs:
+        try:
+            violations = s.fn(project._node_frame(s.model))
+            if s.limit is not None:
+                violations = violations.limit(s.limit)
+            n = 0 if violations.isEmpty() else violations.count()
+            if s.severity == "error" and _threshold_met(s.error_if, n):
+                status = "fail"
+            elif _threshold_met(s.warn_if, n):
+                status = "warn"
+            else:
+                status = "pass"
+            if s.store_failures and n:
+                safe = _re.sub(r"\W+", "_", f"{s.model}__{s.label}")
+                rel = f"{project.target.schema}.test_failures__{safe}"
+                project.spark.sql(
+                    f"CREATE DATABASE IF NOT EXISTS {project.target.schema}"
+                )
+                violations.write.mode("overwrite").saveAsTable(rel)
+            results.append(TestResult(s.model, s.label, status, n))
+        except Exception as e:  # noqa: BLE001
+            results.append(TestResult(s.model, s.label, "error", message=str(e)))
+    return results

@@ -654,3 +654,73 @@ def test_unit_tests_function_and_sql_models(project, spark):
         expect=[],
     )
     assert stale.status == "error" and "never read" in stale.message
+
+
+def test_configured_tests_severity_thresholds_store_failures(project, spark):
+    from dbt_foundation_spark.testing import (
+        TestSpec,
+        not_null,
+        run_configured_tests,
+        unique,
+    )
+
+    spark.createDataFrame(
+        [(1,), (1,), (2,), (None,)], "id int"
+    ).createOrReplaceTempView("tc_src")
+
+    @project.model(materialized="table")
+    def tc_model(ctx):
+        return spark.table("tc_src")
+
+    project.run()
+    res = {
+        (r.test): r
+        for r in run_configured_tests(
+            project,
+            [
+                TestSpec("tc_model", "uniq_default", unique("id")),
+                TestSpec("tc_model", "uniq_warnonly", unique("id"), severity="warn"),
+                TestSpec(
+                    "tc_model", "nn_tolerant", not_null("id"), error_if=">5",
+                    warn_if=">0",
+                ),
+                TestSpec(
+                    "tc_model", "uniq_stored", unique("id"), store_failures=True
+                ),
+            ],
+        )
+    }
+    # one violation row per DUPLICATED KEY (dbt's unique-test shape)
+    assert res["uniq_default"].status == "fail" and res["uniq_default"].failures == 1
+    assert res["uniq_warnonly"].status == "warn"
+    # 1 null: error_if '>5' not met, warn_if '>0' met -> warn
+    assert res["nn_tolerant"].status == "warn" and res["nn_tolerant"].failures == 1
+    stored = spark.table(
+        f"{project.target.schema}.test_failures__tc_model__uniq_stored"
+    )
+    assert stored.count() == 1  # the duplicated key row is queryable
+
+
+def test_pre_post_hooks_run_with_this(project, spark):
+    """pre_hook runs before the build, post_hook after with {this}
+    resolved — the dbt hook contract (grants, audit rows, ANALYZE)."""
+    import uuid
+
+    audit = f"default.hook_audit_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE TABLE {audit} (evt STRING, at TIMESTAMP) USING parquet")
+
+    @project.model(
+        materialized="table",
+        pre_hook=(f"INSERT INTO {audit} VALUES ('pre', current_timestamp())",),
+        post_hook=(
+            f"INSERT INTO {audit} SELECT 'post_' || COUNT(*), current_timestamp() FROM {{this}}",
+        ),
+    )
+    def hooked_model(ctx):
+        return spark.range(3)
+
+    results = {r.node: r for r in project.run(select={"hooked_model"})}
+    assert results["hooked_model"].status == "success"
+    evts = [r.evt for r in spark.table(audit).orderBy("at").collect()]
+    assert evts == ["pre", "post_3"]  # post hook saw the materialized rows
+    spark.sql(f"DROP TABLE {audit}")
