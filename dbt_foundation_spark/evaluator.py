@@ -33,6 +33,9 @@ coverage" families):
   (``fct_staging_dependent_on_marts_or_intermediate``).
 - duplicate_sources: two declared sources point at the same physical
   relation (path or catalog table) — ``fct_duplicate_sources``.
+- exposure_parent_materialization: an exposure (dashboard/ML job)
+  depends on a view or ephemeral model — BI-facing parents should be
+  persisted contracts (``fct_exposure_parents_materializations``).
 - test_coverage / documentation_coverage: PROJECT-WIDE ratios of models
   carrying column tests / docs, flagged when below a configurable
   threshold (the package's ``fct_test_coverage`` /
@@ -216,6 +219,20 @@ def evaluate(
         findings.append(
             Finding("unused_sources", f"{src[0]}.{src[1]}", "declared but never read")
         )
+    for n in manifest.nodes.values():
+        if n.resource_type != "exposure":
+            continue
+        for dep in sorted(n.depends_on):
+            parent = models.get(dep)
+            if parent and parent.config.materialized in ("view", "ephemeral"):
+                findings.append(
+                    Finding(
+                        "exposure_parent_materialization",
+                        n.name,
+                        f"depends on {parent.config.materialized} model {dep} — "
+                        "exposure parents should be table/incremental",
+                    )
+                )
     by_target: dict[str, list[str]] = {}
     for s in project.sources.items():
         target = s.catalog_table or (f"{s.fmt}:{s.path}" if s.path else None)

@@ -401,7 +401,10 @@ class Project:
         """Parse phase: build every model frame once so ref()/source()
         calls register DAG edges (dbt's Jinja capture render)."""
         for node in self.manifest.nodes.values():
-            if node.name not in self._frames and node.resource_type != "test":
+            if node.name not in self._frames and node.resource_type not in (
+                "test",
+                "exposure",
+            ):
                 try:
                     self._frames[node.name] = self.build_frame(node)
                 except Exception:
@@ -496,16 +499,55 @@ class Project:
                     self._frames.pop(name, None)
         return results
 
+    def exposure(
+        self,
+        name: str,
+        depends_on: tuple[str, ...],
+        exposure_type: str = "dashboard",
+        owner: str | None = None,
+        url: str | None = None,
+        description: str = "",
+    ) -> None:
+        """Declare an EXPOSURE — a downstream consumer (dashboard,
+        notebook, ML job) of one or more models (dbt exposures.yml).
+        Exposures are graph nodes but never run; they exist so lineage
+        answers "who breaks if this model changes" and so the evaluator
+        can check that BI-facing parents are materialized contracts
+        (dbt_project_evaluator's fct_exposure_parents_materializations).
+        ``depends_on`` refs resolve at declaration — declare exposures
+        after their models so typos fail here, not in a dashboard."""
+        from dbt_foundation_spark.manifest import Node, NodeConfig
+
+        node = Node(
+            name=name,
+            resource_type="exposure",
+            config=NodeConfig(),
+        )
+        for dep in depends_on:
+            node.depends_on.add(self.manifest.resolve_ref(dep))
+        node.config.extra.update(
+            {
+                "exposure_type": exposure_type,
+                "owner": owner,
+                "url": url,
+                "description": description,
+            }
+        )
+        self.manifest.add(node)
+
     # ---------- state:modified+ ----------
 
     def state_snapshot(self) -> dict[str, str]:
         return {n.name: n.checksum() for n in self.manifest.nodes.values()}
 
-    def modified_plus(self, previous_state: dict[str, str]) -> set[str]:
-        """Selector: changed nodes and all downstream (README.md:280)."""
-        changed = {
+    def modified(self, previous_state: dict[str, str]) -> set[str]:
+        """Selector primitive: nodes whose checksum changed vs the snapshot."""
+        return {
             n.name
             for n in self.manifest.nodes.values()
             if previous_state.get(n.name) != n.checksum()
         }
-        return self.manifest.downstream(changed)
+
+    def modified_plus(self, previous_state: dict[str, str]) -> set[str]:
+        """Selector: changed nodes and all downstream (README.md:280)."""
+        return self.manifest.downstream(self.modified(previous_state))

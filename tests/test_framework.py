@@ -724,3 +724,94 @@ def test_pre_post_hooks_run_with_this(project, spark):
     evts = [r.evt for r in spark.table(audit).orderBy("at").collect()]
     assert evts == ["pre", "post_3"]  # post hook saw the materialized rows
     spark.sql(f"DROP TABLE {audit}")
+
+
+def test_selector_grammar(project, spark):
+    """dbt --select grammar: graph walks (+model, model+, @model),
+    tag: and config.-field matches, union + exclude, typo'd names raise."""
+    import pytest as _pytest
+
+    from dbt_foundation_spark.selectors import select_nodes
+
+    @project.model(materialized="table", tags=("nightly",))
+    def sel_base(ctx):
+        return spark.range(2)
+
+    @project.model(materialized="table")
+    def sel_mid(ctx):
+        return ctx.ref("sel_base")
+
+    @project.model(tags=("nightly",))
+    def sel_leaf(ctx):
+        return ctx.ref("sel_mid")
+
+    @project.model(materialized="table")
+    def sel_other(ctx):
+        return spark.range(1)
+
+    project.run()
+    S = lambda *a, **k: select_nodes(project, *a, **k) & {
+        "sel_base", "sel_mid", "sel_leaf", "sel_other"
+    }
+    assert S("sel_mid") == {"sel_mid"}
+    assert S("+sel_mid") == {"sel_base", "sel_mid"}
+    assert S("sel_mid+") == {"sel_mid", "sel_leaf"}
+    assert S("+sel_mid+") == {"sel_base", "sel_mid", "sel_leaf"}
+    assert S("@sel_mid") == {"sel_base", "sel_mid", "sel_leaf"}
+    assert S("tag:nightly") == {"sel_base", "sel_leaf"}
+    assert S("config.materialized:table") >= {"sel_base", "sel_mid", "sel_other"}
+    assert S("sel_mid+ sel_other") == {"sel_mid", "sel_leaf", "sel_other"}
+    assert S("+sel_leaf", exclude="tag:nightly") == {"sel_mid"}
+    with _pytest.raises(KeyError, match="sel_typo"):
+        select_nodes(project, "sel_typo+")
+    # state:modified routes through the checksum snapshot
+    state = project.state_snapshot()
+    project.manifest["sel_base"].sql = "SELECT 1 AS id"
+    project.manifest["sel_base"].fn = None
+    assert S("state:modified", state=state) == {"sel_base"}
+    assert S("state:modified+", state=state) == {"sel_base", "sel_mid", "sel_leaf"}
+
+
+def test_exposures_and_docs_artifacts(project, spark, tmp_path):
+    """Exposures are never-run graph nodes whose weak (view/ephemeral)
+    parents the evaluator flags; generate_docs emits manifest+catalog
+    artifacts covering nodes, exposures and materialized relations."""
+    import json
+
+    from dbt_foundation_spark.docs import generate_docs
+    from dbt_foundation_spark.evaluator import evaluate
+
+    @project.model(materialized="table")
+    def exp_fct(ctx):
+        return spark.range(2)
+
+    @project.model  # view: a weak exposure parent
+    def exp_view(ctx):
+        return ctx.ref("exp_fct")
+
+    project.exposure(
+        "weekly_dashboard",
+        depends_on=("exp_fct", "exp_view"),
+        owner="data-team",
+        url="https://bi.example/d/42",
+    )
+    results = {r.node for r in project.run()}
+    assert "weekly_dashboard" not in results  # exposures never execute
+
+    flagged = [
+        f for f in evaluate(project) if f.check == "exposure_parent_materialization"
+    ]
+    assert [f.node for f in flagged] == ["weekly_dashboard"]
+    assert "exp_view" in flagged[0].detail
+
+    arts = generate_docs(project, path=str(tmp_path))
+    m = json.loads((tmp_path / "manifest.json").read_text())
+    assert m["exposures"]["weekly_dashboard"]["depends_on"] == [
+        "exp_fct", "exp_view",
+    ]
+    assert m["nodes"]["exp_fct"]["materialized"] == "table"
+    assert m["nodes"]["exp_fct"]["checksum"]
+    cat = json.loads((tmp_path / "catalog.json").read_text())
+    rel = project.relation_name(project.manifest["exp_fct"])
+    assert any(c["name"] == "id" for c in cat[rel]["columns"])
+    assert arts["manifest"]["sources"]  # testdata sources are declared
