@@ -454,8 +454,20 @@ class Project:
             logger.exception("node %s failed", node.name)
             return RunResult(node.name, "error", None, time.perf_counter() - t0, str(e))
 
-    def run(self, select: set[str] | None = None) -> list[RunResult]:
-        """Build the DAG: topo generations, each on a thread pool."""
+    def run(
+        self,
+        select: set[str] | None = None,
+        selector: str | None = None,
+        exclude: str | None = None,
+        state: dict[str, str] | None = None,
+    ) -> list[RunResult]:
+        """Build the DAG: topo generations, each on a thread pool.
+
+        ``select`` (a literal node-name set) keeps its historical
+        contract: the named nodes AND their downstream run. ``selector``
+        takes the dbt --select grammar instead (see selectors.py) and
+        runs EXACTLY the selection — graph expansion is spelled in the
+        expression (``+name+``), not implied."""
         for node in self.manifest.nodes.values():
             if node.resource_type in ("model", "snapshot", "seed"):
                 self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.schema_for(node)}")
@@ -468,8 +480,14 @@ class Project:
             for n in self.manifest.nodes.values()
             if n.resource_type in ("model", "seed", "snapshot")
         }
+        if select is not None and selector is not None:
+            raise ValueError("pass either select= or selector=, not both")
         if select is not None:
             runnable &= self.manifest.downstream(select)
+        if selector is not None:
+            from dbt_foundation_spark.selectors import select_nodes
+
+            runnable &= select_nodes(self, selector, exclude=exclude, state=state)
         results: list[RunResult] = []
         failed: set[str] = set()
         for gen in self.manifest.topo_generations(runnable):

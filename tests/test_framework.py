@@ -815,3 +815,18 @@ def test_exposures_and_docs_artifacts(project, spark, tmp_path):
     rel = project.relation_name(project.manifest["exp_fct"])
     assert any(c["name"] == "id" for c in cat[rel]["columns"])
     assert arts["manifest"]["sources"]  # testdata sources are declared
+
+
+def test_run_with_selector_expression(project, spark):
+    @project.model(materialized="table", tags=("gold",))
+    def rs_a(ctx):
+        return spark.range(1)
+
+    @project.model(materialized="table")
+    def rs_b(ctx):
+        return ctx.ref("rs_a")
+
+    done = {r.node for r in project.run(selector="+rs_b")}
+    assert done >= {"rs_a", "rs_b"}
+    only = {r.node for r in project.run(selector="tag:gold")} & {"rs_a", "rs_b"}
+    assert only == {"rs_a"}  # exact selection, no implied downstream
