@@ -62,11 +62,18 @@ def main() -> None:
     # job the plan compiles once and the map stage runs for hours, so
     # the warm number is the per-operator cost that scales. Re-run the
     # top-10 slowest once warm and report both.
+    # two warm samples, keep the MIN: single warm samples on 1-3 s
+    # queries jitter +/-30% between bench invocations (GC, OS caches),
+    # which made the regression flagger cry wolf on unchanged code; the
+    # minimum is the stable statistic for "how fast can this plan go"
     warm: dict[str, float] = {}
     for name in sorted(timings, key=lambda q: -timings[q])[:10]:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        warm[name] = round(min(samples), 4)
 
     total = round(sum(timings.values()), 4)
     # Round-over-round regression flagging (round-3 ask #5): compare
@@ -94,8 +101,11 @@ def main() -> None:
             else:
                 continue
             # ratio + absolute-delta floor: 1.3× of a 0.35 s query is
-            # scheduler jitter, 1.3× of a 2 s query is a real regression
-            if p >= 0.3 and c > 1.3 * p and (c - p) >= 0.25:
+            # scheduler jitter, 1.3× of a 2 s query is a real regression.
+            # Cold-basis comparisons get a higher floor — a single cold
+            # sample under ~0.6 s is dominated by scheduling noise
+            floor = 0.3 if kind == "warm" else 0.6
+            if p >= floor and c > 1.3 * p and (c - p) >= 0.25:
                 regressions.append(
                     {
                         "query": name,
