@@ -128,17 +128,53 @@ def run_example_tests(project: Project):
 
 
 def main() -> None:  # pragma: no cover - direct invocation path
+    import tempfile
+
+    from dbt_foundation_spark.docs import generate_docs
     from dbt_foundation_spark.session import get_spark
+    from dbt_foundation_spark.unit_tests import run_unit_test
 
     spark = get_spark(app_name="example_pipeline")
-    project = build_project(spark, "/root/testdata/sf0.001")
-    for r in project.run():
+    sf_dir = "/root/testdata/sf0.001"
+    project = build_project(spark, sf_dir)
+    # dashboards are lineage nodes: the evaluator flags view parents
+    project.exposure(
+        "revenue_dashboard", depends_on=("fct_pricing_summary",), owner="analytics"
+    )
+    # selector grammar: run the pricing mart and everything it needs
+    for r in project.run(selector="+fct_pricing_summary"):
+        print(f"{r.status:8s} {r.node}")
+    for r in project.run():  # then the rest
         print(f"{r.status:8s} {r.node}")
     for t in run_example_tests(project):
         print(f"{t.status:5s} {t.model}.{t.test}")
+    # dbt-1.8 unit test: model logic on fixture rows, no warehouse reads
+    ut = run_unit_test(
+        project,
+        "fct_pricing_summary",
+        given={"stg_lineitem": [
+            {"l_returnflag": "A", "l_linestatus": "F", "l_quantity": 2.0,
+             "l_extendedprice": 10.0, "l_discount": 0.0, "l_tax": 0.0,
+             "l_shipdate": "1995-01-01"},
+        ]},
+        expect=[{"l_returnflag": "A", "sum_qty": 2.0}],
+    )
+    print(f"unit  fct_pricing_summary: {ut.status} {ut.message or ''}")
+    # source freshness: graded against the declared budgets
+    from dbt_foundation_spark.sources.registry import check_freshness
+
+    for row in check_freshness(spark, project.sources):
+        print(f"fresh {row['source']}.{row['table']}: {row['status']}")
     for f in evaluate(project):
         print(f"lint: {f}")
     default_registry().run("list_orphaned_objects", project)
+    # docs artifacts: manifest.json + catalog.json
+    with tempfile.TemporaryDirectory() as td:
+        arts = generate_docs(project, path=td)
+        print(
+            f"docs: {len(arts['manifest']['nodes'])} nodes, "
+            f"{len(arts['catalog'])} cataloged relations"
+        )
 
 
 if __name__ == "__main__":
