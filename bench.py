@@ -45,6 +45,21 @@ def main() -> None:
         floor_runs.append(time.perf_counter() - t0)
     overhead_floor = round(sorted(floor_runs)[len(floor_runs) // 2], 4)
 
+    # CPU calibration probe: a fixed, cache-independent JVM compute
+    # (200M xxhash64 across all cores). Same-code warm timings drift
+    # 20-40% across VM boots (CPU frequency / host neighbors), which a
+    # per-boot probe captures and the scheduler-floor above does not;
+    # regression comparisons below scale the previous round's numbers
+    # by the probe ratio so only code-caused slowdowns flag.
+    calib_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(xxhash64(id) % 1000000) s"  # modulo: no ANSI bigint overflow
+        ).collect()
+        calib_runs.append(time.perf_counter() - t0)
+    calib = round(min(calib_runs), 4)
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
@@ -66,8 +81,38 @@ def main() -> None:
     # queries jitter +/-30% between bench invocations (GC, OS caches),
     # which made the regression flagger cry wolf on unchanged code; the
     # minimum is the stable statistic for "how fast can this plan go"
+    detail_path = Path(__file__).resolve().parent / "bench_detail.json"
+    try:
+        prev = json.loads(detail_path.read_text())
+    except (OSError, ValueError):
+        prev = None
+    if prev and prev.get("sf") != sf:
+        prev = None
+    prev_cold = (prev or {}).get("queries", {})
+    prev_warm = (prev or {}).get("warm_top10", {})
+
+    # cold-basis regression CANDIDATES get verified warm below: a single
+    # cold sample folds plan+codegen compile (measured 0.7→3.3 s swings
+    # on unchanged queries), so flagging straight off it cries wolf.
+    def _looks_worse(p: float, c: float, floor: float) -> bool:
+        # ratio + absolute-delta floor: 1.3× of a 0.35 s query is
+        # scheduler jitter, 1.3× of a 2 s query is a real regression.
+        return p >= floor and c > 1.3 * p and (c - p) >= 0.25
+
+    candidates = {
+        name
+        for name, cur in timings.items()
+        if name in prev_warm or name in prev_cold
+        if _looks_worse(
+            prev_warm.get(name, prev_cold.get(name, 0.0)),
+            cur,
+            0.3 if name in prev_warm else 0.6,
+        )
+    }
     warm: dict[str, float] = {}
-    for name in sorted(timings, key=lambda q: -timings[q])[:10]:
+    for name in sorted(
+        set(sorted(timings, key=lambda q: -timings[q])[:10]) | candidates
+    ):
         samples = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -78,34 +123,32 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     # Round-over-round regression flagging (round-3 ask #5): compare
     # against the PREVIOUS committed bench_detail.json before
-    # overwriting it. Warm-vs-warm where both rounds re-ran the query
-    # warm (the number that scales — cold folds one-time codegen),
-    # cold-vs-cold otherwise; only at the same SF, and only above a
-    # floor that keeps scheduler jitter on sub-second queries from
-    # flagging.
-    detail_path = Path(__file__).resolve().parent / "bench_detail.json"
+    # overwriting it; only at the same SF. Basis preference:
+    # warm-vs-warm (the number that scales — cold folds one-time
+    # codegen), else the current WARM min against the previous cold
+    # sample (a warm run still slower than last round's cold one is a
+    # real regression; one merely matching it is compile noise), else
+    # cold-vs-cold for queries the warm pass didn't reach.
     regressions = []
-    try:
-        prev = json.loads(detail_path.read_text())
-    except (OSError, ValueError):
-        prev = None
-    if prev and prev.get("sf") == sf:
-        prev_cold = prev.get("queries", {})
-        prev_warm = prev.get("warm_top10", {})
+    if prev:
+        # normalize the previous round's numbers to THIS boot's CPU
+        # speed via the calibration probes (clamped — a >2× probe swing
+        # means something else is wrong and should flag, not absorb)
+        prev_calib = prev.get("calib_sec")
+        speed = min(2.0, max(0.5, calib / prev_calib)) if prev_calib else 1.0
         for name, cur in timings.items():
             cur_w = warm.get(name)
             if name in prev_warm and cur_w is not None:
                 p, c, kind = prev_warm[name], cur_w, "warm"
+            elif name in prev_cold and cur_w is not None:
+                p, c, kind = prev_cold[name], cur_w, "warm-vs-cold"
             elif name in prev_cold:
                 p, c, kind = prev_cold[name], cur, "cold"
             else:
                 continue
-            # ratio + absolute-delta floor: 1.3× of a 0.35 s query is
-            # scheduler jitter, 1.3× of a 2 s query is a real regression.
-            # Cold-basis comparisons get a higher floor — a single cold
-            # sample under ~0.6 s is dominated by scheduling noise
+            p = round(p * speed, 4)
             floor = 0.3 if kind == "warm" else 0.6
-            if p >= floor and c > 1.3 * p and (c - p) >= 0.25:
+            if _looks_worse(p, c, floor):
                 regressions.append(
                     {
                         "query": name,
@@ -128,6 +171,7 @@ def main() -> None:
         "regressions": regressions,
         "overhead_floor_sec": overhead_floor,
         "overhead_floor_total": round(overhead_floor * len(timings), 2),
+        "calib_sec": calib,
         "sf": sf,
     }
     detail_path.write_text(json.dumps(detail, indent=1))
@@ -143,6 +187,7 @@ def main() -> None:
                 "regressions": regressions[:5],
                 "n_queries": len(timings),
                 "overhead_floor_sec": overhead_floor,
+                "calib_sec": calib,
                 "detail": "bench_detail.json",
                 "sf": sf,
             }

@@ -16,7 +16,7 @@ which DuckDB's SQL surface lacks for hex).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -123,3 +123,90 @@ def mixture_resample(
         .filter(_hash_bucket(F.col(id_col), salt) < F.col("_thr"))
         .drop("_rate", "_thr")
     )
+
+
+def budget_select(
+    df: DataFrame,
+    *,
+    id_col: str,
+    score_col: str,
+    cost_col: str,
+    budget: int | DataFrame,
+    bins: int = 1000,
+) -> DataFrame:
+    """Greedy budget-constrained selection without a global sort.
+
+    Picks rows in (score desc, id asc) order while the running sum of
+    ``cost_col`` stays within ``budget`` — the exact prefix a single
+    global ``ORDER BY … ROWS UNBOUNDED PRECEDING`` running-sum window
+    would select, but computed scalably:
+
+    - **phase A** buckets rows into ``bins`` coarse score bins
+      (``floor(score*bins)``, map-side) and aggregates per-bin cost
+      totals — one tiny shuffle whose output is ≤ ``bins``+1 rows.
+      The descending cumulative over those aggregate rows (the one
+      unpartitioned window here, metadata-scale by construction)
+      marks every bin whose cumulative fits as selected wholesale.
+    - **phase B** runs the fine running-sum window ONLY over the single
+      boundary bin the budget crosses, partitioned by bin — window
+      state is bounded by one bin's rows, never the corpus.
+
+    Equivalence to the naive plan: the global (score desc, id) order
+    visits bins in descending order and rows of one bin contiguously
+    (floor is monotone), and costs are ≥ 1, so "running ≤ budget" is a
+    prefix — full bins plus the boundary bin's inner prefix IS that
+    prefix. Exactly one bin can be partial: cumulative-before is
+    monotone across bins, so only the crossing bin has
+    ``before < budget < before + bin_cost``.
+
+    A naive global-order window puts the whole corpus through one
+    task; at 100 TB that is the difference between a 2-minute and a
+    never-finishing stage. Raise ``bins`` if one bin's rows could
+    outgrow an executor (narrower bins ⇒ smaller phase-B partition).
+
+    ``budget`` is either a plain int or a 1-row DataFrame with a
+    ``budget`` column (e.g. ``floor(0.4 * sum(cost))`` — a genuinely
+    bounded scalar, so its broadcast is always correct).
+    Scores must lie in [0, 1]; costs must be positive.
+    """
+    scalar = F.broadcast(budget) if isinstance(budget, DataFrame) else None
+    scored = df.withColumn(
+        "_bin", F.floor(F.col(score_col) * F.lit(bins)).cast("int")
+    )
+    bin_tot = scored.groupBy("_bin").agg(F.sum(cost_col).alias("_bin_cost"))
+    wb = (
+        Window.orderBy(F.col("_bin").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bin_cum = bin_tot.withColumn(
+        "_before", F.coalesce(F.sum("_bin_cost").over(wb), F.lit(0).cast("bigint"))
+    )
+    if scalar is not None:
+        bin_cum = bin_cum.crossJoin(scalar)
+        budget_col = F.col("budget")
+    else:
+        budget_col = F.lit(int(budget)).cast("bigint")
+    bin_cum = bin_cum.select(
+        "_bin",
+        (F.col("_before") + F.col("_bin_cost") <= budget_col).alias("_full"),
+        (budget_col - F.col("_before")).alias("_remaining"),
+    )
+    # both join sides below are ≤ bins+1 rows — bounded, broadcast-safe
+    full_bins = bin_cum.filter(F.col("_full")).select("_bin")
+    boundary = bin_cum.filter(~F.col("_full") & (F.col("_remaining") > 0)).select(
+        "_bin", "_remaining"
+    )
+    out_cols = [c for c in df.columns]
+    sel_full = scored.join(F.broadcast(full_bins), "_bin").select(*out_cols)
+    wfine = (
+        Window.partitionBy("_bin")
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sel_boundary = (
+        scored.join(F.broadcast(boundary), "_bin")
+        .withColumn("_run", F.sum(cost_col).over(wfine))
+        .filter(F.col("_run") <= F.col("_remaining"))
+        .select(*out_cols)
+    )
+    return sel_full.unionByName(sel_boundary)

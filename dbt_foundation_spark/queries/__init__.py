@@ -74,6 +74,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_fuzzy_match",
     "q_window_first_last",
     "q_window_cume_dist",
+    "q_idf_novelty",
+    "q_token_budget_select",
     "q_join_inner",
     "q_shipping_priority",
     "q_containment",

@@ -509,3 +509,125 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable=True,
     )
     return pairs.select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------- corpus IDF novelty scoring ----------
+
+
+@query(
+    "q_idf_novelty",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS word
+        FROM documents
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+    ), dfreq AS (
+        SELECT word, COUNT(*) AS df FROM words GROUP BY word
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           round(AVG(ln(tot.n_docs / dfreq.df)), 6) AS novelty
+    FROM words w
+    JOIN dfreq ON w.word = dfreq.word
+    CROSS JOIN tot
+    GROUP BY w.doc_id
+    """,
+)
+def q_idf_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 novelty/rarity score: mean IDF (ln N/df) over each document's
+    distinct words — the standard diversity signal for training-data
+    selection (a doc of corpus-common words scores near 0, one full of
+    rare terms scores high; used to up-weight novel content in a mix).
+
+    Shape: explode distinct words (map-side, no shuffle) → df per word
+    (groupBy with map-side partial agg — stopword skew is absorbed in
+    the combiners, the reduce side sees one row per word) → join the
+    exploded words back to the df table → per-doc avg. The df table
+    grows with vocabulary (web-scale corpora have billions of distinct
+    tokens), so NO broadcast hint — AQE picks by measured size, and its
+    skew-join split handles the stopword keys whose join output is
+    ~n_docs rows each. The corpus-count scalar IS broadcast (1 row,
+    always bounded)."""
+    docs = t(spark, sf_dir, "documents")
+    tot = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(X.tokenize("text"))).alias("word")
+    )
+    dfreq = words.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        words.join(dfreq, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.avg(F.log(F.col("n_docs") / F.col("df"))), 6).alias("novelty"),
+        )
+    )
+
+
+# ---------- token-budget greedy selection ----------
+
+
+@query(
+    "q_token_budget_select",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, {QUALITY_SCORE_SQL} AS quality,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS toks
+        FROM documents
+    ), tot AS (
+        SELECT CAST(floor(SUM(toks) * 0.4) AS BIGINT) AS budget FROM scored
+    ), r AS (
+        SELECT doc_id, quality, toks,
+               SUM(toks) OVER (ORDER BY quality DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+        FROM scored
+    )
+    SELECT doc_id, round(quality, 6) AS quality, toks
+    FROM r CROSS JOIN tot WHERE run <= budget
+    """,
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 budgeted curation: keep the highest-quality documents whose
+    cumulative token count fits a 40 %-of-corpus budget — the "give me
+    the best N tokens" step every data-constrained training run needs.
+
+    The oracle is the NAIVE plan (one global running-sum window — fine
+    for DuckDB single-node); the Spark side runs
+    :func:`operators.sampling.budget_select`, the two-phase bin
+    decomposition whose only unpartitioned window is over ≤ 1001
+    per-bin aggregate rows. The hash compare proves the decomposition
+    selects the byte-identical prefix. Budget derives from sum(toks)
+    so the query exercises the cutoff at every SF (a fixed budget
+    degenerates to select-all at small SF). Ordering floats are
+    identical cross-engine: every quality term is exact-integer
+    division in IEEE double, both engines.
+
+    The scored subplan (quality over regex/split work) appears in the
+    budget agg, the bin totals, and both output branches — Catalyst
+    re-derives it per consumer, so the text column scans 6× here. At
+    100 TB: persist/checkpoint ``scored`` once (or write it as an
+    intermediate model) before the selection — the operator itself adds
+    only the tiny bin aggregate and the single boundary-bin window on
+    top of that one materialized pass."""
+    from dbt_foundation_spark.operators.sampling import budget_select
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        X.quality_score("text").alias("quality"),
+        X.token_count("text").cast("bigint").alias("toks"),
+    )
+    budget = scored.agg(
+        F.floor(F.sum("toks") * 0.4).cast("bigint").alias("budget")
+    )
+    sel = budget_select(
+        scored,
+        id_col="doc_id",
+        score_col="quality",
+        cost_col="toks",
+        budget=budget,
+    )
+    return sel.select("doc_id", F.round("quality", 6).alias("quality"), "toks")

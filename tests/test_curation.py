@@ -161,3 +161,70 @@ def test_minhash_lsh_join_equals_cross_side_pairs(spark, sf_dir):
     inc = minhash_lsh_join(new_batch, corpus, "doc_id", "text", **kw).collect()
     got = sorted((r["new_id"], r["corpus_id"]) for r in inc)
     assert got == want and len(got) > 0
+
+
+def test_budget_select_equals_naive_greedy(spark):
+    """The two-phase bin decomposition must pick the byte-identical
+    prefix the naive global running-sum window picks — swept across
+    budgets that land mid-bin, on a bin boundary, zero, and beyond the
+    corpus total, and across bin widths down to bins=1 (everything in
+    one boundary bin, pure phase-B) and up to bins=10**6 (every row its
+    own bin, pure phase-A)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from dbt_foundation_spark.operators.sampling import budget_select
+
+    rng = random.Random(7)
+    rows = [
+        (i, round(rng.random(), 3), rng.randint(1, 40)) for i in range(400)
+    ]
+    # force score ties so the id tiebreak matters inside and across bins
+    rows += [(1000 + i, rows[i][1], rows[i][2] + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, score double, cost bigint")
+    total = sum(c for _, _, c in rows)
+
+    w = Window.orderBy(F.col("score").desc(), "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    naive = df.withColumn("_run", F.sum("cost").over(w))
+
+    for budget in (0, 1, total // 10, total // 3, total - 1, total, total + 5):
+        want = sorted(
+            r["id"] for r in naive.filter(F.col("_run") <= budget).collect()
+        )
+        for bins in (1, 10, 1000, 10**6):
+            got = sorted(
+                r["id"]
+                for r in budget_select(
+                    df,
+                    id_col="id",
+                    score_col="score",
+                    cost_col="cost",
+                    budget=budget,
+                    bins=bins,
+                ).collect()
+            )
+            assert got == want, (budget, bins, len(got), len(want))
+
+
+def test_budget_select_scalar_budget_dataframe(spark):
+    """The 1-row-DataFrame budget form (the shape queries derive from
+    sum(cost)) selects the same prefix as the equivalent int."""
+    from dbt_foundation_spark.operators.sampling import budget_select
+
+    df = spark.createDataFrame(
+        [(i, (i % 7) / 7.0, 5) for i in range(100)],
+        "id bigint, score double, cost bigint",
+    )
+    bdf = df.agg(F.floor(F.sum("cost") * 0.3).cast("bigint").alias("budget"))
+    got = budget_select(
+        df, id_col="id", score_col="score", cost_col="cost", budget=bdf
+    )
+    want = budget_select(
+        df, id_col="id", score_col="score", cost_col="cost", budget=150
+    )
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
