@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -162,4 +162,83 @@ def sketch_rollup(
         prev = coarser
     return out.withColumn(
         "n_distinct_est", F.hll_sketch_estimate("sketch")
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 100,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Fixed-bin histogram: the MERGEABLE quantile state. One row per
+    (group, bin) with a count — computed with a map-side-combined
+    aggregate (the shuffle carries ≤ groups×bins rows, never events),
+    and mergeable across partitions/days/tables by summing counts.
+
+    This is the percentile analog of the sum/count rollup cascade
+    above: exact quantiles need a global sort (a re-shuffle of the full
+    fact at 100 TB per question asked), and the engine's
+    percentile_approx sketch state isn't exposed for re-aggregation
+    across separately-materialized rollups — a fixed-bin histogram is,
+    with error bounded by the bin width, deterministic, and replayable
+    in any SQL engine (the DuckDB oracle runs the identical binning).
+    Out-of-range values clamp into the edge bins."""
+    if bins < 1 or hi <= lo:
+        raise ValueError(f"need hi > lo and bins >= 1: [{lo}, {hi}) / {bins}")
+    width = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    return df.groupBy(*group_cols, b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    quantiles: Sequence[float],
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 100,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Linear-interpolated quantile estimates from a (possibly merged)
+    :func:`value_histogram`. For each q: the first bin whose cumulative
+    count reaches q·total, interpolated by where the target falls
+    inside that bin's count mass — every step pure deterministic
+    arithmetic, so two engines agree bit-for-bit.
+
+    Runs on AGGREGATE rows only (≤ groups×bins): the cumulative window
+    partitions by group over ~bins rows, metadata-scale no matter the
+    fact size. Quantile targets fan out via a literal-array explode —
+    one pass, no per-q jobs."""
+    width = (hi - lo) / bins
+    wc = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(*[F.col(c) for c in group_cols])
+    h = (
+        hist.withColumn("_cum", F.sum("cnt").over(wc))
+        .withColumn("_total", F.sum("cnt").over(wt))
+        .withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in quantiles])))
+    )
+    target = F.col("q") * F.col("_total")
+    before = F.col("_cum") - F.col("cnt")
+    return h.filter((F.col("_cum") >= target) & (before < target)).select(
+        *group_cols,
+        "q",
+        (
+            F.lit(lo)
+            + (F.col("bin") + (target - before) / F.col("cnt")) * F.lit(width)
+        ).alias("estimate"),
     )

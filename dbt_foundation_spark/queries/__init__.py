@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_window_cume_dist",
     "q_idf_novelty",
     "q_token_budget_select",
+    "q_histogram_quantiles",
     "q_join_inner",
     "q_shipping_priority",
     "q_containment",

@@ -112,3 +112,56 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "q_histogram_quantiles",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               least(99, greatest(0, CAST(floor((value - 0.0) / 5.0) AS INT))) AS bin,
+               COUNT(*) AS cnt
+        FROM events GROUP BY event_type, bin
+    ), c AS (
+        SELECT event_type, bin, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        FROM h
+    ), e AS (
+        SELECT c.*, q FROM c CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS q)
+    )
+    SELECT event_type, q,
+           round(0.0 + (bin + (q * total - (cum - cnt)) / cnt) * 5.0, 6) AS estimate
+    FROM e
+    WHERE cum >= q * total AND cum - cnt < q * total
+    """,
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p95/p99 from a mergeable fixed-bin histogram
+    (operators/rollup.value_histogram → histogram_quantiles).
+
+    Exact percentiles re-sort the full fact per question — at 100 TB
+    that is a fresh global shuffle every time someone asks for a p99 —
+    and percentile_approx's sketch state can't be re-aggregated across
+    separately materialized rollups. The histogram can: the fact is
+    touched ONCE by a map-side-combined count into ≤ types×100 bins,
+    daily histograms merge by summing counts (pytest pins merged ≡
+    direct), and the interpolation runs on aggregate rows only. Error
+    is bounded by the 5.0 bin width; every arithmetic step is identical
+    IEEE math in both engines, so the oracle hash-matches exactly."""
+    from dbt_foundation_spark.operators.rollup import histogram_quantiles, value_histogram
+
+    ev = t(spark, sf_dir, "events")
+    hist = value_histogram(
+        ev, "value", lo=0.0, hi=500.0, bins=100, group_cols=("event_type",)
+    )
+    est = histogram_quantiles(
+        hist,
+        (0.5, 0.95, 0.99),
+        lo=0.0,
+        hi=500.0,
+        bins=100,
+        group_cols=("event_type",),
+    )
+    return est.select("event_type", "q", F.round("estimate", 6).alias("estimate"))

@@ -758,3 +758,34 @@ def test_analyze_tables_feeds_cbo(spark, sf_dir):
         assert kv.get("distinct_count") == "25"
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {rel}")
+
+
+def test_histogram_merge_equals_direct(spark, sf_dir):
+    """The mergeability contract behind q_histogram_quantiles: per-day
+    histograms summed together yield bit-identical quantile estimates
+    to one histogram over the whole fact — what lets 100 TB of daily
+    rollups answer percentile questions without re-touching events."""
+    from dbt_foundation_spark.operators.rollup import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spec = dict(lo=0.0, hi=500.0, bins=100, group_cols=("event_type",))
+    direct = value_histogram(ev, "value", **spec)
+    daily = value_histogram(
+        ev.withColumn("_day", F.to_date("ts")), "value",
+        lo=0.0, hi=500.0, bins=100, group_cols=("event_type", "_day"),
+    )
+    merged = daily.groupBy("event_type", "bin").agg(F.sum("cnt").alias("cnt"))
+    qspec = dict(lo=0.0, hi=500.0, bins=100, group_cols=("event_type",))
+    a = sorted(
+        histogram_quantiles(direct, (0.5, 0.95, 0.99), **qspec).collect(),
+        key=lambda r: (r["event_type"], r["q"]),
+    )
+    b = sorted(
+        histogram_quantiles(merged, (0.5, 0.95, 0.99), **qspec).collect(),
+        key=lambda r: (r["event_type"], r["q"]),
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 15  # 5 event types x 3 quantiles
