@@ -660,3 +660,64 @@ def sessionize_tws(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             timeMode="EventTime",
         )
     )
+
+
+def run_histogram_ingest(
+    stream_df: DataFrame,
+    value_col: str,
+    state_path: str,
+    checkpoint_dir: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 100,
+    group_cols: tuple[str, ...] = (),
+    available_now: bool = True,
+) -> None:
+    """Continuously maintained quantile state: fold each micro-batch's
+    fixed-bin histogram (operators/rollup.value_histogram) into a
+    persisted histogram table by ADDING counts — the additive flank of
+    :func:`run_into_incremental`, whose merge strategy REPLACES rows by
+    key and so cannot accumulate.
+
+    At any moment ``histogram_quantiles`` over ``state_path`` answers
+    p50/p95/p99 for everything ingested so far without re-scanning a
+    single event — the state is ≤ groups×bins rows regardless of how
+    much has streamed through, so the per-batch merge (union + sum by
+    (group, bin)) is metadata-scale work even when the batch itself is
+    huge: the batch is touched once by the map-side-combined binning
+    count, and only its aggregate meets the state.
+
+    The merged state is pinned with ``localCheckpoint`` before the
+    overwrite — it is about to replace the very files it was read
+    from. foreachBatch bodies run driver-side per trigger, so batch
+    N's fold is visible to batch N+1, and the streaming checkpoint
+    makes restarts resume mid-stream (a replayed batch would
+    double-count — use exactly-once file sources / availableNow
+    triggers, or route through an idempotent batch-id ledger, for
+    at-least-once sources)."""
+    import os
+
+    from dbt_foundation_spark.operators.rollup import value_histogram
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        h = value_histogram(
+            batch_df, value_col, lo=lo, hi=hi, bins=bins, group_cols=group_cols
+        )
+        if os.path.exists(state_path):
+            h = h.unionByName(spark.read.parquet(state_path))
+        merged = (
+            h.groupBy(*group_cols, "bin")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint()
+        )
+        merged.write.mode("overwrite").parquet(state_path)
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()

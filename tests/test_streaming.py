@@ -688,3 +688,51 @@ def test_tws_sessionization_matches_state_api(spark, sf_dir, staging):
         for r in batch.collect()
     }
     assert got_tws <= want
+
+
+def test_streaming_histogram_equals_batch(spark, sf_dir, staging):
+    """The streamed additive histogram state must equal the one-shot
+    batch histogram bin-for-bin after the last micro-batch — and hence
+    yield bit-identical p50/p95/p99 — no matter how the stream was
+    chopped into triggers (counts are associative/commutative)."""
+    from dbt_foundation_spark.operators.rollup import (
+        histogram_quantiles,
+        value_histogram,
+    )
+    from dbt_foundation_spark.streaming.pipeline import (
+        read_event_stream,
+        run_histogram_ingest,
+    )
+
+    state = str(staging["root"] / "hist_state")
+    stream = read_event_stream(spark, staging["events"], max_files_per_trigger=1)
+    spec = dict(lo=0.0, hi=500.0, bins=100, group_cols=("event_type",))
+    run_histogram_ingest(
+        stream, "value", state, _ckpt(staging), lo=0.0, hi=500.0, bins=100,
+        group_cols=("event_type",),
+    )
+    got_hist = {
+        (r["event_type"], r["bin"]): r["cnt"]
+        for r in spark.read.parquet(state).collect()
+    }
+    want_hist = {
+        (r["event_type"], r["bin"]): r["cnt"]
+        for r in value_histogram(_events(spark, sf_dir), "value", **spec).collect()
+    }
+    assert got_hist == want_hist and len(got_hist) > 50
+
+    got_q = sorted(
+        tuple(r)
+        for r in histogram_quantiles(
+            spark.read.parquet(state), (0.5, 0.95, 0.99), **spec
+        ).collect()
+    )
+    want_q = sorted(
+        tuple(r)
+        for r in histogram_quantiles(
+            value_histogram(_events(spark, sf_dir), "value", **spec),
+            (0.5, 0.95, 0.99),
+            **spec,
+        ).collect()
+    )
+    assert got_q == want_q and len(got_q) == 15
