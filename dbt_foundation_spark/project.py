@@ -182,6 +182,8 @@ class Project:
         self.invocation_id = str(uuid.uuid4())
         self._frames: dict[str, DataFrame] = {}  # memoized ephemeral/built frames
         self._materialized: set[str] = set()
+        # microbatch processing-window override (run(event_time_start/end))
+        self._event_time_window: tuple[str | None, str | None] = (None, None)
 
     # ---------- registration ----------
 
@@ -201,10 +203,15 @@ class Project:
         cluster_by: tuple[str, ...] = (),
         on_schema_change: str = "ignore",
         incremental_predicates: tuple[str, ...] = (),
+        event_time: str | None = None,
+        batch_size: str = "day",
+        lookback: int = 1,
+        begin: str | None = None,
         pre_hook: tuple[str, ...] = (),
         post_hook: tuple[str, ...] = (),
         tags: tuple[str, ...] = (),
         columns: dict[str, dict] | None = None,
+        contract: dict | None = None,
         package: str | None = None,
         version: int | None = None,
         latest_version: bool = False,
@@ -244,6 +251,16 @@ class Project:
                 pre_hook=tuple(pre_hook),
                 post_hook=tuple(post_hook),
             )
+            if contract:
+                cfg.extra["contract"] = dict(contract)
+            if event_time is not None:
+                # dbt 1.9 microbatch configs (materialize._microbatch)
+                cfg.extra.update(
+                    event_time=event_time,
+                    batch_size=batch_size,
+                    lookback=lookback,
+                    begin=begin,
+                )
             node = Node(
                 name=node_name,
                 resource_type="model",
@@ -441,6 +458,13 @@ class Project:
             df = self._frames.get(node.name)
             if df is None:
                 df = self.build_frame(node)
+            if (node.config.extra.get("contract") or {}).get("enforced"):
+                # dbt 1.5 model contracts: schema checked at plan time,
+                # row constraints validated with one aggregate job — a
+                # violating build never reaches the warehouse.
+                from dbt_foundation_spark import contracts
+
+                contracts.enforce(node, df)
             rows, persisted = materialize(self, node, df)
             for hook in node.config.post_hook:
                 self.spark.sql(hook.replace("{this}", self.relation_name(node)))
@@ -460,6 +484,8 @@ class Project:
         selector: str | None = None,
         exclude: str | None = None,
         state: dict[str, str] | None = None,
+        event_time_start: str | None = None,
+        event_time_end: str | None = None,
     ) -> list[RunResult]:
         """Build the DAG: topo generations, each on a thread pool.
 
@@ -467,7 +493,14 @@ class Project:
         contract: the named nodes AND their downstream run. ``selector``
         takes the dbt --select grammar instead (see selectors.py) and
         runs EXACTLY the selection — graph expansion is spelled in the
-        expression (``+name+``), not implied."""
+        expression (``+name+``), not implied.
+
+        ``event_time_start``/``event_time_end`` are dbt's
+        ``--event-time-start/end`` flags: they pin the processing window
+        of every microbatch model in this run (backfills, per-batch
+        retries) instead of the derived max-batch-minus-lookback window.
+        """
+        self._event_time_window = (event_time_start, event_time_end)
         for node in self.manifest.nodes.values():
             if node.resource_type in ("model", "snapshot", "seed"):
                 self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.schema_for(node)}")
@@ -515,6 +548,74 @@ class Project:
             if newly:
                 for name in self.manifest.downstream(newly) - newly:
                     self._frames.pop(name, None)
+        return results
+
+    def _drop_relation(self, rel: str, keep_views: bool = False) -> None:
+        """DROP whatever object type occupies ``rel`` (Spark's DROP TABLE
+        refuses views and vice versa, even with IF EXISTS)."""
+        if not self.spark.catalog.tableExists(rel):
+            return
+        kind = self.spark.catalog.getTable(rel).tableType
+        if kind == "VIEW":
+            if not keep_views:  # CREATE OR REPLACE VIEW handles the rest
+                self.spark.sql(f"DROP VIEW IF EXISTS {rel}")
+        else:
+            self.spark.sql(f"DROP TABLE IF EXISTS {rel}")
+
+    def clone_from(
+        self,
+        state_schema: str,
+        select: set[str] | None = None,
+        full_copy: bool = False,
+    ) -> list[RunResult]:
+        """``dbt clone``: populate this target's schema from another
+        environment's relations (dbt-core 1.6; clones the manifest's
+        models out of ``--state`` without running them — the
+        dev-environment bootstrap that skips rebuilding prod).
+
+        Spark analog of the warehouse's zero-copy clone: the default
+        clone is a VIEW over the state relation (a catalog pointer —
+        zero data movement at any scale, reads always see the state
+        table's current files); ``full_copy=True`` does CTAS instead
+        (dbt's fallback for stores without zero-copy), paying one write
+        to make the clone independent of later state mutations. Cloned
+        nodes count as materialized, so subsequent ``run(select=...)``
+        of downstream models ``ref()`` the clones — dbt's deferral
+        workflow.
+        """
+        results: list[RunResult] = []
+        for node in self.manifest.nodes.values():
+            if node.resource_type not in ("model", "seed", "snapshot"):
+                continue
+            if node.config.materialized == "ephemeral":
+                continue
+            if select is not None and node.name not in select:
+                continue
+            t0 = time.perf_counter()
+            src = f"{state_schema}.{node.alias}"
+            if not self.spark.catalog.tableExists(src):
+                results.append(
+                    RunResult(node.name, "skipped", message=f"no state relation {src}")
+                )
+                continue
+            dst = self.relation_name(node)
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.schema_for(node)}")
+            if full_copy:
+                self._drop_relation(dst)
+                from dbt_foundation_spark.materialize import _clear_stale_location
+
+                _clear_stale_location(self, dst)
+                self.spark.table(src).write.format("parquet").mode(
+                    "overwrite"
+                ).saveAsTable(dst)
+            else:
+                self._drop_relation(dst, keep_views=True)
+                self.spark.sql(f"CREATE OR REPLACE VIEW {dst} AS SELECT * FROM {src}")
+            self._materialized.add(node.name)
+            self._frames.pop(node.name, None)
+            results.append(
+                RunResult(node.name, "success", None, time.perf_counter() - t0)
+            )
         return results
 
     def exposure(

@@ -325,3 +325,166 @@ def q_seed_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = out.schema
     _cleanup(p)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "q_incremental_microbatch",
+    oracle=f"""
+    WITH final AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS batch, value
+        FROM events WHERE ts < TIMESTAMP '2024-01-18 00:00:00'
+        UNION ALL
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS batch, value + 100
+        FROM events WHERE ts >= TIMESTAMP '2024-01-18 00:00:00'
+    )
+    SELECT batch, COUNT(*) AS n_events, {sql_dsum("value", "sum_value")}
+    FROM final GROUP BY batch ORDER BY batch
+    """,
+)
+def q_incremental_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 (dbt 1.9): microbatch incremental — per-day partitions, with
+    the second run restating the lookback window and extending the
+    table (materialize._microbatch).
+
+    Run 1 lands events before Jan 20 (days 1-19). Run 2's restated
+    source covers Jan 18 onward with ``value+100``: days 18-19 fall in
+    the lookback window (max landed batch 19 − lookback 1 = start 18)
+    and are REBUILT, days 20-30 are new batches, days 1-17 must stay
+    byte-identical. The oracle replays exactly that seam: original
+    values before the 18th, restated after — so a wrong window bound,
+    a missed partition drop, or a double-append all hash-mismatch."""
+    p = _project(spark, sf_dir)
+    events = t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    state = {"batch": events.filter(F.col("ts") < "2024-01-20")}
+
+    @p.model(
+        materialized="incremental",
+        incremental_strategy="microbatch",
+        event_time="ts",
+        batch_size="day",
+        lookback=1,
+        begin="2024-01-01",
+    )
+    def fct_events_mb(ctx):
+        return state["batch"]
+
+    p.run()
+    state["batch"] = events.filter(F.col("ts") >= "2024-01-18").withColumn(
+        "value", F.col("value") + 100
+    )
+    p2 = _project(spark, sf_dir)
+    p2.target = p.target
+
+    @p2.model(
+        materialized="incremental",
+        incremental_strategy="microbatch",
+        event_time="ts",
+        batch_size="day",
+        lookback=1,
+        begin="2024-01-01",
+        name="fct_events_mb",
+    )
+    def fct_events_mb2(ctx):
+        return state["batch"]
+
+    p2.run()
+    out = spark.table(p.relation_name(p.manifest["fct_events_mb"]))
+    result = (
+        out.groupBy(F.col("dbt_event_batch").alias("batch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy("batch")
+    )
+    rows = result.collect()
+    _cleanup(p)
+    return spark.createDataFrame(rows, result.schema)
+
+
+@query(
+    "q_model_contract",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def q_model_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt 1.5 model contracts (contracts.py): the model declares an
+    enforced contract — exact column set/types checked at plan time,
+    not_null/unique/check constraints validated with one aggregate job
+    before the write. A passing contracted build must land content
+    identical to its source; the violation paths are pinned in
+    tests/test_framework.py::test_model_contract_enforced."""
+    p = _project(spark, sf_dir)
+
+    @p.model(
+        materialized="table",
+        contract={"enforced": True},
+        columns={
+            "n_nationkey": {
+                "data_type": "int",
+                "constraints": ["not_null", "unique"],
+            },
+            "n_name": {"data_type": "string", "constraints": ["not_null"]},
+            "n_regionkey": {
+                "data_type": "int",
+                "constraints": [
+                    {"type": "check", "expression": "n_regionkey >= 0"}
+                ],
+            },
+        },
+    )
+    def dim_nation_contracted(ctx):
+        return ctx.source("raw", "nation")
+
+    res = p.run()
+    assert all(r.status == "success" for r in res), [r.message for r in res]
+    out = spark.table(
+        p.relation_name(p.manifest["dim_nation_contracted"])
+    ).orderBy("n_nationkey")
+    rows = out.collect()
+    _cleanup(p)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "q_clone_pointer",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def q_clone_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt clone (Project.clone_from): a 'prod' project builds a table;
+    a 'dev' project clones it as a catalog VIEW (the Spark analog of
+    zero-copy clone — no data movement at any scale) and reads it
+    through its own target schema. The oracle recomputes the mart from
+    source, pinning the pointer round-trip."""
+    prod = _project(spark, sf_dir)
+
+    @prod.model(materialized="table")
+    def mart_region_counts(ctx):
+        return (
+            ctx.source("raw", "nation")
+            .groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n_nations"))
+        )
+
+    prod.run()
+
+    dev = _project(spark, sf_dir)
+
+    @dev.model(materialized="table")
+    def mart_region_counts(ctx):  # noqa: F811 — same name, never executed
+        raise AssertionError("clone must not execute the model")
+
+    res = dev.clone_from(prod.target.schema)
+    assert all(r.status == "success" for r in res), [r.message for r in res]
+    out = spark.table(
+        dev.relation_name(dev.manifest["mart_region_counts"])
+    ).orderBy("n_regionkey")
+    rows = out.collect()
+    _cleanup(dev)
+    _cleanup(prod)
+    return spark.createDataFrame(rows, out.schema)

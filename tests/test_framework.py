@@ -830,3 +830,218 @@ def test_run_with_selector_expression(project, spark):
     assert done >= {"rs_a", "rs_b"}
     only = {r.node for r in project.run(selector="tag:gold")} & {"rs_a", "rs_b"}
     assert only == {"rs_a"}  # exact selection, no implied downstream
+
+
+def test_model_contract_enforced(project, spark):
+    """dbt 1.5 contracts: exact schema match at plan time, row
+    constraints validated before the write (contracts.py)."""
+    from dbt_foundation_spark.contracts import ContractError
+
+    cols = {
+        "id": {"data_type": "bigint", "constraints": ["not_null", "unique"]},
+        "amount": {
+            "data_type": "double",
+            "constraints": [{"type": "check", "expression": "amount >= 0"}],
+        },
+    }
+
+    @project.model(
+        materialized="table", contract={"enforced": True}, columns=cols
+    )
+    def contracted_ok(ctx):
+        return spark.sql(
+            "SELECT CAST(1 AS BIGINT) id, CAST(2.5 AS DOUBLE) amount "
+            "UNION ALL SELECT 2, 0.0"
+        )
+
+    res = {r.node: r for r in project.run()}
+    assert res["contracted_ok"].status == "success"
+    rel = project.relation_name(project.manifest["contracted_ok"])
+    assert spark.table(rel).count() == 2
+
+    # wrong type → plan-time schema violation, nothing written
+    @project.model(
+        materialized="table", contract={"enforced": True}, columns=cols
+    )
+    def contracted_badtype(ctx):
+        return spark.sql("SELECT CAST(1 AS INT) id, CAST(2.5 AS DOUBLE) amount")
+
+    # undeclared extra column → violation
+    @project.model(
+        materialized="table", contract={"enforced": True}, columns=cols
+    )
+    def contracted_extra(ctx):
+        return spark.sql(
+            "SELECT CAST(1 AS BIGINT) id, CAST(2.5 AS DOUBLE) amount, 'x' AS extra"
+        )
+
+    # constraint violation: null id + negative amount, caught pre-write
+    @project.model(
+        materialized="table", contract={"enforced": True}, columns=cols
+    )
+    def contracted_badrows(ctx):
+        return spark.sql(
+            "SELECT CAST(NULL AS BIGINT) id, CAST(-1.0 AS DOUBLE) amount"
+        )
+
+    res = {
+        r.node: r
+        for r in project.run(
+            select={"contracted_badtype", "contracted_extra", "contracted_badrows"}
+        )
+    }
+    for name in ("contracted_badtype", "contracted_extra", "contracted_badrows"):
+        assert res[name].status == "error", name
+    assert "declared bigint, built int" in res["contracted_badtype"].message
+    assert "undeclared" in res["contracted_extra"].message
+    assert "not_null" in res["contracted_badrows"].message
+    assert "check(amount >= 0)" in res["contracted_badrows"].message
+    for name in ("contracted_badtype", "contracted_badrows"):
+        assert not spark.catalog.tableExists(
+            project.relation_name(project.manifest[name])
+        ), "a violating build must never land"
+
+    # direct unit check: ContractError type + missing data_type guard
+    with pytest.raises(ContractError):
+        from dbt_foundation_spark import contracts as C
+
+        C.check_schema(
+            project.manifest["contracted_ok"].__class__(
+                name="x",
+                resource_type="model",
+                config=project.manifest["contracted_ok"].config,
+                columns={"id": {}},
+            ),
+            spark.range(1).withColumnRenamed("id", "id"),
+        )
+
+
+def test_incremental_microbatch(project, spark):
+    """dbt 1.9 microbatch: per-period partitions, lookback reprocessing,
+    explicit backfill window, empty-period clearing."""
+    src = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 10.0),
+            (2, "2024-01-02 11:00:00", 20.0),
+            (3, "2024-01-03 12:00:00", 30.0),
+        ],
+        "id bigint, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    state = {"batch": src}
+
+    def register(p):
+        @p.model(
+            materialized="incremental",
+            incremental_strategy="microbatch",
+            event_time="ts",
+            batch_size="day",
+            lookback=1,
+            begin="2024-01-01",
+            name="mb_events",
+        )
+        def mb_events(ctx):
+            return state["batch"]
+
+        return p
+
+    register(project)
+    assert all(r.status == "success" for r in project.run())
+    rel = project.relation_name(project.manifest["mb_events"])
+    out = spark.table(rel)
+    assert out.count() == 3
+    assert "dbt_event_batch" in out.columns
+    assert {r[0] for r in out.select("dbt_event_batch").collect()} == {
+        "2024-01-01", "2024-01-02", "2024-01-03",
+    }
+
+    # run 2: restated source — day 3 vanished, day 2 revalued (inside
+    # lookback window relative to max batch day-3: start = day 2),
+    # day 4 arrives. Day 1 is OUTSIDE the window and must keep v=10.
+    state["batch"] = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 99.0),   # outside window — ignored
+            (2, "2024-01-02 11:00:00", 25.0),   # restated
+            (4, "2024-01-04 09:00:00", 40.0),   # new batch
+        ],
+        "id bigint, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert all(r.status == "success" for r in project.run(select={"mb_events"}))
+    rows = {
+        r["dbt_event_batch"]: (r["id"], r["v"])
+        for r in spark.table(rel).collect()
+    }
+    assert rows == {
+        "2024-01-01": (1, 10.0),   # untouched
+        "2024-01-02": (2, 25.0),   # reprocessed via lookback
+        "2024-01-04": (4, 40.0),   # appended
+    }  # 2024-01-03 cleared: restated source has no rows for it
+
+    # run 3: explicit backfill window pins exactly one period
+    state["batch"] = spark.createDataFrame(
+        [(9, "2024-01-01 08:00:00", 11.0), (8, "2024-01-02 08:00:00", 77.0)],
+        "id bigint, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert all(
+        r.status == "success"
+        for r in project.run(
+            select={"mb_events"},
+            event_time_start="2024-01-01",
+            event_time_end="2024-01-01 23:00:00",
+        )
+    )
+    rows = {
+        r["dbt_event_batch"]: (r["id"], r["v"])
+        for r in spark.table(rel).collect()
+    }
+    assert rows["2024-01-01"] == (9, 11.0)  # backfilled
+    assert rows["2024-01-02"] == (2, 25.0)  # outside explicit window — kept
+    assert rows["2024-01-04"] == (4, 40.0)
+
+
+def test_clone_from_state(project, spark):
+    """dbt clone: pointer clones (views) by default, CTAS on full_copy;
+    downstream run() refs the clone."""
+    import uuid as _uuid
+
+    prod_schema = f"t_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {prod_schema}")
+    try:
+        spark.range(5).write.saveAsTable(f"{prod_schema}.cl_base")
+
+        @project.model(materialized="table")
+        def cl_base(ctx):  # never run — cloned instead
+            raise AssertionError("clone must not execute the model")
+
+        @project.model(materialized="table")
+        def cl_down(ctx):
+            return ctx.ref("cl_base").agg(F.count("*").alias("n"))
+
+        res = {r.node: r for r in project.clone_from(prod_schema, select={"cl_base"})}
+        assert res["cl_base"].status == "success"
+        rel = project.relation_name(project.manifest["cl_base"])
+        assert spark.table(rel).count() == 5
+        # pointer semantics: state mutation is visible through the view
+        spark.range(2).write.mode("overwrite").saveAsTable(f"{prod_schema}.cl_base")
+        assert spark.table(rel).count() == 2
+
+        run_res = {r.node: r for r in project.run(select={"cl_down"})}
+        assert run_res["cl_down"].status == "success"
+        down_rel = project.relation_name(project.manifest["cl_down"])
+        assert spark.table(down_rel).collect()[0]["n"] == 2
+
+        # full_copy: independent of later state mutations
+        res = {
+            r.node: r
+            for r in project.clone_from(
+                prod_schema, select={"cl_base"}, full_copy=True
+            )
+        }
+        assert res["cl_base"].status == "success"
+        spark.range(9).write.mode("overwrite").saveAsTable(f"{prod_schema}.cl_base")
+        assert spark.table(rel).count() == 2  # CTAS copy frozen
+
+        # missing state relation → skipped, not error
+        res = {r.node: r for r in project.clone_from(prod_schema, select={"cl_down"})}
+        assert res["cl_down"].status == "skipped"
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {prod_schema} CASCADE")
