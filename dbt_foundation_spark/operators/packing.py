@@ -152,3 +152,66 @@ def sequence_stats(packed: DataFrame, tokens_col: str, group_cols: Iterable[str]
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(tokens_col).cast("bigint").alias("n_tokens"),
     )
+
+
+def serpentine_shards(
+    df: DataFrame,
+    *,
+    id_col: str,
+    cost_col: str,
+    n_shards: int,
+    sub_buckets: int = 64,
+) -> DataFrame:
+    """Cost-balanced shard assignment (training-shard export planning)
+    without a global sort.
+
+    Rows are ranked in (``cost_col`` DESC, ``id % sub_buckets``,
+    ``id``) order and dealt onto ``n_shards`` shards serpentine-style
+    (round g visits shards 0..n-1, round g+1 visits n-1..0) — the
+    classic boustrophedon variant of LPT scheduling: shard row counts
+    differ by ≤ 1 and cost totals stay near-equal because each
+    consecutive pair of rounds gives every shard one "high" and one
+    "low" pick of that cost neighborhood.
+
+    The global rank is computed in two bounded phases, never one
+    all-rows window:
+
+    - phase A: histogram of (cost value, id-sub-bucket) pair counts —
+      one keyed shuffle with map-side combine; its cumulative-offset
+      window runs over the HISTOGRAM (≤ distinct_costs × sub_buckets
+      rows, metadata-scale), not the corpus.
+    - phase B: ``row_number`` partitioned by (cost value, sub-bucket) —
+      window state bounded by one value-bucket's ties (the sub-bucket
+      split is exactly what keeps million-row tie groups, e.g. every
+      empty doc having cost 0, from serializing into one task) — plus
+      the phase-A offset.
+
+    The sub-bucket key is ``id % sub_buckets`` (not a hash) so any
+    SQL engine replays the identical total order — the DuckDB oracle
+    compares against the naive single-window plan. ``id_col`` must be
+    numeric and unique; raise ``sub_buckets`` if a single cost value's
+    ties could outgrow an executor partition.
+
+    Adds ``shard`` (int, 0-based). One extra keyed shuffle + one
+    small-table join versus the undistributable naive plan.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    idc = F.col(id_col)
+    keyed = df.withColumn("_sb", (idc % F.lit(sub_buckets)).cast("int"))
+    hist = keyed.groupBy(cost_col, "_sb").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy(F.col(cost_col).desc(), F.col("_sb").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = hist.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0).cast("bigint"))
+    ).select(cost_col, "_sb", "_off")
+    w_in = Window.partitionBy(cost_col, "_sb").orderBy(idc.asc())
+    ranked = keyed.join(offs, [cost_col, "_sb"]).withColumn(
+        "_rank", F.row_number().over(w_in) + F.col("_off")
+    )
+    r0 = F.col("_rank") - 1
+    rnd = F.floor(r0 / n_shards)
+    pos = r0 % n_shards
+    shard = F.when(rnd % 2 == 0, pos).otherwise(n_shards - 1 - pos)
+    return ranked.withColumn("shard", shard.cast("int")).drop("_sb", "_off", "_rank")

@@ -58,6 +58,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_window_range_frame",
     "q_gap_fill",
     # (b) implementation changed or NEW in round 4
+    "q_incremental_microbatch",
+    "q_model_contract",
+    "q_clone_pointer",
+    "q_unigram_logprob",
+    "q_shard_plan",
+    "q_winsorize",
+    "q_sketch_rollup",   # rows-only by design — still wants a driver row
+    "q_approx_distinct",  # rows-only by design
     "q_exists_priority",
     "q_local_volume",
     "q_market_share",

@@ -631,3 +631,210 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=budget,
     )
     return sel.select("doc_id", F.round("quality", 6).alias("quality"), "toks")
+
+
+# ---------- unigram LM quality proxy (CCNet-style) ----------
+
+_TOKS_SQL = r"CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)"
+
+
+@query(
+    "q_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents
+    ), freq AS (
+        SELECT lang, word, COUNT(*) AS cnt FROM toks GROUP BY lang, word
+    ), tot AS (
+        SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_tok FROM freq GROUP BY lang
+    ), scored AS (
+        SELECT t.doc_id, t.lang, COUNT(*) AS n_words,
+               round(-avg(ln(CAST(f.cnt AS DOUBLE) / CAST(tt.n_tok AS DOUBLE))), 6)
+                   AS nll
+        FROM toks t
+        JOIN freq f ON t.lang = f.lang AND t.word = f.word
+        JOIN tot tt ON t.lang = tt.lang
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT doc_id, lang, n_words, nll,
+           CASE ntile(3) OVER (PARTITION BY lang ORDER BY nll, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM scored
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: score every document by its mean
+    negative log-probability under a per-language unigram model fit on
+    the corpus itself, then cut each language into head/middle/tail
+    perplexity buckets — the classic web-corpus quality split (CCNet,
+    Wenzek et al. 2020; reference for the method, no code derived).
+
+    Shape at 100 TB: tokenize+explode is map-side; the unigram "model"
+    is a (lang, word)→count aggregate with map-side combine (stopword
+    skew absorbed in combiners); scoring joins tokens back to the
+    frequency table — vocabulary-sized, so NO broadcast hint (AQE
+    decides by size; its skew split handles stopword keys). The
+    per-lang token-total table is bounded (one row per language) and IS
+    broadcast. The final tertile window partitions by language —
+    per-lang ordering of doc scores; for lang-skewed corpora swap the
+    ntile for the histogram-quantile cut (q_histogram_quantiles).
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(X.tokenize("text")).alias("word")
+    )
+    freq = toks.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.groupBy("lang").agg(F.sum("cnt").cast("bigint").alias("n_tok"))
+    scored = (
+        toks.join(freq, ["lang", "word"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(
+                -F.avg(
+                    F.log(
+                        F.col("cnt").cast("double") / F.col("n_tok").cast("double")
+                    )
+                ),
+                6,
+            ).alias("nll"),
+        )
+    )
+    tert = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(F.col("nll").asc(), F.col("doc_id").asc())
+    )
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(tert == 1, "head").when(tert == 2, "middle").otherwise("tail"),
+    )
+
+
+# ---------- balanced training-shard planning ----------
+
+
+@query(
+    "q_shard_plan",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), r AS (
+        SELECT doc_id, toks,
+               row_number() OVER (ORDER BY toks DESC, doc_id % 64, doc_id) AS rn
+        FROM sized
+    ), assigned AS (
+        SELECT toks,
+               CASE WHEN ((rn - 1) // 8) % 2 = 0
+                    THEN (rn - 1) % 8
+                    ELSE 7 - ((rn - 1) % 8)
+               END AS shard
+        FROM r
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens
+    FROM assigned GROUP BY shard ORDER BY shard
+    """,
+)
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard export plan: deal documents onto 8 shards
+    serpentine-style in token-count-descending order (boustrophedon LPT)
+    so every shard lands a near-equal token total — the step before
+    writing N equal-work training files.
+
+    The oracle is the NAIVE plan (one global row_number window — fine
+    single-node); the Spark side runs
+    :func:`operators.packing.serpentine_shards`, whose two-phase rank
+    keeps every window bounded (histogram-sized offsets + per-tie-group
+    row_number) — no all-rows single-partition window exists in the
+    plan, so it survives a 100 TB corpus.
+    """
+    from dbt_foundation_spark.operators.packing import serpentine_shards
+
+    docs = t(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", X.token_count("text").alias("toks"))
+    assigned = serpentine_shards(
+        sized, id_col="doc_id", cost_col="toks", n_shards=8
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------- per-language winsorized token counts ----------
+
+
+@query(
+    "q_winsorize",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents
+    ), st AS (
+        SELECT lang, COUNT(*) AS n FROM sized GROUP BY lang
+    ), rk AS (
+        SELECT doc_id, lang, toks,
+               row_number() OVER (PARTITION BY lang ORDER BY toks, doc_id) AS rn
+        FROM sized
+    ), bounds AS (
+        SELECT rk.lang,
+               MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))
+                        THEN toks END) AS lo,
+               MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                        THEN toks END) AS hi
+        FROM rk JOIN st ON rk.lang = st.lang
+        GROUP BY rk.lang
+    )
+    SELECT s.doc_id, s.lang, s.toks,
+           least(greatest(s.toks, b.lo), b.hi) AS toks_w
+    FROM sized s JOIN bounds b ON s.lang = b.lang
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorization of document token counts: clip every
+    document's length signal to that language's [p05, p95] order
+    statistics — the robust-stats step that stops a handful of giant or
+    empty documents from dominating downstream length-normalized
+    quality scores.
+
+    The cut points are exact order statistics (the value at rank
+    ⌈p·n⌉), not interpolated percentiles — integer in, integer out, so
+    the DuckDB replay is bit-exact with zero float risk. Shape: one
+    per-lang row_number window (state bounded per language; for
+    lang-skewed corpora the histogram-CDF route of
+    q_histogram_quantiles computes the same ranks without a per-row
+    window), a 5-row bounds table (bounded: one row per language →
+    broadcast is correct), one map-side clip.
+    """
+    docs = t(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", "lang", X.token_count("text").alias("toks"))
+    st = sized.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    rk = sized.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.col("toks").asc(), F.col("doc_id").asc())
+        ),
+    )
+    lo_rank = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.lit(0.05) * F.col("n")))
+    hi_rank = F.ceil(F.lit(0.95) * F.col("n"))
+    bounds = (
+        rk.join(F.broadcast(st), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max(F.when(F.col("rn") == lo_rank, F.col("toks"))).alias("lo"),
+            F.max(F.when(F.col("rn") == hi_rank, F.col("toks"))).alias("hi"),
+        )
+    )
+    return sized.join(F.broadcast(bounds), "lang").select(
+        "doc_id",
+        "lang",
+        "toks",
+        F.least(F.greatest(F.col("toks"), F.col("lo")), F.col("hi")).alias("toks_w"),
+    )

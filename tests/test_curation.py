@@ -228,3 +228,52 @@ def test_budget_select_scalar_budget_dataframe(spark):
     assert sorted(r["id"] for r in got.collect()) == sorted(
         r["id"] for r in want.collect()
     )
+
+
+def test_serpentine_shards_equals_naive_and_balances(spark):
+    """serpentine_shards' two-phase rank must assign exactly the shard
+    the naive global-window plan assigns (any ordering drift breaks the
+    DuckDB oracle), and the serpentine deal must balance: row counts
+    differ by <=1, token totals near-equal."""
+    from pyspark.sql import Window
+
+    from dbt_foundation_spark.operators.packing import serpentine_shards
+
+    n_shards = 5
+    # heavy tie blocks (cost 0 and 7) exercise the sub-bucket split
+    rows = [(i, (i * 37) % 23 if i % 11 else 7) for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, cost bigint")
+
+    got = {
+        r["id"]: r["shard"]
+        for r in serpentine_shards(
+            df, id_col="id", cost_col="cost", n_shards=n_shards
+        ).collect()
+    }
+
+    naive_rank = F.row_number().over(
+        Window.orderBy(F.col("cost").desc(), (F.col("id") % 64).asc(), F.col("id").asc())
+    )
+    r0 = naive_rank - 1
+    pos = r0 % n_shards
+    naive_shard = F.when(
+        F.floor(r0 / n_shards) % 2 == 0, pos
+    ).otherwise(n_shards - 1 - pos)
+    want = {
+        r["id"]: r["shard"]
+        for r in df.select("id", naive_shard.cast("int").alias("shard")).collect()
+    }
+    assert got == want
+
+    per_shard = (
+        serpentine_shards(df, id_col="id", cost_col="cost", n_shards=n_shards)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cost").alias("tot"))
+        .collect()
+    )
+    ns = [r["n"] for r in per_shard]
+    tots = [r["tot"] for r in per_shard]
+    assert len(per_shard) == n_shards
+    assert max(ns) - min(ns) <= 1
+    # serpentine LPT: totals within one max-cost item of each other
+    assert max(tots) - min(tots) <= max(c for _, c in rows)
