@@ -138,6 +138,7 @@ class Context:
             key = self.project.manifest.resolve_ref(name, package=package, version=version)
         except KeyError as e:
             raise KeyError(f"{e.args[0]} (from {self.node.name})") from None
+        self.project._check_access(self.node, key)
         self.node.depends_on.add(key)
         return self.project._node_frame(key)
 
@@ -212,6 +213,8 @@ class Project:
         tags: tuple[str, ...] = (),
         columns: dict[str, dict] | None = None,
         contract: dict | None = None,
+        group: str | None = None,
+        access: str = "protected",
         package: str | None = None,
         version: int | None = None,
         latest_version: bool = False,
@@ -253,6 +256,12 @@ class Project:
             )
             if contract:
                 cfg.extra["contract"] = dict(contract)
+            if access not in ("private", "protected", "public"):
+                raise ValueError(f"unknown access level: {access}")
+            if group is not None:
+                cfg.extra["group"] = group
+            if access != "protected":
+                cfg.extra["access"] = access
             if event_time is not None:
                 # dbt 1.9 microbatch configs (materialize._microbatch)
                 cfg.extra.update(
@@ -381,8 +390,25 @@ class Project:
         can be registered in any order and versioned/packaged refs
         resolve to their true node keys (``fact.v2``)."""
         for pkg, name, ver in node.sql_refs:
-            node.depends_on.add(
-                self.manifest.resolve_ref(name, package=pkg, version=ver)
+            key = self.manifest.resolve_ref(name, package=pkg, version=ver)
+            self._check_access(node, key)
+            node.depends_on.add(key)
+
+    def _check_access(self, consumer: Node, key: str) -> None:
+        """dbt 1.5 model access: a ``private`` model may only be
+        ``ref()``'d by models in its own group (dbt-core access/groups;
+        ``protected``/default and ``public`` are unrestricted in a
+        single-project world). Raised at ref-resolution time — the same
+        place dbt's parser rejects it."""
+        target = self.manifest[key]
+        if target.config.extra.get("access") != "private":
+            return
+        tgroup = target.config.extra.get("group")
+        cgroup = consumer.config.extra.get("group")
+        if tgroup != cgroup:
+            raise PermissionError(
+                f"model {consumer.name} (group={cgroup!r}) cannot ref private "
+                f"model {key} (group={tgroup!r})"
             )
 
     def build_frame(self, node: Node) -> DataFrame:
@@ -506,7 +532,10 @@ class Project:
                 self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.schema_for(node)}")
         for node in self.manifest.nodes.values():
             if node.sql is not None:
-                self._bind_sql_refs(node)  # edges exist even if capture fails
+                try:
+                    self._bind_sql_refs(node)  # edges exist even if capture fails
+                except PermissionError:
+                    pass  # access violation re-raises attributed at execute
         self._capture_edges()
         runnable = {
             n.name
@@ -549,6 +578,28 @@ class Project:
                 for name in self.manifest.downstream(newly) - newly:
                     self._frames.pop(name, None)
         return results
+
+    def retry(self, results: list[RunResult]) -> list[RunResult]:
+        """``dbt retry`` (dbt-core 1.6): re-run exactly the nodes a
+        previous :meth:`run` left in ``error`` or ``skipped`` state —
+        successes are not rebuilt. The skipped set already contains the
+        failures' downstreams, so the retried DAG is the unfinished
+        suffix of the original invocation."""
+        names = {r.node for r in results if r.status in ("error", "skipped")}
+        if not names:
+            return []
+        return self.run(select=names)
+
+    def show(self, name: str, limit: int = 5) -> DataFrame:
+        """``dbt show``: preview a model's first rows. Reads the built
+        relation when one exists (what a consumer would see), else
+        compiles the model frame on the fly — either way the LIMIT is
+        pushed into the plan, so previewing a 100 TB model reads a few
+        partitions, not the table."""
+        node = self.manifest[name]
+        if self._relation_exists(node):
+            return self.spark.table(self.relation_name(node)).limit(limit)
+        return self.build_frame(node).limit(limit)
 
     def _drop_relation(self, rel: str, keep_views: bool = False) -> None:
         """DROP whatever object type occupies ``rel`` (Spark's DROP TABLE

@@ -488,3 +488,97 @@ def q_clone_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
     _cleanup(dev)
     _cleanup(prod)
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "q_metrics_layer",
+    oracle="""
+    WITH lines AS (
+        SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8)) AS rev,
+               l_discount
+        FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+    ), agg AS (
+        SELECT ship_month,
+               SUM(rev) AS revenue,
+               SUM(CASE WHEN l_discount > 0.05 THEN rev END) AS promo_revenue
+        FROM lines GROUP BY ship_month
+    )
+    SELECT ship_month,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(promo_revenue AS DOUBLE) AS promo_revenue,
+           round(CAST(promo_revenue AS DOUBLE) / CAST(revenue AS DOUBLE), 6)
+               AS discount_share,
+           -- exact decimal → string: DuckDB's decimal→double cast is
+           -- double-rounded (int128→double, then /10^scale) and drifts
+           -- 1 ulp from Spark's correctly-rounded cast at ~1e9 magnitude
+           CAST(CAST(SUM(revenue) OVER (ORDER BY ship_month
+                                        ROWS UNBOUNDED PRECEDING)
+                     AS DECIMAL(38,8)) AS VARCHAR)
+               AS revenue_running
+    FROM agg ORDER BY ship_month
+    """,
+)
+def q_metrics_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic layer (metrics.py — dbt 1.6 metrics / MetricFlow
+    analog): declared measures + dimensions compile a governed metric
+    request (simple, filtered-simple, derived ratio, cumulative) into
+    ONE aggregate plan. The oracle replays the whole compilation —
+    conditional aggregation, decimal-exact sums, derived division,
+    running total — so a drift in any compiled piece hash-mismatches.
+
+    Plan shape: one keyed shuffle (the group-by), map-side partial
+    aggs; the cumulative window runs over the AGGREGATED frame (one
+    row per month), never the fact table.
+    """
+    from dbt_foundation_spark.metrics import SemanticLayer
+
+    lineitem = t(spark, sf_dir, "lineitem")
+    sl = SemanticLayer()
+    sl.semantic_model(
+        "order_lines",
+        lambda: lineitem,
+        measures={
+            "rev": {
+                "agg": "sum",
+                "expr": "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,8))",
+            },
+        },
+        dimensions={
+            "ship_month": {
+                "expr": "date_format(date_trunc('month', l_shipdate), 'yyyy-MM')",
+                "time": True,
+            },
+        },
+        primary_time="ship_month",
+    )
+    sl.metric("revenue", model="order_lines", measure="rev")
+    sl.metric(
+        "promo_revenue",
+        model="order_lines",
+        measure="rev",
+        filter="l_discount > 0.05",
+    )
+    sl.metric(
+        "discount_share",
+        type="derived",
+        expr="round(CAST(promo_revenue AS DOUBLE) / CAST(revenue AS DOUBLE), 6)",
+        metrics=("promo_revenue", "revenue"),
+    )
+    sl.metric(
+        "revenue_running", type="cumulative", model="order_lines", measure="rev"
+    )
+    out = sl.query(
+        ["revenue", "promo_revenue", "discount_share", "revenue_running"],
+        group_by=["ship_month"],
+        where="l_shipdate >= DATE '1997-01-01'",
+    )
+    return out.select(
+        "ship_month",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("promo_revenue").cast("double").alias("promo_revenue"),
+        "discount_share",
+        F.col("revenue_running").cast("decimal(38,8)").cast("string").alias(
+            "revenue_running"
+        ),
+    )

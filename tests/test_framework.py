@@ -1045,3 +1045,51 @@ def test_clone_from_state(project, spark):
         assert res["cl_down"].status == "skipped"
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {prod_schema} CASCADE")
+
+
+def test_groups_access_retry_show(project, spark):
+    """dbt 1.5 groups/access + dbt 1.6 retry + dbt show."""
+
+    @project.model(materialized="table", group="finance", access="private")
+    def fin_private(ctx):
+        return spark.range(3).withColumnRenamed("id", "v")
+
+    @project.model(materialized="table", group="finance")
+    def fin_consumer(ctx):
+        return ctx.ref("fin_private")
+
+    @project.model(materialized="table", group="marketing")
+    def mkt_intruder(ctx):
+        return ctx.ref("fin_private")
+
+    @project.model(materialized="table")
+    def downstream_of_intruder(ctx):
+        return ctx.ref("mkt_intruder")
+
+    res = {r.node: r for r in project.run()}
+    assert res["fin_private"].status == "success"
+    assert res["fin_consumer"].status == "success"  # same group: allowed
+    assert res["mkt_intruder"].status == "error"
+    assert "private" in res["mkt_intruder"].message
+    assert res["downstream_of_intruder"].status == "skipped"
+
+    # retry re-runs exactly the error+skipped suffix; intruder still fails
+    retried = {r.node: r for r in project.retry(list(res.values()))}
+    assert set(retried) == {"mkt_intruder", "downstream_of_intruder"}
+    assert retried["mkt_intruder"].status == "error"
+    # a no-failure result set retries nothing
+    assert project.retry([r for r in res.values() if r.status == "success"]) == []
+
+    # show: built relation preview honors limit; unbuilt model compiles
+    assert project.show("fin_private", limit=2).count() == 2
+
+    @project.model(materialized="table")
+    def never_built(ctx):
+        return spark.range(10)
+
+    assert project.show("never_built", limit=4).count() == 4
+    # SQL-string models enforce access too
+    project.model("SELECT * FROM {{ ref('fin_private') }}", name="sql_intruder")
+    res2 = {r.node: r for r in project.run(select={"sql_intruder"})}
+    assert res2["sql_intruder"].status == "error"
+    assert "private" in res2["sql_intruder"].message
