@@ -453,9 +453,23 @@ def _snapshot(project: Project, node: Node, df: DataFrame) -> None:
         on=keys,
         how="left",
     )
+    close_at = F.col("_new_from")
+    if cfg.get("invalidate_hard_deletes"):
+        # dbt's invalidate_hard_deletes: an open key ABSENT from this
+        # snapshot's source was hard-deleted upstream — close its open
+        # row at the run's timestamp (dbt uses the snapshot run time;
+        # current_timestamp is fixed per query, so one run closes all
+        # deletions at one instant). Keys still present keep the normal
+        # supersede-or-stay-open logic.
+        present = new.select(*keys).distinct().withColumn("_present", F.lit(1))
+        superseded = superseded.join(present, on=keys, how="left")
+        close_at = F.coalesce(
+            F.col("_new_from"),
+            F.when(F.col("_present").isNull(), F.current_timestamp()),
+        )
     closed_now = superseded.select(
         *[F.col(f"o.{c}") for c in open_rows.columns if c != "dbt_valid_to"],
-        F.coalesce(F.col("_new_from"), F.col("o.dbt_valid_to")).alias("dbt_valid_to"),
+        F.coalesce(close_at, F.col("o.dbt_valid_to")).alias("dbt_valid_to"),
     )
 
     result = closed_rows.unionByName(closed_now).unionByName(fresh)

@@ -25,6 +25,7 @@ import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
+from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -58,6 +59,20 @@ def generate_schema_name(custom_schema_name: str | None, target: Target) -> str:
 # Every ref() shape Context.ref accepts, for SQL-string models:
 # ref('m') / ref('pkg', 'm') / ref('m', version=2) / ref('m', v=2) /
 # ref('fact.v2') (direct versioned node key — hence [\w.]).
+_VAR_REQUIRED = object()  # sentinel: var() without a default is required
+
+# var('name') / var('name', <default>) in SQL-string models (bare, the
+# same convention as ref(); the Jinja-braced spelling is accepted too).
+# The rendered value is the raw str() of the var — dbt renders Jinja to
+# text the same way: writers quote string vars themselves ('var(…)').
+_SQL_VAR_RE = re.compile(
+    r"""(?:\{\{\s*)?\bvar\(\s*
+        ['"](?P<name>\w+)['"]
+        (?:\s*,\s*(?P<default>[^)]+?)\s*)?
+        \)(?:\s*\}\})?""",
+    re.VERBOSE,
+)
+
 _SQL_REF_RE = re.compile(
     r"""\bref\(\s*
         ['"](?P<a>[\w.]+)['"]
@@ -147,6 +162,20 @@ class Context:
         self.node.source_deps.add((source_name, table_name))
         return self.project.sources.load(self.spark, source_name, table_name)
 
+    def var(self, name: str, default: Any = _VAR_REQUIRED) -> Any:
+        """dbt ``{{ var('name') }}``: project-level variables
+        (dbt_project.yml ``vars:``). A missing var with no default is a
+        compilation error, attributed to the requesting node — dbt's
+        exact contract."""
+        if name in self.project.vars:
+            return self.project.vars[name]
+        if default is not _VAR_REQUIRED:
+            return default
+        raise KeyError(
+            f"var {name!r} is undefined (required by {self.node.name}; "
+            "pass vars={...} to Project or give var() a default)"
+        )
+
     def is_incremental(self) -> bool:
         return (
             self.node.config.materialized == "incremental"
@@ -174,11 +203,20 @@ class Project:
         spark: SparkSession,
         sources: SourceRegistry | None = None,
         target: Target | None = None,
+        vars: dict[str, Any] | None = None,
+        on_run_start: tuple[str, ...] = (),
+        on_run_end: tuple[str, ...] = (),
     ):
         self.name = name
         self.spark = spark
         self.sources = sources or SourceRegistry()
         self.target = target or Target()
+        self.vars = dict(vars or {})
+        # dbt_project.yml on-run-start/end: SQL run once per invocation,
+        # before the first generation / after the last. ``{schema}``
+        # resolves to the target schema (the common audit-table use).
+        self.on_run_start = tuple(on_run_start)
+        self.on_run_end = tuple(on_run_end)
         self.manifest = Manifest()
         self.invocation_id = str(uuid.uuid4())
         self._frames: dict[str, DataFrame] = {}  # memoized ephemeral/built frames
@@ -322,13 +360,17 @@ class Project:
         updated_at: str | None = None,
         check_cols: tuple[str, ...] = (),
         schema: str | None = None,
+        invalidate_hard_deletes: bool = False,
     ):
         """SCD2 snapshot (snapshots/ scaffolding, dbt_project.yml:19)."""
 
         def register(obj):
             cfg = NodeConfig(materialized="snapshot", schema=schema, unique_key=unique_key)
             cfg.extra.update(
-                strategy=strategy, updated_at=updated_at, check_cols=tuple(check_cols)
+                strategy=strategy,
+                updated_at=updated_at,
+                check_cols=tuple(check_cols),
+                invalidate_hard_deletes=invalidate_hard_deletes,
             )
             self.manifest.add(
                 Node(
@@ -382,7 +424,23 @@ class Project:
                 return self.relation_name(self.manifest[key])
             return _ephemeral_view(key)
 
-        return _SQL_REF_RE.sub(sub, node.sql)
+        def vsub(m: re.Match) -> str:
+            name = m.group("name")
+            if name in self.vars:
+                return str(self.vars[name])
+            default = m.group("default")
+            if default is not None:
+                # spliced VERBATIM: var('x', 'lit') keeps its quotes and
+                # stays a valid SQL string literal; numeric defaults
+                # splice as numbers. (Provided values render as raw
+                # str() — quote string vars in the model SQL.)
+                return default.strip()
+            raise KeyError(
+                f"var {name!r} is undefined (required by {node.name}; "
+                "pass vars={...} to Project or give var() a default)"
+            )
+
+        return _SQL_VAR_RE.sub(vsub, _SQL_REF_RE.sub(sub, node.sql))
 
     def _bind_sql_refs(self, node: Node) -> None:
         """Resolve a SQL-string model's parsed ref() shapes into DAG
@@ -527,9 +585,13 @@ class Project:
         retries) instead of the derived max-batch-minus-lookback window.
         """
         self._event_time_window = (event_time_start, event_time_end)
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.target.schema}")
         for node in self.manifest.nodes.values():
             if node.resource_type in ("model", "snapshot", "seed"):
                 self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.schema_for(node)}")
+        for hook in self.on_run_start:
+            # dbt: an on-run-start failure aborts the invocation
+            self.spark.sql(hook.replace("{schema}", self.target.schema))
         for node in self.manifest.nodes.values():
             if node.sql is not None:
                 try:
@@ -577,6 +639,8 @@ class Project:
             if newly:
                 for name in self.manifest.downstream(newly) - newly:
                     self._frames.pop(name, None)
+        for hook in self.on_run_end:
+            self.spark.sql(hook.replace("{schema}", self.target.schema))
         return results
 
     def retry(self, results: list[RunResult]) -> list[RunResult]:

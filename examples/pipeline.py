@@ -52,7 +52,26 @@ def build_project(spark, sf_dir: str, schema: str = "example") -> Project:
 
     # --- marts: a partitioned CTAS table and an incremental merge ---
 
-    @project.model(materialized="table", partition_by=("l_returnflag",))
+    @project.model(
+        materialized="table",
+        partition_by=("l_returnflag",),
+        # dbt 1.5 enforced contract: schema checked at plan time, row
+        # constraints validated before the write (contracts.py)
+        contract={"enforced": True},
+        columns={
+            "l_returnflag": {"data_type": "string", "constraints": ["not_null"]},
+            "l_linestatus": {"data_type": "string", "constraints": ["not_null"]},
+            "sum_qty": {"data_type": "double"},
+            "sum_base_price": {"data_type": "double"},
+            "avg_disc": {
+                "data_type": "double",
+                "constraints": [
+                    {"type": "check", "expression": "avg_disc BETWEEN 0 AND 1"}
+                ],
+            },
+            "count_order": {"data_type": "bigint"},
+        },
+    )
     def fct_pricing_summary(ctx):
         li = ctx.ref("stg_lineitem")
         return (
@@ -165,6 +184,27 @@ def main() -> None:  # pragma: no cover - direct invocation path
 
     for row in check_freshness(spark, project.sources):
         print(f"fresh {row['source']}.{row['table']}: {row['status']}")
+    # semantic layer: governed metrics over the built mart (metrics.py)
+    from dbt_foundation_spark.metrics import SemanticLayer
+
+    sl = SemanticLayer()
+    sl.semantic_model(
+        "pricing",
+        lambda: spark.table(f"{project.target.schema}.fct_pricing_summary"),
+        measures={
+            "base_price": {"agg": "sum", "expr": "sum_base_price"},
+            "orders": {"agg": "sum", "expr": "count_order"},
+        },
+        dimensions={"returnflag": "l_returnflag"},
+    )
+    sl.metric("revenue", model="pricing", measure="base_price")
+    sl.metric(
+        "aov", type="ratio", model="pricing",
+        numerator="base_price", denominator="orders",
+    )
+    for row in sl.query(["revenue", "aov"], group_by=["returnflag"]).collect():
+        print(f"metric {row['returnflag']}: revenue={row['revenue']:.2f} "
+              f"aov={row['aov']:.2f}")
     for f in evaluate(project):
         print(f"lint: {f}")
     default_registry().run("list_orphaned_objects", project)

@@ -1093,3 +1093,99 @@ def test_groups_access_retry_show(project, spark):
     res2 = {r.node: r for r in project.run(select={"sql_intruder"})}
     assert res2["sql_intruder"].status == "error"
     assert "private" in res2["sql_intruder"].message
+
+
+def test_vars_function_and_sql_models(project, spark):
+    """dbt vars: ctx.var() in function models, var('...') substitution
+    in SQL-string models, defaults, and the missing-var error."""
+    project.vars.update(cutoff=3, label="gold")
+
+    @project.model(materialized="table")
+    def var_fn_model(ctx):
+        return spark.range(10).filter(F.col("id") < ctx.var("cutoff")).select(
+            F.col("id"), F.lit(ctx.var("label")).alias("tier"),
+            F.lit(ctx.var("absent", "fallback")).alias("fb"),
+        )
+
+    project.model(
+        "SELECT COUNT(*) AS n FROM ref('var_fn_model') "
+        "WHERE id < var('cutoff') AND 'x' = var('nope', 'x')",
+        name="var_sql_model",
+        materialized="table",
+    )
+    res = {r.node: r for r in project.run()}
+    assert res["var_fn_model"].status == "success", res["var_fn_model"].message
+    assert res["var_sql_model"].status == "success", res["var_sql_model"].message
+    rows = spark.table(
+        project.relation_name(project.manifest["var_fn_model"])
+    ).collect()
+    assert len(rows) == 3 and rows[0]["tier"] == "gold" and rows[0]["fb"] == "fallback"
+    n = spark.table(
+        project.relation_name(project.manifest["var_sql_model"])
+    ).first()["n"]
+    assert n == 3
+
+    @project.model(materialized="table")
+    def var_missing(ctx):
+        ctx.var("does_not_exist")
+
+    res = {r.node: r for r in project.run(select={"var_missing"})}
+    assert res["var_missing"].status == "error"
+    assert "does_not_exist" in res["var_missing"].message
+
+
+def test_on_run_start_end_hooks(project, spark):
+    """dbt_project.yml on-run-start/on-run-end: once per invocation,
+    {schema} resolved — the audit-log pattern."""
+    project.on_run_start = (
+        "CREATE TABLE IF NOT EXISTS {schema}.audit (event STRING)",
+        "INSERT INTO {schema}.audit VALUES ('start')",
+    )
+    project.on_run_end = ("INSERT INTO {schema}.audit VALUES ('end')",)
+
+    @project.model(materialized="table")
+    def hooked_model(ctx):
+        return spark.range(1)
+
+    assert all(r.status == "success" for r in project.run())
+    events = sorted(
+        r["event"] for r in spark.table(f"{project.target.schema}.audit").collect()
+    )
+    assert events == ["end", "start"]
+
+
+def test_snapshot_invalidate_hard_deletes(project, spark):
+    """A key absent from the new snapshot source closes its open row at
+    the run timestamp; present keys keep normal SCD2 behavior."""
+    wave = {
+        "df": spark.createDataFrame(
+            [(1, "a", "2024-01-01 00:00:00"), (2, "b", "2024-01-01 00:00:00")],
+            "id bigint, val string, updated_at string",
+        ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    }
+
+    @project.snapshot(
+        unique_key="id", updated_at="updated_at", invalidate_hard_deletes=True
+    )
+    def snap_hd(ctx):
+        return wave["df"]
+
+    assert all(r.status == "success" for r in project.run())
+    # wave 2: id=1 updated, id=2 hard-deleted upstream
+    wave["df"] = spark.createDataFrame(
+        [(1, "a2", "2024-02-01 00:00:00")],
+        "id bigint, val string, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    assert all(r.status == "success" for r in project.run())
+
+    rel = project.relation_name(project.manifest["snap_hd"])
+    rows = spark.table(rel).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["id"], []).append(r)
+    # id=1: closed v1 + open v2
+    opens_1 = [r for r in by_key[1] if r["dbt_valid_to"] is None]
+    assert len(by_key[1]) == 2 and len(opens_1) == 1 and opens_1[0]["val"] == "a2"
+    # id=2: single row, closed at the (wall-clock) run time, not open
+    assert len(by_key[2]) == 1
+    assert by_key[2][0]["dbt_valid_to"] is not None
