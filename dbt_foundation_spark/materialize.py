@@ -92,7 +92,17 @@ def _clear_stale_location(project: Project, rel: str) -> None:
 
 
 def _writer(node: Node, df: DataFrame):
-    if node.config.cluster_by and not node.config.bucket_by:
+    zcols = node.config.extra.get("zorder_by")
+    if zcols and not node.config.bucket_by:
+        # multi-dimensional clustering: sort inside each task's output
+        # file by the Morton (Z-order) key so row-group min/max stats
+        # stay selective on EVERY z column — filters on any of them
+        # skip row groups at scan time (operators/layout.py). Same
+        # no-shuffle contract as cluster_by, which it supersedes here.
+        from dbt_foundation_spark.operators.layout import zorder_sort
+
+        df = zorder_sort(df, list(zcols))
+    elif node.config.cluster_by and not node.config.bucket_by:
         # sort INSIDE each task's output file so parquet row-group
         # min/max stats become selective: a point/range filter on the
         # cluster columns then skips whole row groups at scan time (the

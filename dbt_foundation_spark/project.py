@@ -240,6 +240,7 @@ class Project:
         bucket_by: tuple[str, ...] = (),
         buckets: int = 0,
         cluster_by: tuple[str, ...] = (),
+        zorder_by: tuple[str, ...] = (),
         on_schema_change: str = "ignore",
         incremental_predicates: tuple[str, ...] = (),
         event_time: str | None = None,
@@ -300,6 +301,8 @@ class Project:
                 cfg.extra["group"] = group
             if access != "protected":
                 cfg.extra["access"] = access
+            if zorder_by:
+                cfg.extra["zorder_by"] = tuple(zorder_by)
             if event_time is not None:
                 # dbt 1.9 microbatch configs (materialize._microbatch)
                 cfg.extra.update(
