@@ -261,3 +261,70 @@ class SemanticLayer:
         if order_by and group_by:
             out = out.orderBy(*group_by)
         return out
+
+    def query_stream(
+        self,
+        metrics: list[str] | tuple[str, ...],
+        *,
+        time_col: str,
+        window: str,
+        slide: str | None = None,
+        watermark: str = "0 seconds",
+        group_by: list[str] | tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Streaming twin of :meth:`query`: the SAME metric
+        declarations compile onto a streaming frame as a watermarked
+        windowed aggregation — one definition serves the batch mart and
+        the live dashboard (the semantic-layer promise, Spark-first:
+        Structured Streaming's incremental aggregation state is bounded
+        by the watermark, so this runs forever at any rate).
+
+        The semantic model's frame must be a streaming DataFrame
+        (``spark.readStream...``). ``window``/``slide`` are duration
+        strings (tumbling when ``slide`` is omitted). ``cumulative``
+        metrics are batch-only (an unbounded running total has no
+        watermark to bound its state) and are rejected."""
+        wanted = [self.metrics[m] for m in metrics]
+        base_needed: list[Metric] = []
+        for m in wanted:
+            if m.type == "cumulative":
+                raise ValueError(
+                    f"{m.name}: cumulative metrics are batch-only — a "
+                    "streaming running total would keep unbounded state"
+                )
+            if m.type == "derived":
+                base_needed.extend(self.metrics[d] for d in m.metrics)
+            else:
+                base_needed.append(m)
+        sm = self._resolve_model(base_needed)
+        frame = sm.frame().withWatermark(time_col, watermark)
+        dims = [
+            F.expr(sm.dimensions[d].expr).alias(d) for d in group_by
+        ]
+        aggs = []
+        seen: set[str] = set()
+        for m in base_needed:
+            if m.name in seen:
+                continue
+            seen.add(m.name)
+            if m.type == "simple":
+                aggs.append(
+                    self._measure_col(sm, m.measure, m.filter).alias(m.name)
+                )
+            elif m.type == "ratio":
+                num = self._measure_col(sm, m.numerator, m.filter)
+                den = self._measure_col(sm, m.denominator, m.filter)
+                aggs.append((num / den).alias(m.name))
+        win = (
+            F.window(time_col, window, slide) if slide else F.window(time_col, window)
+        )
+        out = frame.groupBy(win, *dims).agg(*aggs)
+        for m in wanted:
+            if m.type == "derived":
+                out = out.withColumn(m.name, F.expr(m.expr))
+        return out.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *group_by,
+            *[m.name for m in wanted],
+        )

@@ -60,6 +60,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (b) implementation changed or NEW in round 4
     "q_incremental_microbatch",
     "q_metrics_layer",
+    "q_zorder_layout",
     "q_model_contract",
     "q_clone_pointer",
     "q_unigram_logprob",

@@ -582,3 +582,56 @@ def q_metrics_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_running"
         ),
     )
+
+
+@query(
+    "q_zorder_layout",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "sum_price")}
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND o_totalprice BETWEEN 50000 AND 150000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering layout (operators/layout.py): a
+    table model written with ``zorder_by=('o_orderdate',
+    'o_totalprice')`` — the Morton sort keeps row-group min/max stats
+    selective on BOTH columns, so the classic two-predicate query
+    (date range × price band) skips row groups at scan time. The
+    layout must be content-neutral: the oracle aggregates raw source,
+    pinning that the z-sorted write changed bytes-on-disk order only.
+    Skipping itself is measured from parquet metadata in
+    tests/test_scale_ops.py::test_zorder_layout_narrows_rowgroup_stats.
+    """
+    p = _project(spark, sf_dir)
+
+    @p.model(
+        materialized="table", zorder_by=("o_orderdate", "o_totalprice")
+    )
+    def fct_orders_zordered(ctx):
+        return ctx.source("raw", "orders")
+
+    res = p.run()
+    assert all(r.status == "success" for r in res), [r.message for r in res]
+    out = (
+        spark.table(p.relation_name(p.manifest["fct_orders_zordered"]))
+        .filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+            & F.col("o_totalprice").between(50000, 150000)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    rows = out.collect()
+    _cleanup(p)
+    return spark.createDataFrame(rows, out.schema)

@@ -736,3 +736,83 @@ def test_streaming_histogram_equals_batch(spark, sf_dir, staging):
         ).collect()
     )
     assert got_q == want_q and len(got_q) == 15
+
+
+def test_streaming_metrics_match_batch(spark, sf_dir, staging):
+    """The semantic layer's query_stream must produce exactly the
+    windowed metrics the same declarations produce in batch — one
+    metric definition, two execution modes (metrics.py)."""
+    from dbt_foundation_spark.metrics import SemanticLayer
+    from dbt_foundation_spark.streaming.pipeline import read_event_stream
+
+    def build_layer(frame_fn):
+        sl = SemanticLayer()
+        sl.semantic_model(
+            "live_events",
+            frame_fn,
+            measures={
+                "value": {"agg": "sum"},
+                "n": {"agg": "count", "expr": "*"},
+            },
+            dimensions={"event_type": "event_type"},
+        )
+        sl.metric("volume", model="live_events", measure="value")
+        sl.metric(
+            "purchase_volume",
+            model="live_events",
+            measure="value",
+            filter="event_type = 'purchase'",
+        )
+        sl.metric(
+            "avg_value", type="ratio", model="live_events",
+            numerator="value", denominator="n",
+        )
+        return sl
+
+    stream_sl = build_layer(
+        lambda: read_event_stream(spark, staging["events"], max_files_per_trigger=2)
+    )
+    agg = stream_sl.query_stream(
+        ["volume", "purchase_volume", "avg_value"],
+        time_col="ts",
+        window="6 hours",
+        watermark="2 hours",
+    )
+    run_available_now(agg, _ckpt(staging), "s_metrics", output_mode="complete")
+    got = {
+        (r["window_start"], r["window_end"]): (
+            round(r["volume"], 4),
+            round(r["purchase_volume"] or 0.0, 4),
+            round(r["avg_value"], 6),
+        )
+        for r in spark.table("s_metrics").collect()
+    }
+
+    batch_sl = build_layer(lambda: _events(spark, sf_dir))
+    # batch equivalent: same aggs over the same tumbling window
+    bframe = _events(spark, sf_dir)
+    batch = (
+        bframe.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.sum("value").alias("volume"),
+            F.sum(F.when(F.expr("event_type = 'purchase'"), F.col("value"))).alias(
+                "purchase_volume"
+            ),
+            (F.sum("value") / F.count(F.lit(1))).alias("avg_value"),
+        )
+        .select("w.start", "w.end", "volume", "purchase_volume", "avg_value")
+    )
+    want = {
+        (r["start"], r["end"]): (
+            round(r["volume"], 4),
+            round(r["purchase_volume"] or 0.0, 4),
+            round(r["avg_value"], 6),
+        )
+        for r in batch.collect()
+    }
+    assert got == want
+    # and the same layer answers the batch grand-total form too
+    row = batch_sl.query(["volume", "avg_value"]).collect()[0]
+    assert round(row["volume"], 4) == round(
+        sum(v[0] for v in want.values()), 4
+    )
