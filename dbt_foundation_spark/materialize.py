@@ -374,10 +374,13 @@ def _incremental(project: Project, node: Node, df: DataFrame) -> None:
         else:
             _swap_in(project, rel, df, node)
         return
-    if strategy == "merge":
+    if strategy in ("merge", "delete+insert"):
+        # dbt's delete+insert strategy (delete target rows matching the
+        # batch's keys, insert the batch) is semantically identical to
+        # the anti-join+union MERGE rewrite below — one code path.
         keys = node.config.unique_key
         if not keys:
-            raise ValueError(f"{node.name}: merge strategy requires unique_key")
+            raise ValueError(f"{node.name}: {strategy} strategy requires unique_key")
         keys = [keys] if isinstance(keys, str) else list(keys)
         existing = _align(spark.table(rel), target)
         preds = node.config.incremental_predicates

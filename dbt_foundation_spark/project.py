@@ -361,7 +361,7 @@ class Project:
         unique_key: str = "id",
         strategy: str = "timestamp",
         updated_at: str | None = None,
-        check_cols: tuple[str, ...] = (),
+        check_cols: tuple[str, ...] | str = (),
         schema: str | None = None,
         invalidate_hard_deletes: bool = False,
     ):
@@ -372,7 +372,9 @@ class Project:
             cfg.extra.update(
                 strategy=strategy,
                 updated_at=updated_at,
-                check_cols=tuple(check_cols),
+                # dbt's check_cols='all' literal → empty tuple, which the
+                # check strategy reads as "every non-key column"
+                check_cols=() if check_cols == "all" else tuple(check_cols),
                 invalidate_hard_deletes=invalidate_hard_deletes,
             )
             self.manifest.add(
@@ -573,6 +575,7 @@ class Project:
         state: dict[str, str] | None = None,
         event_time_start: str | None = None,
         event_time_end: str | None = None,
+        gate_tests: bool = False,
     ) -> list[RunResult]:
         """Build the DAG: topo generations, each on a thread pool.
 
@@ -642,9 +645,62 @@ class Project:
             if newly:
                 for name in self.manifest.downstream(newly) - newly:
                     self._frames.pop(name, None)
+            if gate_tests:
+                # dbt build: a model's declared tests run right after it
+                # builds; a failing test poisons the node so dependents
+                # skip — bad data never propagates down the DAG
+                ok = {r.node for r in results if r.status == "success"}
+                for n in todo:
+                    if n.name not in ok:
+                        continue
+                    for res in self._run_node_tests(n):
+                        results.append(res)
+                        if res.status == "test_fail":
+                            failed.add(n.name)
         for hook in self.on_run_end:
             self.spark.sql(hook.replace("{schema}", self.target.schema))
         return results
+
+    def _run_node_tests(self, node: Node) -> list[RunResult]:
+        """Declared column tests for one node (``dbt build``'s
+        interleaved test step). Returns one RunResult per test:
+        ``test_pass`` or ``test_fail`` with the violation count."""
+        from dbt_foundation_spark.testing import not_null, unique
+
+        core = {"unique": unique, "not_null": not_null}
+        out: list[RunResult] = []
+        for col, meta in node.columns.items():
+            for tname in meta.get("tests", ()):
+                fn = core.get(tname)
+                if fn is None:
+                    continue  # non-core names run via run_tests/specs
+                t0 = time.perf_counter()
+                label = f"{node.name}.{tname}({col})"
+                try:
+                    violations = fn(col)(self._node_frame(node.name))
+                    n = 0 if violations.isEmpty() else violations.count()
+                    out.append(
+                        RunResult(
+                            label,
+                            "test_fail" if n else "test_pass",
+                            n or None,
+                            time.perf_counter() - t0,
+                        )
+                    )
+                except Exception as e:  # noqa: BLE001
+                    out.append(
+                        RunResult(label, "test_fail", None,
+                                  time.perf_counter() - t0, str(e))
+                    )
+        return out
+
+    def build(self, **kwargs) -> list[RunResult]:
+        """``dbt build``: models, snapshots and seeds in DAG order with
+        each node's declared tests executed immediately after it
+        materializes; a failing test skips everything downstream (the
+        reason dbt build exists — `run` then `test` lets a broken mart
+        feed consumers for the whole gap between the two commands)."""
+        return self.run(gate_tests=True, **kwargs)
 
     def retry(self, results: list[RunResult]) -> list[RunResult]:
         """``dbt retry`` (dbt-core 1.6): re-run exactly the nodes a

@@ -1189,3 +1189,86 @@ def test_snapshot_invalidate_hard_deletes(project, spark):
     # id=2: single row, closed at the (wall-clock) run time, not open
     assert len(by_key[2]) == 1
     assert by_key[2][0]["dbt_valid_to"] is not None
+
+
+def test_delete_insert_strategy_and_check_cols_all(project, spark):
+    """dbt spelling parity: incremental_strategy='delete+insert' (same
+    semantics as the merge rewrite) and snapshot check_cols='all'."""
+    state = {
+        "batch": spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "id bigint, v double"
+        )
+    }
+
+    @project.model(
+        materialized="incremental",
+        incremental_strategy="delete+insert",
+        unique_key="id",
+    )
+    def di_model(ctx):
+        return state["batch"]
+
+    assert all(r.status == "success" for r in project.run())
+    state["batch"] = spark.createDataFrame(
+        [(2, 25.0), (3, 30.0)], "id bigint, v double"
+    )
+    assert all(r.status == "success" for r in project.run(select={"di_model"}))
+    rel = project.relation_name(project.manifest["di_model"])
+    got = {r["id"]: r["v"] for r in spark.table(rel).collect()}
+    assert got == {1: 10.0, 2: 25.0, 3: 30.0}
+
+    # check_cols="all": any non-key change versionizes
+    snap = {
+        "df": spark.createDataFrame([(1, "x", "y")], "id bigint, a string, b string")
+    }
+
+    @project.snapshot(unique_key="id", strategy="check", check_cols="all")
+    def snap_all(ctx):
+        return snap["df"]
+
+    assert all(r.status == "success" for r in project.run(select={"snap_all"}))
+    snap["df"] = spark.createDataFrame(
+        [(1, "x", "CHANGED")], "id bigint, a string, b string"
+    )
+    assert all(r.status == "success" for r in project.run(select={"snap_all"}))
+    rows = spark.table(
+        project.relation_name(project.manifest["snap_all"])
+    ).collect()
+    assert len(rows) == 2  # closed v1 + open v2, because b changed
+    assert sum(1 for r in rows if r["dbt_valid_to"] is None) == 1
+
+
+def test_build_gates_downstream_on_test_failure(project, spark):
+    """dbt build: a failing declared test on a model skips its
+    dependents; plain run() would have built them."""
+
+    @project.model(
+        materialized="table",
+        columns={"id": {"tests": ["unique", "not_null"]}},
+    )
+    def bld_dirty(ctx):
+        return spark.sql(
+            "SELECT 1 AS id UNION ALL SELECT 1 UNION ALL SELECT 2"
+        )
+
+    @project.model(materialized="table")
+    def bld_consumer(ctx):
+        return ctx.ref("bld_dirty")
+
+    @project.model(
+        materialized="table", columns={"id": {"tests": ["unique"]}}
+    )
+    def bld_clean(ctx):
+        return spark.range(3).select(F.col("id"))
+
+    res = {r.node: r for r in project.build()}
+    assert res["bld_dirty"].status == "success"  # the model itself built
+    assert res["bld_dirty.unique(id)"].status == "test_fail"
+    assert res["bld_dirty.unique(id)"].rows == 1  # one duplicated value
+    assert res["bld_dirty.not_null(id)"].status == "test_pass"
+    assert res["bld_consumer"].status == "skipped"
+    assert res["bld_clean.unique(id)"].status == "test_pass"
+
+    # plain run(): no gating, consumer builds
+    p2_results = {r.node: r for r in project.run(select={"bld_consumer"})}
+    assert p2_results["bld_consumer"].status == "success"
