@@ -64,10 +64,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_model_contract",
     "q_clone_pointer",
     "q_unigram_logprob",
+    "q_bigram_logprob",
+    "q_char_entropy",
+    "q_top_terms",
     "q_shard_plan",
     "q_winsorize",
-    "q_sketch_rollup",   # rows-only by design — still wants a driver row
-    "q_approx_distinct",  # rows-only by design
     "q_exists_priority",
     "q_local_volume",
     "q_market_share",
@@ -97,6 +98,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_priority_shipments",
     "q_brand_revenue",
     "q_big_orders",
+    "q_sketch_rollup",   # rows-only by design — still wants a driver row
+    "q_approx_distinct",  # rows-only by design
     # (c) oldest evidence (green in r1/r2, not re-checked since)
     "q_dedup_exact",
     "q_dedup_fingerprint",

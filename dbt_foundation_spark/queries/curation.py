@@ -838,3 +838,207 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks",
         F.least(F.greatest(F.col("toks"), F.col("lo")), F.col("hi")).alias("toks_w"),
     )
+
+
+# ---------- bigram LM scoring (the unigram upgrade path) ----------
+
+
+@query(
+    "q_bigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang, w AS word,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS w,
+                   unnest(range(1, len(string_split_regex(lower(trim(text)), '\s+')) + 1)) AS pos
+            FROM documents
+        )
+    ), grams AS (
+        SELECT a.doc_id, a.lang, a.word AS w1, b.word AS w2
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+    ), big AS (
+        SELECT lang, w1, w2, COUNT(*) AS c2 FROM grams GROUP BY lang, w1, w2
+    ), uni AS (
+        SELECT lang, w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM big GROUP BY lang, w1
+    )
+    SELECT g.doc_id, g.lang, COUNT(*) AS n_bigrams,
+           round(-avg(ln((CAST(b.c2 AS DOUBLE) + 1.0)
+                         / (CAST(u.c1 AS DOUBLE) + 1000.0))), 6) AS bigram_nll
+    FROM grams g
+    JOIN big b ON g.lang = b.lang AND g.w1 = b.w1 AND g.w2 = b.w2
+    JOIN uni u ON g.lang = u.lang AND g.w1 = u.w1
+    GROUP BY g.doc_id, g.lang
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality score with add-1/V smoothing (V fixed at 1000
+    for engine parity): mean −ln P(w_i | w_{i−1}) per document under a
+    per-language bigram model fit on the corpus — one step closer to
+    the KenLM filter CCNet actually runs than q_unigram_logprob, while
+    staying fully SQL-replayable.
+
+    Shape: posexplode keeps token positions (map-side); bigrams come
+    from zipping each token array with itself shifted — NO self-join on
+    the token table (the oracle's rn-to-rn+1 join is the single-node
+    spelling; the Spark side slides the array in place). The bigram
+    count table is vocabulary²-bounded-by-data — joined WITHOUT a
+    broadcast hint (AQE sizes it); the unigram context totals derive
+    from the bigram table (one extra tiny agg), never a second corpus
+    pass."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        X.tokenize("text").alias("_t"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g"),
+    ).select("doc_id", "lang", "g.w1", "g.w2")
+    big = grams.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = big.groupBy("lang", "w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    return (
+        grams.join(big, ["lang", "w1", "w2"])
+        .join(uni, ["lang", "w1"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.avg(
+                    F.log(
+                        (F.col("c2").cast("double") + F.lit(1.0))
+                        / (F.col("c1").cast("double") + F.lit(1000.0))
+                    )
+                ),
+                6,
+            ).alias("bigram_nll"),
+        )
+    )
+
+
+# ---------- character entropy (compression-proxy quality signal) ----------
+
+
+@query(
+    "q_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+        FROM documents
+    ), freq AS (
+        SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+    ), tot AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM freq GROUP BY doc_id
+    )
+    SELECT f.doc_id, t.n AS n_chars_counted,
+           round(-SUM((CAST(c AS DOUBLE) / t.n)
+                      * ln(CAST(c AS DOUBLE) / t.n)) / ln(2.0), 6)
+               AS char_entropy_bits
+    FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+    GROUP BY f.doc_id, t.n
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution entropy in bits — the cheap
+    stand-in for a compression-ratio quality gate (low-entropy docs are
+    repetitive/boilerplate, near-random entropy flags binary junk;
+    Gopher's repetition family measures the same pathology from the
+    other end).
+
+    Shape: explode characters (map-side), per-(doc, char) counts with
+    map-side combine — the shuffle key space is |docs| × |alphabet|,
+    linear in the corpus; entropy folds back per doc in one aggregate.
+    Zero joins beyond the per-doc total re-attach; pure Column math."""
+    docs = t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch")
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id", F.col("n").alias("n_chars_counted"))
+        .agg(
+            F.round((-F.sum(p * F.log(p)) / F.log(F.lit(2.0))), 6).alias(
+                "char_entropy_bits"
+            )
+        )
+        .select("doc_id", "n_chars_counted", "char_entropy_bits")
+    )
+
+
+# ---------- TF-IDF top terms per document ----------
+
+
+@query(
+    "q_top_terms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY doc_id, word
+    ), df AS (
+        SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+    ), nd AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf
+    ), scored AS (
+        SELECT tf.doc_id, tf.word,
+               round(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / df.df), 6)
+                   AS tfidf
+        FROM tf JOIN df ON tf.word = df.word CROSS JOIN nd
+    ), ranked AS (
+        SELECT doc_id, word, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, word) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, word, tfidf, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — keyword extraction for search
+    indexing / topic labeling over the corpus.
+
+    Shape: term frequencies with map-side combine; document frequencies
+    from the (doc, word) table (already deduped — no second corpus
+    pass); the corpus-size scalar broadcasts (1 row, always bounded);
+    the per-doc top-3 window partitions by doc_id — state bounded by
+    one document's vocabulary. The df table grows with vocabulary, so
+    its join carries NO broadcast hint (AQE sizes it; skew-split
+    handles stopwords)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(X.tokenize("text")).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    nd = tf.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    )
+    return scored.withColumn("rnk", rnk).filter(F.col("rnk") <= 3)

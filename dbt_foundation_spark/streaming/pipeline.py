@@ -307,6 +307,18 @@ def run_into_incremental(
         raise ValueError(
             f"{node_name}: run_into_incremental needs materialized='incremental'"
         )
+    if node.config.incremental_strategy == "microbatch":
+        # microbatch REBUILDS every period in its window from what it
+        # assumes is the complete restated source; a micro-batch stream
+        # delivers partial slices, so the period overlapping two
+        # triggers would be rebuilt from the later slice alone —
+        # silently dropping the earlier trigger's rows at every seam.
+        raise ValueError(
+            f"{node_name}: microbatch models rebuild whole periods from a "
+            "complete source — drive them from batch runs (optionally with "
+            "event_time_start/end); stream ingestion pairs with "
+            "append/merge strategies"
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         _incremental(project, node, batch_df)
