@@ -36,15 +36,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The driver's correctness harness only ingests the first 50 entries of
 # ``queries()``.  Round-4 rotation: (a) the 10 oracle-backed queries that
 # have never had a driver row (VERDICT r3 "Next round" #1); (b) queries
-# whose implementation changed this round — broadcast size-guarding
-# (q_join_inner, q_shipping_priority; the other affected marts are in
-# group a), containment-optimal blocking (q_containment), signature
+# NEW this round (corpus pipeline, microbatch, contracts, clone,
+# metrics, z-order, curation/text tranche, the TPC-H subquery marts) or
+# whose implementation changed — broadcast size-guarding
+# (q_shipping_priority; q_join_inner shares the shape and yielded its
+# slot), containment-optimal blocking (q_containment), signature
 # hoisting (q_embedding_neardup); (c) the oldest-evidence remainder —
 # r1/r2 rows not refreshed in r3.  Deferred to round 5 (all r2-green,
 # trivial scalar/test macros, unchanged since): q_test_unique,
 # q_test_notnull, q_test_accepted_values, q_test_equal_rowcount,
 # q_test_equality, q_safe_divide, q_width_bucket, q_haversine,
-# q_parse_url, q_slugify.
+# q_parse_url, q_slugify.  Every oracle-backed query without a prior
+# driver row sits inside the top-50 window as of this round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) never driver-checked
     "q_value_outliers",
@@ -58,6 +61,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_window_range_frame",
     "q_gap_fill",
     # (b) implementation changed or NEW in round 4
+    "q_corpus_pipeline",
     "q_incremental_microbatch",
     "q_metrics_layer",
     "q_zorder_layout",
@@ -88,7 +92,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_idf_novelty",
     "q_token_budget_select",
     "q_histogram_quantiles",
-    "q_join_inner",
     "q_shipping_priority",
     "q_containment",
     "q_embedding_neardup",
@@ -98,8 +101,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_priority_shipments",
     "q_brand_revenue",
     "q_big_orders",
-    "q_sketch_rollup",   # rows-only by design — still wants a driver row
-    "q_approx_distinct",  # rows-only by design
+    # rows-only by design — a driver row is weak evidence, so these sit
+    # below every never-checked oracled query
+    "q_sketch_rollup",
+    "q_approx_distinct",
     # (c) oldest evidence (green in r1/r2, not re-checked since)
     "q_dedup_exact",
     "q_dedup_fingerprint",

@@ -1042,3 +1042,127 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
     )
     return scored.withColumn("rnk", rnk).filter(F.col("rnk") <= 3)
+
+
+# ---------- the fused corpus pipeline (gate → dedup → shard) ----------
+
+
+def _pipeline_oracle() -> str:
+    from dbt_foundation_spark.queries.llm import _minhash_portable_ctes
+
+    ngram2 = _ngram_sql(2)
+    return rf"""
+    WITH RECURSIVE t0 AS (
+        SELECT doc_id, lang, text,
+               string_split_regex(lower(trim(text)), '\s+') AS tok
+        FROM documents
+    ), gated AS (
+        SELECT doc_id, lang, text, len(tok) AS toks FROM t0
+        WHERE {QUALITY_SCORE_SQL} >= 0.5
+          AND 1.0 - CAST(len(list_distinct({ngram2})) AS DOUBLE)
+              / len({ngram2}) <= 0.30
+          AND {_MARKER_HITS_SQL} > 0
+    ), keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text
+    ), survivors AS (
+        SELECT g.* FROM gated g JOIN keepers k ON g.doc_id = k.doc_id
+    ), {_minhash_portable_ctes(16, 4, source="survivors")},
+    pairs AS (
+        SELECT id_a, id_b FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+        WHERE {_MINHASH_JAC_SQL} >= 0.5
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ), reach(id, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ), comp AS (
+        SELECT id, MIN(lab) AS component FROM reach GROUP BY id
+    ), final AS (
+        SELECT s.doc_id, s.toks
+        FROM survivors s LEFT JOIN comp c ON c.id = s.doc_id
+        WHERE c.id IS NULL OR c.id = c.component
+    ), r AS (
+        SELECT doc_id, toks,
+               row_number() OVER (ORDER BY toks DESC, doc_id % 64, doc_id) AS rn
+        FROM final
+    ), assigned AS (
+        SELECT toks,
+               CASE WHEN ((rn - 1) // 8) % 2 = 0
+                    THEN (rn - 1) % 8 ELSE 7 - ((rn - 1) % 8)
+               END AS shard
+        FROM r
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens
+    FROM assigned GROUP BY shard ORDER BY shard
+    """
+
+
+@query("q_corpus_pipeline", oracle=_pipeline_oracle())
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE fused training-corpus pipeline, end to end in one plan:
+    quality/repetition/language gates → exact dedup (min-id keeper per
+    identical text) → MinHash-LSH near-dup collapse (portable md5
+    signatures, connected components, canonical member survives) →
+    serpentine token-balanced assignment onto 8 training shards. The
+    DuckDB oracle replays EVERY stage — gate arithmetic, keeper
+    aggregation, the full shingle/hash/band/verify/closure chain over
+    the gated survivor set, and the shard deal — so any drift anywhere
+    in the composed pipeline hash-mismatches.
+
+    Why it matters: the individual stages are oracle-checked alone;
+    this query pins their COMPOSITION (each stage consuming the
+    previous stage's survivors), which is what a user actually ships.
+    Scale shape inherits from its parts: every stage is keyed
+    aggregation / banded equi-join / bounded-window rank — nothing
+    all-pairs, nothing driver-side, the one global window reads the
+    shard histogram."""
+    from dbt_foundation_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from dbt_foundation_spark.operators.packing import serpentine_shards
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    gated = docs.filter(
+        (X.quality_score("text") >= 0.5)
+        & (X.dup_ngram_ratio("text", 2) <= 0.30)
+        & (X.lang_id("text") != "und")
+    ).select("doc_id", "text", X.token_count("text").alias("toks"))
+    keepers = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # lazy checkpoint at the stage boundary: the gate + keeper join is
+    # consumed by the minhash shingling, every connected-components
+    # iteration, and the final canonical filter — materialize it once
+    # (the in-plan analog of a pipeline persisting stage outputs)
+    survivors = gated.join(keepers.select("doc_id"), "doc_id").localCheckpoint(
+        eager=False
+    )
+    pairs = minhash_lsh_pairs(
+        survivors, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_len=3,
+        jaccard_threshold=0.5, portable=True,
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    final = (
+        survivors.join(comps, survivors["doc_id"] == comps["id"], "left")
+        .filter(F.col("id").isNull() | (F.col("id") == F.col("comp")))
+        .select("doc_id", "toks")
+        .localCheckpoint(eager=False)  # read by shard histogram AND rank
+    )
+    assigned = serpentine_shards(
+        final, id_col="doc_id", cost_col="toks", n_shards=8
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )

@@ -105,6 +105,7 @@ def _minhash_portable_ctes(
     bands: int,
     pair_select: str = "a.doc_id AS id_a, b.doc_id AS id_b",
     pair_pred: str = "a.doc_id < b.doc_id",
+    source: str = "documents",
 ) -> str:
     """Shared CTE body replaying the PORTABLE minhash pipeline in
     DuckDB: identical 3-token shingles, identical base hash (md5 60-bit
@@ -113,7 +114,9 @@ def _minhash_portable_ctes(
     checked. Ends at the ``cand`` CTE; callers append the verify (and
     optionally the cluster-collapse recursion). ``pair_select`` /
     ``pair_pred`` reshape the candidate join (the incremental dedup
-    oracle restricts it to cross-side pairs)."""
+    oracle restricts it to cross-side pairs); ``source`` renames the
+    scanned relation/CTE (the fused pipeline oracle shingles its GATED
+    survivor set, not raw documents)."""
     from dbt_foundation_spark.operators.dedup import _P, _hash_coeffs
 
     coeffs = _hash_coeffs(num_hashes)
@@ -127,7 +130,8 @@ def _minhash_portable_ctes(
         + ") AS bucket FROM sig"
         for b in range(bands)
     )
-    return rf"""{_SH_CTE_SQL}, posting AS (
+    sh_cte = _SH_CTE_SQL.replace("FROM documents", f"FROM {source}")
+    return rf"""{sh_cte}, posting AS (
         SELECT doc_id, unnest(toks) AS s FROM sh
     ), hashed AS (
         SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT % {_P} AS h0 FROM posting

@@ -91,6 +91,24 @@ def build_project(spark, sf_dir: str, schema: str = "example") -> Project:
     def dim_customer(ctx):
         return ctx.ref("stg_customer")
 
+    # dbt 1.9 microbatch: daily event partitions, lookback restatement —
+    # re-running rebuilds only the trailing window, never the table
+    @project.model(
+        materialized="incremental",
+        incremental_strategy="microbatch",
+        event_time="ts",
+        batch_size="day",
+        lookback=1,
+        begin="2024-01-01",
+    )
+    def fct_daily_events(ctx):
+        ev = ctx.source("raw", "events")
+        if dict(ev.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) parquet
+            ev = ev.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+            )
+        return ev.select("event_id", "ts", "user_id", "value")
+
     # --- curation mart: the LLM-data operators inside the same DAG ---
 
     @project.model
