@@ -38,10 +38,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # have never had a driver row (VERDICT r3 "Next round" #1); (b) queries
 # NEW this round (corpus pipeline, microbatch, contracts, clone,
 # metrics, z-order, curation/text tranche, the TPC-H subquery marts) or
-# whose implementation changed — broadcast size-guarding
-# (q_shipping_priority; q_join_inner shares the shape and yielded its
-# slot), containment-optimal blocking (q_containment), signature
-# hoisting (q_embedding_neardup); (c) the oldest-evidence remainder —
+# whose implementation changed — containment-optimal blocking
+# (q_containment), signature hoisting (q_embedding_neardup); the
+# broadcast-size-guarded marts q_join_inner/q_shipping_priority yielded
+# their slots (r3-green, value-identical plan-only change) so every
+# never-checked oracled query fits; (c) the oldest-evidence remainder —
 # r1/r2 rows not refreshed in r3.  Deferred to round 5 (all r2-green,
 # trivial scalar/test macros, unchanged since): q_test_unique,
 # q_test_notnull, q_test_accepted_values, q_test_equal_rowcount,
@@ -73,6 +74,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_top_terms",
     "q_shard_plan",
     "q_winsorize",
+    "q_train_test_split",
     "q_exists_priority",
     "q_local_volume",
     "q_market_share",
@@ -92,7 +94,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_idf_novelty",
     "q_token_budget_select",
     "q_histogram_quantiles",
-    "q_shipping_priority",
     "q_containment",
     "q_embedding_neardup",
     "q_repeated_spans",

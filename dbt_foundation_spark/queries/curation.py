@@ -1166,3 +1166,38 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------- deterministic train/test split ----------
+
+
+@query(
+    "q_train_test_split",
+    oracle="""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)
+                     < '33333333'
+                THEN 'test' ELSE 'train' END AS split,
+           lang, COUNT(*) AS n_docs
+    FROM documents GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-stable 80/20 train/test split
+    (operators/sampling.train_test_split): membership is a pure
+    function of md5(doc_id, salt), so a document NEVER migrates between
+    splits across runs, repartitions, or engines — the property that
+    keeps eval sets uncontaminated as the corpus is reprocessed. The
+    oracle replays the exact hex-threshold predicate; the disjoint ∧
+    exhaustive property is pinned in tests/test_scale_ops.py."""
+    from dbt_foundation_spark.operators.sampling import train_test_split
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    train, test = train_test_split(docs, "doc_id", test_fraction=0.2)
+    both = train.withColumn("split", F.lit("train")).unionByName(
+        test.withColumn("split", F.lit("test"))
+    )
+    return (
+        both.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )

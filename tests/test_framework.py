@@ -1272,3 +1272,39 @@ def test_build_gates_downstream_on_test_failure(project, spark):
     # plain run(): no gating, consumer builds
     p2_results = {r.node: r for r in project.run(select={"bld_consumer"})}
     assert p2_results["bld_consumer"].status == "success"
+
+
+@pytest.mark.parametrize("unit,t1,t2,b1,b2", [
+    ("hour", "2024-01-01 10:20:00", "2024-01-01 11:40:00",
+     "2024-01-01 10", "2024-01-01 11"),
+    ("month", "2024-01-15 00:00:00", "2024-02-10 00:00:00",
+     "2024-01", "2024-02"),
+])
+def test_microbatch_grains(project, spark, unit, t1, t2, b1, b2):
+    """hour and month batch grids partition and restate correctly (the
+    day grid is covered by test_incremental_microbatch)."""
+    src = spark.createDataFrame(
+        [(1, t1, 1.0), (2, t2, 2.0)], "id bigint, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    state = {"batch": src}
+
+    @project.model(
+        materialized="incremental",
+        incremental_strategy="microbatch",
+        event_time="ts",
+        batch_size=unit,
+        lookback=1,
+        begin="2024-01-01",
+        name=f"mb_{unit}",
+    )
+    def mb_grain(ctx):
+        return state["batch"]
+
+    assert all(r.status == "success" for r in project.run(select={f"mb_{unit}"}))
+    rel = project.relation_name(project.manifest[f"mb_{unit}"])
+    assert {r[0] for r in spark.table(rel).select("dbt_event_batch").collect()} == {b1, b2}
+
+    # idempotent restatement: same source again → identical table
+    before = sorted(map(tuple, spark.table(rel).collect()))
+    assert all(r.status == "success" for r in project.run(select={f"mb_{unit}"}))
+    assert sorted(map(tuple, spark.table(rel).collect())) == before
