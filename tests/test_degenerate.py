@@ -1,0 +1,152 @@
+"""Degenerate-input hardening: every major operator must survive an
+EMPTY corpus and a SINGLE-row corpus without crashing and return sane
+(usually empty) results. At 100 TB these shapes show up constantly —
+an empty partition after a filter, a source table mid-backfill, a
+block with one member — and an operator that throws on them kills the
+whole job."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string"
+    )
+
+
+@pytest.fixture(scope="module")
+def one_doc(spark):
+    return spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+
+
+@pytest.fixture(scope="module")
+def empty_vecs(spark):
+    return spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def one_vec(spark):
+    return spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+
+
+def test_dedup_family_degenerate(spark, empty_docs, one_doc):
+    from dbt_foundation_spark.operators.dedup import (
+        connected_components,
+        containment_pairs,
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+
+    for df in (empty_docs, one_doc):
+        assert exact_dedup(df, ["text"], keep_order=["doc_id"]).count() <= 1
+        assert minhash_lsh_pairs(
+            df, "doc_id", "text", num_hashes=16, bands=4,
+            shingle_len=3, jaccard_threshold=0.5,
+        ).count() == 0
+        assert simhash_near_pairs(df, "doc_id", "text", max_hamming=2).count() == 0
+        assert ngram_jaccard_pairs(
+            df, "doc_id", "text", block_cols=["lang"], threshold=0.5
+        ).count() == 0
+        assert containment_pairs(df, "doc_id", "text").count() == 0
+    empty_pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert connected_components(empty_pairs, "id_a", "id_b").count() == 0
+
+
+def test_similarity_family_degenerate(spark, empty_vecs, one_vec):
+    from dbt_foundation_spark.operators.similarity import (
+        cosine_topk,
+        embedding_near_pairs,
+        knn_join,
+    )
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    assert cosine_topk(empty_vecs, "vec_id", "embedding", q, k=5).count() == 0
+    assert cosine_topk(one_vec, "vec_id", "embedding", q, k=5).count() == 1
+    assert embedding_near_pairs(
+        empty_vecs, "vec_id", "embedding", threshold=0.5, dim=4
+    ).count() == 0
+    assert embedding_near_pairs(
+        one_vec, "vec_id", "embedding", threshold=0.5, dim=4
+    ).count() == 0
+    # knn over a 1-row corpus with self-exclusion yields nothing
+    assert knn_join(
+        one_vec, one_vec, "vec_id", "vec_id", "embedding", "embedding", k=3
+    ).count() == 0
+
+
+def test_curation_ops_degenerate(spark, empty_docs, one_doc):
+    from dbt_foundation_spark.functions.redact import redact_pii
+    from dbt_foundation_spark.functions.text import (
+        dup_ngram_ratio,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+    from dbt_foundation_spark.operators.packing import (
+        pack_sequences,
+        serpentine_shards,
+    )
+    from dbt_foundation_spark.operators.sampling import (
+        hash_sample,
+        train_test_split,
+    )
+
+    for df in (empty_docs, one_doc):
+        n = df.count()
+        scored = df.select(
+            "doc_id",
+            quality_score("text").alias("q"),
+            lang_id("text").alias("l"),
+            dup_ngram_ratio("text", 2).alias("d"),
+            redact_pii("text").alias("clean"),
+            token_count("text").alias("toks"),
+        )
+        assert scored.count() == n
+        assert hash_sample(df, "doc_id", 0.5).count() <= n
+        tr, te = train_test_split(df, "doc_id", test_fraction=0.2)
+        assert tr.count() + te.count() == n
+        sized = df.select("doc_id", token_count("text").alias("toks"))
+        shards = serpentine_shards(
+            sized, id_col="doc_id", cost_col="toks", n_shards=4
+        )
+        assert shards.count() == n
+        packed = pack_sequences(
+            sized, tokens_col="toks", budget=16, order_cols=["doc_id"],
+            bucket_by=("doc_id", 4),
+        )
+        assert packed.count() == n
+
+
+def test_empty_events_through_windows_and_metrics(spark):
+    from dbt_foundation_spark.metrics import SemanticLayer
+
+    ev = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    # windowed agg over empty input: zero rows, no crash
+    out = ev.groupBy(F.window("ts", "1 hour"), "user_id").agg(
+        F.sum("value").alias("v")
+    )
+    assert out.count() == 0
+    sl = SemanticLayer()
+    sl.semantic_model(
+        "ev", ev,
+        measures={"v": {"agg": "sum", "expr": "value"}},
+        dimensions={"user": "user_id"},
+    )
+    sl.metric("vol", model="ev", measure="v")
+    assert sl.query(["vol"], group_by=["user"]).count() == 0
+    # grand total over empty frame: one row, NULL metric (SQL semantics)
+    row = sl.query(["vol"]).collect()[0]
+    assert row["vol"] is None
