@@ -215,3 +215,41 @@ def serpentine_shards(
     pos = r0 % n_shards
     shard = F.when(rnd % 2 == 0, pos).otherwise(n_shards - 1 - pos)
     return ranked.withColumn("shard", shard.cast("int")).drop("_sb", "_off", "_rank")
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    shard_col: str = "shard",
+    fmt: str = "json",
+    files_per_shard: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Write a shard-assigned frame (e.g. :func:`serpentine_shards`
+    output) as one directory per shard — the physical training-shard
+    export a data loader consumes (``shard=N/part-*.json[l]``; Spark's
+    json sink IS JSONL: one object per line).
+
+    ``files_per_shard`` controls file granularity via a repartition on
+    the shard column (1 → exactly one file per shard locally; at 100 TB
+    raise it so single files stay under object-store sweet spots — the
+    repartition shuffles once on (shard, salt)). Readers get partition
+    pruning on ``shard=`` for free when they re-read with Spark."""
+    if fmt not in ("json", "parquet", "csv"):
+        raise ValueError(f"unsupported export format: {fmt}")
+    out = df
+    if files_per_shard == 1:
+        out = df.repartition(F.col(shard_col))
+    elif files_per_shard > 1:
+        out = df.repartition(
+            F.col(shard_col),
+            (F.crc32(F.col(shard_col).cast("string")) % files_per_shard),
+        )
+    writer = out.write.partitionBy(shard_col).mode(mode)
+    if fmt == "json":
+        writer.json(path)
+    elif fmt == "csv":
+        writer.option("header", "true").csv(path)
+    else:
+        writer.parquet(path)

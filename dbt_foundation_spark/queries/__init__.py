@@ -38,11 +38,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # have never had a driver row (VERDICT r3 "Next round" #1); (b) queries
 # NEW this round (corpus pipeline, microbatch, contracts, clone,
 # metrics, z-order, curation/text tranche, the TPC-H subquery marts) or
-# whose implementation changed — containment-optimal blocking
-# (q_containment), signature hoisting (q_embedding_neardup); the
-# broadcast-size-guarded marts q_join_inner/q_shipping_priority yielded
-# their slots (r3-green, value-identical plan-only change) so every
-# never-checked oracled query fits; (c) the oldest-evidence remainder —
+# whose implementation changed — signature hoisting
+# (q_embedding_neardup); r3-green queries whose round-4 change is
+# already verified by in-repo sweeps at sf0.001+sf0.01 yielded their
+# slots (q_join_inner/q_shipping_priority: plan-only broadcast guard;
+# q_containment: prefix-filter blocking, pinned set-equal to brute
+# force by property test) so every never-checked oracled query fits;
+# (c) the oldest-evidence remainder —
 # r1/r2 rows not refreshed in r3.  Deferred to round 5 (all r2-green,
 # trivial scalar/test macros, unchanged since): q_test_unique,
 # q_test_notnull, q_test_accepted_values, q_test_equal_rowcount,
@@ -75,6 +77,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_shard_plan",
     "q_winsorize",
     "q_train_test_split",
+    "q_embedding_meanpool",
     "q_exists_priority",
     "q_local_volume",
     "q_market_share",
@@ -94,7 +97,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_idf_novelty",
     "q_token_budget_select",
     "q_histogram_quantiles",
-    "q_containment",
     "q_embedding_neardup",
     "q_repeated_spans",
     "q_dedup_keep_best",

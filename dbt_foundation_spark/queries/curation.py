@@ -1201,3 +1201,72 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+# ---------- mean-pool embedding aggregation ----------
+
+
+@query(
+    "q_embedding_meanpool",
+    oracle="""
+    WITH pos AS (
+        SELECT label, unnest(range(0, len(embedding))) AS p,
+               unnest(embedding) AS v
+        FROM embeddings
+    ), agg AS (
+        SELECT label, p, COUNT(*) AS n,
+               CAST(CAST(round(
+                   CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*),
+               6) AS DECIMAL(12,6)) AS VARCHAR) AS m
+        FROM pos GROUP BY label, p
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS dim,
+           CAST(MIN(n) AS BIGINT) AS n_members,
+           string_agg(m, ',' ORDER BY p) AS mean_csv
+    FROM agg GROUP BY label
+    """,
+)
+def q_embedding_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pool embedding aggregation: the per-group centroid of a
+    vector column (chunk embeddings → document embedding, member
+    embeddings → cluster centroid — the aggregation every
+    retrieval/clustering pipeline runs after chunk-level encoding).
+
+    Scale shape: posexplode to (group, position, value) — map-side —
+    then ONE keyed aggregate on (group, position) with map-side
+    combine; the element shuffle carries scalars, never whole vectors,
+    and no executor ever holds more than one group-position cell.
+    Re-assembly sorts each group's 64 positions inside an array —
+    bounded by the embedding dim. Sums are DECIMAL-routed so the
+    centroid is bit-identical cross-engine; means serialize as
+    fixed-point strings (decimal→varchar renders identically in both
+    engines, unlike doubles)."""
+    emb = t(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label", F.posexplode(V.to_double_array("embedding")).alias("p", "v")
+    )
+    agg = pos.groupBy("label", "p").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,8)")).cast("double") / F.count(F.lit(1)),
+            6,
+        )
+        .cast("decimal(12,6)")
+        .cast("string")
+        .alias("m"),
+    )
+    return (
+        agg.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dim"),
+            F.min("n").cast("bigint").alias("n_members"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "m"))),
+                    lambda s: s["m"],
+                ),
+                ",",
+            ).alias("mean_csv"),
+        )
+    )

@@ -277,3 +277,34 @@ def test_serpentine_shards_equals_naive_and_balances(spark):
     assert max(ns) - min(ns) <= 1
     # serpentine LPT: totals within one max-cost item of each other
     assert max(tots) - min(tots) <= max(c for _, c in rows)
+
+
+def test_export_shards_layout_and_roundtrip(spark, tmp_path):
+    """export_shards writes shard=N/ JSONL dirs that round-trip and
+    partition-prune on re-read."""
+    from pathlib import Path
+
+    from dbt_foundation_spark.operators.packing import (
+        export_shards,
+        serpentine_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10 + i % 5) for i in range(40)], "id bigint, cost bigint"
+    )
+    assigned = serpentine_shards(df, id_col="id", cost_col="cost", n_shards=4)
+    out = str(tmp_path / "shards")
+    export_shards(assigned, out, shard_col="shard", fmt="json")
+
+    dirs = sorted(p.name for p in Path(out).iterdir() if p.name.startswith("shard="))
+    assert dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+    # one data file per shard (files_per_shard=1)
+    for d in dirs:
+        files = [p for p in (Path(out) / d).glob("part-*")]
+        assert len(files) == 1
+    back = spark.read.json(out)
+    assert back.count() == 40
+    assert {r["shard"] for r in back.select("shard").distinct().collect()} == {0, 1, 2, 3}
+    # pruned read touches one partition directory
+    one = spark.read.json(out).filter(F.col("shard") == 2)
+    assert one.count() == 10
