@@ -661,6 +661,28 @@ class Project:
             self.spark.sql(hook.replace("{schema}", self.target.schema))
         return results
 
+    def ls(self, selector: str | None = None, exclude: str | None = None) -> list[str]:
+        """``dbt ls``: resource names matching a selector expression
+        (full --select grammar, selectors.py), sorted; all models/
+        seeds/snapshots when no selector is given."""
+        for node in self.manifest.nodes.values():
+            if node.sql is not None:
+                try:
+                    self._bind_sql_refs(node)
+                except PermissionError:
+                    pass
+        self._capture_edges()  # graph selectors need edges; builds nothing
+        names = {
+            n.name
+            for n in self.manifest.nodes.values()
+            if n.resource_type in ("model", "seed", "snapshot")
+        }
+        if selector is not None:
+            from dbt_foundation_spark.selectors import select_nodes
+
+            names &= select_nodes(self, selector, exclude=exclude)
+        return sorted(names)
+
     def _run_node_tests(self, node: Node) -> list[RunResult]:
         """Declared column tests for one node (``dbt build``'s
         interleaved test step). Returns one RunResult per test:

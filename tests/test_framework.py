@@ -1308,3 +1308,24 @@ def test_microbatch_grains(project, spark, unit, t1, t2, b1, b2):
     before = sorted(map(tuple, spark.table(rel).collect()))
     assert all(r.status == "success" for r in project.run(select={f"mb_{unit}"}))
     assert sorted(map(tuple, spark.table(rel).collect())) == before
+
+
+def test_ls_selector(project, spark):
+    """dbt ls: selector-filtered resource listing, no execution."""
+
+    @project.model(materialized="table", tags=("gold",))
+    def ls_a(ctx):
+        return spark.range(1)
+
+    @project.model(materialized="table")
+    def ls_b(ctx):
+        return ctx.ref("ls_a")
+
+    assert {"ls_a", "ls_b"} <= set(project.ls())
+    assert project.ls(selector="tag:gold") == ["ls_a"]
+    assert project.ls(selector="+ls_b") == ["ls_a", "ls_b"]
+    assert project.ls(selector="+ls_b", exclude="tag:gold") == ["ls_b"]
+    # nothing was built by listing
+    assert not spark.catalog.tableExists(
+        project.relation_name(project.manifest["ls_a"])
+    )
