@@ -210,3 +210,29 @@ def budget_select(
         .select(*out_cols)
     )
     return sel_full.unionByName(sel_boundary)
+
+
+def temperature_resample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    temperature: float,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the multilingual-LM
+    standard: target share ∝ n_d^(1/T)): T=1 keeps the natural
+    distribution, T→∞ flattens toward uniform (every domain downsampled
+    to the smallest), intermediate T up-weights small domains without
+    ever upsampling — exactly :func:`mixture_resample` with weights
+    n_d^(1/T), so membership inherits its content-hash stability and
+    cross-engine replayability.
+
+    The per-domain counts are collected driver-side to build the weight
+    table — bounded by domain cardinality (languages/sources: tens to
+    thousands of rows), the same boundedness argument as the rate
+    broadcast inside mixture_resample."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n")).collect()
+    weights = {r[domain_col]: float(r["_n"]) ** (1.0 / temperature) for r in counts}
+    return mixture_resample(df, id_col, domain_col, weights, salt=salt)

@@ -38,12 +38,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # have never had a driver row (VERDICT r3 "Next round" #1); (b) queries
 # NEW this round (corpus pipeline, microbatch, contracts, clone,
 # metrics, z-order, curation/text tranche, the TPC-H subquery marts) or
-# whose implementation changed — signature hoisting
-# (q_embedding_neardup); r3-green queries whose round-4 change is
-# already verified by in-repo sweeps at sf0.001+sf0.01 yielded their
+# whose implementation changed; r3-green queries whose round-4 change
+# is already verified by in-repo sweeps at sf0.001+sf0.01 yielded their
 # slots (q_join_inner/q_shipping_priority: plan-only broadcast guard;
 # q_containment: prefix-filter blocking, pinned set-equal to brute
-# force by property test) so every never-checked oracled query fits;
+# force by property test; q_embedding_neardup: signature hoisting,
+# recall property-tested) so every never-checked oracled query fits;
 # (c) the oldest-evidence remainder —
 # r1/r2 rows not refreshed in r3.  Deferred to round 5 (all r2-green,
 # trivial scalar/test macros, unchanged since): q_test_unique,
@@ -78,6 +78,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_winsorize",
     "q_train_test_split",
     "q_embedding_meanpool",
+    "q_temperature_mix",
     "q_exists_priority",
     "q_local_volume",
     "q_market_share",
@@ -97,7 +98,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_idf_novelty",
     "q_token_budget_select",
     "q_histogram_quantiles",
-    "q_embedding_neardup",
     "q_repeated_spans",
     "q_dedup_keep_best",
     "q_returned_customers",

@@ -1270,3 +1270,41 @@ def q_embedding_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_csv"),
         )
     )
+
+
+# ---------- temperature-scaled mixture sampling ----------
+
+
+@query(
+    "q_temperature_mix",
+    oracle="""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), sized AS (
+        SELECT source, n, power(CAST(n AS DOUBLE), 0.5) AS wt FROM counts
+    ), cap AS (
+        SELECT MIN(n / wt) AS c FROM sized
+    ), rates AS (
+        SELECT source,
+               CASE WHEN (cap.c * wt / n) >= 1.0 THEN 'ffffffffff'
+                    ELSE lpad(lower(hex(CAST(floor((cap.c * wt / n) * 4294967296.0)
+                                             AS BIGINT))), 8, '0')
+               END AS thr
+        FROM sized, cap
+    )
+    SELECT d.source, d.doc_id, d.lang
+    FROM documents d JOIN rates USING (source)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8) < thr
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling at T=2 over the source domains
+    (operators/sampling.temperature_resample): share ∝ n^(1/2), the
+    standard multilingual up-weighting of small domains with no
+    upsampling. Same content-hash membership machinery as
+    q_domain_mix, so the oracle replays acceptance row-for-row —
+    including the pow/floor/hex threshold arithmetic."""
+    from dbt_foundation_spark.operators.sampling import temperature_resample
+
+    docs = t(spark, sf_dir, "documents").select("source", "doc_id", "lang")
+    return temperature_resample(docs, "doc_id", "source", temperature=2.0)
