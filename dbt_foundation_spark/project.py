@@ -630,20 +630,29 @@ class Project:
             failed.update(r.node for r in results if r.status == "skipped")
             if not todo:
                 continue
-            before = set(self._materialized)
+            gen_res: list[RunResult] = []
             with ThreadPoolExecutor(max_workers=self.target.threads) as pool:
                 for res in pool.map(self._execute_node, todo):
                     results.append(res)
+                    gen_res.append(res)
                     if res.status == "error":
                         failed.add(res.node)
             # Capture-phase frames downstream of a node persisted this
-            # generation embed its PRE-materialization frame (an
+            # generation embed a STALE view of it: on first
+            # materialization, its pre-materialization frame (an
             # incremental's delta batch, a snapshot's raw input without
-            # dbt_valid_* columns). Invalidate them so later generations
-            # rebuild against the persisted relation via _node_frame.
-            newly = self._materialized - before
-            if newly:
-                for name in self.manifest.downstream(newly) - newly:
+            # dbt_valid_* columns); on a REBUILD, a resolved scan whose
+            # file index points at the swapped-away files (the staging
+            # swap deletes them → FAILED_READ_FILE). Invalidate
+            # downstream of every node persisted this generation, new
+            # or rebuilt, so later generations re-resolve the relation.
+            persisted_now = {
+                r.node
+                for r in gen_res
+                if r.status == "success" and r.node in self._materialized
+            }
+            if persisted_now:
+                for name in self.manifest.downstream(persisted_now) - persisted_now:
                     self._frames.pop(name, None)
             if gate_tests:
                 # dbt build: a model's declared tests run right after it
@@ -726,14 +735,28 @@ class Project:
 
     def retry(self, results: list[RunResult]) -> list[RunResult]:
         """``dbt retry`` (dbt-core 1.6): re-run exactly the nodes a
-        previous :meth:`run` left in ``error`` or ``skipped`` state —
-        successes are not rebuilt. The skipped set already contains the
-        failures' downstreams, so the retried DAG is the unfinished
-        suffix of the original invocation."""
+        previous :meth:`run` / :meth:`build` left unfinished —
+        successes are not rebuilt. ``error`` and ``skipped`` nodes
+        re-run; a ``test_fail`` maps back to its NODE, which re-runs
+        WITH test gating — otherwise retrying a build would rebuild the
+        skipped consumers of a model whose tests failed without
+        re-judging it, promoting exactly the bad data the gate stopped.
+        The skipped set already contains the failures' downstreams, so
+        the retried DAG is the unfinished suffix of the original
+        invocation."""
         names = {r.node for r in results if r.status in ("error", "skipped")}
+        gated = False
+        for r in results:
+            if r.status == "test_fail":
+                m = re.match(r"^(.*)\.(?:unique|not_null)\(.*\)$", r.node)
+                if m:
+                    names.add(m.group(1))
+                    gated = True
+            elif r.status == "test_pass":
+                gated = True
         if not names:
             return []
-        return self.run(select=names)
+        return self.run(select=names, gate_tests=gated)
 
     def show(self, name: str, limit: int = 5) -> DataFrame:
         """``dbt show``: preview a model's first rows. Reads the built

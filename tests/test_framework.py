@@ -1329,3 +1329,41 @@ def test_ls_selector(project, spark):
     assert not spark.catalog.tableExists(
         project.relation_name(project.manifest["ls_a"])
     )
+
+
+def test_retry_after_build_regates_tests(project, spark):
+    """retry of a build() result must re-run the test-failed node WITH
+    gating — never silently rebuild its skipped consumers."""
+    state = {"fix": False}
+
+    @project.model(
+        materialized="table", columns={"id": {"tests": ["unique"]}}
+    )
+    def rb_src(ctx):
+        if state["fix"]:
+            return spark.sql("SELECT 1 AS id UNION ALL SELECT 2")
+        return spark.sql("SELECT 1 AS id UNION ALL SELECT 1")
+
+    @project.model(materialized="table")
+    def rb_down(ctx):
+        return ctx.ref("rb_src")
+
+    res = list(project.build())
+    by = {r.node: r for r in res}
+    assert by["rb_src.unique(id)"].status == "test_fail"
+    assert by["rb_down"].status == "skipped"
+
+    # retry WITHOUT fixing: source rebuilds, test fails again, consumer
+    # stays skipped — bad data never promotes
+    retried = {r.node: r for r in project.retry(res)}
+    assert retried["rb_src.unique(id)"].status == "test_fail"
+    assert retried["rb_down"].status == "skipped"
+
+    # fix upstream, retry again: everything completes
+    state["fix"] = True
+    retried2 = {r.node: r for r in project.retry(list(retried.values()))}
+    assert retried2["rb_src.unique(id)"].status == "test_pass"
+    assert retried2["rb_down"].status == "success"
+    assert spark.table(
+        project.relation_name(project.manifest["rb_down"])
+    ).count() == 2
