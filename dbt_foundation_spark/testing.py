@@ -273,7 +273,14 @@ def run_tests(
 
     for model, label, fn in plan:
         try:
-            df = project._node_frame(model)
+            if model.startswith("source:"):
+                # dbt tests on SOURCES (schema.yml under sources:) —
+                # key 'source:<source_name>.<table>' resolves through
+                # the registry instead of the model DAG
+                src, tbl = model[len("source:"):].split(".", 1)
+                df = project.sources.load(project.spark, src, tbl)
+            else:
+                df = project._node_frame(model)
             violations = fn(df)
             failed = not violations.isEmpty()
             n = violations.count() if failed else 0

@@ -181,7 +181,9 @@ def main() -> None:  # pragma: no cover - direct invocation path
     # selector grammar: run the pricing mart and everything it needs
     for r in project.run(selector="+fct_pricing_summary"):
         print(f"{r.status:8s} {r.node}")
-    for r in project.run():  # then the rest
+    # dbt build for the rest: declared tests run right after each model
+    # and gate its dependents (test_pass/test_fail rows in the results)
+    for r in project.build():
         print(f"{r.status:8s} {r.node}")
     for t in run_example_tests(project):
         print(f"{t.status:5s} {t.model}.{t.test}")

@@ -1367,3 +1367,51 @@ def test_retry_after_build_regates_tests(project, spark):
     assert spark.table(
         project.relation_name(project.manifest["rb_down"])
     ).count() == 2
+
+
+def test_source_level_tests(project, spark):
+    """dbt tests on sources: 'source:<name>.<table>' keys resolve
+    through the registry, no model required."""
+    from dbt_foundation_spark.testing import not_null, relationships, run_tests, unique
+
+    res = run_tests(
+        project,
+        tests={
+            "source:raw.nation": {
+                "pk": [unique("n_nationkey"), not_null("n_nationkey")],
+                "fk_region": [
+                    relationships(
+                        "n_regionkey",
+                        project.sources.load(spark, "raw", "region"),
+                        "r_regionkey",
+                    )
+                ],
+            },
+        },
+    )
+    assert {(r.test, r.status) for r in res} == {
+        ("pk", "pass"),
+        ("fk_region", "pass"),
+    }
+    # a failing source test reports, not raises
+    bad = run_tests(
+        project,
+        tests={"source:raw.orders": {"bad_unique": [unique("o_orderstatus")]}},
+    )
+    assert bad[0].status == "fail" and bad[0].failures > 0
+
+
+def test_export_shards_files_per_shard(spark, tmp_path):
+    from pathlib import Path
+
+    from dbt_foundation_spark.operators.packing import export_shards
+
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(100)], "id bigint, shard int"
+    )
+    out = str(tmp_path / "multi")
+    export_shards(df, out, shard_col="shard", fmt="parquet", files_per_shard=3)
+    for d in ("shard=0", "shard=1"):
+        files = list((Path(out) / d).glob("part-*"))
+        assert 1 <= len(files) <= 3
+    assert spark.read.parquet(out).count() == 100
