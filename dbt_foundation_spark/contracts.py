@@ -112,10 +112,13 @@ def validate_constraints(node: Node, df: DataFrame) -> None:
                         f"{node.name}: check constraint on {col} has no expression"
                     )
                 cond = F.expr(expr)
+                # SQL CHECK semantics (and the warehouse behavior dbt
+                # emulates): a NULL predicate result PASSES — only rows
+                # where the predicate is definitively false violate.
                 aggs.append(
                     (
                         f"{col} check({expr})",
-                        F.count_if(~cond | cond.isNull()),
+                        F.count_if(~F.coalesce(cond, F.lit(True))),
                     )
                 )
             elif kind == "unique":

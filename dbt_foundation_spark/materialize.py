@@ -306,10 +306,30 @@ def _microbatch(project: Project, node: Node, df: DataFrame) -> None:
     periods = {r[0] for r in affected.distinct().collect()} | {
         r[0] for r in batch.select(BATCH_COL).distinct().collect()
     }
-    for p in sorted(periods):
-        spark.sql(
-            f"ALTER TABLE {rel} DROP IF EXISTS PARTITION ({BATCH_COL}='{p}')"
+    if node.config.partition_by and periods:
+        # A partial partition spec (only BATCH_COL) is a silent no-op on
+        # Spark's in-memory catalog when the table is partitioned by
+        # (partition_by..., BATCH_COL) — the append would then duplicate
+        # every row of each rebuilt period. Enumerate FULL specs from the
+        # landed table for the affected periods (metadata-scale distinct
+        # over partition columns) and drop each.
+        combos = (
+            existing.filter(F.col(BATCH_COL).isin(sorted(periods)))
+            .select(*node.config.partition_by, BATCH_COL)
+            .distinct()
+            .collect()
         )
+        for row in combos:
+            spec = ", ".join(
+                f"{c}='{row[c]}'"
+                for c in (*node.config.partition_by, BATCH_COL)
+            )
+            spark.sql(f"ALTER TABLE {rel} DROP IF EXISTS PARTITION ({spec})")
+    else:
+        for p in sorted(periods):
+            spark.sql(
+                f"ALTER TABLE {rel} DROP IF EXISTS PARTITION ({BATCH_COL}='{p}')"
+            )
     batch.write.format("parquet").partitionBy(*part_cols).mode("append").saveAsTable(rel)
     spark.sql(f"REFRESH TABLE {rel}")
 

@@ -252,7 +252,23 @@ class SemanticLayer:
                 .rowsBetween(Window.unboundedPreceding, 0)
             )
             for m in cum:
-                out = out.withColumn(m.name, F.sum(m.name).over(w))
+                # A running total only equals re-aggregating the raw rows
+                # up to each period when the measure's agg DISTRIBUTES
+                # over the per-period partials: sum/count accumulate with
+                # sum, min/max with min/max. avg / count_distinct do not
+                # (a sum of monthly averages is not a running average), so
+                # those are rejected rather than silently miscomputed.
+                agg = sm.measures[m.measure].agg
+                if agg in ("sum", "count"):
+                    out = out.withColumn(m.name, F.sum(m.name).over(w))
+                elif agg in ("min", "max"):
+                    out = out.withColumn(m.name, _AGGS[agg](F.col(m.name)).over(w))
+                else:
+                    raise ValueError(
+                        f"{m.name}: cumulative metrics require a "
+                        f"distributive measure agg (sum/count/min/max), "
+                        f"got {agg!r}"
+                    )
 
         for m in wanted:
             if m.type == "derived":

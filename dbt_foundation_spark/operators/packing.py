@@ -207,8 +207,17 @@ def serpentine_shards(
         "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0).cast("bigint"))
     ).select(cost_col, "_sb", "_off")
     w_in = Window.partitionBy(cost_col, "_sb").orderBy(idc.asc())
-    ranked = keyed.join(offs, [cost_col, "_sb"]).withColumn(
-        "_rank", F.row_number().over(w_in) + F.col("_off")
+    # Null-safe equality on the cost key: groupBy and the window both
+    # treat NULL cost as its own group (ranked last under desc — Spark
+    # and ANSI NULLS LAST agree), but a plain equi-join would silently
+    # drop those rows from the shard plan (r4 ADVICE).
+    ranked = (
+        keyed.join(
+            offs.withColumnRenamed(cost_col, "_oc").withColumnRenamed("_sb", "_osb"),
+            F.col(cost_col).eqNullSafe(F.col("_oc")) & (F.col("_sb") == F.col("_osb")),
+        )
+        .drop("_oc", "_osb")
+        .withColumn("_rank", F.row_number().over(w_in) + F.col("_off"))
     )
     r0 = F.col("_rank") - 1
     rnd = F.floor(r0 / n_shards)
@@ -242,10 +251,19 @@ def export_shards(
     if files_per_shard == 1:
         out = df.repartition(F.col(shard_col))
     elif files_per_shard > 1:
-        out = df.repartition(
-            F.col(shard_col),
-            (F.crc32(F.col(shard_col).cast("string")) % files_per_shard),
+        # The salt must vary PER ROW within a shard — a function of the
+        # shard value alone is constant inside each shard, which would
+        # collapse every shard back into one task/file (r4 ADVICE).
+        # Materialized via withColumn (nondeterministic expressions are
+        # not valid repartition keys), and the partition count is
+        # explicit so AQE's small-shuffle coalescing can't merge the
+        # salted tasks back together on small inputs.
+        salted = df.withColumn(
+            "_fps", (F.monotonically_increasing_id() % files_per_shard).cast("int")
         )
+        out = salted.repartition(
+            files_per_shard * 64, F.col(shard_col), F.col("_fps")
+        ).drop("_fps")
     writer = out.write.partitionBy(shard_col).mode(mode)
     if fmt == "json":
         writer.json(path)

@@ -34,83 +34,43 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness harness only ingests the first 50 entries of
-# ``queries()``.  Round-4 rotation: (a) the 10 oracle-backed queries that
-# have never had a driver row (VERDICT r3 "Next round" #1); (b) queries
-# NEW this round (corpus pipeline, microbatch, contracts, clone,
-# metrics, z-order, curation/text tranche, the TPC-H subquery marts) or
-# whose implementation changed; r3-green queries whose round-4 change
-# is already verified by in-repo sweeps at sf0.001+sf0.01 yielded their
-# slots (q_join_inner/q_shipping_priority: plan-only broadcast guard;
-# q_containment: prefix-filter blocking, pinned set-equal to brute
-# force by property test; q_embedding_neardup: signature hoisting,
-# recall property-tested) so every never-checked oracled query fits;
-# (c) the oldest-evidence remainder —
-# r1/r2 rows not refreshed in r3.  Deferred to round 5 (all r2-green,
-# trivial scalar/test macros, unchanged since): q_test_unique,
-# q_test_notnull, q_test_accepted_values, q_test_equal_rowcount,
-# q_test_equality, q_safe_divide, q_width_bucket, q_haversine,
-# q_parse_url, q_slugify.  Every oracle-backed query without a prior
-# driver row sits inside the top-50 window as of this round.
+# ``queries()``.  Round-5 rotation (VERDICT r4 "Next round" #1/#3):
+# (a) the 2 queries that never had a driver row — q_sketch_rollup /
+# q_approx_distinct, which this round gained deterministic oracles
+# (exact counts hash-compared, sketch estimate asserted within a 5 %
+# bound as a boolean column) so their first driver row is a FULL check;
+# (b) the 2 queries whose implementation round 5 touched —
+# q_shard_plan (serpentine offset join made null-safe) and
+# q_metrics_layer (cumulative metrics now honor the measure agg);
+# the other r5-touched surfaces (microbatch partition_by, contract
+# NULL-check) are exercised by r4-green queries whose compared output
+# is unchanged and re-pinned by new pytest cases, so they yield their
+# slots; (c) all 46 oracled queries whose latest green row is r2 —
+# with 50 slots per round and 146 oracled queries this is the refresh
+# deadline round (evidence would otherwise go 4 rounds stale).
+# 2 + 2 + 46 = exactly 50.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked
-    "q_value_outliers",
-    "q_cohort_retention",
-    "q_filter_funnel",
-    "q_promo_revenue",
-    "q_top_supplier",
-    "q_nation_volume",
-    "q_salted_join",
-    "q_two_phase_distinct",
-    "q_window_range_frame",
-    "q_gap_fill",
-    # (b) implementation changed or NEW in round 4
-    "q_corpus_pipeline",
-    "q_incremental_microbatch",
-    "q_metrics_layer",
-    "q_zorder_layout",
-    "q_model_contract",
-    "q_clone_pointer",
-    "q_unigram_logprob",
-    "q_bigram_logprob",
-    "q_char_entropy",
-    "q_top_terms",
-    "q_shard_plan",
-    "q_winsorize",
-    "q_train_test_split",
-    "q_embedding_meanpool",
-    "q_temperature_mix",
-    "q_exists_priority",
-    "q_local_volume",
-    "q_market_share",
-    "q_nation_profit",
-    "q_customer_distribution",
-    "q_small_qty_revenue",
-    "q_waiting_suppliers",
-    "q_idle_customers",
-    "q_important_nations",
-    "q_min_cost_supplier",
-    "q_forecast_revenue",
-    "q_supplier_variety",
-    "q_excess_shippers",
-    "q_fuzzy_match",
-    "q_window_first_last",
-    "q_window_cume_dist",
-    "q_idf_novelty",
-    "q_token_budget_select",
-    "q_histogram_quantiles",
-    "q_repeated_spans",
-    "q_dedup_keep_best",
-    "q_returned_customers",
-    "q_priority_shipments",
-    "q_brand_revenue",
-    "q_big_orders",
-    # rows-only by design — a driver row is weak evidence, so these sit
-    # below every never-checked oracled query
+    # (a) first-ever driver rows, newly oracle-backed
     "q_sketch_rollup",
     "q_approx_distinct",
-    # (c) oldest evidence (green in r1/r2, not re-checked since)
+    # (b) implementation touched in round 5
+    "q_shard_plan",
+    "q_metrics_layer",
+    # (c) r2-stale evidence refresh — dbt_utils scalar/test family first
+    # (deliberately deferred from the r4 window), then the remainder
+    "q_test_unique",
+    "q_test_notnull",
+    "q_test_accepted_values",
+    "q_test_equal_rowcount",
+    "q_test_equality",
+    "q_safe_divide",
+    "q_width_bucket",
+    "q_haversine",
+    "q_parse_url",
+    "q_slugify",
     "q_dedup_exact",
     "q_dedup_fingerprint",
+    "q_dedup_rownum",
     "q_cosine_topk",
     "q_cosine_topk_lsh",
     "q_token_counts",
@@ -128,7 +88,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_outer",
     "q_conditional_agg",
     "q_surrogate_key",
-    "q_dedup_rownum",
     "q_date_spine",
     "q_generate_series",
     "q_pivot",

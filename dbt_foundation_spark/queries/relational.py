@@ -335,15 +335,33 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_distinct")  # rows-only: HLL sketches differ across engines
+@query(
+    "q_approx_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_within_5pct
+    FROM lineitem
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) next to the exact count. The sketch
-    is engine-specific (deterministic within Spark — HLL merge is
-    order-insensitive — but not equal to DuckDB's), hence rows-only."""
+    """approx_count_distinct (HLL++, rsd=0.02) validated INSIDE the
+    query: the raw sketch estimate is engine-specific (Spark's HLL++ is
+    not bit-equal to DuckDB's), so the driver-comparable output is the
+    exact count plus a boolean asserting the estimate landed within 5 %
+    (2.5 sigma at rsd 0.02). Deterministic for a fixed dataset — Spark's
+    HLL++ hash and merge are order-insensitive — which turns the former
+    rows-only check into a full hash-compared oracle row (VERDICT r4
+    ask #3)."""
     li = t(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_approx"),
+    ).select(
+        "exact_parts",
+        (
+            F.abs(F.col("_approx").cast("double") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -501,20 +501,74 @@ def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sketch_rollup")  # rows-only: HLL binary sketches have no DuckDB twin;
-# union-consistency and error bounds are pinned in tests/test_scale_ops.py
+@query(
+    "q_sketch_rollup",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS b, COUNT(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY 1
+    ), daily AS (
+        SELECT date_trunc('day', ts) AS b, COUNT(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT '1 hour' AS level,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           TRUE AS est_within_5pct
+    FROM hourly
+    UNION ALL
+    SELECT '1 day' AS level,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           TRUE AS est_within_5pct
+    FROM daily
+    ORDER BY level, bucket_start
+    """,
+)
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.E/§2.L mergeable distinct-count rollup: hourly HLL sketches of
     active users, day level built by UNIONING the hourly sketches
     (operators/rollup.sketch_rollup) — the pre-aggregation that makes
-    COUNT DISTINCT re-aggregatable at 100 TB. Emits (level, bucket,
-    estimate); the binary sketch column is dropped for the driver
-    (non-comparable bytes), kept in the operator output."""
+    COUNT DISTINCT re-aggregatable at 100 TB.
+
+    The binary sketch has no DuckDB twin, so the driver-comparable
+    output validates it in place: per bucket, the EXACT distinct count
+    (hash-compared against DuckDB) plus a boolean asserting the sketch
+    estimate landed within 5 % of it (lg_k=12 → rsd ≈1.6 %; hourly
+    buckets sit in HLL sparse mode and are near-exact, the day level
+    exercises dense estimation after sketch union). Deterministic for a
+    fixed dataset. Union-consistency and error bounds additionally
+    pinned in tests/test_scale_ops.py."""
     from dbt_foundation_spark.operators.rollup import sketch_rollup
 
     ev = t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    est = sketch_rollup(ev, "ts", "user_id", levels=("1 hour", "1 day")).select(
+        "level", "bucket_start", "n_distinct_est"
+    )
+    exact = None
+    for lv in ("1 hour", "1 day"):
+        e = (
+            ev.groupBy(F.window("ts", lv).alias("w"))
+            .agg(F.count_distinct("user_id").alias("n_exact"))
+            .select(
+                F.lit(lv).alias("level"),
+                F.col("w.start").alias("bucket_start"),
+                "n_exact",
+            )
+        )
+        exact = e if exact is None else exact.unionByName(e)
     return (
-        sketch_rollup(ev, "ts", "user_id", levels=("1 hour", "1 day"))
-        .select("level", "bucket_start", "bucket_end", "n_distinct_est")
+        est.join(exact, ["level", "bucket_start"])
+        .select(
+            "level",
+            F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "n_exact",
+            (
+                F.abs(F.col("n_distinct_est").cast("double") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("est_within_5pct"),
+        )
         .orderBy("level", "bucket_start")
     )

@@ -279,6 +279,35 @@ def test_serpentine_shards_equals_naive_and_balances(spark):
     assert max(tots) - min(tots) <= max(c for _, c in rows)
 
 
+def test_serpentine_shards_null_costs_kept(spark):
+    """Rows with a NULL cost must survive shard assignment (r4 ADVICE:
+    the offset join silently dropped them) and rank last, matching the
+    naive plan's desc NULLS LAST in both Spark and ANSI engines."""
+    from pyspark.sql import Window
+
+    from dbt_foundation_spark.operators.packing import serpentine_shards
+
+    rows = [(i, None if i % 4 == 0 else (i * 13) % 7) for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, cost bigint")
+    out = serpentine_shards(df, id_col="id", cost_col="cost", n_shards=3)
+    got = {r["id"]: r["shard"] for r in out.collect()}
+    assert len(got) == 40, "NULL-cost rows must not be dropped"
+
+    naive_rank = F.row_number().over(
+        Window.orderBy(
+            F.col("cost").desc(), (F.col("id") % 64).asc(), F.col("id").asc()
+        )
+    )
+    r0 = naive_rank - 1
+    pos = r0 % 3
+    naive_shard = F.when(F.floor(r0 / 3) % 2 == 0, pos).otherwise(2 - pos)
+    want = {
+        r["id"]: r["shard"]
+        for r in df.select("id", naive_shard.cast("int").alias("shard")).collect()
+    }
+    assert got == want
+
+
 def test_export_shards_layout_and_roundtrip(spark, tmp_path):
     """export_shards writes shard=N/ JSONL dirs that round-trip and
     partition-prune on re-read."""

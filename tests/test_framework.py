@@ -849,15 +849,18 @@ def test_model_contract_enforced(project, spark):
         materialized="table", contract={"enforced": True}, columns=cols
     )
     def contracted_ok(ctx):
+        # the NULL amount row pins SQL CHECK semantics: an unknown
+        # predicate result passes the constraint (r4 ADVICE fix)
         return spark.sql(
             "SELECT CAST(1 AS BIGINT) id, CAST(2.5 AS DOUBLE) amount "
-            "UNION ALL SELECT 2, 0.0"
+            "UNION ALL SELECT 2, 0.0 "
+            "UNION ALL SELECT 3, CAST(NULL AS DOUBLE)"
         )
 
     res = {r.node: r for r in project.run()}
     assert res["contracted_ok"].status == "success"
     rel = project.relation_name(project.manifest["contracted_ok"])
-    assert spark.table(rel).count() == 2
+    assert spark.table(rel).count() == 3
 
     # wrong type → plan-time schema violation, nothing written
     @project.model(
@@ -996,6 +999,62 @@ def test_incremental_microbatch(project, spark):
     assert rows["2024-01-01"] == (9, 11.0)  # backfilled
     assert rows["2024-01-02"] == (2, 25.0)  # outside explicit window — kept
     assert rows["2024-01-04"] == (4, 40.0)
+
+
+def test_incremental_microbatch_with_partition_by(project, spark):
+    """Regression (r4 ADVICE high): combining partition_by with the
+    microbatch strategy made the period DROP a partial partition spec —
+    a silent no-op on the in-memory catalog — so every incremental run
+    duplicated the rebuilt periods. The fix enumerates full
+    (partition_by..., dbt_event_batch) specs before dropping."""
+    src = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 10:00:00", 10.0),
+            (2, "b", "2024-01-02 11:00:00", 20.0),
+            (3, "a", "2024-01-02 12:00:00", 30.0),
+            (4, "b", "2024-01-03 08:00:00", 40.0),
+        ],
+        "id bigint, grp string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    state = {"batch": src}
+
+    @project.model(
+        materialized="incremental",
+        incremental_strategy="microbatch",
+        event_time="ts",
+        batch_size="day",
+        lookback=1,
+        begin="2024-01-01",
+        partition_by=["grp"],
+        name="mb_part",
+    )
+    def mb_part(ctx):
+        return state["batch"]
+
+    assert all(r.status == "success" for r in project.run())
+    rel = project.relation_name(project.manifest["mb_part"])
+    assert spark.table(rel).count() == 4
+
+    # run 2 (window = max batch day-3 − lookback 1 → start day-2):
+    # day 2 restated (grp b revalued, grp a vanishes), day 3 restated
+    # into a different grp partition; day 1 outside the window.
+    state["batch"] = spark.createDataFrame(
+        [
+            (2, "b", "2024-01-02 11:00:00", 25.0),
+            (5, "c", "2024-01-03 09:00:00", 50.0),
+        ],
+        "id bigint, grp string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert all(r.status == "success" for r in project.run(select={"mb_part"}))
+    rows = sorted(
+        (r["dbt_event_batch"], r["grp"], r["id"], r["v"])
+        for r in spark.table(rel).collect()
+    )
+    assert rows == [
+        ("2024-01-01", "a", 1, 10.0),   # untouched
+        ("2024-01-02", "b", 2, 25.0),   # restated; grp=a row for day 2 cleared
+        ("2024-01-03", "c", 5, 50.0),   # restated into a new grp partition
+    ], "partial-spec DROP no-op would leave duplicated/stale rows here"
 
 
 def test_clone_from_state(project, spark):
@@ -1413,5 +1472,7 @@ def test_export_shards_files_per_shard(spark, tmp_path):
     export_shards(df, out, shard_col="shard", fmt="parquet", files_per_shard=3)
     for d in ("shard=0", "shard=1"):
         files = list((Path(out) / d).glob("part-*"))
-        assert 1 <= len(files) <= 3
+        # the knob must actually split shards into multiple files
+        # (r4 ADVICE: a shard-constant salt silently produced 1 file)
+        assert 2 <= len(files) <= 3
     assert spark.read.parquet(out).count() == 100

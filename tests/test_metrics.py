@@ -82,6 +82,37 @@ def test_cumulative_partitions_by_other_dims(layer):
     assert got[("2024-01-02", "EU")] == 20.0
 
 
+def test_cumulative_agg_semantics(layer, spark):
+    """Cumulative metrics honor the measure's agg where it distributes
+    (min/max re-aggregate the per-period partials) and reject aggs that
+    don't (avg: a sum of daily averages is not a running average) —
+    r4 ADVICE fix."""
+    sl = layer
+    sl.semantic_model(
+        "obs",
+        spark.createDataFrame(
+            [("2024-01-01", 5.0), ("2024-01-01", 9.0), ("2024-01-02", 3.0)],
+            "day string, v double",
+        ),
+        measures={
+            "vmin": {"agg": "min", "expr": "v"},
+            "vavg": {"agg": "avg", "expr": "v"},
+        },
+        dimensions={"day": {"expr": "day", "time": True}},
+        primary_time="day",
+    )
+    sl.metric("running_min", type="cumulative", model="obs", measure="vmin")
+    got = {
+        r["day"]: r["running_min"]
+        for r in sl.query(["running_min"], group_by=["day"]).collect()
+    }
+    assert got == {"2024-01-01": 5.0, "2024-01-02": 3.0}
+
+    sl.metric("running_avg", type="cumulative", model="obs", measure="vavg")
+    with pytest.raises(ValueError, match="distributive"):
+        sl.query(["running_avg"], group_by=["day"]).collect()
+
+
 def test_where_pushes_into_frame(layer):
     row = layer.query(["total"], where="region = 'EU'").collect()[0]
     assert row["total"] == 20.0
