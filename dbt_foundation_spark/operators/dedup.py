@@ -571,24 +571,18 @@ def simhash(
     return hashed.groupBy("_id").agg(*bit_sums).select("_id", packed.alias(out_col))
 
 
-def simhash_near_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    max_hamming: int = 3,
-    portable: bool = False,
-) -> DataFrame:
-    """D2 (simhash flavor): pairs with hamming(simhash) ≤ max_hamming.
+def signature_chunks(sh: DataFrame, max_hamming: int) -> DataFrame:
+    """Explode a (_id, simhash) frame into its pigeonhole chunks:
+    (_id, simhash, chunk, ck). The 64 signature bits split into
+    ``max_hamming + 1`` chunks — a pair within the radius differs in at
+    most ``max_hamming`` bits, so at least one chunk matches exactly and
+    candidate generation reduces to an equi-join on (chunk, ck).
 
-    Blocking: the 64 signature bits are split into ``max_hamming + 1``
-    chunks — a pair within the radius differs in at most ``max_hamming``
-    bits, so by pigeonhole at least one chunk is identical and candidates
-    reduce to an equi-join per chunk. Deriving the chunk count from the
-    radius (rather than a fixed 4×16-bit split, whose guarantee stops at
-    hamming ≤ 3) keeps recall exact at ANY configured radius. Note the
-    recall/cost trade: more chunks = narrower chunks = bigger buckets;
-    radii ≳ 15 (chunks ≤ 4 bits) degenerate toward all-pairs.
-    """
+    Shared by the in-memory detector (:func:`simhash_near_pairs`) and
+    the persisted chunk index (operators/dedup_index.py) so a signature
+    chunks identically whether it arrives in a batch or sits in the
+    stored corpus index — the property the persisted-vs-recompute
+    equivalence tests pin."""
     if not 0 <= max_hamming <= 31:
         raise ValueError(
             f"max_hamming={max_hamming}: need 0 <= max_hamming <= 31 "
@@ -607,8 +601,7 @@ def simhash_near_pairs(
             .bitwiseAND(F.lit((1 << widths[c]) - 1))
         )
 
-    sh = simhash(df, id_col, text_col, portable=portable)
-    chunks = sh.select(
+    return sh.select(
         "_id",
         "simhash",
         F.explode(
@@ -620,6 +613,28 @@ def simhash_near_pairs(
             )
         ).alias("cc"),
     ).select("_id", "simhash", "cc.chunk", "cc.ck")
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """D2 (simhash flavor): pairs with hamming(simhash) ≤ max_hamming.
+
+    Blocking: the 64 signature bits are split into ``max_hamming + 1``
+    chunks — a pair within the radius differs in at most ``max_hamming``
+    bits, so by pigeonhole at least one chunk is identical and candidates
+    reduce to an equi-join per chunk. Deriving the chunk count from the
+    radius (rather than a fixed 4×16-bit split, whose guarantee stops at
+    hamming ≤ 3) keeps recall exact at ANY configured radius. Note the
+    recall/cost trade: more chunks = narrower chunks = bigger buckets;
+    radii ≳ 15 (chunks ≤ 4 bits) degenerate toward all-pairs.
+    """
+    sh = simhash(df, id_col, text_col, portable=portable)
+    chunks = signature_chunks(sh, max_hamming)
     left = chunks.select("chunk", "ck", F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"))
     right = chunks.select("chunk", "ck", F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"))
     # hamming BEFORE the pair dedup: the signatures ride the join rows

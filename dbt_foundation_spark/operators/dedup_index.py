@@ -1,8 +1,22 @@
-"""Persisted minhash band index — incremental dedup without recomputing
-the corpus (SURVEY §2.L D2, the production flank of minhash_lsh_join).
+"""Persisted near-dup indexes — incremental dedup without recomputing
+the corpus (SURVEY §2.L D2), one flavor per detector:
 
-At 100 TB the corpus's shingle sets and band buckets are computed ONCE,
-stored, and every daily ingest joins against the stored index:
+- **minhash bands** (`build_minhash_index`): the production flank of
+  :func:`minhash_lsh_join`;
+- **simhash chunks** (`build_simhash_index`): the flank of
+  :func:`simhash_near_pairs`;
+- **containment prefixes** (`build_containment_index`): the flank of
+  :func:`containment_pairs`.
+
+At 100 TB each corpus's signatures/postings are computed ONCE, stored,
+and every daily ingest joins against the stored index; each
+``*_against_index`` equals its recompute-both-sides twin restricted to
+cross-side pairs — pytest pins that equivalence per flavor. Each
+``append_to_*`` folds a verified batch in (dedup-then-admit), keeping
+the index one incremental write per ingest instead of a corpus-wide
+rebuild.
+
+Minhash layout:
 
 - ``{path}/bands``:    (band, bucket, id) — the LSH candidate index,
   written repartitioned by (band, bucket) so at read time the
@@ -11,24 +25,43 @@ stored, and every daily ingest joins against the stored index:
 - ``{path}/shingles``: (id, shingles array<string>) — the verify-side
   payload, keyed by id for the candidate re-attach join.
 
-``dedup_against_index`` then equals :func:`minhash_lsh_join` with the
-corpus side read from storage instead of recomputed — pytest pins that
-equivalence. ``append_to_index`` folds a verified batch into the index
-(dedup-then-admit), keeping the index one incremental write per ingest
-instead of a corpus-wide rebuild.
+Simhash layout: ``{path}/chunks`` = (chunk, ck, id, simhash),
+repartitioned by the (chunk, ck) join key; the 8-byte signature rides
+the candidate rows so the hamming verify needs no re-attach join.
 
-On a real cluster, write the bands dataset as a bucketed table
-(``bucketBy(n, "bucket")``) so the per-ingest join is shuffle-free on
+Containment layout: ``{path}/postings`` (s, id, n) — the full inverted
+index, repartitioned by shingle hash; ``{path}/prefixes`` — the
+corpus-side rare-shingle prefix postings at the BUILD threshold;
+``{path}/hashsets`` (id, hs array<bigint>) — the verify payload.
+Cross-side exactness needs candidates from BOTH directions (a new doc
+quoting a corpus doc, and vice versa): new-prefix ⋈ corpus-postings
+catches C(new, corpus) ≥ t, corpus-prefix ⋈ new-postings catches
+C(corpus, new) ≥ t — the prefix pigeonhole bound holds for any prefix
+ordering, so the stored corpus prefixes (ordered by corpus df) stay
+exact against any future batch.
+
+On a real cluster, write the bands/chunks/postings datasets as bucketed
+tables (``bucketBy(n, key)``) so the per-ingest join is shuffle-free on
 the index side; path-based parquet keeps this module warehouse-free.
+
+Signature parameters MUST match between build/append/query (they
+define the hash family / chunking / prefix length); they're trusted
+from the caller here — a production index would carry them in a
+manifest file.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_foundation_spark.functions.text import token_ngrams
-from dbt_foundation_spark.operators.dedup import _band_buckets, minhash_signature
+from dbt_foundation_spark.operators.dedup import (
+    _band_buckets,
+    minhash_signature,
+    signature_chunks,
+    simhash,
+)
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_len: int) -> DataFrame:
@@ -135,3 +168,216 @@ def append_to_index(
     _shingle_sets(df, id_col, text_col, shingle_len).write.mode("append").parquet(
         f"{path}/shingles"
     )
+
+
+# ---------- simhash chunk index ----------
+
+
+def _simhash_chunks(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int, portable: bool
+) -> DataFrame:
+    sh = simhash(df, id_col, text_col, portable=portable)
+    return signature_chunks(sh, max_hamming).select(
+        "chunk", "ck", F.col("_id").alias("id"), "simhash"
+    )
+
+
+def build_simhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    max_hamming: int = 3,
+    portable: bool = False,
+    index_partitions: int = 32,
+) -> None:
+    """Materialize the corpus simhash chunk index at ``path``: one
+    signature pass (the expensive tokenize+hash+64-sum aggregate), then
+    a chunk explode written clustered on the (chunk, ck) join key.
+    ``max_hamming`` fixes the chunking — query with the same radius."""
+    _simhash_chunks(df, id_col, text_col, max_hamming, portable).repartition(
+        index_partitions, "chunk", "ck"
+    ).write.mode("overwrite").parquet(f"{path}/chunks")
+
+
+def dedup_against_simhash_index(
+    spark: SparkSession,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    max_hamming: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """(new_id, corpus_id, hamming ≤ max_hamming) for a new batch vs the
+    stored chunk index — :func:`simhash_near_pairs` semantics restricted
+    to cross-side pairs, with the corpus side one index read instead of
+    a recompute. Signatures ride the candidate rows, so the hamming
+    verify is a codegen'd filter with no re-attach join."""
+    new_chunks = _simhash_chunks(new_df, id_col, text_col, max_hamming, portable)
+    idx = spark.read.parquet(f"{path}/chunks")
+    return (
+        new_chunks.select(
+            "chunk", "ck", F.col("id").alias("new_id"), F.col("simhash").alias("sh_a")
+        )
+        .join(
+            idx.select(
+                "chunk",
+                "ck",
+                F.col("id").alias("corpus_id"),
+                F.col("simhash").alias("sh_b"),
+            ),
+            ["chunk", "ck"],
+        )
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["new_id", "corpus_id"])
+        .select("new_id", "corpus_id", "hamming")
+    )
+
+
+def append_to_simhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    max_hamming: int = 3,
+    portable: bool = False,
+) -> None:
+    """Admit a (deduped) batch's chunk rows into the index (append-only,
+    same contract as :func:`append_to_index`)."""
+    _simhash_chunks(df, id_col, text_col, max_hamming, portable).write.mode(
+        "append"
+    ).parquet(f"{path}/chunks")
+
+
+# ---------- containment prefix-posting index ----------
+
+
+def _hashed_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_len: int
+) -> DataFrame:
+    # mirror of containment_pairs: distinct AFTER hashing so the prefix
+    # bound is exact in the hash space the join runs in
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(
+                F.array_distinct(token_ngrams(text_col, shingle_len)),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("hs"),
+    )
+
+
+def _postings_and_prefixes(
+    hs: DataFrame, threshold: float
+) -> tuple[DataFrame, DataFrame]:
+    """(full postings, rare-shingle prefix postings) for a shingle-set
+    frame. The prefix keeps ⌊(1−t)·n⌋ + 1 shingles per doc ordered by
+    WITHIN-FRAME document frequency — the pigeonhole bound holds for any
+    ordering, rarity only minimizes join cost."""
+    post = hs.select("id", F.size("hs").alias("n"), F.explode("hs").alias("s"))
+    post = post.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    ).localCheckpoint(eager=False)
+    prefix_len = F.floor((1.0 - threshold) * F.col("n") + 1e-9) + 1
+    rarity = Window.partitionBy("id").orderBy("df", "s")
+    pref = (
+        post.withColumn("_rn", F.row_number().over(rarity))
+        .filter(F.col("_rn") <= prefix_len)
+        .select("id", "n", "s")
+    )
+    return post.select("id", "n", "s"), pref
+
+
+def build_containment_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    shingle_len: int = 3,
+    threshold: float = 0.8,
+    index_partitions: int = 32,
+) -> None:
+    """Materialize the corpus containment index at ``path``: full
+    inverted postings (clustered on the shingle-hash join key), the
+    corpus-side prefix postings at the BUILD threshold (query with the
+    same or a higher threshold — a longer prefix than required only adds
+    candidates, never loses one), and the hash-set verify payload."""
+    hs = _hashed_shingle_sets(df, id_col, text_col, shingle_len)
+    post, pref = _postings_and_prefixes(hs, threshold)
+    post.repartition(index_partitions, "s").write.mode("overwrite").parquet(
+        f"{path}/postings"
+    )
+    pref.write.mode("overwrite").parquet(f"{path}/prefixes")
+    hs.write.mode("overwrite").parquet(f"{path}/hashsets")
+
+
+def containment_against_index(
+    spark: SparkSession,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    shingle_len: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(new_id, corpus_id, containment_new, containment_corpus) for
+    pairs where EITHER direction reaches ``threshold`` —
+    :func:`containment_pairs` semantics restricted to cross-side pairs,
+    with the corpus side read from the stored index.
+
+    Exactness: C(new, corpus) ≥ t pairs are proposed by the new batch's
+    prefixes joined against the full corpus postings; C(corpus, new) ≥ t
+    pairs by the STORED corpus prefixes joined against the batch's full
+    postings (the direction the batch alone cannot see). Union of the
+    two candidate sets + hash-space verify = every qualifying pair."""
+    hs_new = _hashed_shingle_sets(new_df, id_col, text_col, shingle_len)
+    post_new, pref_new = _postings_and_prefixes(hs_new, threshold)
+    idx_post = spark.read.parquet(f"{path}/postings")
+    idx_pref = spark.read.parquet(f"{path}/prefixes")
+    c1 = pref_new.select(F.col("id").alias("new_id"), "s").join(
+        idx_post.select(F.col("id").alias("corpus_id"), "s"), "s"
+    )
+    c2 = post_new.select(F.col("id").alias("new_id"), "s").join(
+        idx_pref.select(F.col("id").alias("corpus_id"), "s"), "s"
+    )
+    cand = (
+        c1.select("new_id", "corpus_id")
+        .union(c2.select("new_id", "corpus_id"))
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sh_a = hs_new.select(F.col("id").alias("new_id"), F.col("hs").alias("sh_a"))
+    sh_b = spark.read.parquet(f"{path}/hashsets").select(
+        F.col("id").alias("corpus_id"), F.col("hs").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sh_a, "new_id")
+        .join(sh_b, "corpus_id")
+        .withColumn("containment_new", F.try_divide(inter, F.size("sh_a")))
+        .withColumn("containment_corpus", F.try_divide(inter, F.size("sh_b")))
+        .filter(
+            F.greatest("containment_new", "containment_corpus") >= threshold
+        )
+        .select("new_id", "corpus_id", "containment_new", "containment_corpus")
+    )
+
+
+def append_to_containment_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    shingle_len: int = 3,
+    threshold: float = 0.8,
+) -> None:
+    """Admit a (deduped) batch into the containment index: append its
+    postings, its prefix postings (ordered by the BATCH's own df —
+    any ordering preserves the pigeonhole bound), and its hash sets."""
+    hs = _hashed_shingle_sets(df, id_col, text_col, shingle_len)
+    post, pref = _postings_and_prefixes(hs, threshold)
+    post.write.mode("append").parquet(f"{path}/postings")
+    pref.write.mode("append").parquet(f"{path}/prefixes")
+    hs.write.mode("append").parquet(f"{path}/hashsets")

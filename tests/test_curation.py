@@ -143,6 +143,115 @@ def test_minhash_index_roundtrip(spark, sf_dir, tmp_path):
     assert got2 == want2
 
 
+def test_simhash_index_roundtrip(spark, sf_dir, tmp_path):
+    """Persisted simhash chunk index: dedup a new batch against the
+    stored corpus index — must equal the cross-side subset of the full
+    self-join detector (same signatures, same chunking); then append and
+    dedup a later batch against the grown index."""
+    from dbt_foundation_spark.operators.dedup import simhash_near_pairs
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_simhash_index,
+        build_simhash_index,
+        dedup_against_simhash_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 > 1)
+    batch1 = docs.filter(F.col("doc_id") % 10 == 0)
+    batch2 = docs.filter(F.col("doc_id") % 10 == 1)
+    path = str(tmp_path / "sh_index")
+    radius = 8  # wide enough for the synthetic corpus to yield pairs
+
+    def cross(full_df, batch_ids):
+        out = set()
+        for r in simhash_near_pairs(
+            full_df, "doc_id", "text", max_hamming=radius
+        ).collect():
+            a, b = r["id_a"], r["id_b"]
+            if (a in batch_ids) != (b in batch_ids):
+                n, c = (a, b) if a in batch_ids else (b, a)
+                out.add((n, c, r["hamming"]))
+        return sorted(out)
+
+    build_simhash_index(corpus, "doc_id", "text", path, max_hamming=radius)
+    got = sorted(
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in dedup_against_simhash_index(
+            spark, batch1, "doc_id", "text", path, max_hamming=radius
+        ).collect()
+    )
+    b1_ids = {r["doc_id"] for r in batch1.select("doc_id").collect()}
+    want = cross(corpus.unionByName(batch1), b1_ids)
+    assert got == want and len(got) > 0
+
+    append_to_simhash_index(batch1, "doc_id", "text", path, max_hamming=radius)
+    got2 = sorted(
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in dedup_against_simhash_index(
+            spark, batch2, "doc_id", "text", path, max_hamming=radius
+        ).collect()
+    )
+    b2_ids = {r["doc_id"] for r in batch2.select("doc_id").collect()}
+    want2 = cross(corpus.unionByName(batch1).unionByName(batch2), b2_ids)
+    assert got2 == want2
+
+
+def test_containment_index_roundtrip(spark, sf_dir, tmp_path):
+    """Persisted containment prefix-posting index: batch-vs-index must
+    equal the cross-side subset of the full containment_pairs self-join
+    (both candidate directions covered: stored corpus prefixes catch
+    corpus-contained-in-new, batch prefixes catch new-contained-in-
+    corpus); then append and query the grown index."""
+    from dbt_foundation_spark.operators.dedup import containment_pairs
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_containment_index,
+        build_containment_index,
+        containment_against_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 > 1)
+    batch1 = docs.filter(F.col("doc_id") % 10 == 0)
+    batch2 = docs.filter(F.col("doc_id") % 10 == 1)
+    path = str(tmp_path / "ct_index")
+    thr = 0.5
+
+    def cross(full_df, batch_ids):
+        out = set()
+        for r in containment_pairs(
+            full_df, "doc_id", "text", threshold=thr
+        ).collect():
+            a, b = r["id_a"], r["id_b"]
+            if (a in batch_ids) != (b in batch_ids):
+                if a in batch_ids:
+                    out.add((a, b, r["containment_a"], r["containment_b"]))
+                else:
+                    out.add((b, a, r["containment_b"], r["containment_a"]))
+        return sorted(out)
+
+    build_containment_index(corpus, "doc_id", "text", path, threshold=thr)
+    got = sorted(
+        (r["new_id"], r["corpus_id"], r["containment_new"], r["containment_corpus"])
+        for r in containment_against_index(
+            spark, batch1, "doc_id", "text", path, threshold=thr
+        ).collect()
+    )
+    b1_ids = {r["doc_id"] for r in batch1.select("doc_id").collect()}
+    want = cross(corpus.unionByName(batch1), b1_ids)
+    assert got == want and len(got) > 0
+
+    append_to_containment_index(batch1, "doc_id", "text", path, threshold=thr)
+    got2 = sorted(
+        (r["new_id"], r["corpus_id"], r["containment_new"], r["containment_corpus"])
+        for r in containment_against_index(
+            spark, batch2, "doc_id", "text", path, threshold=thr
+        ).collect()
+    )
+    b2_ids = {r["doc_id"] for r in batch2.select("doc_id").collect()}
+    want2 = cross(corpus.unionByName(batch1).unionByName(batch2), b2_ids)
+    assert got2 == want2
+
+
 def test_minhash_lsh_join_equals_cross_side_pairs(spark, sf_dir):
     """The incremental join must reproduce exactly the cross-side subset
     of the full self-join dedup (same signatures on both paths)."""
