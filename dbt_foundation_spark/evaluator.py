@@ -43,6 +43,20 @@ coverage" families):
   ``test_coverage_target`` / ``documentation_coverage_target`` vars,
   both defaulting to 100%) — distinct from the per-model
   untested/undocumented rows, which name the offenders.
+- missing_primary_key_tests: no column carries BOTH ``unique`` and
+  ``not_null`` tests — the package's ``fct_missing_primary_key_tests``
+  (a grain nobody asserts is a grain nobody can trust).
+- sources_without_freshness: a source consumed by the DAG that declares
+  no ``loaded_at_field``/staleness budget
+  (``fct_sources_without_freshness``) — its staleness is invisible to
+  ``check_freshness``.
+- chained_view_dependencies: ≥ ``max_chained_views`` consecutive
+  view/ephemeral models in one lineage path
+  (``fct_chained_views_dependencies``): every query of the tail
+  recomputes the whole chain; materialize an intermediate.
+- rejoining_of_upstream_concepts: C refs both A and B where B refs A
+  and C is B's only child (``fct_rejoining_of_upstream_concepts``) —
+  the triangle means B's logic belongs in C (or C should read B only).
 """
 
 from __future__ import annotations
@@ -78,6 +92,7 @@ def evaluate(
     max_fanout: int = 3,
     test_coverage_target: float = 1.0,
     documentation_coverage_target: float = 1.0,
+    max_chained_views: int = 4,
 ) -> list[Finding]:
     manifest = project.manifest
     models = {n.name: n for n in manifest.models()}
@@ -172,6 +187,26 @@ def evaluate(
         has_tests = any(c.get("tests") for c in node.columns.values())
         if has_tests:
             n_tested += 1
+            # a tested model still needs a declared GRAIN: one column
+            # carrying both unique and not_null (pk-shaped). Untested
+            # models already flag above — don't double-report them.
+            def _test_names(spec) -> set[str]:
+                out = set()
+                for t_ in spec.get("tests", ()) or ():
+                    out.add(t_ if isinstance(t_, str) else next(iter(t_), ""))
+                return out
+
+            if not any(
+                {"unique", "not_null"} <= _test_names(c)
+                for c in node.columns.values()
+            ):
+                findings.append(
+                    Finding(
+                        "missing_primary_key_tests",
+                        name,
+                        "no column carries both unique and not_null tests",
+                    )
+                )
         else:
             findings.append(Finding("untested_models", name, "no column tests declared"))
         has_docs = any(c.get("description") for c in node.columns.values())
@@ -233,6 +268,77 @@ def evaluate(
                         "exposure parents should be table/incremental",
                     )
                 )
+    # chained_view_dependencies: longest run of consecutive
+    # view/ephemeral models ending at each node, computed by memoized
+    # DFS over the model DAG (pure metadata — no Spark jobs).
+    def _virtual(n) -> bool:
+        return n.config.materialized in ("view", "ephemeral")
+
+    chain_memo: dict[str, int] = {}
+
+    def _chain(name: str) -> int:
+        if name in chain_memo:
+            return chain_memo[name]
+        node = models[name]
+        if not _virtual(node):
+            chain_memo[name] = 0
+            return 0
+        chain_memo[name] = 0  # cycle guard (bidirectional_pair flags those)
+        parent_best = max(
+            (_chain(d) for d in node.depends_on if d in models), default=0
+        )
+        chain_memo[name] = 1 + parent_best
+        return chain_memo[name]
+
+    for name in sorted(models):
+        depth = _chain(name)
+        if depth >= max_chained_views:
+            findings.append(
+                Finding(
+                    "chained_view_dependencies",
+                    name,
+                    f"{depth} consecutive view/ephemeral models in its "
+                    f"lineage (>= {max_chained_views}) — every read "
+                    "recomputes the whole chain; materialize an "
+                    "intermediate as a table",
+                )
+            )
+
+    # rejoining_of_upstream_concepts: the A→B→C + A→C triangle where C
+    # is B's only child — B's transformation belongs inline in C.
+    for name in sorted(models):
+        node = models[name]
+        parents = [d for d in node.depends_on if d in models]
+        for b in parents:
+            if children[b] != [name]:
+                continue
+            for a in parents:
+                if a != b and a in models[b].depends_on:
+                    findings.append(
+                        Finding(
+                            "rejoining_of_upstream_concepts",
+                            name,
+                            f"joins {a} with {b}, but {b} already reads "
+                            f"{a} and feeds only this model — fold "
+                            f"{b}'s logic in or drop the direct {a} ref",
+                        )
+                    )
+
+    for src in sorted(used_sources):
+        try:
+            s = project.sources.get(*src)
+        except KeyError:  # pragma: no cover - registry/manifest drift
+            continue
+        if s.loaded_at_field is None:
+            findings.append(
+                Finding(
+                    "sources_without_freshness",
+                    f"{src[0]}.{src[1]}",
+                    "consumed by the DAG but declares no loaded_at_field/"
+                    "staleness budget — invisible to check_freshness",
+                )
+            )
+
     by_target: dict[str, list[str]] = {}
     for s in project.sources.items():
         target = s.catalog_table or (f"{s.fmt}:{s.path}" if s.path else None)

@@ -243,6 +243,117 @@ def test_evaluator_coverage_thresholds(project):
     assert "documentation_coverage" not in relaxed
 
 
+def test_evaluator_missing_primary_key_tests(project):
+    @project.model(
+        columns={"o_orderkey": {"tests": ["unique", "not_null"], "description": "pk"}}
+    )
+    def stg_keyed(ctx):
+        return ctx.source("raw", "orders")
+
+    @project.model(columns={"l_orderkey": {"tests": ["unique"], "description": "x"}})
+    def stg_halfkeyed(ctx):  # unique without not_null: grain unasserted
+        return ctx.source("raw", "lineitem")
+
+    project.run()
+    pk = {f.node for f in evaluate(project) if f.check == "missing_primary_key_tests"}
+    assert pk == {"stg_halfkeyed"}
+
+
+def test_evaluator_sources_without_freshness(spark, sf_dir):
+    from dbt_foundation_spark.sources.registry import Source
+
+    reg = _sources(sf_dir)  # no freshness declared on any table
+    reg.add(
+        Source(
+            "raw",
+            "orders_fresh",
+            path=f"{sf_dir}/orders.parquet",
+            loaded_at_field="o_orderdate",
+            warn_after_seconds=3600,
+        )
+    )
+    project = Project("fresh_proj", spark, sources=reg)
+
+    @project.model
+    def stg_orders(ctx):
+        return ctx.source("raw", "orders")
+
+    @project.model
+    def stg_orders_f(ctx):
+        return ctx.source("raw", "orders_fresh")
+
+    project.run()
+    stale = {
+        f.node for f in evaluate(project) if f.check == "sources_without_freshness"
+    }
+    # only CONSUMED freshness-less sources flag (unused ones already
+    # flag as unused_sources); the declared-freshness source passes
+    assert stale == {"raw.orders"}
+
+
+def test_evaluator_chained_view_dependencies(project):
+    prev = None
+    for i in range(5):  # v0 → v1 → ... → v4, all views
+        name = f"v{i}"
+        if prev is None:
+            project.model(
+                lambda ctx: ctx.source("raw", "nation"),
+                name=name,
+                materialized="view",
+            )
+        else:
+            project.model(
+                (lambda p: lambda ctx: ctx.ref(p))(prev),
+                name=name,
+                materialized="view",
+            )
+        prev = name
+    # a table at depth 3 breaks its own chain
+    project.model(
+        lambda ctx: ctx.ref("v2"), name="mat_break", materialized="table"
+    )
+    project.model(
+        lambda ctx: ctx.ref("mat_break"), name="v_after", materialized="view"
+    )
+
+    project.run()
+    chained = {
+        f.node for f in evaluate(project) if f.check == "chained_view_dependencies"
+    }
+    # chain lengths: v3 is the 4th consecutive view, v4 the 5th;
+    # v_after restarts at 1 behind the table
+    assert chained == {"v3", "v4"}
+
+
+def test_evaluator_rejoining_of_upstream_concepts(project):
+    @project.model
+    def stg_base(ctx):
+        return ctx.source("raw", "orders")
+
+    @project.model
+    def int_enrich(ctx):  # feeds ONLY the rejoining mart
+        return ctx.ref("stg_base")
+
+    @project.model
+    def fct_rejoin(ctx):  # triangle: refs both parent and grandparent
+        return ctx.ref("int_enrich").unionByName(ctx.ref("stg_base"))
+
+    @project.model
+    def fct_clean(ctx):  # straight chain: no triangle
+        return ctx.ref("int_enrich2")
+
+    @project.model
+    def int_enrich2(ctx):
+        return ctx.ref("stg_base")
+
+    project.run()
+    rejoin = [
+        f for f in evaluate(project) if f.check == "rejoining_of_upstream_concepts"
+    ]
+    assert len(rejoin) == 1
+    assert rejoin[0].node == "fct_rejoin" and "int_enrich" in rejoin[0].detail
+
+
 # ---------- dispatch (M12) ----------
 
 

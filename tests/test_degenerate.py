@@ -63,6 +63,54 @@ def test_dedup_family_degenerate(spark, empty_docs, one_doc):
     assert connected_components(empty_pairs, "id_a", "id_b").count() == 0
 
 
+def test_persisted_indexes_degenerate(spark, empty_docs, one_doc, tmp_path):
+    """Every persisted-index flavor must build from an EMPTY corpus and
+    answer batch-vs-index queries against it (the day-0 bootstrap shape:
+    the first ingest dedups against an empty index, then appends)."""
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_containment_index,
+        append_to_index,
+        append_to_simhash_index,
+        build_containment_index,
+        build_minhash_index,
+        build_simhash_index,
+        containment_against_index,
+        dedup_against_index,
+        dedup_against_simhash_index,
+    )
+
+    mh = str(tmp_path / "mh0")
+    build_minhash_index(empty_docs, "doc_id", "text", mh, num_hashes=16, bands=4)
+    assert dedup_against_index(
+        spark, one_doc, "doc_id", "text", mh, num_hashes=16, bands=4
+    ).count() == 0
+    append_to_index(one_doc, "doc_id", "text", mh, num_hashes=16, bands=4)
+    assert dedup_against_index(
+        spark, one_doc, "doc_id", "text", mh, num_hashes=16, bands=4,
+        jaccard_threshold=0.5,
+    ).count() == 1  # the appended doc is its own near-dup
+
+    sh = str(tmp_path / "sh0")
+    build_simhash_index(empty_docs, "doc_id", "text", sh, max_hamming=2)
+    assert dedup_against_simhash_index(
+        spark, one_doc, "doc_id", "text", sh, max_hamming=2
+    ).count() == 0
+    append_to_simhash_index(one_doc, "doc_id", "text", sh, max_hamming=2)
+    assert dedup_against_simhash_index(
+        spark, one_doc, "doc_id", "text", sh, max_hamming=2
+    ).count() == 1
+
+    ct = str(tmp_path / "ct0")
+    build_containment_index(empty_docs, "doc_id", "text", ct, threshold=0.5)
+    assert containment_against_index(
+        spark, one_doc, "doc_id", "text", ct, threshold=0.5
+    ).count() == 0
+    append_to_containment_index(one_doc, "doc_id", "text", ct, threshold=0.5)
+    assert containment_against_index(
+        spark, one_doc, "doc_id", "text", ct, threshold=0.5
+    ).count() == 1
+
+
 def test_similarity_family_degenerate(spark, empty_vecs, one_vec):
     from dbt_foundation_spark.operators.similarity import (
         cosine_topk,
