@@ -491,25 +491,40 @@ def run_dedup_ingest(
     jaccard_threshold: float = 0.7,
     portable: bool = False,
     available_now: bool = True,
+    detector: str = "minhash",
+    max_hamming: int = 3,
+    containment_threshold: float = 0.8,
 ) -> None:
     """Continuous corpus ingestion with near-dup admission control: each
-    micro-batch is deduplicated (a) against the PERSISTED minhash band
-    index — the already-admitted corpus — and (b) within itself, then
-    the survivors are appended to ``out_path`` and folded into the
-    index, so the next micro-batch sees them as corpus.
+    micro-batch is deduplicated (a) against the PERSISTED index — the
+    already-admitted corpus — and (b) within itself, then the survivors
+    are appended to ``out_path`` and folded into the index, so the next
+    micro-batch sees them as corpus.
+
+    ``detector`` selects the near-dup notion — each rides its own
+    persisted index flavor (operators/dedup_index) and batch pair
+    operator, with identical admission semantics:
+
+    - ``"minhash"``: Jaccard ≥ ``jaccard_threshold`` over the band
+      index (``num_hashes``/``bands``/``shingle_len``/``portable``).
+    - ``"simhash"``: hamming ≤ ``max_hamming`` over the chunk index.
+    - ``"containment"``: either containment direction ≥
+      ``containment_threshold`` over the prefix-posting index — the
+      flavor that gates near-SUBSET ingests (a new doc quoting an
+      admitted one, or vice versa) that symmetric Jaccard under-scores.
 
     This is the streaming flank of operators/dedup_index: the 100 TB
     daily-ingest loop (build index once → dedup each ingest → admit)
     driven by ``foreachBatch`` instead of a scheduler. Per batch the
     cost is |batch| × collision rate — the corpus is touched only
-    through the (band, bucket)-clustered index files, never recomputed
-    or rescanned.
+    through the join-key-clustered index files, never recomputed or
+    rescanned.
 
     Admission policy (documented contract, pinned by the parity test):
     a doc is DROPPED iff it matches an already-admitted corpus doc at
-    ``jaccard_threshold``, or it matches a SMALLER-id doc in the same
-    batch (greedy pairwise — in an a~b, b~c chain with a<b<c, both b
-    and c are dropped even though a and c may not match directly;
+    the detector's threshold, or it matches a SMALLER-id doc in the
+    same batch (greedy pairwise — in an a~b, b~c chain with a<b<c, both
+    b and c are dropped even though a and c may not match directly;
     cluster-keeper selection is the batch operator
     ``keep_best_per_cluster``'s job, not the ingest gate's). Batch
     order is the stream's trigger order, so admission is
@@ -520,35 +535,85 @@ def run_dedup_ingest(
     bodies run driver-side per trigger), so appends from batch N are
     visible to batch N+1 — the property the within-one-job variant
     (joining a static snapshot) would silently lose."""
-    from dbt_foundation_spark.operators.dedup import minhash_lsh_pairs
-    from dbt_foundation_spark.operators.dedup_index import (
-        append_to_index,
-        dedup_against_index,
-    )
+    from dbt_foundation_spark.operators import dedup, dedup_index
+
+    if detector == "minhash":
+        def vs_corpus(spark, batch):
+            return dedup_index.dedup_against_index(
+                spark, batch, id_col, text_col, index_path,
+                num_hashes=num_hashes, bands=bands, shingle_len=shingle_len,
+                jaccard_threshold=jaccard_threshold, portable=portable,
+            )
+
+        def within(batch):
+            return dedup.minhash_lsh_pairs(
+                batch, id_col, text_col,
+                num_hashes=num_hashes, bands=bands, shingle_len=shingle_len,
+                jaccard_threshold=jaccard_threshold, portable=portable,
+            )
+
+        def admit(batch):
+            dedup_index.append_to_index(
+                batch, id_col, text_col, index_path,
+                num_hashes=num_hashes, bands=bands, shingle_len=shingle_len,
+                portable=portable,
+            )
+    elif detector == "simhash":
+        def vs_corpus(spark, batch):
+            return dedup_index.dedup_against_simhash_index(
+                spark, batch, id_col, text_col, index_path,
+                max_hamming=max_hamming, portable=portable,
+            )
+
+        def within(batch):
+            return dedup.simhash_near_pairs(
+                batch, id_col, text_col,
+                max_hamming=max_hamming, portable=portable,
+            )
+
+        def admit(batch):
+            dedup_index.append_to_simhash_index(
+                batch, id_col, text_col, index_path,
+                max_hamming=max_hamming, portable=portable,
+            )
+    elif detector == "containment":
+        def vs_corpus(spark, batch):
+            return dedup_index.containment_against_index(
+                spark, batch, id_col, text_col, index_path,
+                shingle_len=shingle_len, threshold=containment_threshold,
+            )
+
+        def within(batch):
+            return dedup.containment_pairs(
+                batch, id_col, text_col,
+                shingle_len=shingle_len, threshold=containment_threshold,
+            )
+
+        def admit(batch):
+            dedup_index.append_to_containment_index(
+                batch, id_col, text_col, index_path,
+                shingle_len=shingle_len, threshold=containment_threshold,
+            )
+    else:
+        raise ValueError(
+            f"unknown detector {detector!r}: use minhash/simhash/containment"
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint()  # pin: file batches re-list lazily
-        vs_corpus = dedup_against_index(
-            spark, batch_df, id_col, text_col, index_path,
-            num_hashes=num_hashes, bands=bands, shingle_len=shingle_len,
-            jaccard_threshold=jaccard_threshold, portable=portable,
-        ).select(F.col("new_id").alias("_drop_id"))
-        within = minhash_lsh_pairs(
-            batch_df, id_col, text_col,
-            num_hashes=num_hashes, bands=bands, shingle_len=shingle_len,
-            jaccard_threshold=jaccard_threshold, portable=portable,
-        ).select(F.greatest("id_a", "id_b").alias("_drop_id"))
-        drops = vs_corpus.union(within).distinct()
+        corpus_hits = vs_corpus(spark, batch_df).select(
+            F.col("new_id").alias("_drop_id")
+        )
+        within_hits = within(batch_df).select(
+            F.greatest("id_a", "id_b").alias("_drop_id")
+        )
+        drops = corpus_hits.union(within_hits).distinct()
         survivors = batch_df.join(
             drops, batch_df[id_col] == drops._drop_id, "left_anti"
         ).localCheckpoint()  # two consumers below — compute the gate once
         survivors.write.mode("append").parquet(out_path)
-        append_to_index(
-            survivors, id_col, text_col, index_path,
-            num_hashes=num_hashes, bands=bands, shingle_len=shingle_len,
-            portable=portable,
-        )
+        admit(survivors)
 
     writer = stream_docs.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

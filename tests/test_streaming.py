@@ -628,6 +628,133 @@ def test_dedup_ingest_stream_matches_sequential(spark, sf_dir, staging):
         shutil.rmtree(root / p, ignore_errors=True)
 
 
+def test_dedup_ingest_stream_detector_flavors(spark, sf_dir, staging):
+    """run_dedup_ingest's detector flavors (simhash chunk index,
+    containment prefix index) enforce the same admission contract the
+    minhash parity test pins: corpus duplicate rejected, in-batch
+    greedy pairwise, batch-1 admissions visible to batch 2."""
+    import shutil
+    import time as _time
+
+    from dbt_foundation_spark.operators.dedup_index import (
+        build_containment_index,
+        build_simhash_index,
+    )
+    from dbt_foundation_spark.streaming.pipeline import (
+        read_document_stream,
+        run_dedup_ingest,
+    )
+
+    root = staging["root"]
+    texts = [
+        r["text"]
+        for r in t(spark, sf_dir, "documents").orderBy("doc_id").limit(30).collect()
+    ]
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, tx, "en", "src0", len(tx)) for i, tx in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    corpus = docs(list(enumerate(texts[:20])))
+    batches = [
+        # 1000-1001 fresh; 1005 duplicates corpus doc 0; 1006~1007 in-batch
+        docs([(1000, texts[20]), (1001, texts[21]),
+              (1005, texts[0]), (1006, texts[23]), (1007, texts[23])]),
+        # 1100 duplicates 1006 (admitted last batch); 1101 fresh
+        docs([(1100, texts[23]), (1101, texts[24])]),
+    ]
+
+    from dbt_foundation_spark.operators.dedup import (
+        containment_pairs,
+        simhash_near_pairs,
+    )
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_containment_index,
+        append_to_simhash_index,
+        containment_against_index,
+        dedup_against_simhash_index,
+    )
+
+    flavors = (
+        (
+            "simhash",
+            lambda df, p: build_simhash_index(
+                df, "doc_id", "text", p, max_hamming=3
+            ),
+            dict(max_hamming=3),
+            lambda b, p: dedup_against_simhash_index(
+                spark, b, "doc_id", "text", p, max_hamming=3
+            ),
+            lambda b: simhash_near_pairs(b, "doc_id", "text", max_hamming=3),
+            lambda b, p: append_to_simhash_index(
+                b, "doc_id", "text", p, max_hamming=3
+            ),
+        ),
+        (
+            "containment",
+            lambda df, p: build_containment_index(
+                df, "doc_id", "text", p, threshold=0.8
+            ),
+            dict(containment_threshold=0.8),
+            lambda b, p: containment_against_index(
+                spark, b, "doc_id", "text", p, threshold=0.8
+            ),
+            lambda b: containment_pairs(b, "doc_id", "text", threshold=0.8),
+            lambda b, p: append_to_containment_index(
+                b, "doc_id", "text", p, threshold=0.8
+            ),
+        ),
+    )
+    for detector, build, kw, vs_fn, within_fn, admit_fn in flavors:
+        idx = str(root / f"{detector}_idx")
+        stream_dir = root / f"{detector}_stream"
+        out = str(root / f"{detector}_out")
+        build(corpus, idx)
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.mode("append").parquet(str(stream_dir))
+            if i < len(batches) - 1:
+                _time.sleep(1.05)
+        run_dedup_ingest(
+            read_document_stream(spark, str(stream_dir), max_files_per_trigger=1),
+            "doc_id", "text", idx, out, _ckpt(staging),
+            detector=detector, **kw,
+        )
+        got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+
+        # sequential reference: same policy, same order, separate index
+        q_idx = str(root / f"{detector}_qidx")
+        build(corpus, q_idx)
+        want = []
+        for b in batches:
+            vs = vs_fn(b, q_idx).select(F.col("new_id").alias("d"))
+            within = within_fn(b).select(F.greatest("id_a", "id_b").alias("d"))
+            drops = {r["d"] for r in vs.union(within).distinct().collect()}
+            keep = b.filter(
+                ~F.col("doc_id").isin(list(drops)) if drops else F.lit(True)
+            )
+            want += [r["doc_id"] for r in keep.select("doc_id").collect()]
+            admit_fn(keep, q_idx)
+        assert got == sorted(want), detector
+        # the planted EXACT duplicates are robust under every detector:
+        assert 1005 not in got, detector          # corpus duplicate rejected
+        assert 1006 in got and 1007 not in got, detector  # in-batch greedy
+        assert 1100 not in got, detector          # cross-batch visibility
+        assert 1101 in got, detector
+        for p in (
+            f"{detector}_idx", f"{detector}_qidx",
+            f"{detector}_stream", f"{detector}_out",
+        ):
+            shutil.rmtree(root / p, ignore_errors=True)
+
+    # detector validation fires before the stream is touched
+    with pytest.raises(ValueError, match="unknown detector"):
+        run_dedup_ingest(
+            corpus, "doc_id", "text", "x", "y", _ckpt(staging), detector="fuzzy"
+        )
+
+
 def test_tws_sessionization_matches_state_api(spark, sf_dir, staging):
     """The transformWithStateInPandas sessionizer must close the same
     sessions as the applyInPandasWithState one on the same ordered
