@@ -77,6 +77,14 @@ _REF_CALL = re.compile(r"\b(?:ref|source)\s*\([^)]*\)")
 _HARD_FN_READ = re.compile(r"\bspark\s*\.\s*(table|sql|read)\b")
 
 
+def _test_names(spec) -> set[str]:
+    """Declared test names on one column spec (string or {name: cfg})."""
+    out: set[str] = set()
+    for t_ in spec.get("tests", ()) or ():
+        out.add(t_ if isinstance(t_, str) else next(iter(t_), ""))
+    return out
+
+
 @dataclass(frozen=True)
 class Finding:
     check: str
@@ -190,12 +198,6 @@ def evaluate(
             # a tested model still needs a declared GRAIN: one column
             # carrying both unique and not_null (pk-shaped). Untested
             # models already flag above — don't double-report them.
-            def _test_names(spec) -> set[str]:
-                out = set()
-                for t_ in spec.get("tests", ()) or ():
-                    out.add(t_ if isinstance(t_, str) else next(iter(t_), ""))
-                return out
-
             if not any(
                 {"unique", "not_null"} <= _test_names(c)
                 for c in node.columns.values()
@@ -274,21 +276,37 @@ def evaluate(
     def _virtual(n) -> bool:
         return n.config.materialized in ("view", "ephemeral")
 
+    # iterative memoized DFS (explicit stack): a 10k-deep view chain is
+    # exactly the pathology this check exists to flag, so it must not
+    # die on Python's recursion limit reporting it
     chain_memo: dict[str, int] = {}
 
-    def _chain(name: str) -> int:
-        if name in chain_memo:
-            return chain_memo[name]
-        node = models[name]
-        if not _virtual(node):
-            chain_memo[name] = 0
-            return 0
-        chain_memo[name] = 0  # cycle guard (bidirectional_pair flags those)
-        parent_best = max(
-            (_chain(d) for d in node.depends_on if d in models), default=0
-        )
-        chain_memo[name] = 1 + parent_best
-        return chain_memo[name]
+    def _chain(root: str) -> int:
+        stack = [root]
+        while stack:
+            name = stack[-1]
+            if name in chain_memo:
+                stack.pop()
+                continue
+            node = models[name]
+            if not _virtual(node):
+                chain_memo[name] = 0
+                stack.pop()
+                continue
+            pending = [
+                d
+                for d in node.depends_on
+                if d in models and d not in chain_memo and d not in stack
+            ]  # the `not in stack` guard breaks cycles
+            if pending:
+                stack.extend(pending)
+                continue
+            chain_memo[name] = 1 + max(
+                (chain_memo[d] for d in node.depends_on if d in chain_memo),
+                default=0,
+            )
+            stack.pop()
+        return chain_memo[root]
 
     for name in sorted(models):
         depth = _chain(name)

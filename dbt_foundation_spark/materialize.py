@@ -319,9 +319,20 @@ def _microbatch(project: Project, node: Node, df: DataFrame) -> None:
             .distinct()
             .collect()
         )
+
+        def _part_lit(v) -> str:
+            # NULL partitions drop via an unquoted null literal (matches
+            # __HIVE_DEFAULT_PARTITION__, verified empirically); quoted
+            # values escape backslash-then-quote so a value like "it's"
+            # neither breaks the SQL nor silently matches nothing.
+            if v is None:
+                return "null"
+            s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{s}'"
+
         for row in combos:
             spec = ", ".join(
-                f"{c}='{row[c]}'"
+                f"{c}={_part_lit(row[c])}"
                 for c in (*node.config.partition_by, BATCH_COL)
             )
             spark.sql(f"ALTER TABLE {rel} DROP IF EXISTS PARTITION ({spec})")

@@ -258,39 +258,15 @@ def containment_pairs(
     S²/2⁶⁵ (≈2·10⁻⁹ at S=260 k), so the emitted values are the exact
     string-space values with overwhelming probability, and the DuckDB
     string-space oracle stays green."""
-    # array_distinct AFTER hashing: an intra-doc 64-bit collision would
-    # otherwise waste a prefix slot and void the pigeonhole guarantee;
-    # _n is the distinct-HASH count so the prefix bound is exact in the
-    # space the join actually runs in
-    hs = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(
-            F.transform(
-                F.array_distinct(token_ngrams(text_col, shingle_len)),
-                lambda s: F.xxhash64(s),
-            )
-        ).alias("_hs"),
-    )
-    post = hs.select("_id", F.size("_hs").alias("_n"), F.explode("_hs").alias("_s"))
-    dfreq = Window.partitionBy("_s")
-    # lazy checkpoint: the exploded+df-counted postings feed BOTH the
-    # prefix side and the index side of the candidate join — materialize
-    # the window pass once instead of twice (no job at plan-build time)
-    post = post.withColumn("_df", F.count(F.lit(1)).over(dfreq)).localCheckpoint(
-        eager=False
-    )
-    # +1e-9 counters float round-down of (1−t)·n (e.g. 0.4*35 →
-    # 13.999999...); overshooting only ADDS candidates — recall-safe
-    prefix_len = F.floor((1.0 - threshold) * F.col("_n") + 1e-9) + 1
-    rarity = Window.partitionBy("_id").orderBy("_df", "_s")
-    pref = (
-        post.withColumn("_rn", F.row_number().over(rarity))
-        .filter(F.col("_rn") <= prefix_len)
-        .select(F.col("_id").alias("_pid"), F.col("_n").alias("_pn"), "_s")
-    )
-    index = post if max_df is None else post.filter(F.col("_df") <= max_df)
+    hs = hashed_shingle_sets(df, id_col, text_col, shingle_len)
+    post, pref = containment_postings(hs, threshold)
+    index = post if max_df is None else post.filter(F.col("df") <= max_df)
     cand = (
-        pref.join(index.select(F.col("_id").alias("_iid"), F.col("_n").alias("_in"), "_s"), "_s")
+        pref.select(F.col("id").alias("_pid"), F.col("n").alias("_pn"), "s")
+        .join(
+            index.select(F.col("id").alias("_iid"), F.col("n").alias("_in"), "s"),
+            "s",
+        )
         .filter((F.col("_pid") != F.col("_iid")) & (F.col("_pn") <= F.col("_in")))
         .select(
             F.least("_pid", "_iid").alias("id_a"),
@@ -299,8 +275,8 @@ def containment_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     pairs = cand.join(
-        hs.select(F.col("_id").alias("id_a"), F.col("_hs").alias("sh_a")), "id_a"
-    ).join(hs.select(F.col("_id").alias("id_b"), F.col("_hs").alias("sh_b")), "id_b")
+        hs.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a")), "id_a"
+    ).join(hs.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     c_a = F.try_divide(inter, F.size("sh_a"))
     c_b = F.try_divide(inter, F.size("sh_b"))
@@ -310,6 +286,61 @@ def containment_pairs(
         .filter(F.greatest("containment_a", "containment_b") >= threshold)
         .select("id_a", "id_b", "containment_a", "containment_b")
     )
+
+
+def hashed_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_len: int = 3
+) -> DataFrame:
+    """(id, hs array<bigint>) — each document's DISTINCT xxhash64'd
+    shingle set, the canonical hash space for containment detection.
+
+    array_distinct AFTER hashing: an intra-doc 64-bit collision would
+    otherwise waste a prefix slot and void the pigeonhole guarantee;
+    |hs| is the distinct-HASH count so the prefix bound is exact in the
+    space the join actually runs in.
+
+    Shared by :func:`containment_pairs` and the persisted prefix index
+    (operators/dedup_index.py) — the persisted-vs-recompute equivalence
+    contract requires both paths to hash and dedup identically, so
+    neither may inline its own copy."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(
+                F.array_distinct(token_ngrams(text_col, shingle_len)),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("hs"),
+    )
+
+
+def containment_postings(
+    hs: DataFrame, threshold: float
+) -> tuple[DataFrame, DataFrame]:
+    """(full postings (id, n, s, df), prefix postings (id, n, s)) for a
+    :func:`hashed_shingle_sets` frame.
+
+    The prefix keeps ⌊(1−t)·n⌋ + 1 shingles per doc ordered by
+    within-frame document frequency — the pigeonhole bound holds for
+    ANY ordering (it is purely count-based), rarity only minimizes the
+    posting-join cost. +1e-9 counters float round-down of (1−t)·n
+    (e.g. 0.4·35 → 13.999999…); overshooting only ADDS candidates —
+    recall-safe. The lazy checkpoint materializes the exploded +
+    df-counted postings once for both returned frames (no job at
+    plan-build time). Shared with the persisted index — see
+    :func:`hashed_shingle_sets`."""
+    post = hs.select("id", F.size("hs").alias("n"), F.explode("hs").alias("s"))
+    post = post.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    ).localCheckpoint(eager=False)
+    prefix_len = F.floor((1.0 - threshold) * F.col("n") + 1e-9) + 1
+    rarity = Window.partitionBy("id").orderBy("df", "s")
+    pref = (
+        post.withColumn("_rn", F.row_number().over(rarity))
+        .filter(F.col("_rn") <= prefix_len)
+        .select("id", "n", "s")
+    )
+    return post, pref
 
 
 def minhash_lsh_join(

@@ -52,12 +52,14 @@ manifest file.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_foundation_spark.functions.text import token_ngrams
 from dbt_foundation_spark.operators.dedup import (
     _band_buckets,
+    containment_postings,
+    hashed_shingle_sets,
     minhash_signature,
     signature_chunks,
     simhash,
@@ -254,43 +256,6 @@ def append_to_simhash_index(
 # ---------- containment prefix-posting index ----------
 
 
-def _hashed_shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, shingle_len: int
-) -> DataFrame:
-    # mirror of containment_pairs: distinct AFTER hashing so the prefix
-    # bound is exact in the hash space the join runs in
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(
-                F.array_distinct(token_ngrams(text_col, shingle_len)),
-                lambda s: F.xxhash64(s),
-            )
-        ).alias("hs"),
-    )
-
-
-def _postings_and_prefixes(
-    hs: DataFrame, threshold: float
-) -> tuple[DataFrame, DataFrame]:
-    """(full postings, rare-shingle prefix postings) for a shingle-set
-    frame. The prefix keeps ⌊(1−t)·n⌋ + 1 shingles per doc ordered by
-    WITHIN-FRAME document frequency — the pigeonhole bound holds for any
-    ordering, rarity only minimizes join cost."""
-    post = hs.select("id", F.size("hs").alias("n"), F.explode("hs").alias("s"))
-    post = post.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
-    ).localCheckpoint(eager=False)
-    prefix_len = F.floor((1.0 - threshold) * F.col("n") + 1e-9) + 1
-    rarity = Window.partitionBy("id").orderBy("df", "s")
-    pref = (
-        post.withColumn("_rn", F.row_number().over(rarity))
-        .filter(F.col("_rn") <= prefix_len)
-        .select("id", "n", "s")
-    )
-    return post.select("id", "n", "s"), pref
-
-
 def build_containment_index(
     df: DataFrame,
     id_col: str,
@@ -305,11 +270,11 @@ def build_containment_index(
     corpus-side prefix postings at the BUILD threshold (query with the
     same or a higher threshold — a longer prefix than required only adds
     candidates, never loses one), and the hash-set verify payload."""
-    hs = _hashed_shingle_sets(df, id_col, text_col, shingle_len)
-    post, pref = _postings_and_prefixes(hs, threshold)
-    post.repartition(index_partitions, "s").write.mode("overwrite").parquet(
-        f"{path}/postings"
-    )
+    hs = hashed_shingle_sets(df, id_col, text_col, shingle_len)
+    post, pref = containment_postings(hs, threshold)
+    post.select("id", "n", "s").repartition(index_partitions, "s").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/postings")
     pref.write.mode("overwrite").parquet(f"{path}/prefixes")
     hs.write.mode("overwrite").parquet(f"{path}/hashsets")
 
@@ -333,8 +298,8 @@ def containment_against_index(
     pairs by the STORED corpus prefixes joined against the batch's full
     postings (the direction the batch alone cannot see). Union of the
     two candidate sets + hash-space verify = every qualifying pair."""
-    hs_new = _hashed_shingle_sets(new_df, id_col, text_col, shingle_len)
-    post_new, pref_new = _postings_and_prefixes(hs_new, threshold)
+    hs_new = hashed_shingle_sets(new_df, id_col, text_col, shingle_len)
+    post_new, pref_new = containment_postings(hs_new, threshold)
     idx_post = spark.read.parquet(f"{path}/postings")
     idx_pref = spark.read.parquet(f"{path}/prefixes")
     c1 = pref_new.select(F.col("id").alias("new_id"), "s").join(
@@ -376,8 +341,8 @@ def append_to_containment_index(
     """Admit a (deduped) batch into the containment index: append its
     postings, its prefix postings (ordered by the BATCH's own df —
     any ordering preserves the pigeonhole bound), and its hash sets."""
-    hs = _hashed_shingle_sets(df, id_col, text_col, shingle_len)
-    post, pref = _postings_and_prefixes(hs, threshold)
-    post.write.mode("append").parquet(f"{path}/postings")
+    hs = hashed_shingle_sets(df, id_col, text_col, shingle_len)
+    post, pref = containment_postings(hs, threshold)
+    post.select("id", "n", "s").write.mode("append").parquet(f"{path}/postings")
     pref.write.mode("append").parquet(f"{path}/prefixes")
     hs.write.mode("append").parquet(f"{path}/hashsets")

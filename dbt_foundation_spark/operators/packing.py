@@ -253,17 +253,19 @@ def export_shards(
     elif files_per_shard > 1:
         # The salt must vary PER ROW within a shard — a function of the
         # shard value alone is constant inside each shard, which would
-        # collapse every shard back into one task/file (r4 ADVICE).
-        # Materialized via withColumn (nondeterministic expressions are
-        # not valid repartition keys), and the partition count is
-        # explicit so AQE's small-shuffle coalescing can't merge the
-        # salted tasks back together on small inputs.
-        salted = df.withColumn(
-            "_fps", (F.monotonically_increasing_id() % files_per_shard).cast("int")
+        # collapse every shard back into one task/file (r4 ADVICE) —
+        # and it must be DETERMINISTIC per row content: a shuffle key
+        # derived from monotonically_increasing_id()/rand() changes on
+        # task retry, and Spark's fetch-failure recomputation then
+        # silently duplicates or drops rows (the SPARK-23207 class,
+        # which Spark only auto-guards for round-robin repartition).
+        # xxhash64 over the row's columns is retry-stable. The explicit
+        # partition count stops AQE's small-shuffle coalescing from
+        # merging the salted tasks back together on small inputs.
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_shard)
         )
-        out = salted.repartition(
-            files_per_shard * 64, F.col(shard_col), F.col("_fps")
-        ).drop("_fps")
+        out = df.repartition(files_per_shard * 64, F.col(shard_col), salt)
     writer = out.write.partitionBy(shard_col).mode(mode)
     if fmt == "json":
         writer.json(path)

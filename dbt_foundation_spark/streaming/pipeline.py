@@ -644,9 +644,11 @@ def sessionize_tws(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
 
     Requires ``protobuf`` (the TWS state-server wire protocol is
     protobuf-framed); raises a clear error when absent rather than
-    crashing the streaming Python runner mid-query. The parity test
-    skips in protobuf-less environments — this container is one — and
-    the applyInPandasWithState twin carries the covered path."""
+    crashing the streaming Python runner mid-query. In protobuf-less
+    environments — this container is one — the parity test pins THIS
+    RuntimeError contract instead of skipping (README "Capability
+    matrix"), and the applyInPandasWithState twin carries the covered
+    path."""
     try:
         from google.protobuf import descriptor as _descriptor  # noqa: F401
     except ImportError as exc:  # pragma: no cover - environment-dependent

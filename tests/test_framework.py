@@ -1007,12 +1007,15 @@ def test_incremental_microbatch_with_partition_by(project, spark):
     a silent no-op on the in-memory catalog — so every incremental run
     duplicated the rebuilt periods. The fix enumerates full
     (partition_by..., dbt_event_batch) specs before dropping."""
+    # grp=None and grp="it's" pin the spec-literal rendering: a NULL
+    # partition drops via an unquoted null (quoting it matches nothing
+    # and resurrects the duplication bug), a quoted value must escape
     src = spark.createDataFrame(
         [
             (1, "a", "2024-01-01 10:00:00", 10.0),
             (2, "b", "2024-01-02 11:00:00", 20.0),
-            (3, "a", "2024-01-02 12:00:00", 30.0),
-            (4, "b", "2024-01-03 08:00:00", 40.0),
+            (3, None, "2024-01-02 12:00:00", 30.0),
+            (4, "it's", "2024-01-03 08:00:00", 40.0),
         ],
         "id bigint, grp string, ts string, v double",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
@@ -1036,8 +1039,8 @@ def test_incremental_microbatch_with_partition_by(project, spark):
     assert spark.table(rel).count() == 4
 
     # run 2 (window = max batch day-3 − lookback 1 → start day-2):
-    # day 2 restated (grp b revalued, grp a vanishes), day 3 restated
-    # into a different grp partition; day 1 outside the window.
+    # day 2 restated (grp b revalued, the NULL-grp row vanishes), day 3
+    # restated from the quoted partition into a fresh one; day 1 outside.
     state["batch"] = spark.createDataFrame(
         [
             (2, "b", "2024-01-02 11:00:00", 25.0),
@@ -1052,9 +1055,9 @@ def test_incremental_microbatch_with_partition_by(project, spark):
     )
     assert rows == [
         ("2024-01-01", "a", 1, 10.0),   # untouched
-        ("2024-01-02", "b", 2, 25.0),   # restated; grp=a row for day 2 cleared
-        ("2024-01-03", "c", 5, 50.0),   # restated into a new grp partition
-    ], "partial-spec DROP no-op would leave duplicated/stale rows here"
+        ("2024-01-02", "b", 2, 25.0),   # restated; NULL-grp day-2 row cleared
+        ("2024-01-03", "c", 5, 50.0),   # quoted "it's" partition cleared
+    ], "partial-spec/unescaped DROP would leave duplicated/stale rows here"
 
 
 def test_clone_from_state(project, spark):
