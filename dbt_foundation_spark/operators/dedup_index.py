@@ -45,9 +45,21 @@ tables (``bucketBy(n, key)``) so the per-ingest join is shuffle-free on
 the index side; path-based parquet keeps this module warehouse-free.
 
 Signature parameters MUST match between build/append/query (they
-define the hash family / chunking / prefix length); they're trusted
-from the caller here — a production index would carry them in a
-manifest file.
+define the hash family / chunking / prefix length). Each ``build_*``
+therefore writes a MANIFEST (one-row JSON dataset at
+``{path}/manifest`` — written through Spark, so it lands on whatever
+object store holds the index) recording them, and every query/append
+validates the caller's parameters against it, raising on a mismatch
+instead of silently returning wrong candidates (e.g. querying a
+16-hash band index with the 32-hash default). Where the math permits
+a RANGE rather than equality, the manifest enforces the safe
+direction: a simhash query radius may be ≤ the build radius (the
+batch side chunks at the BUILD radius so the equi-join lines up, the
+hamming filter applies the caller's tighter radius); a containment
+query threshold may be ≥ the build threshold (stored prefixes are
+then longer than required — extra candidates, never a lost one).
+Indexes created before manifests existed validate nothing and trust
+the caller, as before.
 """
 
 from __future__ import annotations
@@ -64,6 +76,56 @@ from dbt_foundation_spark.operators.dedup import (
     signature_chunks,
     simhash,
 )
+
+
+def _write_manifest(df: DataFrame, path: str, params: dict) -> None:
+    """Record the index's build parameters as a one-row JSON dataset —
+    written through Spark so it lives next to the index on any store."""
+    df.sparkSession.createDataFrame([params]).coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{path}/manifest")
+
+
+def _read_manifest(spark: SparkSession, path: str) -> dict | None:
+    try:
+        row = spark.read.json(f"{path}/manifest").first()
+    except Exception:  # no manifest: pre-manifest index, trust the caller
+        return None
+    return row.asDict() if row else None
+
+
+def _check_manifest(
+    spark: SparkSession, path: str, caller: dict, ranges: dict | None = None
+) -> dict:
+    """Validate caller parameters against the stored manifest.
+
+    Equality is required for every key unless ``ranges`` marks it
+    ``"lte"``/``"gte"`` (caller value ≤ / ≥ the build value is safe).
+    Returns the BUILD values (callers use them where the index layout,
+    not the query, dictates the computation). Missing manifest →
+    caller values returned untouched."""
+    m = _read_manifest(spark, path)
+    if m is None:
+        return dict(caller)
+    resolved = {}
+    for k, v in caller.items():
+        b = m.get(k)
+        if b is None:
+            resolved[k] = v
+            continue
+        rule = (ranges or {}).get(k, "eq")
+        ok = (
+            v <= b if rule == "lte" else v >= b if rule == "gte" else v == b
+        )
+        if not ok:
+            op = {"lte": "<=", "gte": ">=", "eq": "=="}[rule]
+            raise ValueError(
+                f"{path}: index built with {k}={b!r}, query passed {v!r} "
+                f"(need caller {op} build) — mismatched parameters would "
+                "silently return wrong candidates"
+            )
+        resolved[k] = b
+    return resolved
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_len: int) -> DataFrame:
@@ -99,6 +161,17 @@ def build_minhash_index(
     _shingle_sets(df, id_col, text_col, shingle_len).write.mode("overwrite").parquet(
         f"{path}/shingles"
     )
+    _write_manifest(
+        df,
+        path,
+        {
+            "flavor": "minhash",
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_len": shingle_len,
+            "portable": portable,
+        },
+    )
 
 
 def dedup_against_index(
@@ -118,8 +191,20 @@ def dedup_against_index(
     but the corpus side costs one index read, not a recompute.
 
     The signature parameters MUST match the ones the index was built
-    with (they define the hash family); they're trusted from the caller
-    here — a production index would carry them in a manifest file."""
+    with (they define the hash family) — validated against the stored
+    manifest, raising on mismatch. ``jaccard_threshold`` is query-time
+    only and free to vary."""
+    _check_manifest(
+        spark,
+        path,
+        {
+            "flavor": "minhash",
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_len": shingle_len,
+            "portable": portable,
+        },
+    )
     sig_new = minhash_signature(new_df, id_col, text_col, num_hashes, shingle_len, portable)
     banded_new = _band_buckets(sig_new, bands, num_hashes // bands, portable)
     index_bands = spark.read.parquet(f"{path}/bands")
@@ -162,6 +247,17 @@ def append_to_index(
     shingle sets. Appends — never rewrites — so the index grows by one
     file set per ingest; run operators.maintenance.compact_table-style
     compaction on the bands dataset when micro-batches accumulate."""
+    _check_manifest(
+        df.sparkSession,
+        path,
+        {
+            "flavor": "minhash",
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_len": shingle_len,
+            "portable": portable,
+        },
+    )
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_len, portable)
     banded = _band_buckets(sig, bands, num_hashes // bands, portable).withColumnRenamed(
         "_id", "id"
@@ -196,10 +292,16 @@ def build_simhash_index(
     """Materialize the corpus simhash chunk index at ``path``: one
     signature pass (the expensive tokenize+hash+64-sum aggregate), then
     a chunk explode written clustered on the (chunk, ck) join key.
-    ``max_hamming`` fixes the chunking — query with the same radius."""
+    ``max_hamming`` fixes the chunking — queries may use the same or a
+    TIGHTER radius (the manifest enforces caller ≤ build)."""
     _simhash_chunks(df, id_col, text_col, max_hamming, portable).repartition(
         index_partitions, "chunk", "ck"
     ).write.mode("overwrite").parquet(f"{path}/chunks")
+    _write_manifest(
+        df,
+        path,
+        {"flavor": "simhash", "max_hamming": max_hamming, "portable": portable},
+    )
 
 
 def dedup_against_simhash_index(
@@ -215,8 +317,22 @@ def dedup_against_simhash_index(
     stored chunk index — :func:`simhash_near_pairs` semantics restricted
     to cross-side pairs, with the corpus side one index read instead of
     a recompute. Signatures ride the candidate rows, so the hamming
-    verify is a codegen'd filter with no re-attach join."""
-    new_chunks = _simhash_chunks(new_df, id_col, text_col, max_hamming, portable)
+    verify is a codegen'd filter with no re-attach join.
+
+    ``max_hamming`` may be TIGHTER than the build radius (manifest-
+    enforced caller ≤ build): the batch chunks at the BUILD radius so
+    the equi-join lines up with the stored layout — any pair within the
+    caller radius is within the build radius, so some chunk still
+    matches — and the hamming filter applies the caller's radius."""
+    resolved = _check_manifest(
+        spark,
+        path,
+        {"flavor": "simhash", "max_hamming": max_hamming, "portable": portable},
+        ranges={"max_hamming": "lte"},
+    )
+    new_chunks = _simhash_chunks(
+        new_df, id_col, text_col, int(resolved["max_hamming"]), portable
+    )
     idx = spark.read.parquet(f"{path}/chunks")
     return (
         new_chunks.select(
@@ -247,7 +363,14 @@ def append_to_simhash_index(
     portable: bool = False,
 ) -> None:
     """Admit a (deduped) batch's chunk rows into the index (append-only,
-    same contract as :func:`append_to_index`)."""
+    same contract as :func:`append_to_index`). Chunking must match the
+    index layout exactly, so ``max_hamming`` must EQUAL the build value
+    here (manifest-enforced) — only queries may tighten the radius."""
+    _check_manifest(
+        df.sparkSession,
+        path,
+        {"flavor": "simhash", "max_hamming": max_hamming, "portable": portable},
+    )
     _simhash_chunks(df, id_col, text_col, max_hamming, portable).write.mode(
         "append"
     ).parquet(f"{path}/chunks")
@@ -277,6 +400,15 @@ def build_containment_index(
     ).parquet(f"{path}/postings")
     pref.write.mode("overwrite").parquet(f"{path}/prefixes")
     hs.write.mode("overwrite").parquet(f"{path}/hashsets")
+    _write_manifest(
+        df,
+        path,
+        {
+            "flavor": "containment",
+            "shingle_len": shingle_len,
+            "threshold": threshold,
+        },
+    )
 
 
 def containment_against_index(
@@ -297,7 +429,22 @@ def containment_against_index(
     prefixes joined against the full corpus postings; C(corpus, new) ≥ t
     pairs by the STORED corpus prefixes joined against the batch's full
     postings (the direction the batch alone cannot see). Union of the
-    two candidate sets + hash-space verify = every qualifying pair."""
+    two candidate sets + hash-space verify = every qualifying pair.
+
+    ``threshold`` may be HIGHER than the build threshold (manifest-
+    enforced caller ≥ build): stored corpus prefixes are then longer
+    than the query needs — extra candidates, never a lost pair — while
+    the batch's own prefixes and the verify use the caller's value."""
+    _check_manifest(
+        spark,
+        path,
+        {
+            "flavor": "containment",
+            "shingle_len": shingle_len,
+            "threshold": threshold,
+        },
+        ranges={"threshold": "gte"},
+    )
     hs_new = hashed_shingle_sets(new_df, id_col, text_col, shingle_len)
     post_new, pref_new = containment_postings(hs_new, threshold)
     idx_post = spark.read.parquet(f"{path}/postings")
@@ -340,7 +487,19 @@ def append_to_containment_index(
 ) -> None:
     """Admit a (deduped) batch into the containment index: append its
     postings, its prefix postings (ordered by the BATCH's own df —
-    any ordering preserves the pigeonhole bound), and its hash sets."""
+    any ordering preserves the pigeonhole bound), and its hash sets.
+    Appended prefixes must be at least as long as the build threshold
+    demands, so ``threshold`` must EQUAL the build value here
+    (manifest-enforced) — only queries may raise it."""
+    _check_manifest(
+        df.sparkSession,
+        path,
+        {
+            "flavor": "containment",
+            "shingle_len": shingle_len,
+            "threshold": threshold,
+        },
+    )
     hs = hashed_shingle_sets(df, id_col, text_col, shingle_len)
     post, pref = containment_postings(hs, threshold)
     post.select("id", "n", "s").write.mode("append").parquet(f"{path}/postings")

@@ -5,6 +5,7 @@ over the same queries."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dbt_foundation_spark.functions.redact import pii_counts, redact_pii
@@ -250,6 +251,90 @@ def test_containment_index_roundtrip(spark, sf_dir, tmp_path):
     b2_ids = {r["doc_id"] for r in batch2.select("doc_id").collect()}
     want2 = cross(corpus.unionByName(batch1).unionByName(batch2), b2_ids)
     assert got2 == want2
+
+
+def test_index_manifest_validation(spark, sf_dir, tmp_path):
+    """Every index flavor records its build parameters in a manifest and
+    rejects mismatched query/append parameters (the silent-wrong-results
+    footgun), while allowing the provably-safe directions: a tighter
+    simhash query radius, a higher containment query threshold."""
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_containment_index,
+        build_containment_index,
+        build_minhash_index,
+        build_simhash_index,
+        containment_against_index,
+        dedup_against_index,
+        dedup_against_simhash_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 > 1)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+
+    mh = str(tmp_path / "mh_m")
+    build_minhash_index(corpus, "doc_id", "text", mh, num_hashes=16, bands=4)
+    with pytest.raises(ValueError, match="num_hashes"):
+        dedup_against_index(
+            spark, batch, "doc_id", "text", mh, num_hashes=32, bands=4
+        ).count()
+    # jaccard_threshold is query-time only — any value passes validation
+    dedup_against_index(
+        spark, batch, "doc_id", "text", mh,
+        num_hashes=16, bands=4, jaccard_threshold=0.9,
+    ).count()
+
+    sh = str(tmp_path / "sh_m")
+    build_simhash_index(corpus, "doc_id", "text", sh, max_hamming=8)
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup_against_simhash_index(
+            spark, batch, "doc_id", "text", sh, max_hamming=12
+        ).count()
+    # tighter query radius: legal, and exactly the radius-r subset of
+    # the build-radius result (batch chunks at the BUILD radius)
+    wide = {
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in dedup_against_simhash_index(
+            spark, batch, "doc_id", "text", sh, max_hamming=8
+        ).collect()
+    }
+    tight = {
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in dedup_against_simhash_index(
+            spark, batch, "doc_id", "text", sh, max_hamming=4
+        ).collect()
+    }
+    assert tight == {p for p in wide if p[2] <= 4}
+
+    ct = str(tmp_path / "ct_m")
+    build_containment_index(corpus, "doc_id", "text", ct, threshold=0.6)
+    with pytest.raises(ValueError, match="threshold"):
+        containment_against_index(
+            spark, batch, "doc_id", "text", ct, threshold=0.5
+        ).count()
+    with pytest.raises(ValueError, match="threshold"):
+        append_to_containment_index(
+            batch, "doc_id", "text", ct, threshold=0.8
+        )
+    # higher query threshold: legal, and the ≥0.8 subset of the base run
+    base = {
+        (r["new_id"], r["corpus_id"])
+        for r in containment_against_index(
+            spark, batch, "doc_id", "text", ct, threshold=0.6
+        ).collect()
+        if max(r["containment_new"], r["containment_corpus"]) >= 0.8
+    }
+    high = {
+        (r["new_id"], r["corpus_id"])
+        for r in containment_against_index(
+            spark, batch, "doc_id", "text", ct, threshold=0.8
+        ).collect()
+    }
+    assert high == base
+
+    # flavor mixups are caught, not silently wrong
+    with pytest.raises(ValueError, match="flavor"):
+        dedup_against_simhash_index(spark, batch, "doc_id", "text", mh).count()
 
 
 def test_minhash_lsh_join_equals_cross_side_pairs(spark, sf_dir):
