@@ -183,6 +183,12 @@ def ivf_assignments(
     )
     if len(X) < n_lists:
         raise ValueError(f"need >= {n_lists} sample vectors, got {len(X)}")
+    # canonicalize the sample ORDER before seeding: toPandas row order
+    # follows partition layout (executor count, fan-out width), and the
+    # k-means++ draws index into X — without this sort the fitted
+    # centroids (and every downstream IVF answer) would differ between
+    # a local[8] driver and a local[32] bench on identical data
+    X = X[np.lexsort(X.T[::-1])]
     rng = np.random.default_rng(seed)
     # k-means++ seeding (D² sampling): matches the init quality of
     # MLlib's k-means|| at this scale — uniform init measurably lost

@@ -111,14 +111,20 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         r["vec_id"]
         for r in cosine_topk(emb, "vec_id", "embedding", qv, k=10, exclude_id=0).collect()
     }
+    # n_probe=5 of 8 lists: the synthetic embeddings are clusterless
+    # gaussians, so shallow-probe recall is k-means-init luck (the
+    # order-canonicalized deterministic fit measures 5/10 at n_probe=3
+    # on this 500-vector corpus); at probe depth 5 the answer is robust
+    # to the init draw. Recall-vs-probe-depth curves are pinned in
+    # tests/test_properties.py::test_ivf_ann_recall_vs_brute_force.
     approx = {
         r["vec_id"]
         for r in cosine_topk_ivf(
-            emb, "vec_id", "embedding", qv, k=10, n_lists=8, n_probe=3, exclude_id=0
+            emb, "vec_id", "embedding", qv, k=10, n_lists=8, n_probe=5, exclude_id=0
         ).collect()
     }
     assert len(approx) == 10
-    assert len(exact & approx) >= 6, f"IVF recall too low: {exact & approx}"
+    assert len(exact & approx) >= 7, f"IVF recall too low: {exact & approx}"
 
 
 def test_no_forced_broadcast_on_scale_growing_sides(spark, sf_dir):
