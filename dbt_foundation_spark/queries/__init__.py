@@ -46,10 +46,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # NULL-check) are exercised by r4-green queries whose compared output
 # is unchanged and re-pinned by new pytest cases, so they yield their
 # slots; (c) all 46 oracled queries whose latest green row is r2 —
-# with 50 slots per round and 151 oracled queries (146 + the two
+# with 50 slots per round and 153 oracled queries (146 + the two
 # newly-oracled sketch queries + q_dedup_minhash/q_dedup_simhash/
-# q_cosine_topk_ivf, upgraded late in round 5 with the same
-# validated-in-place pattern; those three sit just after the window
+# q_cosine_topk_ivf/q_multimodal_features/q_frame_sample, upgraded
+# late in round 5 with the same validated-in-place pattern; those
+# five sit just after the window
 # since their r2 rows-only evidence is superseded by in-repo parity
 # at two SFs and they'll lead the r6 window) this is the refresh
 # deadline round (evidence would otherwise go 4 rounds stale).

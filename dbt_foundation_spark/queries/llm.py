@@ -977,10 +977,28 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------- multimodal plumbing (rows-only: synthetic media) ----------
 
 
-@query("q_multimodal_features")
+@query(
+    "q_multimodal_features",
+    oracle="""
+    WITH m AS (SELECT unnest(range(0, 128)) AS i)
+    SELECT CASE WHEN i % 3 = 0 THEN 'audio/wav' ELSE 'image/png' END AS mime_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(256.0 AS DOUBLE) AS avg_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_payloads
+    FROM m GROUP BY 1 ORDER BY 1
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 multimodal: binary payload → mapInPandas featurize (stubbed
-    decode, real Arrow batch plumbing) → per-mime feature stats."""
+    decode, real Arrow batch plumbing) → per-mime feature stats.
+
+    The synthetic media table is a deterministic pure function of the
+    row index (mime by i%3, 256-byte sha256-derived payload, distinct
+    per row), so the per-mime rollup IS DuckDB-replayable arithmetic —
+    the oracle re-derives it from the generator's formula, turning the
+    Arrow-plumbing smoke check into a full hash-compared row: a decode
+    worker that drops/duplicates batch rows, mangles n_bytes, or
+    collides payload hashes breaks the match."""
     from dbt_foundation_spark.operators.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, n=128)
@@ -996,10 +1014,27 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_frame_sample")
+@query(
+    "q_frame_sample",
+    oracle="""
+    WITH m AS (
+        SELECT i AS media_id, 1000 * (i % 7) AS dur
+        FROM (SELECT unnest(range(0, 128)) AS i)
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(CASE WHEN dur = 0 THEN 1 ELSE (dur - 1) // 500 + 1 END
+                AS BIGINT) AS n_frames
+    FROM m ORDER BY media_id
+    """,
+)
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 multimodal: per-media frame-sampling plan (metadata-driven
-    explode; decode happens downstream per planned frame)."""
+    explode; decode happens downstream per planned frame).
+
+    duration_ms is 1000·(i%7) by the deterministic generator, and the
+    frame plan is sequence(0, max(dur−1, 0), 500) — pure arithmetic the
+    DuckDB oracle re-derives, so the per-media frame counts are a full
+    hash-compared row (was rows-only)."""
     from dbt_foundation_spark.operators.multimodal import frame_sample_plan, synthetic_media
 
     media = synthetic_media(spark, n=128)
