@@ -453,8 +453,14 @@ def test_heavy_query_plan_shapes_pinned(spark, sf_dir):
     # that parallelizes the single-row-group local scans — see
     # queries/_util.fan_out; at 100 TB the guard makes it a no-op.
     budgets = {
-        "q_dedup_minhash": 6,   # sig agg + band join + 2 re-attach joins
-        "q_dedup_simhash": 4,   # sig agg + chunk join + pair dedup
+        "q_dedup_minhash": 10,  # sig agg + band join + 2 re-attach joins,
+                                # PLUS the in-query ground-truth flank
+                                # (r5): inverted-index posting self-join
+                                # + verify re-attach + found/true scalars
+        "q_dedup_simhash": 10,  # sig agg + chunk join + pair dedup over
+                                # the corpus ∪ planted-copies union (r5
+                                # canary: union defeats exchange reuse
+                                # locally; found/planted scalar aggs)
         "q_dedup_simhash_portable": 4,  # same shape, md5-half hashes
         "q_embedding_neardup": 3,  # band join + pair dedup + 2 re-attach joins
         "q_ngram_jaccard": 7,   # inverted-index join + pair agg + size
