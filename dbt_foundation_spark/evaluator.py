@@ -278,33 +278,45 @@ def evaluate(
 
     # iterative memoized DFS (explicit stack): a 10k-deep view chain is
     # exactly the pathology this check exists to flag, so it must not
-    # die on Python's recursion limit reporting it
+    # die on Python's recursion limit reporting it. Cycle detection uses
+    # an `on_path` SET of nodes on the current DFS path (O(1) membership
+    # — a list scan would be O(n²) on deep chains): a dep merely
+    # scheduled on the stack is a pending SIBLING (diamond shapes) and
+    # must still contribute depth; only a dep on the current path is a
+    # genuine cycle (already flagged by bidirectional_pair) and counts 0.
     chain_memo: dict[str, int] = {}
 
     def _chain(root: str) -> int:
         stack = [root]
+        on_path: set[str] = set()
         while stack:
             name = stack[-1]
             if name in chain_memo:
                 stack.pop()
+                on_path.discard(name)
                 continue
             node = models[name]
             if not _virtual(node):
                 chain_memo[name] = 0
                 stack.pop()
                 continue
-            pending = [
-                d
-                for d in node.depends_on
-                if d in models and d not in chain_memo and d not in stack
-            ]  # the `not in stack` guard breaks cycles
-            if pending:
-                stack.extend(pending)
-                continue
+            if name not in on_path:
+                on_path.add(name)
+                pending = [
+                    d
+                    for d in node.depends_on
+                    if d in models and d not in chain_memo and d not in on_path
+                ]
+                if pending:
+                    stack.extend(pending)
+                    continue
+            # revisit after children resolved (or no unresolved children):
+            # cyclic deps are the only ones still missing from the memo
             chain_memo[name] = 1 + max(
                 (chain_memo[d] for d in node.depends_on if d in chain_memo),
                 default=0,
             )
+            on_path.discard(name)
             stack.pop()
         return chain_memo[root]
 

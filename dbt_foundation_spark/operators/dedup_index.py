@@ -87,11 +87,25 @@ def _write_manifest(df: DataFrame, path: str, params: dict) -> None:
 
 
 def _read_manifest(spark: SparkSession, path: str) -> dict | None:
+    from pyspark.errors import AnalysisException
+
     try:
         row = spark.read.json(f"{path}/manifest").first()
-    except Exception:  # no manifest: pre-manifest index, trust the caller
+    except AnalysisException:
+        # path absent: a pre-manifest index — trust the caller, as
+        # before manifests existed. Any OTHER failure (permissions,
+        # transient store error) propagates: silently skipping
+        # validation there would re-open the exact footgun the
+        # manifest exists to close.
         return None
-    return row.asDict() if row else None
+    m = row.asDict() if row else None
+    if m is not None and "flavor" not in m:
+        raise ValueError(
+            f"{path}/manifest exists but is corrupt (no 'flavor' field) — "
+            "rebuild the index or restore the manifest; refusing to "
+            "validate queries against a half-written manifest"
+        )
+    return m
 
 
 def _check_manifest(

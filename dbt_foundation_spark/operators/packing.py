@@ -259,13 +259,38 @@ def export_shards(
         # task retry, and Spark's fetch-failure recomputation then
         # silently duplicates or drops rows (the SPARK-23207 class,
         # which Spark only auto-guards for round-robin repartition).
-        # xxhash64 over the row's columns is retry-stable. The explicit
+        # xxhash64 over the row's hashABLE columns is retry-stable
+        # (Spark rejects hash() on MAP-typed inputs, so those are
+        # excluded; spark_partition_id — also stable under recompute of
+        # the same partition — covers the all-maps edge). The explicit
         # partition count stops AQE's small-shuffle coalescing from
         # merging the salted tasks back together on small inputs.
-        salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_shard)
+        def _hashable(dt) -> bool:
+            from pyspark.sql import types as T
+
+            if isinstance(dt, T.MapType):
+                return False
+            if isinstance(dt, T.ArrayType):
+                return _hashable(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return all(_hashable(f.dataType) for f in dt.fields)
+            return True
+
+        cols = [f.name for f in df.schema.fields if _hashable(f.dataType)]
+        row_key = (
+            F.xxhash64(*[F.col(c) for c in cols])
+            if cols
+            else F.spark_partition_id().cast("long")
         )
-        out = df.repartition(files_per_shard * 64, F.col(shard_col), salt)
+        # materialized via withColumn: the spark_partition_id fallback is
+        # classed nondeterministic and would be rejected as a bare
+        # repartition expression
+        salted = df.withColumn(
+            "_fps", F.pmod(row_key, F.lit(files_per_shard)).cast("int")
+        )
+        out = salted.repartition(
+            files_per_shard * 64, F.col(shard_col), F.col("_fps")
+        ).drop("_fps")
     writer = out.write.partitionBy(shard_col).mode(mode)
     if fmt == "json":
         writer.json(path)

@@ -174,7 +174,21 @@ def ivf_assignments(
     if fit_fraction is None:
         n = df.count()  # parquet metadata count — one cheap job
         fit_fraction = min(1.0, target_fit_rows / max(n, 1))
-    fit_on = df.sample(fit_fraction, seed=seed) if fit_fraction < 1.0 else df
+    if fit_fraction < 1.0:
+        # content-hash sampling, NOT df.sample: sample() draws
+        # per-partition, so the selected row SET would depend on
+        # partition layout (executor count / fan-out width) and the
+        # fitted centroids would differ between cluster configs on
+        # identical data. Hashing the vector itself keeps membership a
+        # pure function of content (same property the sampling
+        # operators use), layout-independent at any scale.
+        bound = int(fit_fraction * 1_000_000)
+        fit_on = df.filter(
+            F.pmod(F.xxhash64(F.col(vec_col), F.lit(seed)), F.lit(1_000_000))
+            < bound
+        )
+    else:
+        fit_on = df
     X = np.array(
         fit_on.select(F.col(vec_col).cast("array<double>").alias("v"))
         .toPandas()["v"]

@@ -390,25 +390,29 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fast signature is engine-internal, so the driver-comparable
     output is a PLANTED-duplicate canary (VERDICT r4 ask #3's pattern):
-    the docs with doc_id < 20 are re-keyed (+1e6) and unioned in, and
-    the query emits how many were planted (hash-compared against
-    DuckDB) plus a boolean asserting simhash recovered EVERY planted
-    (original, copy) pair — guaranteed by construction (identical text
-    → identical signature → hamming 0, same chunks), so any miss is a
-    pipeline bug, not noise. Chunk-blocking == brute-force equality at
-    every radius is separately property-tested
-    (tests/test_properties.py)."""
+    the docs with doc_id < 20 are re-keyed NEGATIVE (−(doc_id+1) —
+    collision-free against the non-negative real id space at ANY scale,
+    where a fixed +offset would collide once the table outgrew it) and
+    unioned in, and the query emits how many were planted
+    (hash-compared against DuckDB) plus a boolean asserting simhash
+    recovered EVERY planted (copy, original) pair — guaranteed by
+    construction (identical text → identical signature → hamming 0,
+    same chunks), so any miss is a pipeline bug, not noise.
+    Chunk-blocking == brute-force equality at every radius is
+    separately property-tested (tests/test_properties.py)."""
     from dbt_foundation_spark.operators.dedup import simhash_near_pairs
 
     docs = fan_out(spark, t(spark, sf_dir, "documents")).select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") < 20)
     aug = docs.unionByName(
-        planted.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        planted.select((-(F.col("doc_id") + 1)).alias("doc_id"), "text")
     )
     pairs = simhash_near_pairs(aug, "doc_id", "text", max_hamming=3)
+    # copy id is negative < any real id, so it is id_a under the
+    # detector's id_a < id_b emission
     expected = planted.select(
-        F.col("doc_id").alias("id_a"),
-        (F.col("doc_id") + 1_000_000).alias("id_b"),
+        (-(F.col("doc_id") + 1)).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
     )
     n_exp = expected.agg(F.count(F.lit(1)).alias("n_planted"))
     n_found = expected.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"]).agg(

@@ -325,6 +325,41 @@ def test_evaluator_chained_view_dependencies(project):
     assert chained == {"v3", "v4"}
 
 
+def test_evaluator_chained_views_diamond(project):
+    """Regression: the iterative chain walk must count depth through
+    DIAMOND shapes — a dep that is merely scheduled on the DFS stack is
+    a pending sibling, not a cycle, and still contributes depth. (The
+    first iterative rewrite's `not in stack` guard under-counted these,
+    silently missing findings at the threshold.)"""
+    # chain q0 -> q1 -> q2 -> q3 (all views), then the diamond:
+    # peak refs [q3, mid], mid refs q3 — depth(mid)=5, depth(peak)=6
+    project.model(
+        lambda ctx: ctx.source("raw", "nation"), name="q0", materialized="view"
+    )
+    for i in range(1, 4):
+        project.model(
+            (lambda p: lambda ctx: ctx.ref(p))(f"q{i-1}"),
+            name=f"q{i}",
+            materialized="view",
+        )
+    project.model(
+        lambda ctx: ctx.ref("q3"), name="mid", materialized="view"
+    )
+    project.model(
+        lambda ctx: ctx.ref("q3").unionByName(ctx.ref("mid")),
+        name="peak",
+        materialized="view",
+    )
+    project.run()
+    chained = {
+        f.node: f.detail
+        for f in evaluate(project)
+        if f.check == "chained_view_dependencies"
+    }
+    assert "mid" in chained and "5 consecutive" in chained["mid"]
+    assert "peak" in chained and "6 consecutive" in chained["peak"]
+
+
 def test_evaluator_rejoining_of_upstream_concepts(project):
     @project.model
     def stg_base(ctx):

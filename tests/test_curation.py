@@ -336,6 +336,20 @@ def test_index_manifest_validation(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="flavor"):
         dedup_against_simhash_index(spark, batch, "doc_id", "text", mh).count()
 
+    # a half-written/corrupt manifest refuses rather than silently
+    # skipping validation (the footgun the manifest exists to close)
+    import shutil
+    from pathlib import Path
+
+    shutil.rmtree(Path(sh) / "manifest")
+    spark.createDataFrame([("garbage",)], "junk string").coalesce(1).write.json(
+        str(Path(sh) / "manifest")
+    )
+    with pytest.raises(ValueError, match="corrupt"):
+        dedup_against_simhash_index(
+            spark, batch, "doc_id", "text", sh, max_hamming=8
+        ).count()
+
 
 def test_minhash_lsh_join_equals_cross_side_pairs(spark, sf_dir):
     """The incremental join must reproduce exactly the cross-side subset

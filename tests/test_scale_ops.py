@@ -127,6 +127,24 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert len(exact & approx) >= 7, f"IVF recall too low: {exact & approx}"
 
 
+def test_ivf_fit_is_layout_independent(spark, sf_dir):
+    """Above the fit cap the quantizer samples by CONTENT HASH, not
+    df.sample (whose drawn row set follows partition layout), and
+    canonicalizes sample order before the seeded k-means++ — so the
+    fitted centroids are a pure function of the dataset. Pinned by
+    fitting the same data under two different partition layouts."""
+    from dbt_foundation_spark.operators.similarity import ivf_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = []
+    for layout in (emb.coalesce(1), emb.repartition(13, "vec_id")):
+        _, c = ivf_assignments(
+            layout, "embedding", n_lists=4, seed=7, target_fit_rows=200
+        )  # 200 < 500 rows → the sampling path is exercised
+        cents.append(c)
+    assert cents[0] == cents[1]
+
+
 def test_no_forced_broadcast_on_scale_growing_sides(spark, sf_dir):
     """Round-4 scale contract (VERDICT r3 "What's wrong" #1): joins
     whose small side GROWS with data (customer/part/supplier dims,
