@@ -77,10 +77,12 @@ def main() -> None:
     # job the plan compiles once and the map stage runs for hours, so
     # the warm number is the per-operator cost that scales. Re-run the
     # top-10 slowest once warm and report both.
-    # two warm samples, keep the MIN: single warm samples on 1-3 s
+    # three warm samples, keep the MIN: single warm samples on 1-3 s
     # queries jitter +/-30% between bench invocations (GC, OS caches),
     # which made the regression flagger cry wolf on unchanged code; the
     # minimum is the stable statistic for "how fast can this plan go"
+    # (raised from two samples in round 5 — min-of-2 still flagged
+    # unchanged queries at 1.4x across same-day runs)
     detail_path = Path(__file__).resolve().parent / "bench_detail.json"
     try:
         prev = json.loads(detail_path.read_text())
@@ -114,7 +116,7 @@ def main() -> None:
         set(sorted(timings, key=lambda q: -timings[q])[:10]) | candidates
     ):
         samples = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
