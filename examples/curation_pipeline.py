@@ -1,0 +1,119 @@
+"""End-to-end training-data curation example — the engine's
+LLM-pipeline surface in one file, mirroring a production corpus loop:
+
+    day 0   build the corpus near-dup index (minhash bands + manifest)
+    day N   dedup the day's batch against the index, admit survivors
+    always  gate → dedup → collapse → shard the admitted corpus
+    search  build a persisted IVF index, answer ANN queries by
+            partition pruning
+
+Run directly (uses sf0.001 testdata):  python examples/curation_pipeline.py
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+
+def run_curation_example(spark, sf_dir: str, workdir: str) -> dict:
+    """Drive the full loop; returns the headline numbers (for the test
+    and the __main__ printout)."""
+    from dbt_foundation_spark.functions import text as X
+    from dbt_foundation_spark.operators.dedup import minhash_lsh_pairs
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_index,
+        build_minhash_index,
+        dedup_against_index,
+    )
+    from dbt_foundation_spark.operators.packing import (
+        export_shards,
+        serpentine_shards,
+    )
+    from dbt_foundation_spark.operators.similarity import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 > 0)      # the landed corpus
+    batch = docs.filter(F.col("doc_id") % 5 == 0)      # today's ingest
+    out = {}
+
+    # --- day 0: persist the near-dup index (parameters land in the
+    # manifest; a mismatched query raises instead of silently missing) --
+    idx = str(Path(workdir) / "mh_index")
+    params = dict(num_hashes=16, bands=4, shingle_len=3)
+    build_minhash_index(corpus, "doc_id", "text", idx, **params)
+
+    # --- day N: admission control — drop batch docs that near-dup the
+    # corpus (index join: |batch| x collision rate, corpus untouched)
+    # or a smaller-id doc in the same batch, then admit the survivors --
+    vs_corpus = dedup_against_index(
+        spark, batch, "doc_id", "text", idx, jaccard_threshold=0.5, **params
+    ).select(F.col("new_id").alias("_d"))
+    within = minhash_lsh_pairs(
+        batch, "doc_id", "text", jaccard_threshold=0.5, **params
+    ).select(F.greatest("id_a", "id_b").alias("_d"))
+    survivors = batch.join(
+        vs_corpus.union(within).distinct(),
+        batch["doc_id"] == F.col("_d"),
+        "left_anti",
+    )
+    out["batch_size"] = batch.count()
+    out["admitted"] = survivors.count()
+    append_to_index(survivors, "doc_id", "text", idx, **params)
+
+    # --- curate the admitted corpus: gate -> token budget -> balanced
+    # training shards, exported as shard=N/ JSONL directories ---------
+    curated = (
+        corpus.unionByName(survivors)
+        .filter(
+            (X.quality_score("text") >= 0.25) & (X.lang_id("text") != "und")
+        )
+        .select("doc_id", "text", X.token_count("text").alias("toks"))
+    )
+    assigned = serpentine_shards(curated, id_col="doc_id", cost_col="toks", n_shards=4)
+    shard_dir = str(Path(workdir) / "shards")
+    export_shards(
+        assigned.select("doc_id", "toks", "shard"), shard_dir, shard_col="shard"
+    )
+    out["curated"] = curated.count()
+    out["shard_dirs"] = sorted(
+        p.name for p in Path(shard_dir).iterdir() if p.name.startswith("shard=")
+    )
+
+    # --- similarity: persisted IVF index, partition-pruned ANN query --
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = str(Path(workdir) / "ivf_index")
+    build_ivf_index(emb, "vec_id", "embedding", ivf, n_lists=8)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    hits = search_ivf_index(
+        spark, ivf, "vec_id", "embedding", qv, k=5, n_probe=3, exclude_id=0
+    ).collect()
+    out["ann_top5"] = [int(r["vec_id"]) for r in hits]
+    return out
+
+
+def main() -> None:
+    from dbt_foundation_spark.session import get_spark
+
+    spark = get_spark(app_name="curation_example")
+    sf_dir = "/root/testdata/sf0.001"
+    with tempfile.TemporaryDirectory() as td:
+        out = run_curation_example(spark, sf_dir, td)
+        print(f"ingest: {out['admitted']}/{out['batch_size']} admitted")
+        print(f"curated corpus: {out['curated']} docs -> {out['shard_dirs']}")
+        print(f"ANN top-5 for vec 0: {out['ann_top5']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -8,7 +8,16 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from examples.curation_pipeline import run_curation_example
 from examples.pipeline import build_project, run_example_tests
+
+
+def test_curation_example_end_to_end(spark, sf_dir, tmp_path):
+    out = run_curation_example(spark, sf_dir, str(tmp_path))
+    assert 0 < out["admitted"] <= out["batch_size"]
+    assert out["curated"] > 0
+    assert out["shard_dirs"] == ["shard=0", "shard=1", "shard=2", "shard=3"]
+    assert len(out["ann_top5"]) == 5 and 0 not in out["ann_top5"]
 
 
 def test_example_pipeline_end_to_end(spark, sf_dir):
