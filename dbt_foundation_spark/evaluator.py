@@ -57,6 +57,15 @@ coverage" families):
 - rejoining_of_upstream_concepts: C refs both A and B where B refs A
   and C is B's only child (``fct_rejoining_of_upstream_concepts``) —
   the triangle means B's logic belongs in C (or C should read B only).
+- multiple_sources_joined: one model reads >1 distinct source
+  (``fct_multiple_sources_joined``) — each source should flow through
+  its own staging model before anything joins them.
+- too_many_joins: a model with more than ``max_joins`` direct parents
+  (models + sources; ``fct_too_many_joins``) — an over-wide join fans
+  the shuffle graph out and usually hides a missing intermediate.
+- exposures_dependent_on_private_models: an exposure's parent model is
+  not ``access: public`` (``fct_exposures_dependent_on_private_models``
+  over dbt 1.5 groups/access) — BI-facing contracts must be public.
 """
 
 from __future__ import annotations
@@ -101,6 +110,7 @@ def evaluate(
     test_coverage_target: float = 1.0,
     documentation_coverage_target: float = 1.0,
     max_chained_views: int = 4,
+    max_joins: int = 7,
 ) -> list[Finding]:
     manifest = project.manifest
     models = {n.name: n for n in manifest.models()}
@@ -133,6 +143,26 @@ def evaluate(
                     name,
                     f"mixes source reads {sorted(node.source_deps)} with refs "
                     f"{sorted(node.depends_on)} — add a staging model",
+                )
+            )
+        if len(node.source_deps) > 1:
+            findings.append(
+                Finding(
+                    "multiple_sources_joined",
+                    name,
+                    f"reads {len(node.source_deps)} sources "
+                    f"{sorted(f'{a}.{b}' for a, b in node.source_deps)} — "
+                    "give each source its own staging model first",
+                )
+            )
+        n_parents = len(set(node.depends_on)) + len(node.source_deps)
+        if n_parents > max_joins:
+            findings.append(
+                Finding(
+                    "too_many_joins",
+                    name,
+                    f"{n_parents} direct parents > {max_joins} — split out "
+                    "an intermediate model",
                 )
             )
         if len(children[name]) > max_fanout:
@@ -268,6 +298,16 @@ def evaluate(
                         n.name,
                         f"depends on {parent.config.materialized} model {dep} — "
                         "exposure parents should be table/incremental",
+                    )
+                )
+            if parent and parent.config.extra.get("access", "protected") != "public":
+                findings.append(
+                    Finding(
+                        "exposures_dependent_on_private_models",
+                        n.name,
+                        f"depends on {parent.config.extra.get('access', 'protected')}"
+                        f" model {dep} — exposure parents should be "
+                        "access: public",
                     )
                 )
     # chained_view_dependencies: longest run of consecutive

@@ -389,6 +389,74 @@ def test_evaluator_rejoining_of_upstream_concepts(project):
     assert rejoin[0].node == "fct_rejoin" and "int_enrich" in rejoin[0].detail
 
 
+def test_evaluator_multiple_sources_joined(project):
+    @project.model
+    def stg_orders(ctx):  # clean: one source
+        return ctx.source("raw", "orders")
+
+    @project.model
+    def bad_combined(ctx):  # joins two raw sources in one model
+        return ctx.source("raw", "orders").join(
+            ctx.source("raw", "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+
+    project.run()
+    multi = [f for f in evaluate(project) if f.check == "multiple_sources_joined"]
+    assert len(multi) == 1
+    assert multi[0].node == "bad_combined"
+    assert "raw.customer" in multi[0].detail and "raw.orders" in multi[0].detail
+
+
+def test_evaluator_too_many_joins(project):
+    tables = [
+        "region", "nation", "customer", "supplier",
+        "part", "orders", "lineitem", "events",
+    ]
+    for t in tables:
+        project.model(
+            (lambda k: lambda ctx: ctx.source("raw", k))(t),
+            name=f"stg_{t}",
+        )
+
+    @project.model
+    def fct_wide(ctx):  # 8 direct parents > default max_joins=7
+        frames = [ctx.ref(f"stg_{t}") for t in tables]
+        out = frames[0].limit(1)
+        for f_ in frames[1:]:
+            out = out.crossJoin(f_.limit(1))
+        return out
+
+    project.run()
+    wide = [f for f in evaluate(project) if f.check == "too_many_joins"]
+    assert len(wide) == 1
+    assert wide[0].node == "fct_wide" and "8 direct parents" in wide[0].detail
+    # threshold is configurable
+    assert not [
+        f for f in evaluate(project, max_joins=8) if f.check == "too_many_joins"
+    ]
+
+
+def test_evaluator_exposure_private_parent(project):
+    @project.model(access="public", group="core")
+    def fct_public(ctx):
+        return ctx.source("raw", "orders")
+
+    @project.model(group="core")  # default access: protected
+    def fct_protected(ctx):
+        return ctx.ref("fct_public")
+
+    project.run()
+    project.exposure("board", depends_on=("fct_public", "fct_protected"))
+    gov = [
+        f
+        for f in evaluate(project)
+        if f.check == "exposures_dependent_on_private_models"
+    ]
+    assert len(gov) == 1
+    assert gov[0].node == "board" and "fct_protected" in gov[0].detail
+
+
 # ---------- dispatch (M12) ----------
 
 
