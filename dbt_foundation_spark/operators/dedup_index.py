@@ -6,7 +6,11 @@ the corpus (SURVEY §2.L D2), one flavor per detector:
 - **simhash chunks** (`build_simhash_index`): the flank of
   :func:`simhash_near_pairs`;
 - **containment prefixes** (`build_containment_index`): the flank of
-  :func:`containment_pairs`.
+  :func:`containment_pairs`;
+- **embedding bands** (`build_embedding_index`): the flank of
+  :func:`~dbt_foundation_spark.operators.similarity
+  .embedding_near_pairs` — banded hyperplane-LSH rows plus the raw
+  vectors as verify payload.
 
 At 100 TB each corpus's signatures/postings are computed ONCE, stored,
 and every daily ingest joins against the stored index; each
@@ -519,3 +523,163 @@ def append_to_containment_index(
     post.select("id", "n", "s").write.mode("append").parquet(f"{path}/postings")
     pref.write.mode("append").parquet(f"{path}/prefixes")
     hs.write.mode("append").parquet(f"{path}/hashsets")
+
+
+# ---------- embedding (banded hyperplane-LSH) index ----------
+
+
+def _embed_planes(dim: int, m: int, seed: int) -> list[list[float]]:
+    from dbt_foundation_spark.operators.similarity import random_hyperplanes
+
+    return random_hyperplanes(dim, m, seed)
+
+
+def _embed_banded(
+    df: DataFrame, id_col: str, vec_col: str, planes, bands: int, m: int
+) -> DataFrame:
+    from dbt_foundation_spark.operators.similarity import hyperplane_banded
+
+    return hyperplane_banded(df, id_col, vec_col, planes, bands, m // bands)
+
+
+def build_embedding_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    m: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    index_partitions: int = 32,
+) -> None:
+    """Materialize the corpus embedding near-dup index at ``path`` —
+    the persisted flank of :func:`~dbt_foundation_spark.operators
+    .similarity.embedding_near_pairs` (same banded hyperplane-LSH
+    blocking, same recall math: 4×4-bit default ≈ 96 % recall at
+    cosine 0.9).
+
+    Layout: ``{path}/bands`` (band, bucket, id) clustered on the future
+    ingest join key; ``{path}/vectors`` (id, vec) — the verify payload.
+    ``threshold`` is the recall DESIGN POINT recorded in the manifest:
+    queries may use the same or a HIGHER cosine threshold (bit-agreement
+    probability rises with cosine, so banding recall at a stricter
+    threshold is at least the designed recall), never a lower one.
+    ``dim`` is sniffed from the first row when omitted and recorded, so
+    queries and appends never need to re-sniff."""
+    if m % bands != 0:
+        raise ValueError(f"m={m} must be divisible by bands={bands}")
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _embed_planes(dim, m, seed)
+    banded = (
+        _embed_banded(df, id_col, vec_col, planes, bands, m)
+        .withColumnRenamed("_id", "id")
+        .repartition(index_partitions, "band", "bucket")
+    )
+    banded.write.mode("overwrite").parquet(f"{path}/bands")
+    df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/vectors")
+    _write_manifest(
+        df,
+        path,
+        {
+            "flavor": "embedding",
+            "m": m,
+            "bands": bands,
+            "seed": seed,
+            "dim": dim,
+            "threshold": threshold,
+        },
+    )
+
+
+def dedup_against_embedding_index(
+    spark: SparkSession,
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    threshold: float = 0.9,
+    m: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """(new_id, corpus_id, cosine_sim ≥ threshold) for a new batch vs
+    the stored index — embedding_near_pairs restricted to cross-side
+    pairs, with the corpus side read from the index (one band join of
+    |batch| × collision-rate rows; corpus vectors touched only for the
+    candidate set). (m, bands, seed, dim) define the hash family and
+    must equal the build values (manifest-enforced); ``threshold`` may
+    be ≥ the build design point."""
+    caller: dict = {
+        "flavor": "embedding",
+        "m": m,
+        "bands": bands,
+        "seed": seed,
+        "threshold": threshold,
+    }
+    if dim is not None:
+        caller["dim"] = dim
+    resolved = _check_manifest(spark, path, caller, ranges={"threshold": "gte"})
+    dim = resolved.get("dim", dim)
+    if dim is None:  # pre-manifest index and no caller value: sniff
+        dim = len(new_df.select(vec_col).first()[0])
+    from dbt_foundation_spark.functions import vectors as V
+
+    planes = _embed_planes(int(dim), m, seed)
+    banded_new = _embed_banded(new_df, id_col, vec_col, planes, bands, m)
+    idx = spark.read.parquet(f"{path}/bands")
+    cand = (
+        banded_new.select("band", "bucket", F.col("_id").alias("new_id"))
+        .join(
+            idx.select("band", "bucket", F.col("id").alias("corpus_id")),
+            ["band", "bucket"],
+        )
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    v_new = new_df.select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("_va"))
+    v_corpus = spark.read.parquet(f"{path}/vectors").select(
+        F.col("id").alias("corpus_id"), F.col("vec").alias("_vb")
+    )
+    return (
+        cand.join(v_new, "new_id")
+        .join(v_corpus, "corpus_id")
+        .withColumn("cosine_sim", V.cosine("_va", "_vb"))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("new_id", "corpus_id", "cosine_sim")
+    )
+
+
+def append_to_embedding_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    m: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> None:
+    """Admit a (deduped) batch into the embedding index: append its band
+    rows and vectors. The index content is threshold-independent (bands
+    + raw vectors), so only the hash-family parameters are validated."""
+    caller: dict = {"flavor": "embedding", "m": m, "bands": bands, "seed": seed}
+    if dim is not None:
+        caller["dim"] = dim
+    resolved = _check_manifest(df.sparkSession, path, caller)
+    dim = resolved.get("dim", dim)
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _embed_planes(int(dim), m, seed)
+    banded = _embed_banded(df, id_col, vec_col, planes, bands, m).withColumnRenamed(
+        "_id", "id"
+    )
+    banded.write.mode("append").parquet(f"{path}/bands")
+    df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).write.mode(
+        "append"
+    ).parquet(f"{path}/vectors")

@@ -293,6 +293,45 @@ def cosine_topk_ivf(
     return out.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
 
 
+def hyperplane_banded(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    bands: int,
+    r: int,
+    block_col: str | None = None,
+) -> DataFrame:
+    """(_id[, block], band, bucket) banded hyperplane-LSH rows: the m
+    signature bits split into ``bands`` bands of ``r`` bits, one row per
+    band. The blocking primitive shared by :func:`embedding_near_pairs`
+    and the persisted embedding index (operators/dedup_index.py) — both
+    sides of an index join must band IDENTICALLY or candidates are
+    silently lost, so there is exactly one implementation."""
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        *([F.col(block_col)] if block_col else []),
+        V.hyperplane_signature(F.col(vec_col), planes).alias("_sig"),
+    )
+    return sig.select(
+        "_id",
+        *([block_col] if block_col else []),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("_sig", b * r)
+                        .bitwiseAND(F.lit((1 << r) - 1))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", *([block_col] if block_col else []), "bb.band", "bb.bucket")
+
+
 def embedding_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -337,28 +376,7 @@ def embedding_near_pairs(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, m, seed)
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        *([F.col(block_col)] if block_col else []),
-        V.hyperplane_signature(F.col(vec_col), planes).alias("_sig"),
-    )
-    banded = sig.select(
-        "_id",
-        *([block_col] if block_col else []),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("_sig", b * r)
-                        .bitwiseAND(F.lit((1 << r) - 1))
-                        .alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", *([block_col] if block_col else []), "bb.band", "bb.bucket")
+    banded = hyperplane_banded(df, id_col, vec_col, planes, bands, r, block_col)
     # lazy (non-eager) checkpoint: materialized by the first action, then
     # shared by both self-join sides — the signature dot products run once
     banded = banded.localCheckpoint(eager=False)

@@ -351,6 +351,76 @@ def test_index_manifest_validation(spark, sf_dir, tmp_path):
         ).count()
 
 
+def test_embedding_index_roundtrip(spark, sf_dir, tmp_path):
+    """Persisted embedding band index: batch-vs-index must equal the
+    cross-side subset of embedding_near_pairs over corpus ∪ batch (both
+    paths band with the same planes, so blocking is identical); then
+    append and dedup a later batch against the grown index."""
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_embedding_index,
+        build_embedding_index,
+        dedup_against_embedding_index,
+    )
+    from dbt_foundation_spark.operators.similarity import embedding_near_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 10 > 1)
+    batch1 = emb.filter(F.col("vec_id") % 10 == 0)
+    batch2 = emb.filter(F.col("vec_id") % 10 == 1)
+    path = str(tmp_path / "emb_index")
+    thr = 0.25  # the synthetic embeddings' pair-yielding threshold
+
+    def cross(full_df, batch_ids):
+        out = set()
+        for r in embedding_near_pairs(
+            full_df, "vec_id", "embedding", threshold=thr
+        ).collect():
+            a, b = r["id_a"], r["id_b"]
+            if (a in batch_ids) != (b in batch_ids):
+                n, c = (a, b) if a in batch_ids else (b, a)
+                out.add((n, c))
+        return sorted(out)
+
+    build_embedding_index(corpus, "vec_id", "embedding", path, threshold=thr)
+    got = sorted(
+        (r["new_id"], r["corpus_id"])
+        for r in dedup_against_embedding_index(
+            spark, batch1, "vec_id", "embedding", path, threshold=thr
+        ).collect()
+    )
+    b1_ids = {r["vec_id"] for r in batch1.select("vec_id").collect()}
+    want = cross(corpus.unionByName(batch1), b1_ids)
+    assert got == want and len(got) > 0
+
+    append_to_embedding_index(batch1, "vec_id", "embedding", path)
+    got2 = sorted(
+        (r["new_id"], r["corpus_id"])
+        for r in dedup_against_embedding_index(
+            spark, batch2, "vec_id", "embedding", path, threshold=thr
+        ).collect()
+    )
+    b2_ids = {r["vec_id"] for r in batch2.select("vec_id").collect()}
+    want2 = cross(corpus.unionByName(batch1).unionByName(batch2), b2_ids)
+    assert got2 == want2
+
+    # manifest: hash-family params must match; dim resolves from the
+    # manifest (no caller value, no sniff); lower threshold refused
+    with pytest.raises(ValueError, match="seed"):
+        dedup_against_embedding_index(
+            spark, batch2, "vec_id", "embedding", path, threshold=thr, seed=7
+        ).count()
+    with pytest.raises(ValueError, match="threshold"):
+        dedup_against_embedding_index(
+            spark, batch2, "vec_id", "embedding", path, threshold=0.1
+        ).count()
+    with pytest.raises(ValueError, match="flavor"):
+        from dbt_foundation_spark.operators.dedup_index import (
+            dedup_against_index,
+        )
+
+        dedup_against_index(spark, batch2, "vec_id", "embedding", path).count()
+
+
 def test_minhash_lsh_join_equals_cross_side_pairs(spark, sf_dir):
     """The incremental join must reproduce exactly the cross-side subset
     of the full self-join dedup (same signatures on both paths)."""
