@@ -527,6 +527,36 @@ def append_to_containment_index(
 
 # ---------- embedding (banded hyperplane-LSH) index ----------
 
+def _resolve_embed_dim(
+    spark: SparkSession, path: str, dim, df: DataFrame, vec_col: str
+) -> int:
+    """Index dimensionality: caller value (already manifest-equality-
+    checked) → manifest record → sniff from the batch (pre-manifest
+    indexes only — sniffing risks silent plane mismatch if the batch's
+    vectors drifted, which is exactly what the recorded dim prevents)."""
+    if dim is not None:
+        return int(dim)
+    mft = _read_manifest(spark, path)
+    if mft and mft.get("dim") is not None:
+        return int(mft["dim"])
+    return _sniff_dim(df, vec_col)
+
+
+def _sniff_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the first row — raises a named error
+    on an EMPTY frame (the day-0 bootstrap builds an index over an
+    empty corpus; there is nothing to sniff, so dim must be passed)."""
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            "cannot sniff the vector dimensionality from an empty frame - "
+            "pass dim= explicitly (required for the day-0 empty-corpus "
+            "bootstrap and cheap everywhere else)"
+        )
+    return len(row[0])
+
+
+
 
 def _embed_planes(dim: int, m: int, seed: int) -> list[list[float]]:
     from dbt_foundation_spark.operators.similarity import random_hyperplanes
@@ -571,7 +601,7 @@ def build_embedding_index(
     if m % bands != 0:
         raise ValueError(f"m={m} must be divisible by bands={bands}")
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _sniff_dim(df, vec_col)
     planes = _embed_planes(dim, m, seed)
     banded = (
         _embed_banded(df, id_col, vec_col, planes, bands, m)
@@ -625,9 +655,7 @@ def dedup_against_embedding_index(
     if dim is not None:
         caller["dim"] = dim
     resolved = _check_manifest(spark, path, caller, ranges={"threshold": "gte"})
-    dim = resolved.get("dim", dim)
-    if dim is None:  # pre-manifest index and no caller value: sniff
-        dim = len(new_df.select(vec_col).first()[0])
+    dim = _resolve_embed_dim(spark, path, resolved.get("dim", dim), new_df, vec_col)
     from dbt_foundation_spark.functions import vectors as V
 
     planes = _embed_planes(int(dim), m, seed)
@@ -672,9 +700,9 @@ def append_to_embedding_index(
     if dim is not None:
         caller["dim"] = dim
     resolved = _check_manifest(df.sparkSession, path, caller)
-    dim = resolved.get("dim", dim)
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    dim = _resolve_embed_dim(
+        df.sparkSession, path, resolved.get("dim", dim), df, vec_col
+    )
     planes = _embed_planes(int(dim), m, seed)
     banded = _embed_banded(df, id_col, vec_col, planes, bands, m).withColumnRenamed(
         "_id", "id"

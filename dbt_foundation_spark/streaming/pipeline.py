@@ -494,6 +494,12 @@ def run_dedup_ingest(
     detector: str = "minhash",
     max_hamming: int = 3,
     containment_threshold: float = 0.8,
+    vec_col: str | None = None,
+    cosine_threshold: float = 0.9,
+    m: int = 16,
+    embed_bands: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
 ) -> None:
     """Continuous corpus ingestion with near-dup admission control: each
     micro-batch is deduplicated (a) against the PERSISTED index — the
@@ -512,6 +518,11 @@ def run_dedup_ingest(
       ``containment_threshold`` over the prefix-posting index — the
       flavor that gates near-SUBSET ingests (a new doc quoting an
       admitted one, or vice versa) that symmetric Jaccard under-scores.
+    - ``"embedding"``: cosine ≥ ``cosine_threshold`` over the banded
+      hyperplane-LSH index — semantic near-dups that share no surface
+      n-grams. Needs ``vec_col`` (``text_col`` is ignored); ``dim`` is
+      resolved ONCE from the index manifest at setup so no per-batch
+      sniff job runs.
 
     This is the streaming flank of operators/dedup_index: the 100 TB
     daily-ingest loop (build index once → dedup each ingest → admit)
@@ -594,9 +605,42 @@ def run_dedup_ingest(
                 batch, id_col, text_col, index_path,
                 shingle_len=shingle_len, threshold=containment_threshold,
             )
+    elif detector == "embedding":
+        if vec_col is None:
+            raise ValueError("detector='embedding' needs vec_col=")
+        if dim is None:
+            mft = dedup_index._read_manifest(
+                stream_docs.sparkSession, index_path
+            )
+            dim = int(mft["dim"]) if mft and mft.get("dim") is not None else None
+
+        def vs_corpus(spark, batch):
+            return dedup_index.dedup_against_embedding_index(
+                spark, batch, id_col, vec_col, index_path,
+                threshold=cosine_threshold, m=m, bands=embed_bands,
+                seed=seed, dim=dim,
+            )
+
+        def within(batch):
+            from dbt_foundation_spark.operators.similarity import (
+                embedding_near_pairs,
+            )
+
+            return embedding_near_pairs(
+                batch, id_col, vec_col,
+                threshold=cosine_threshold, m=m, bands=embed_bands,
+                seed=seed, dim=dim,
+            )
+
+        def admit(batch):
+            dedup_index.append_to_embedding_index(
+                batch, id_col, vec_col, index_path,
+                m=m, bands=embed_bands, seed=seed, dim=dim,
+            )
     else:
         raise ValueError(
-            f"unknown detector {detector!r}: use minhash/simhash/containment"
+            f"unknown detector {detector!r}: use "
+            "minhash/simhash/containment/embedding"
         )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

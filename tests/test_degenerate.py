@@ -111,6 +111,29 @@ def test_persisted_indexes_degenerate(spark, empty_docs, one_doc, tmp_path):
     ).count() == 1
 
 
+def test_persisted_embedding_index_degenerate(spark, empty_vecs, one_vec, tmp_path):
+    """Embedding index day-0: an empty corpus cannot be dim-sniffed —
+    build demands an explicit dim with a named error — and after the
+    bootstrap the usual empty→append→self-hit cycle holds."""
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_embedding_index,
+        build_embedding_index,
+        dedup_against_embedding_index,
+    )
+
+    em = str(tmp_path / "em0")
+    with pytest.raises(ValueError, match="dim"):
+        build_embedding_index(empty_vecs, "vec_id", "embedding", em)
+    build_embedding_index(empty_vecs, "vec_id", "embedding", em, dim=4, threshold=0.5)
+    assert dedup_against_embedding_index(
+        spark, one_vec, "vec_id", "embedding", em, threshold=0.5
+    ).count() == 0
+    append_to_embedding_index(one_vec, "vec_id", "embedding", em)
+    assert dedup_against_embedding_index(
+        spark, one_vec, "vec_id", "embedding", em, threshold=0.5
+    ).count() == 1  # the appended vector is its own near-dup
+
+
 def test_similarity_family_degenerate(spark, empty_vecs, one_vec):
     from dbt_foundation_spark.operators.similarity import (
         cosine_topk,

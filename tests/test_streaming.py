@@ -628,6 +628,100 @@ def test_dedup_ingest_stream_matches_sequential(spark, sf_dir, staging):
         shutil.rmtree(root / p, ignore_errors=True)
 
 
+def test_dedup_ingest_stream_embedding_detector(spark, staging):
+    """run_dedup_ingest detector='embedding': same admission contract as
+    the text flavors (corpus duplicate rejected, in-batch greedy
+    pairwise, batch-1 admissions visible to batch 2), gated on cosine
+    over the persisted hyperplane-band index. Deterministic seeded unit
+    vectors: random 16-dim pairs sit far below the 0.9 threshold, the
+    planted duplicates are exact copies (cosine 1.0 — every band
+    agrees, so banding recall is certain)."""
+    import math
+    import random
+    import shutil
+    import time as _time
+
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_embedding_index,
+        build_embedding_index,
+        dedup_against_embedding_index,
+    )
+    from dbt_foundation_spark.operators.similarity import embedding_near_pairs
+    from dbt_foundation_spark.streaming.pipeline import (
+        read_event_stream,
+        run_dedup_ingest,
+    )
+
+    root = staging["root"]
+    rng = random.Random(7)
+
+    def unit(dim=16):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    vecs = [unit() for _ in range(26)]
+    schema = "vec_id long, embedding array<float>"
+
+    def frame(rows):
+        return spark.createDataFrame(rows, schema)
+
+    corpus = frame([(i, vecs[i]) for i in range(20)])
+    batches = [
+        # 1000-1001 fresh; 1005 copies corpus vec 0; 1006~1007 identical
+        frame([(1000, vecs[20]), (1001, vecs[21]),
+               (1005, vecs[0]), (1006, vecs[23]), (1007, vecs[23])]),
+        # 1100 copies 1006 (admitted last batch); 1101 fresh
+        frame([(1100, vecs[23]), (1101, vecs[24])]),
+    ]
+
+    idx = str(root / "emb_idx")
+    stream_dir = root / "emb_stream"
+    out = str(root / "emb_out")
+    build_embedding_index(corpus, "vec_id", "embedding", idx, threshold=0.9)
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(str(stream_dir))
+        if i < len(batches) - 1:
+            _time.sleep(1.05)
+    import pyspark.sql.types as T
+
+    run_dedup_ingest(
+        read_event_stream(
+            spark, str(stream_dir),
+            schema=T._parse_datatype_string(schema),
+            max_files_per_trigger=1,
+        ),
+        "vec_id", "_unused_text", idx, out, _ckpt(staging),
+        detector="embedding", vec_col="embedding", cosine_threshold=0.9,
+    )
+    got = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
+
+    # sequential reference: same policy, same order, separate index
+    q_idx = str(root / "emb_qidx")
+    build_embedding_index(corpus, "vec_id", "embedding", q_idx, threshold=0.9)
+    want = []
+    for b in batches:
+        vs = dedup_against_embedding_index(
+            spark, b, "vec_id", "embedding", q_idx, threshold=0.9
+        ).select(F.col("new_id").alias("d"))
+        within = embedding_near_pairs(
+            b, "vec_id", "embedding", threshold=0.9, dim=16
+        ).select(F.greatest("id_a", "id_b").alias("d"))
+        drops = {r["d"] for r in vs.union(within).distinct().collect()}
+        keep = b.filter(
+            ~F.col("vec_id").isin(list(drops)) if drops else F.lit(True)
+        )
+        want += [r["vec_id"] for r in keep.select("vec_id").collect()]
+        append_to_embedding_index(keep, "vec_id", "embedding", q_idx)
+    assert got == sorted(want)
+    assert 1005 not in got          # corpus duplicate rejected
+    assert 1006 in got and 1007 not in got  # in-batch greedy pairwise
+    assert 1100 not in got          # batch-1 admission visible to batch 2
+    assert 1101 in got
+    for p in ("emb_idx", "emb_qidx", "emb_stream", "emb_out"):
+        shutil.rmtree(root / p, ignore_errors=True)
+
+
 def test_dedup_ingest_stream_detector_flavors(spark, sf_dir, staging):
     """run_dedup_ingest's detector flavors (simhash chunk index,
     containment prefix index) enforce the same admission contract the
