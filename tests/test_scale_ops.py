@@ -958,3 +958,28 @@ def test_zorder_by_model_config_plumbs(spark, sf_dir):
         assert out.count() == src.count()
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+
+
+def test_plan_shape_scale_invariant(spark):
+    """Shuffle count is a plan property, not a data property: the same
+    query at 10x the rows must compile to the same Exchange structure
+    (SCALING.md records the matching wall-clock curve)."""
+    from dbt_foundation_spark.plans.inspect import shuffle_count
+    from dbt_foundation_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in (
+        "q_pricing_summary",
+        "q_shipping_priority",
+        "q_dedup_minhash_portable",
+        "q_containment",
+        "q_window_running_sum",
+        "q_cosine_topk",
+        "q_token_budget_select",
+        "q_shard_plan",
+    ):
+        counts = {
+            sf: shuffle_count(qs[name](spark, f"/root/testdata/sf{sf}"))
+            for sf in ("0.001", "0.01")
+        }
+        assert counts["0.001"] == counts["0.01"], (name, counts)
