@@ -628,6 +628,73 @@ def test_dedup_ingest_stream_matches_sequential(spark, sf_dir, staging):
         shutil.rmtree(root / p, ignore_errors=True)
 
 
+def test_dedup_ingest_restart_no_reprocess(spark, sf_dir, staging):
+    """Operational exactly-once: re-invoking run_dedup_ingest with the
+    SAME checkpoint processes only files that arrived since the last
+    run — admitted docs are not re-appended to the output or the index,
+    and the persisted index carries admission state ACROSS runs (a doc
+    duplicating a run-1 admission is rejected in run 2). A third run
+    with no new files is a no-op. This is the restart story a daily
+    100 TB ingest depends on: crash/redeploy between batches loses
+    nothing and double-admits nothing."""
+    import shutil
+    import time as _time
+
+    from dbt_foundation_spark.operators.dedup_index import build_minhash_index
+    from dbt_foundation_spark.streaming.pipeline import (
+        read_document_stream,
+        run_dedup_ingest,
+    )
+
+    root = staging["root"]
+    texts = [
+        r["text"]
+        for r in t(spark, sf_dir, "documents").orderBy("doc_id").limit(26).collect()
+    ]
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, tx, "en", "src0", len(tx)) for i, tx in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    corpus = docs(list(enumerate(texts[:20])))
+    params = dict(num_hashes=16, bands=4, shingle_len=3)
+    idx = str(root / "restart_idx")
+    stream_dir = root / "restart_stream"
+    out = str(root / "restart_out")
+    ckpt = _ckpt(staging)
+    build_minhash_index(corpus, "doc_id", "text", idx, **params)
+
+    def ingest():
+        run_dedup_ingest(
+            read_document_stream(spark, str(stream_dir), max_files_per_trigger=1),
+            "doc_id", "text", idx, out, ckpt,
+            jaccard_threshold=0.7, **params,
+        )
+        return sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+
+    # run 1: two fresh docs admitted
+    docs([(1000, texts[20]), (1001, texts[21])]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(stream_dir))
+    assert ingest() == [1000, 1001]
+
+    # run 2 (restart, same checkpoint): only the NEW file is processed —
+    # 1100 duplicates run-1's admitted 1000 (index state survived the
+    # restart), 1101 is fresh; 1000/1001 are not re-admitted
+    _time.sleep(1.05)
+    docs([(1100, texts[20]), (1101, texts[22])]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(stream_dir))
+    assert ingest() == [1000, 1001, 1101]
+
+    # run 3: nothing new arrived -> nothing re-processed, output stable
+    assert ingest() == [1000, 1001, 1101]
+    for p in ("restart_idx", "restart_stream", "restart_out"):
+        shutil.rmtree(root / p, ignore_errors=True)
+
+
 def test_dedup_ingest_stream_embedding_detector(spark, staging):
     """run_dedup_ingest detector='embedding': same admission contract as
     the text flavors (corpus duplicate rejected, in-batch greedy
