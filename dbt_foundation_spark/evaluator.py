@@ -155,7 +155,7 @@ def evaluate(
                     "give each source its own staging model first",
                 )
             )
-        n_parents = len(set(node.depends_on)) + len(node.source_deps)
+        n_parents = len(node.depends_on) + len(node.source_deps)
         if n_parents > max_joins:
             findings.append(
                 Finding(

@@ -72,6 +72,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_foundation_spark.functions.text import token_ngrams
+from dbt_foundation_spark.operators.similarity import (
+    hyperplane_banded,
+    random_hyperplanes,
+)
 from dbt_foundation_spark.operators.dedup import (
     _band_buckets,
     containment_postings,
@@ -122,7 +126,15 @@ def _check_manifest(
     Returns the BUILD values (callers use them where the index layout,
     not the query, dictates the computation). Missing manifest →
     caller values returned untouched."""
-    m = _read_manifest(spark, path)
+    return _validate_params(path, _read_manifest(spark, path), caller, ranges)
+
+
+def _validate_params(
+    path: str, m: dict | None, caller: dict, ranges: dict | None = None
+) -> dict:
+    """The validation half of :func:`_check_manifest`, split out so
+    callers that also need other manifest fields (the embedding flavor
+    reads ``dim``) read the manifest dataset ONCE per call."""
     if m is None:
         return dict(caller)
     resolved = {}
@@ -527,21 +539,6 @@ def append_to_containment_index(
 
 # ---------- embedding (banded hyperplane-LSH) index ----------
 
-def _resolve_embed_dim(
-    spark: SparkSession, path: str, dim, df: DataFrame, vec_col: str
-) -> int:
-    """Index dimensionality: caller value (already manifest-equality-
-    checked) → manifest record → sniff from the batch (pre-manifest
-    indexes only — sniffing risks silent plane mismatch if the batch's
-    vectors drifted, which is exactly what the recorded dim prevents)."""
-    if dim is not None:
-        return int(dim)
-    mft = _read_manifest(spark, path)
-    if mft and mft.get("dim") is not None:
-        return int(mft["dim"])
-    return _sniff_dim(df, vec_col)
-
-
 def _sniff_dim(df: DataFrame, vec_col: str) -> int:
     """Vector dimensionality from the first row — raises a named error
     on an EMPTY frame (the day-0 bootstrap builds an index over an
@@ -557,19 +554,6 @@ def _sniff_dim(df: DataFrame, vec_col: str) -> int:
 
 
 
-
-def _embed_planes(dim: int, m: int, seed: int) -> list[list[float]]:
-    from dbt_foundation_spark.operators.similarity import random_hyperplanes
-
-    return random_hyperplanes(dim, m, seed)
-
-
-def _embed_banded(
-    df: DataFrame, id_col: str, vec_col: str, planes, bands: int, m: int
-) -> DataFrame:
-    from dbt_foundation_spark.operators.similarity import hyperplane_banded
-
-    return hyperplane_banded(df, id_col, vec_col, planes, bands, m // bands)
 
 
 def build_embedding_index(
@@ -602,9 +586,9 @@ def build_embedding_index(
         raise ValueError(f"m={m} must be divisible by bands={bands}")
     if dim is None:
         dim = _sniff_dim(df, vec_col)
-    planes = _embed_planes(dim, m, seed)
+    planes = random_hyperplanes(dim, m, seed)
     banded = (
-        _embed_banded(df, id_col, vec_col, planes, bands, m)
+        hyperplane_banded(df, id_col, vec_col, planes, bands, m // bands)
         .withColumnRenamed("_id", "id")
         .repartition(index_partitions, "band", "bucket")
     )
@@ -645,6 +629,8 @@ def dedup_against_embedding_index(
     candidate set). (m, bands, seed, dim) define the hash family and
     must equal the build values (manifest-enforced); ``threshold`` may
     be ≥ the build design point."""
+    if m % bands != 0:
+        raise ValueError(f"m={m} must be divisible by bands={bands}")
     caller: dict = {
         "flavor": "embedding",
         "m": m,
@@ -654,12 +640,17 @@ def dedup_against_embedding_index(
     }
     if dim is not None:
         caller["dim"] = dim
-    resolved = _check_manifest(spark, path, caller, ranges={"threshold": "gte"})
-    dim = _resolve_embed_dim(spark, path, resolved.get("dim", dim), new_df, vec_col)
+    mft = _read_manifest(spark, path)  # read ONCE: validation + dim
+    resolved = _validate_params(path, mft, caller, ranges={"threshold": "gte"})
+    dim = resolved.get("dim", dim)
+    if dim is None and mft and mft.get("dim") is not None:
+        dim = mft["dim"]
+    if dim is None:  # pre-manifest index and no caller value
+        dim = _sniff_dim(new_df, vec_col)
     from dbt_foundation_spark.functions import vectors as V
 
-    planes = _embed_planes(int(dim), m, seed)
-    banded_new = _embed_banded(new_df, id_col, vec_col, planes, bands, m)
+    planes = random_hyperplanes(int(dim), m, seed)
+    banded_new = hyperplane_banded(new_df, id_col, vec_col, planes, bands, m // bands)
     idx = spark.read.parquet(f"{path}/bands")
     cand = (
         banded_new.select("band", "bucket", F.col("_id").alias("new_id"))
@@ -696,17 +687,22 @@ def append_to_embedding_index(
     """Admit a (deduped) batch into the embedding index: append its band
     rows and vectors. The index content is threshold-independent (bands
     + raw vectors), so only the hash-family parameters are validated."""
+    if m % bands != 0:
+        raise ValueError(f"m={m} must be divisible by bands={bands}")
     caller: dict = {"flavor": "embedding", "m": m, "bands": bands, "seed": seed}
     if dim is not None:
         caller["dim"] = dim
-    resolved = _check_manifest(df.sparkSession, path, caller)
-    dim = _resolve_embed_dim(
-        df.sparkSession, path, resolved.get("dim", dim), df, vec_col
-    )
-    planes = _embed_planes(int(dim), m, seed)
-    banded = _embed_banded(df, id_col, vec_col, planes, bands, m).withColumnRenamed(
-        "_id", "id"
-    )
+    mft = _read_manifest(df.sparkSession, path)  # read ONCE: validation + dim
+    resolved = _validate_params(path, mft, caller)
+    dim = resolved.get("dim", dim)
+    if dim is None and mft and mft.get("dim") is not None:
+        dim = mft["dim"]
+    if dim is None:
+        dim = _sniff_dim(df, vec_col)
+    planes = random_hyperplanes(int(dim), m, seed)
+    banded = hyperplane_banded(
+        df, id_col, vec_col, planes, bands, m // bands
+    ).withColumnRenamed("_id", "id")
     banded.write.mode("append").parquet(f"{path}/bands")
     df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).write.mode(
         "append"

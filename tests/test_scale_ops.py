@@ -964,9 +964,14 @@ def test_plan_shape_scale_invariant(spark):
     """Shuffle count is a plan property, not a data property: the same
     query at 10x the rows must compile to the same Exchange structure
     (SCALING.md records the matching wall-clock curve)."""
+    import os
+
     from dbt_foundation_spark.plans.inspect import shuffle_count
     from dbt_foundation_spark.queries import all_queries
 
+    base = os.path.dirname(
+        os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    )
     qs = all_queries()
     for name in (
         "q_pricing_summary",
@@ -979,7 +984,7 @@ def test_plan_shape_scale_invariant(spark):
         "q_shard_plan",
     ):
         counts = {
-            sf: shuffle_count(qs[name](spark, f"/root/testdata/sf{sf}"))
+            sf: shuffle_count(qs[name](spark, f"{base}/sf{sf}"))
             for sf in ("0.001", "0.01")
         }
         assert counts["0.001"] == counts["0.01"], (name, counts)
