@@ -2,7 +2,8 @@
 LLM-pipeline surface in one file, mirroring a production corpus loop:
 
     day 0   build the corpus near-dup index (minhash bands + manifest)
-    day N   dedup the day's batch against the index, admit survivors
+    day N   dedup the day's batch against the index, admit survivors;
+            the embedding-index twin catches paraphrase-level dupes
     always  gate → dedup → collapse → shard the admitted corpus
     search  build a persisted IVF index, answer ANN queries by
             partition pruning
@@ -88,8 +89,30 @@ def run_curation_example(spark, sf_dir: str, workdir: str) -> dict:
         p.name for p in Path(shard_dir).iterdir() if p.name.startswith("shard=")
     )
 
-    # --- similarity: persisted IVF index, partition-pruned ANN query --
+    # --- semantic flank: the same dedup-admit loop on EMBEDDINGS —
+    # catches paraphrase-level duplicates that share no surface n-grams
+    from dbt_foundation_spark.operators.dedup_index import (
+        build_embedding_index,
+        dedup_against_embedding_index,
+    )
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_corpus = emb.filter(F.col("vec_id") % 5 > 0)
+    emb_batch = emb.filter(F.col("vec_id") % 5 == 0)
+    emb_idx = str(Path(workdir) / "emb_index")
+    build_embedding_index(
+        emb_corpus, "vec_id", "embedding", emb_idx, threshold=0.25
+    )
+    out["semantic_dupes"] = (
+        dedup_against_embedding_index(
+            spark, emb_batch, "vec_id", "embedding", emb_idx, threshold=0.25
+        )
+        .select("new_id")
+        .distinct()
+        .count()
+    )
+
+    # --- similarity: persisted IVF index, partition-pruned ANN query --
     ivf = str(Path(workdir) / "ivf_index")
     build_ivf_index(emb, "vec_id", "embedding", ivf, n_lists=8)
     qv = [
@@ -111,6 +134,7 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as td:
         out = run_curation_example(spark, sf_dir, td)
         print(f"ingest: {out['admitted']}/{out['batch_size']} admitted")
+        print(f"semantic near-dups in batch (embedding index): {out['semantic_dupes']}")
         print(f"curated corpus: {out['curated']} docs -> {out['shard_dirs']}")
         print(f"ANN top-5 for vec 0: {out['ann_top5']}")
 

@@ -18,6 +18,7 @@ def test_curation_example_end_to_end(spark, sf_dir, tmp_path):
     assert out["curated"] > 0
     assert out["shard_dirs"] == ["shard=0", "shard=1", "shard=2", "shard=3"]
     assert len(out["ann_top5"]) == 5 and 0 not in out["ann_top5"]
+    assert out["semantic_dupes"] > 0  # the synthetic corpus plants near-dups
 
 
 def test_example_pipeline_end_to_end(spark, sf_dir):
