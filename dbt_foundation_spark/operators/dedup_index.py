@@ -275,8 +275,9 @@ def append_to_index(
 ) -> None:
     """Admit a (deduped) batch into the index: append its band rows and
     shingle sets. Appends — never rewrites — so the index grows by one
-    file set per ingest; run operators.maintenance.compact_table-style
-    compaction on the bands dataset when micro-batches accumulate."""
+    file set per ingest; fold accumulated micro-batch files back to
+    target-sized, key-clustered files with
+    operators.maintenance.compact_index."""
     _check_manifest(
         df.sparkSession,
         path,

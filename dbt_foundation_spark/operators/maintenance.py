@@ -157,3 +157,108 @@ def analyze_tables(
                 rows = int(part.split()[0])
         out[rel] = {"row_count": rows, "size_bytes": size}
     return out
+
+
+def parquet_path_stats(spark: SparkSession, path: str) -> dict:
+    """(n_files, total_bytes) for a path-based parquet dataset — the
+    same distributive ``_metadata`` aggregation as
+    :func:`table_file_stats`, for data that lives outside the catalog
+    (the persisted dedup/ANN indexes)."""
+    row = (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_path").alias("_p"),
+            F.col("_metadata.file_size").alias("_s"),
+        )
+        .groupBy("_p")
+        .agg(F.first("_s").alias("_s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("_s").alias("total_bytes"),
+        )
+        .first()
+    )
+    return {
+        "n_files": int(row["n_files"]),
+        "total_bytes": int(row["total_bytes"] or 0),
+    }
+
+
+def compact_parquet_path(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: tuple[str, ...] = (),
+) -> dict:
+    """Rewrite a path-based parquet dataset into ceil(total/target)
+    files, preserving key clustering when ``cluster_by`` is given (the
+    rewrite hash-partitions on those keys, so a (band, bucket)-clustered
+    index stays join-key-clustered after compaction).
+
+    Swap is write-aside + two renames through the Hadoop FileSystem API
+    (atomic per rename on local/HDFS; on S3-style stores rename is
+    copy+delete — schedule compaction in the same maintenance window as
+    every other non-transactional layout change, exactly like
+    :func:`compact_table`'s drop/rename gap). Returns before/after
+    stats so callers can assert the shrink."""
+    before = parquet_path_stats(spark, path)
+    n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
+    df = spark.read.parquet(path)
+    base = path.rstrip("/")
+    tmp, old = f"{base}__compact_tmp", f"{base}__compact_old"
+    (
+        df.repartition(n_out, *cluster_by) if cluster_by else df.repartition(n_out)
+    ).write.mode("overwrite").parquet(tmp)
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(base)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.rename(hpath, jvm.org.apache.hadoop.fs.Path(old)):
+        raise IOError(f"compaction swap failed renaming {base} aside")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+        # roll back so the dataset never stays missing
+        fs.rename(jvm.org.apache.hadoop.fs.Path(old), hpath)
+        raise IOError(f"compaction swap failed installing {tmp}")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    after = parquet_path_stats(spark, path)
+    return {"before": before, "after": after, "target_files": n_out}
+
+
+# per-flavor index datasets and the key each must stay clustered on
+# (mirrors the build_* repartition keys in operators/dedup_index.py)
+_INDEX_LAYOUT: dict[str, dict[str, tuple[str, ...]]] = {
+    "minhash": {"bands": ("band", "bucket"), "shingles": ("id",)},
+    "simhash": {"chunks": ("chunk", "ck")},
+    "containment": {"postings": ("s",), "prefixes": ("s",), "hashsets": ("id",)},
+    "embedding": {"bands": ("band", "bucket"), "vectors": ("id",)},
+}
+
+
+def compact_index(
+    spark: SparkSession,
+    index_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact every dataset of a persisted dedup/ANN index
+    (operators/dedup_index.py) — each ``append_to_*`` ingest adds one
+    file set per dataset, so a year of daily ingests is ~365 small
+    files per dataset; this folds them back to target-sized files
+    WITHOUT losing the clustering the batch-vs-index join relies on.
+    Flavor (and hence layout + cluster keys) comes from the index
+    manifest; pre-manifest indexes must compact their datasets
+    individually via :func:`compact_parquet_path`."""
+    from dbt_foundation_spark.operators.dedup_index import _read_manifest
+
+    mft = _read_manifest(spark, index_path)
+    if mft is None:
+        raise ValueError(
+            f"{index_path} has no manifest — compact each dataset "
+            "directly with compact_parquet_path"
+        )
+    layout = _INDEX_LAYOUT[mft["flavor"]]
+    return {
+        sub: compact_parquet_path(
+            spark, f"{index_path}/{sub}", target_file_bytes, cluster_by=keys
+        )
+        for sub, keys in layout.items()
+    }

@@ -988,3 +988,88 @@ def test_plan_shape_scale_invariant(spark):
             for sf in ("0.001", "0.01")
         }
         assert counts["0.001"] == counts["0.01"], (name, counts)
+
+
+def test_compact_index_preserves_answers(spark, sf_dir, tmp_path):
+    """compact_index folds the per-ingest file sets of a persisted index
+    back to few files without changing any batch-vs-index answer (the
+    rewrite re-clusters on the same join keys the build used)."""
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_index,
+        build_minhash_index,
+        dedup_against_index,
+    )
+    from dbt_foundation_spark.operators.maintenance import (
+        compact_index,
+        parquet_path_stats,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 > 3)
+    probe = docs.filter(F.col("doc_id") % 10 == 0)
+    kw = dict(num_hashes=16, bands=4, shingle_len=3)
+    path = str(tmp_path / "mh_cpt")
+    build_minhash_index(corpus, "doc_id", "text", path, **kw)
+    for r in (1, 2, 3):  # three daily ingests -> three appended file sets
+        append_to_index(
+            docs.filter(F.col("doc_id") % 10 == r), "doc_id", "text", path, **kw
+        )
+
+    def answers():
+        return sorted(
+            (r["new_id"], r["corpus_id"])
+            for r in dedup_against_index(
+                spark, probe, "doc_id", "text", path, jaccard_threshold=0.5, **kw
+            ).collect()
+        )
+
+    want = answers()
+    before = parquet_path_stats(spark, f"{path}/bands")["n_files"]
+    stats = compact_index(spark, path)
+    assert set(stats) == {"bands", "shingles"}
+    after = parquet_path_stats(spark, f"{path}/bands")["n_files"]
+    assert after < before and after <= 4, (before, after)
+    assert answers() == want and len(want) > 0
+
+
+def test_compact_index_embedding_flavor(spark, sf_dir, tmp_path):
+    """The embedding flavor compacts through the same flavor-aware
+    layout map (bands re-clustered on (band, bucket), vectors on id)
+    with unchanged batch-vs-index answers."""
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_embedding_index,
+        build_embedding_index,
+        dedup_against_embedding_index,
+    )
+    from dbt_foundation_spark.operators.maintenance import (
+        compact_index,
+        parquet_path_stats,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 10 > 2)
+    probe = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "em_cpt")
+    build_embedding_index(corpus, "vec_id", "embedding", path, threshold=0.25)
+    for r in (1, 2):
+        append_to_embedding_index(
+            emb.filter(F.col("vec_id") % 10 == r), "vec_id", "embedding", path
+        )
+
+    def answers():
+        return sorted(
+            (r["new_id"], r["corpus_id"])
+            for r in dedup_against_embedding_index(
+                spark, probe, "vec_id", "embedding", path, threshold=0.25
+            ).collect()
+        )
+
+    want = answers()
+    before = parquet_path_stats(spark, f"{path}/vectors")["n_files"]
+    stats = compact_index(spark, path)
+    assert set(stats) == {"bands", "vectors"}
+    after = parquet_path_stats(spark, f"{path}/vectors")["n_files"]
+    assert after < before, (before, after)
+    assert answers() == want and len(want) > 0
