@@ -200,19 +200,34 @@ def compact_parquet_path(
     copy+delete — schedule compaction in the same maintenance window as
     every other non-transactional layout change, exactly like
     :func:`compact_table`'s drop/rename gap). Returns before/after
-    stats so callers can assert the shrink."""
+    stats so callers can assert the shrink.
+
+    Crash recovery: a run that died between its two renames leaves the
+    dataset parked at ``{path}__compact_old`` and nothing at ``path`` —
+    the next invocation detects that state and restores it before doing
+    anything else, so re-running compaction is always the fix."""
+    base = path.rstrip("/")
+    tmp, old = f"{base}__compact_tmp", f"{base}__compact_old"
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(base)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    old_p = jvm.org.apache.hadoop.fs.Path(old)
+    if not fs.exists(hpath) and fs.exists(old_p):
+        # previous swap crashed between rename-aside and install
+        if not fs.rename(old_p, hpath):
+            raise IOError(f"could not restore {old} to {base}")
+
     before = parquet_path_stats(spark, path)
     n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
     df = spark.read.parquet(path)
-    base = path.rstrip("/")
-    tmp, old = f"{base}__compact_tmp", f"{base}__compact_old"
     (
         df.repartition(n_out, *cluster_by) if cluster_by else df.repartition(n_out)
     ).write.mode("overwrite").parquet(tmp)
 
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(base)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    # any OTHER stale __compact_old (base still live) is a fully
+    # superseded copy from a crash after install — drop it, else the
+    # rename-aside below fails forever
+    fs.delete(old_p, True)
     if not fs.rename(hpath, jvm.org.apache.hadoop.fs.Path(old)):
         raise IOError(f"compaction swap failed renaming {base} aside")
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):

@@ -1073,3 +1073,25 @@ def test_compact_index_embedding_flavor(spark, sf_dir, tmp_path):
     after = parquet_path_stats(spark, f"{path}/vectors")["n_files"]
     assert after < before, (before, after)
     assert answers() == want and len(want) > 0
+
+
+def test_compact_path_recovers_crashed_swap(spark, sf_dir, tmp_path):
+    """A swap that died between its renames (dataset parked at
+    __compact_old, nothing at the live path) is restored by the next
+    compaction run — re-running is always the fix."""
+    import shutil
+    from pathlib import Path
+
+    from dbt_foundation_spark.operators.maintenance import compact_parquet_path
+
+    base = tmp_path / "ds"
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.parquet(str(base))
+    n_rows = spark.read.parquet(str(base)).count()
+    # simulate the crash window: rename-aside happened, install did not
+    shutil.move(str(base), str(tmp_path / "ds__compact_old"))
+    assert not base.exists()
+
+    stats = compact_parquet_path(spark, str(base), target_file_bytes=1 << 30)
+    assert base.exists() and not Path(str(tmp_path / "ds__compact_old")).exists()
+    assert spark.read.parquet(str(base)).count() == n_rows
+    assert stats["after"]["n_files"] == 1
