@@ -162,6 +162,12 @@ def minhash_lsh_pairs(
     candidate-pair set by two keyed equi-joins afterward. At 100 TB the
     banding shuffle is bytes-per-row-bounded and AQE-skew-splittable;
     shipping shingles through it would multiply shuffle volume ×bands.
+
+    Hot buckets are the quadratic flank AQE cannot fix (k co-bucketed
+    docs → C(k, 2) join-output pairs): collapse exact duplicates FIRST
+    (:func:`duplicate_clusters`; the fused ``corpus_pipeline`` does
+    this ordering) and pre-flight residual bucket sizes with
+    :func:`lsh_bucket_profile`.
     """
     pairs = _self_candidate_pairs_with_shingles(
         df, id_col, text_col, num_hashes, bands, shingle_len, portable
@@ -663,6 +669,11 @@ def simhash_near_pairs(
     hamming ≤ 3) keeps recall exact at ANY configured radius. Note the
     recall/cost trade: more chunks = narrower chunks = bigger buckets;
     radii ≳ 15 (chunks ≤ 4 bits) degenerate toward all-pairs.
+
+    Identical texts share every chunk, so the same quadratic hot-bucket
+    flank as minhash applies: collapse exact duplicates first
+    (:func:`duplicate_clusters`) — see :func:`lsh_bucket_profile`'s
+    docstring for the math.
     """
     sh = simhash(df, id_col, text_col, portable=portable)
     chunks = signature_chunks(sh, max_hamming)
@@ -741,4 +752,43 @@ def ngram_jaccard_pairs(
         with_sizes.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+
+def lsh_bucket_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_len: int = 3,
+    portable: bool = False,
+    top: int = 20,
+) -> DataFrame:
+    """Pre-flight skew check for the banding self-join: the ``top``
+    largest (band, bucket) member counts with their candidate-pair
+    yield ``est_pairs = n·(n−1)/2``.
+
+    The quadratic failure mode of LSH dedup at corpus scale is not the
+    shuffle (AQE splits skewed partitions) but the JOIN OUTPUT: k docs
+    sharing a band bucket emit C(k, 2) candidate pairs in that band —
+    100k boilerplate copies are 5×10⁹ pairs before any verify runs.
+    Exact-duplicate collapse must run FIRST (``duplicate_clusters`` /
+    the fused ``corpus_pipeline`` ordering) so identical texts enter
+    banding as one representative; this profile is the cheap check that
+    the residual bucket sizes are sane before launching the pair join —
+    one banding pass plus a top-N aggregate, no self-join."""
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_len, portable)
+    banded = _band_buckets(sig, bands, num_hashes // bands, portable)
+    n = F.count(F.lit(1))
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(n.alias("n_members"))
+        .withColumn(
+            "est_pairs",
+            (F.col("n_members") * (F.col("n_members") - 1) / 2).cast("bigint"),
+        )
+        .orderBy(F.desc("n_members"), "band", "bucket")
+        .limit(top)
     )

@@ -525,3 +525,39 @@ def search_ivf_index(
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)
     return out.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+def embedding_bucket_profile(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+    top: int = 20,
+) -> DataFrame:
+    """Pre-flight skew check for :func:`embedding_near_pairs` — the
+    ``top`` largest (band, bucket) member counts with their
+    candidate-pair yield ``est_pairs = n·(n−1)/2``, mirroring
+    ``operators.dedup.lsh_bucket_profile``. k co-bucketed vectors emit
+    C(k, 2) join-output pairs per band regardless of AQE, so collapse
+    exact-duplicate vectors first and check the residual bucket sizes
+    before launching the pair join. One banding pass + a top-N
+    aggregate, no self-join."""
+    if m % bands != 0:
+        raise ValueError(f"m={m} must be divisible by bands={bands}")
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, m, seed)
+    banded = hyperplane_banded(df, id_col, vec_col, planes, bands, m // bands)
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .withColumn(
+            "est_pairs",
+            (F.col("n_members") * (F.col("n_members") - 1) / 2).cast("bigint"),
+        )
+        .orderBy(F.desc("n_members"), "band", "bucket")
+        .limit(top)
+    )

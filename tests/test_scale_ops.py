@@ -1095,3 +1095,33 @@ def test_compact_path_recovers_crashed_swap(spark, sf_dir, tmp_path):
     assert base.exists() and not Path(str(tmp_path / "ds__compact_old")).exists()
     assert spark.read.parquet(str(base)).count() == n_rows
     assert stats["after"]["n_files"] == 1
+
+
+
+def test_lsh_bucket_profile_flags_boilerplate(spark):
+    """Five identical docs land in one bucket per band: the profile's
+    top rows show n_members=5 / est_pairs=10 — the pre-flight signal to
+    run exact-dedup collapse before the pair join."""
+    from dbt_foundation_spark.operators.dedup import lsh_bucket_profile
+
+    rows = [(i, "the same boilerplate text repeated verbatim here") for i in range(5)]
+    rows += [(100 + i, f"distinct document number {i} with its own words") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prof = lsh_bucket_profile(df, "doc_id", "text", num_hashes=16, bands=4).collect()
+    assert prof[0]["n_members"] == 5 and prof[0]["est_pairs"] == 10
+    # one hot bucket per band for the identical five
+    assert sum(1 for r in prof if r["n_members"] == 5) == 4
+
+
+def test_embedding_bucket_profile_flags_identical_vectors(spark):
+    """Four identical vectors co-bucket in every band: the profile's top
+    rows show n_members=4 / est_pairs=6 across all 4 bands."""
+    from dbt_foundation_spark.operators.similarity import embedding_bucket_profile
+
+    same = [1.0, 0.5, -0.25, 0.125]
+    rows = [(i, same) for i in range(4)]
+    rows += [(100 + i, [float(i + 1), -1.0, float(i), 0.5]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    prof = embedding_bucket_profile(df, "vec_id", "embedding").collect()
+    assert prof[0]["n_members"] >= 4 and prof[0]["est_pairs"] >= 6
+    assert sum(1 for r in prof if r["n_members"] >= 4) >= 4
