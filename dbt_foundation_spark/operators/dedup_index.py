@@ -75,6 +75,7 @@ from dbt_foundation_spark.functions.text import token_ngrams
 from dbt_foundation_spark.operators.similarity import (
     hyperplane_banded,
     random_hyperplanes,
+    sniff_dim,
 )
 from dbt_foundation_spark.operators.dedup import (
     _band_buckets,
@@ -540,21 +541,33 @@ def append_to_containment_index(
 
 # ---------- embedding (banded hyperplane-LSH) index ----------
 
-def _sniff_dim(df: DataFrame, vec_col: str) -> int:
-    """Vector dimensionality from the first row — raises a named error
-    on an EMPTY frame (the day-0 bootstrap builds an index over an
-    empty corpus; there is nothing to sniff, so dim must be passed)."""
-    row = df.select(vec_col).first()
-    if row is None or row[0] is None:
-        raise ValueError(
-            "cannot sniff the vector dimensionality from an empty frame - "
-            "pass dim= explicitly (required for the day-0 empty-corpus "
-            "bootstrap and cheap everywhere else)"
-        )
-    return len(row[0])
 
 
 
+
+
+# dataset name -> the cluster key each build_*/append_* writes with;
+# operators.maintenance.compact_index reads this so compaction and the
+# builders can never disagree about layout
+INDEX_LAYOUT: dict[str, dict[str, tuple[str, ...]]] = {
+    "minhash": {"bands": ("band", "bucket"), "shingles": ("id",)},
+    "simhash": {"chunks": ("chunk", "ck")},
+    "containment": {"postings": ("s",), "prefixes": ("s",), "hashsets": ("id",)},
+    "embedding": {"bands": ("band", "bucket"), "vectors": ("id",)},
+}
+
+
+def _resolve_dim(resolved: dict, mft: dict | None, df: DataFrame, vec_col: str) -> int:
+    """Embedding-index dim: caller value (already manifest-equality-
+    checked, in ``resolved``) → manifest record → sniff from the batch
+    (pre-manifest indexes only — sniffing risks silent plane mismatch
+    if the batch's vectors drifted, which the recorded dim prevents)."""
+    dim = resolved.get("dim")
+    if dim is None and mft and mft.get("dim") is not None:
+        dim = mft["dim"]
+    if dim is None:
+        return sniff_dim(df, vec_col)
+    return int(dim)
 
 
 def build_embedding_index(
@@ -586,7 +599,7 @@ def build_embedding_index(
     if m % bands != 0:
         raise ValueError(f"m={m} must be divisible by bands={bands}")
     if dim is None:
-        dim = _sniff_dim(df, vec_col)
+        dim = sniff_dim(df, vec_col)
     planes = random_hyperplanes(dim, m, seed)
     banded = (
         hyperplane_banded(df, id_col, vec_col, planes, bands, m // bands)
@@ -643,14 +656,10 @@ def dedup_against_embedding_index(
         caller["dim"] = dim
     mft = _read_manifest(spark, path)  # read ONCE: validation + dim
     resolved = _validate_params(path, mft, caller, ranges={"threshold": "gte"})
-    dim = resolved.get("dim", dim)
-    if dim is None and mft and mft.get("dim") is not None:
-        dim = mft["dim"]
-    if dim is None:  # pre-manifest index and no caller value
-        dim = _sniff_dim(new_df, vec_col)
+    dim = _resolve_dim(resolved, mft, new_df, vec_col)
     from dbt_foundation_spark.functions import vectors as V
 
-    planes = random_hyperplanes(int(dim), m, seed)
+    planes = random_hyperplanes(dim, m, seed)
     banded_new = hyperplane_banded(new_df, id_col, vec_col, planes, bands, m // bands)
     idx = spark.read.parquet(f"{path}/bands")
     cand = (
@@ -695,12 +704,8 @@ def append_to_embedding_index(
         caller["dim"] = dim
     mft = _read_manifest(df.sparkSession, path)  # read ONCE: validation + dim
     resolved = _validate_params(path, mft, caller)
-    dim = resolved.get("dim", dim)
-    if dim is None and mft and mft.get("dim") is not None:
-        dim = mft["dim"]
-    if dim is None:
-        dim = _sniff_dim(df, vec_col)
-    planes = random_hyperplanes(int(dim), m, seed)
+    dim = _resolve_dim(resolved, mft, df, vec_col)
+    planes = random_hyperplanes(dim, m, seed)
     banded = hyperplane_banded(
         df, id_col, vec_col, planes, bands, m // bands
     ).withColumnRenamed("_id", "id")

@@ -17,16 +17,13 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
-def table_file_stats(spark: SparkSession, relation: str) -> dict:
-    """(n_files, total_bytes) for a managed parquet table's data files.
-
-    Computed DISTRIBUTIVELY from the ``_metadata`` hidden columns
-    (file_path/file_size): dedup per file on the executors, aggregate,
-    fetch ONE row. No per-file driver collect, no getsize syscall loop —
-    at 100 TB that was millions of driver-side rows (round-2 finding)."""
+def _file_stats(df) -> dict:
+    """(n_files, total_bytes) from the ``_metadata`` hidden columns of
+    an already-loaded DataFrame — dedup per file on the executors,
+    aggregate, fetch ONE row (shared by table and path stats; no
+    per-file driver collect — round-2 finding)."""
     row = (
-        spark.table(relation)
-        .select(
+        df.select(
             F.col("_metadata.file_path").alias("_p"),
             F.col("_metadata.file_size").alias("_s"),
         )
@@ -42,6 +39,12 @@ def table_file_stats(spark: SparkSession, relation: str) -> dict:
         "n_files": int(row["n_files"]),
         "total_bytes": int(row["total_bytes"] or 0),
     }
+
+
+def table_file_stats(spark: SparkSession, relation: str) -> dict:
+    """(n_files, total_bytes) for a managed parquet table's data files
+    (see :func:`_file_stats` for the distributive mechanics)."""
+    return _file_stats(spark.table(relation))
 
 
 def compact_table(
@@ -161,27 +164,9 @@ def analyze_tables(
 
 def parquet_path_stats(spark: SparkSession, path: str) -> dict:
     """(n_files, total_bytes) for a path-based parquet dataset — the
-    same distributive ``_metadata`` aggregation as
-    :func:`table_file_stats`, for data that lives outside the catalog
-    (the persisted dedup/ANN indexes)."""
-    row = (
-        spark.read.parquet(path)
-        .select(
-            F.col("_metadata.file_path").alias("_p"),
-            F.col("_metadata.file_size").alias("_s"),
-        )
-        .groupBy("_p")
-        .agg(F.first("_s").alias("_s"))
-        .agg(
-            F.count(F.lit(1)).alias("n_files"),
-            F.sum("_s").alias("total_bytes"),
-        )
-        .first()
-    )
-    return {
-        "n_files": int(row["n_files"]),
-        "total_bytes": int(row["total_bytes"] or 0),
-    }
+    persisted dedup/ANN indexes live outside the catalog (see
+    :func:`_file_stats`)."""
+    return _file_stats(spark.read.parquet(path))
 
 
 def compact_parquet_path(
@@ -239,14 +224,6 @@ def compact_parquet_path(
     return {"before": before, "after": after, "target_files": n_out}
 
 
-# per-flavor index datasets and the key each must stay clustered on
-# (mirrors the build_* repartition keys in operators/dedup_index.py)
-_INDEX_LAYOUT: dict[str, dict[str, tuple[str, ...]]] = {
-    "minhash": {"bands": ("band", "bucket"), "shingles": ("id",)},
-    "simhash": {"chunks": ("chunk", "ck")},
-    "containment": {"postings": ("s",), "prefixes": ("s",), "hashsets": ("id",)},
-    "embedding": {"bands": ("band", "bucket"), "vectors": ("id",)},
-}
 
 
 def compact_index(
@@ -262,7 +239,10 @@ def compact_index(
     Flavor (and hence layout + cluster keys) comes from the index
     manifest; pre-manifest indexes must compact their datasets
     individually via :func:`compact_parquet_path`."""
-    from dbt_foundation_spark.operators.dedup_index import _read_manifest
+    from dbt_foundation_spark.operators.dedup_index import (
+        INDEX_LAYOUT,
+        _read_manifest,
+    )
 
     mft = _read_manifest(spark, index_path)
     if mft is None:
@@ -270,7 +250,7 @@ def compact_index(
             f"{index_path} has no manifest — compact each dataset "
             "directly with compact_parquet_path"
         )
-    layout = _INDEX_LAYOUT[mft["flavor"]]
+    layout = INDEX_LAYOUT[mft["flavor"]]
     return {
         sub: compact_parquet_path(
             spark, f"{index_path}/{sub}", target_file_bytes, cluster_by=keys

@@ -37,6 +37,20 @@ def random_hyperplanes(dim: int, m: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def sniff_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the first row — raises a named error
+    on an EMPTY frame (there is nothing to sniff; callers building over
+    empty day-0 corpora must pass dim explicitly)."""
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            "cannot sniff the vector dimensionality from an empty frame - "
+            "pass dim= explicitly (required for the day-0 empty-corpus "
+            "bootstrap and cheap everywhere else)"
+        )
+    return len(row[0])
+
+
 def cosine_topk(
     df: DataFrame,
     id_col: str,
@@ -374,7 +388,7 @@ def embedding_near_pairs(
         raise ValueError(f"m={m} must be divisible by bands={bands}")
     r = m // bands
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = sniff_dim(df, vec_col)
     planes = random_hyperplanes(dim, m, seed)
     banded = hyperplane_banded(df, id_col, vec_col, planes, bands, r, block_col)
     # lazy (non-eager) checkpoint: materialized by the first action, then
@@ -548,7 +562,7 @@ def embedding_bucket_profile(
     if m % bands != 0:
         raise ValueError(f"m={m} must be divisible by bands={bands}")
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = sniff_dim(df, vec_col)
     planes = random_hyperplanes(dim, m, seed)
     banded = hyperplane_banded(df, id_col, vec_col, planes, bands, m // bands)
     return (

@@ -970,7 +970,7 @@ def test_plan_shape_scale_invariant(spark):
     from dbt_foundation_spark.queries import all_queries
 
     base = os.path.dirname(
-        os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+        os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001").rstrip("/")
     )
     qs = all_queries()
     for name in (
