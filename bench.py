@@ -48,9 +48,11 @@ def main() -> None:
     # CPU calibration probe: a fixed, cache-independent JVM compute
     # (200M xxhash64 across all cores). Same-code warm timings drift
     # 20-40% across VM boots (CPU frequency / host neighbors), which a
-    # per-boot probe captures and the scheduler-floor above does not;
-    # regression comparisons below scale the previous round's numbers
-    # by the probe ratio so only code-caused slowdowns flag.
+    # per-boot probe captures and the scheduler-floor above does not.
+    # Recorded as a diagnostic and used as the drift FALLBACK — the
+    # primary regression normalizer is the median per-query ratio (see
+    # the regression block), which also catches non-CPU drift the probe
+    # measured flat while wall-clock moved 9%.
     calib_runs = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -132,12 +134,30 @@ def main() -> None:
     # real regression; one merely matching it is compile noise), else
     # cold-vs-cold for queries the warm pass didn't reach.
     regressions = []
+    speed = 1.0
     if prev:
-        # normalize the previous round's numbers to THIS boot's CPU
-        # speed via the calibration probes (clamped — a >2× probe swing
-        # means something else is wrong and should flag, not absorb)
+        # normalize the previous round's numbers to THIS boot's overall
+        # machine state. The CPU probe alone proved insufficient: this
+        # sandbox drifts 5-15% between same-day same-code runs with the
+        # probe FLAT (the drift is scheduler/IO, not CPU frequency), so
+        # the primary estimator is the MEDIAN per-query cold ratio over
+        # the common set — uniform environmental drift moves the median,
+        # a genuine localized regression cannot (one query in ~150).
+        # A code change that slows EVERYTHING would be absorbed here,
+        # which is why the measured drift_ratio is reported alongside
+        # the flags: a drift ≫1 with no code change is machine state, a
+        # drift ≫1 right after a session/config commit is the finding.
+        # Clamped — beyond 2× something else is wrong and should flag,
+        # not absorb. CPU-probe fallback when the common set is thin.
         prev_calib = prev.get("calib_sec")
-        speed = min(2.0, max(0.5, calib / prev_calib)) if prev_calib else 1.0
+        cpu = min(2.0, max(0.5, calib / prev_calib)) if prev_calib else 1.0
+        ratios = sorted(
+            timings[n] / prev_cold[n]
+            for n in timings.keys() & prev_cold.keys()
+            if prev_cold[n] >= 0.3
+        )
+        drift = ratios[len(ratios) // 2] if len(ratios) >= 20 else cpu
+        speed = min(2.0, max(0.5, drift))
         for name, cur in timings.items():
             cur_w = warm.get(name)
             if name in prev_warm and cur_w is not None:
@@ -174,6 +194,7 @@ def main() -> None:
         "overhead_floor_sec": overhead_floor,
         "overhead_floor_total": round(overhead_floor * len(timings), 2),
         "calib_sec": calib,
+        "drift_ratio": round(speed, 3),
         "sf": sf,
     }
     detail_path.write_text(json.dumps(detail, indent=1))
@@ -190,6 +211,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "overhead_floor_sec": overhead_floor,
                 "calib_sec": calib,
+                "drift_ratio": round(speed, 3),
                 "detail": "bench_detail.json",
                 "sf": sf,
             }
