@@ -103,12 +103,35 @@ def main() -> None:
         # scheduler jitter, 1.3× of a 2 s query is a real regression.
         return p >= floor and c > 1.3 * p and (c - p) >= 0.25
 
+    # machine-drift normalizer, computed BEFORE candidate selection so
+    # the candidate and flag checks use the SAME scaled basis (a drift
+    # < 1 run would otherwise flag queries cold that were never given
+    # their warm verify). Primary estimator: the MEDIAN per-query cold
+    # ratio over the common set — this sandbox drifts 5-15% between
+    # same-day same-code runs with the CPU probe FLAT (the drift is
+    # scheduler/IO, not CPU frequency), and one genuine localized
+    # regression cannot move the median of ~150 queries. A code change
+    # that slows EVERYTHING would be absorbed, which is why drift_ratio
+    # is reported next to the flags: drift ≫1 with no code change is
+    # machine state, drift ≫1 right after a session/config commit is
+    # the finding. Clamped — beyond 2× something else is wrong and
+    # should flag, not absorb. CPU-probe fallback when the set is thin.
+    prev_calib = (prev or {}).get("calib_sec")
+    cpu = min(2.0, max(0.5, calib / prev_calib)) if prev_calib else 1.0
+    ratios = sorted(
+        timings[n] / prev_cold[n]
+        for n in timings.keys() & prev_cold.keys()
+        if prev_cold[n] >= 0.3
+    )
+    drift = ratios[len(ratios) // 2] if len(ratios) >= 20 else cpu
+    speed = min(2.0, max(0.5, drift))
+
     candidates = {
         name
         for name, cur in timings.items()
         if name in prev_warm or name in prev_cold
         if _looks_worse(
-            prev_warm.get(name, prev_cold.get(name, 0.0)),
+            prev_warm.get(name, prev_cold.get(name, 0.0)) * speed,
             cur,
             0.3 if name in prev_warm else 0.6,
         )
@@ -134,30 +157,7 @@ def main() -> None:
     # real regression; one merely matching it is compile noise), else
     # cold-vs-cold for queries the warm pass didn't reach.
     regressions = []
-    speed = 1.0
     if prev:
-        # normalize the previous round's numbers to THIS boot's overall
-        # machine state. The CPU probe alone proved insufficient: this
-        # sandbox drifts 5-15% between same-day same-code runs with the
-        # probe FLAT (the drift is scheduler/IO, not CPU frequency), so
-        # the primary estimator is the MEDIAN per-query cold ratio over
-        # the common set — uniform environmental drift moves the median,
-        # a genuine localized regression cannot (one query in ~150).
-        # A code change that slows EVERYTHING would be absorbed here,
-        # which is why the measured drift_ratio is reported alongside
-        # the flags: a drift ≫1 with no code change is machine state, a
-        # drift ≫1 right after a session/config commit is the finding.
-        # Clamped — beyond 2× something else is wrong and should flag,
-        # not absorb. CPU-probe fallback when the common set is thin.
-        prev_calib = prev.get("calib_sec")
-        cpu = min(2.0, max(0.5, calib / prev_calib)) if prev_calib else 1.0
-        ratios = sorted(
-            timings[n] / prev_cold[n]
-            for n in timings.keys() & prev_cold.keys()
-            if prev_cold[n] >= 0.3
-        )
-        drift = ratios[len(ratios) // 2] if len(ratios) >= 20 else cpu
-        speed = min(2.0, max(0.5, drift))
         for name, cur in timings.items():
             cur_w = warm.get(name)
             if name in prev_warm and cur_w is not None:
