@@ -126,14 +126,20 @@ def main() -> None:
     drift = ratios[len(ratios) // 2] if len(ratios) >= 20 else cpu
     speed = min(2.0, max(0.5, drift))
 
+    # candidate iff EITHER basis could flag at judgment time: a query
+    # whose prev_warm is tiny (fails the 0.3 floor) but whose prev_cold
+    # could still flag must get its warm verify, or the cold branch
+    # below would cry wolf off the single cold sample.
     candidates = {
         name
         for name, cur in timings.items()
-        if name in prev_warm or name in prev_cold
-        if _looks_worse(
-            prev_warm.get(name, prev_cold.get(name, 0.0)) * speed,
-            cur,
-            0.3 if name in prev_warm else 0.6,
+        if (
+            name in prev_warm
+            and _looks_worse(prev_warm[name] * speed, cur, 0.3)
+        )
+        or (
+            name in prev_cold
+            and _looks_worse(prev_cold[name] * speed, cur, 0.6)
         )
     }
     warm: dict[str, float] = {}
@@ -148,6 +154,21 @@ def main() -> None:
         warm[name] = round(min(samples), 4)
 
     total = round(sum(timings.values()), 4)
+    # warm-basis drift: cold ratios fold compile-time shifts that warm
+    # minima don't have, so scaling prev_warm by the COLD median could
+    # mask a genuine warm regression behind a compile-cost change.
+    # When enough warm pairs exist (top-10 stability gives ~10), use
+    # their own median; else fall back to the cold-derived speed.
+    warm_ratios = sorted(
+        warm[n] / prev_warm[n]
+        for n in warm.keys() & prev_warm.keys()
+        if prev_warm[n] >= 0.3
+    )
+    warm_speed = (
+        min(2.0, max(0.5, warm_ratios[len(warm_ratios) // 2]))
+        if len(warm_ratios) >= 6
+        else speed
+    )
     # Round-over-round regression flagging (round-3 ask #5): compare
     # against the PREVIOUS committed bench_detail.json before
     # overwriting it; only at the same SF. Basis preference:
@@ -168,7 +189,7 @@ def main() -> None:
                 p, c, kind = prev_cold[name], cur, "cold"
             else:
                 continue
-            p = round(p * speed, 4)
+            p = round(p * (warm_speed if kind == "warm" else speed), 4)
             floor = 0.3 if kind == "warm" else 0.6
             if _looks_worse(p, c, floor):
                 regressions.append(
@@ -194,7 +215,10 @@ def main() -> None:
         "overhead_floor_sec": overhead_floor,
         "overhead_floor_total": round(overhead_floor * len(timings), 2),
         "calib_sec": calib,
-        "drift_ratio": round(speed, 3),
+        # MEASURED (unclamped) drift so a saturating global slowdown
+        # stays visible; the internal scaling uses the clamped value
+        "drift_ratio": round(drift, 3),
+        "warm_drift_ratio": round(warm_speed, 3),
         "sf": sf,
     }
     detail_path.write_text(json.dumps(detail, indent=1))
@@ -211,7 +235,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "overhead_floor_sec": overhead_floor,
                 "calib_sec": calib,
-                "drift_ratio": round(speed, 3),
+                "drift_ratio": round(drift, 3),
                 "detail": "bench_detail.json",
                 "sf": sf,
             }
