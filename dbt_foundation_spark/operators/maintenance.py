@@ -52,13 +52,23 @@ def compact_table(
     relation: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_by: tuple[str, ...] = (),
+    zorder_by: tuple[str, ...] = (),
 ) -> dict:
     """Rewrite ``relation`` into ceil(total/target) files (per partition
     layout if ``partition_by`` given). Returns before/after stats.
 
+    ``zorder_by`` range-partitions on the Morton key and sorts within
+    each file — Delta's ``OPTIMIZE ZORDER BY``: compaction and
+    multi-dimensional re-clustering in the same rewrite (the two always
+    ship together because both are full-data rewrites; see
+    operators/layout.py for the skipping math). Mutually exclusive with
+    ``partition_by``.
+
     Bucketed tables must not be compacted this way (the rewrite would
     drop the bucket spec) — detect and refuse.
     """
+    if partition_by and zorder_by:
+        raise ValueError("pass either partition_by or zorder_by, not both")
     desc = spark.sql(f"DESCRIBE TABLE EXTENDED {relation}").collect()
     if any("Num Buckets" in (r["col_name"] or "") for r in desc):
         raise ValueError(f"{relation} is bucketed; compaction would drop the bucket spec")
@@ -69,10 +79,16 @@ def compact_table(
     df = spark.table(relation)
     staging = f"{relation}__compact_tmp"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    writer = (
-        (df.repartition(n_out, *partition_by) if partition_by else df.repartition(n_out))
-        .write.format("parquet")
-    )
+    if zorder_by:
+        from dbt_foundation_spark.operators.layout import zorder_key
+
+        key = zorder_key(df, list(zorder_by))
+        shaped = df.repartitionByRange(n_out, key).sortWithinPartitions(key)
+    elif partition_by:
+        shaped = df.repartition(n_out, *partition_by)
+    else:
+        shaped = df.repartition(n_out)
+    writer = shaped.write.format("parquet")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.mode("overwrite").saveAsTable(staging)
@@ -174,11 +190,19 @@ def compact_parquet_path(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     cluster_by: tuple[str, ...] = (),
+    zorder_by: tuple[str, ...] = (),
 ) -> dict:
     """Rewrite a path-based parquet dataset into ceil(total/target)
     files, preserving key clustering when ``cluster_by`` is given (the
     rewrite hash-partitions on those keys, so a (band, bucket)-clustered
     index stays join-key-clustered after compaction).
+
+    ``zorder_by`` instead RANGE-partitions on the Morton key over the
+    named columns and sorts within each file — the Delta ``OPTIMIZE
+    ZORDER BY`` shape: output files cover disjoint key ranges, so
+    parquet row-group min/max stats skip on EVERY z-column
+    (operators/layout.py holds the key math). Mutually exclusive with
+    ``cluster_by`` — one rewrite, one layout goal.
 
     Swap is write-aside + two renames through the Hadoop FileSystem API
     (atomic per rename on local/HDFS; on S3-style stores rename is
@@ -202,12 +226,21 @@ def compact_parquet_path(
         if not fs.rename(old_p, hpath):
             raise IOError(f"could not restore {old} to {base}")
 
+    if cluster_by and zorder_by:
+        raise ValueError("pass either cluster_by or zorder_by, not both")
     before = parquet_path_stats(spark, path)
     n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
     df = spark.read.parquet(path)
-    (
-        df.repartition(n_out, *cluster_by) if cluster_by else df.repartition(n_out)
-    ).write.mode("overwrite").parquet(tmp)
+    if zorder_by:
+        from dbt_foundation_spark.operators.layout import zorder_key
+
+        key = zorder_key(df, list(zorder_by))
+        out = df.repartitionByRange(n_out, key).sortWithinPartitions(key)
+    elif cluster_by:
+        out = df.repartition(n_out, *cluster_by)
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(tmp)
 
     # any OTHER stale __compact_old (base still live) is a fully
     # superseded copy from a crash after install — drop it, else the

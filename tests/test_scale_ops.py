@@ -1125,3 +1125,101 @@ def test_embedding_bucket_profile_flags_identical_vectors(spark):
     prof = embedding_bucket_profile(df, "vec_id", "embedding").collect()
     assert prof[0]["n_members"] >= 4 and prof[0]["est_pairs"] >= 6
     assert sum(1 for r in prof if r["n_members"] >= 4) >= 4
+
+
+def test_compact_path_zorder_narrows_file_spans(spark, sf_dir, tmp_path):
+    """zorder_by compaction = OPTIMIZE ZORDER: same file count as plain
+    compaction, but each file covers a narrow slice of EVERY z-column,
+    so row-group/file min-max skipping works on both predicates."""
+    from dbt_foundation_spark.operators.maintenance import compact_parquet_path
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_rows = src.count()
+
+    def spans(path):
+        df = spark.read.parquet(path)
+        per_file = (
+            df.select(
+                F.col("_metadata.file_path").alias("_f"),
+                "o_totalprice", "o_orderdate",
+            )
+            .groupBy("_f")
+            .agg(
+                (F.max("o_totalprice") - F.min("o_totalprice")).alias("sp"),
+                F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("sd"),
+            )
+            .agg(F.avg("sp").alias("sp"), F.avg("sd").alias("sd"))
+            .first()
+        )
+        return float(per_file["sp"]), float(per_file["sd"])
+
+    # scatter into many unordered files, then compact two ways
+    plain, zord = str(tmp_path / "plain"), str(tmp_path / "zord")
+    for p in (plain, zord):
+        src.orderBy(F.xxhash64("o_orderkey")).repartition(8).write.parquet(p)
+    # small target → ~16 files: range-splitting the Morton key then
+    # uses ~4 key bits = ~2 bits per dimension, so each file's span per
+    # dimension shrinks toward range/4 (n files narrows each z-column
+    # by ~n^(1/n_cols) — 2 files would only halve ONE dimension)
+    compact_parquet_path(spark, plain, target_file_bytes=6_000)
+    stats = compact_parquet_path(
+        spark, zord, target_file_bytes=6_000,
+        zorder_by=("o_totalprice", "o_orderdate"),
+    )
+    assert stats["after"]["n_files"] >= 8, stats["after"]
+    assert spark.read.parquet(zord).count() == n_rows
+    sp_p, sd_p = spans(plain)
+    sp_z, sd_z = spans(zord)
+    # both dimensions narrow substantially vs hash-scattered compaction
+    assert sp_z < 0.6 * sp_p, (sp_z, sp_p)
+    assert sd_z < 0.6 * sd_p, (sd_z, sd_p)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        compact_parquet_path(
+            spark, zord, cluster_by=("o_orderkey",), zorder_by=("o_totalprice",)
+        )
+
+
+def test_compact_table_zorder(spark, sf_dir):
+    """compact_table(zorder_by=...) compacts AND re-clusters in the same
+    rewrite (the table-side OPTIMIZE ZORDER analog of the path test)."""
+    import uuid
+
+    from dbt_foundation_spark.operators.maintenance import compact_table
+
+    schema = f"cmpz_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {schema}")
+    rel = f"{schema}.orders_z"
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        orders.orderBy(F.xxhash64("o_orderkey")).repartition(12).write.mode(
+            "overwrite"
+        ).saveAsTable(rel)
+        n_rows = spark.table(rel).count()
+        stats = compact_table(
+            spark, rel, target_file_bytes=6_000,
+            zorder_by=("o_totalprice", "o_orderdate"),
+        )
+        assert stats["after"]["n_files"] >= 8
+        assert spark.table(rel).count() == n_rows
+        # per-file o_orderdate span narrows vs the full-table span
+        per_file = (
+            spark.table(rel)
+            .select(F.col("_metadata.file_path").alias("_f"), "o_orderdate")
+            .groupBy("_f")
+            .agg(F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("sd"))
+            .agg(F.avg("sd").alias("sd"))
+            .first()["sd"]
+        )
+        full = spark.table(rel).agg(
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("sd")
+        ).first()["sd"]
+        assert per_file < 0.6 * full, (per_file, full)
+        with pytest.raises(ValueError, match="not both"):
+            compact_table(
+                spark, rel, partition_by=("o_orderstatus",), zorder_by=("o_totalprice",)
+            )
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
