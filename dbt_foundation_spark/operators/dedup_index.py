@@ -554,7 +554,17 @@ INDEX_LAYOUT: dict[str, dict[str, tuple[str, ...]]] = {
     "simhash": {"chunks": ("chunk", "ck")},
     "containment": {"postings": ("s",), "prefixes": ("s",), "hashsets": ("id",)},
     "embedding": {"bands": ("band", "bucket"), "vectors": ("id",)},
+    # the similarity-family flavor (operators/similarity.py:
+    # build/append/search_ivf_index); lists is HIVE-PARTITIONED on
+    # _ivf_list — see INDEX_PARTITIONED
+    "ivf": {"lists": ("_ivf_list",), "centroids": ()},
 }
+
+# (flavor, sub-dataset) pairs whose key columns are hive PARTITION
+# directories, not data columns: compaction must rewrite them with
+# partitionBy or the rewrite silently flattens the layout and the
+# reader's partition pruning degrades to a data filter.
+INDEX_PARTITIONED: set[tuple[str, str]] = {("ivf", "lists")}
 
 
 def _resolve_dim(resolved: dict, mft: dict | None, df: DataFrame, vec_col: str) -> int:

@@ -50,12 +50,13 @@ def z_interleave(cols: list[Column], bits: int = 16) -> Column:
     return reduce(lambda a, b: a + b, terms)
 
 
-def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> Column:
-    """Morton key over arbitrary orderable columns: each column is
-    min/max-scaled to an integer grid of ``2^bits`` cells (ONE small
-    agg job at plan-build — a write-time cost, like computing any
-    clustering statistic), then bit-interleaved. NULLs map to cell 0,
-    so they cluster together at the low end."""
+def _zorder_coords(
+    df: DataFrame, cols: list[str], bits: int
+) -> tuple[list[Column], int]:
+    """Grid coordinates for each z-column (ONE small agg job for all
+    the min/max stats) plus the count of DEGENERATE columns — constant
+    or all-NULL, which map to a constant coordinate and contribute no
+    ordering information."""
     numeric = {c: _numeric_col(df, c) for c in cols}
     stats = df.agg(
         *[F.min(numeric[c]).alias(f"_lo_{c}") for c in cols],
@@ -63,10 +64,12 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> Column:
     ).first()
     cells = (1 << bits) - 1
     coords: list[Column] = []
+    degenerate = 0
     for c in cols:
         lo, hi = stats[f"_lo_{c}"], stats[f"_hi_{c}"]
         if lo is None or hi is None or lo == hi:
             coords.append(F.lit(0))
+            degenerate += 1
             continue
         pos = (numeric[c] - F.lit(float(lo))) / F.lit(float(hi - lo))
         coords.append(
@@ -75,7 +78,43 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> Column:
                 F.lit(0),
             )
         )
+    return coords, degenerate
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> Column:
+    """Morton key over arbitrary orderable columns: each column is
+    min/max-scaled to an integer grid of ``2^bits`` cells (ONE small
+    agg job at plan-build — a write-time cost, like computing any
+    clustering statistic), then bit-interleaved. NULLs map to cell 0,
+    so they cluster together at the low end."""
+    coords, _ = _zorder_coords(df, cols, bits)
     return z_interleave(coords, bits=bits)
+
+
+def zorder_repartition(
+    df: DataFrame, cols: list[str], n_out: int, bits: int = 12
+) -> DataFrame:
+    """Range-partition into ``n_out`` partitions on the Morton key and
+    sort within each — the full-rewrite (Delta ``OPTIMIZE ZORDER BY``)
+    shape, vs :func:`zorder_sort`'s shuffle-free in-place variant. The
+    shared backend of ``compact_table``/``compact_parquet_path``'s
+    ``zorder_by``.
+
+    Robustness the raw key lacks: ``bits`` auto-shrinks so the key
+    always fits a bigint (6+ columns would otherwise raise AFTER the
+    stats scan; a coarser grid degrades clustering granularity, never
+    correctness), and an all-degenerate key (every z-column constant or
+    all-NULL) falls back to round-robin repartition — RangePartitioner
+    on a constant collapses to ONE partition, which would silently
+    defeat the compaction file-size target."""
+    if len(cols) > 62:
+        raise ValueError(f"cannot z-order {len(cols)} columns (max 62)")
+    bits = min(bits, 62 // len(cols))
+    coords, degenerate = _zorder_coords(df, cols, bits)
+    if degenerate == len(cols):
+        return df.repartition(n_out)
+    key = z_interleave(coords, bits=bits)
+    return df.repartitionByRange(n_out, key).sortWithinPartitions(key)
 
 
 def _numeric_col(df: DataFrame, c: str) -> Column:

@@ -72,6 +72,30 @@ def compact_table(
     desc = spark.sql(f"DESCRIBE TABLE EXTENDED {relation}").collect()
     if any("Num Buckets" in (r["col_name"] or "") for r in desc):
         raise ValueError(f"{relation} is bucketed; compaction would drop the bucket spec")
+    # the rewrite writes whatever layout it is told — a hive-partitioned
+    # table compacted without its partition columns would come back
+    # FLAT (partition pruning silently gone), so the declared
+    # partition_by must match the catalog's spec
+    table_parts: list[str] = []
+    in_part_section = False
+    for r in desc:
+        name = (r["col_name"] or "").strip()
+        if name.startswith("# Partition Information"):
+            in_part_section = True
+            continue
+        if in_part_section:
+            if name.startswith("# col_name") or not name:
+                continue
+            if name.startswith("#"):
+                break
+            table_parts.append(name)
+    if tuple(table_parts) != tuple(partition_by):
+        raise ValueError(
+            f"{relation} is partitioned by {table_parts} but compaction "
+            f"was asked to write {list(partition_by)} — pass the table's "
+            "own partition columns (z-ordering a partitioned table is "
+            "unsupported: it would flatten the partition spec)"
+        )
 
     before = table_file_stats(spark, relation)
     n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
@@ -80,10 +104,9 @@ def compact_table(
     staging = f"{relation}__compact_tmp"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     if zorder_by:
-        from dbt_foundation_spark.operators.layout import zorder_key
+        from dbt_foundation_spark.operators.layout import zorder_repartition
 
-        key = zorder_key(df, list(zorder_by))
-        shaped = df.repartitionByRange(n_out, key).sortWithinPartitions(key)
+        shaped = zorder_repartition(df, list(zorder_by), n_out)
     elif partition_by:
         shaped = df.repartition(n_out, *partition_by)
     else:
@@ -191,6 +214,7 @@ def compact_parquet_path(
     target_file_bytes: int = 128 * 1024 * 1024,
     cluster_by: tuple[str, ...] = (),
     zorder_by: tuple[str, ...] = (),
+    partition_by: tuple[str, ...] = (),
 ) -> dict:
     """Rewrite a path-based parquet dataset into ceil(total/target)
     files, preserving key clustering when ``cluster_by`` is given (the
@@ -226,21 +250,35 @@ def compact_parquet_path(
         if not fs.rename(old_p, hpath):
             raise IOError(f"could not restore {old} to {base}")
 
-    if cluster_by and zorder_by:
-        raise ValueError("pass either cluster_by or zorder_by, not both")
+    if sum(map(bool, (cluster_by, zorder_by, partition_by))) > 1:
+        raise ValueError(
+            "pass at most one of cluster_by / zorder_by / partition_by"
+        )
     before = parquet_path_stats(spark, path)
     n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
     df = spark.read.parquet(path)
+    writer_partition: tuple[str, ...] = ()
     if zorder_by:
-        from dbt_foundation_spark.operators.layout import zorder_key
+        from dbt_foundation_spark.operators.layout import zorder_repartition
 
-        key = zorder_key(df, list(zorder_by))
-        out = df.repartitionByRange(n_out, key).sortWithinPartitions(key)
+        out = zorder_repartition(df, list(zorder_by), n_out)
     elif cluster_by:
         out = df.repartition(n_out, *cluster_by)
+    elif partition_by:
+        # hive-partitioned dataset (e.g. the IVF lists): the rewrite
+        # must re-declare the partition columns or it would flatten
+        # them into data columns and kill the reader's directory
+        # pruning. repartition on the keys -> each partition dir gets
+        # ONE file per task that holds its key, i.e. the micro-file
+        # sets fold to ~1 file per partition value.
+        out = df.repartition(n_out, *partition_by)
+        writer_partition = tuple(partition_by)
     else:
         out = df.repartition(n_out)
-    out.write.mode("overwrite").parquet(tmp)
+    w = out.write.mode("overwrite")
+    if writer_partition:
+        w = w.partitionBy(*writer_partition)
+    w.parquet(tmp)
 
     # any OTHER stale __compact_old (base still live) is a fully
     # superseded copy from a crash after install — drop it, else the
@@ -274,6 +312,7 @@ def compact_index(
     individually via :func:`compact_parquet_path`."""
     from dbt_foundation_spark.operators.dedup_index import (
         INDEX_LAYOUT,
+        INDEX_PARTITIONED,
         _read_manifest,
     )
 
@@ -283,10 +322,19 @@ def compact_index(
             f"{index_path} has no manifest — compact each dataset "
             "directly with compact_parquet_path"
         )
-    layout = INDEX_LAYOUT[mft["flavor"]]
+    flavor = mft["flavor"]
     return {
         sub: compact_parquet_path(
-            spark, f"{index_path}/{sub}", target_file_bytes, cluster_by=keys
+            spark,
+            f"{index_path}/{sub}",
+            target_file_bytes,
+            # hive-partitioned sub-datasets re-declare their partition
+            # spec; the rest re-cluster on their join keys
+            **(
+                {"partition_by": keys}
+                if (flavor, sub) in INDEX_PARTITIONED
+                else {"cluster_by": keys}
+            ),
         )
-        for sub, keys in layout.items()
+        for sub, keys in INDEX_LAYOUT[flavor].items()
     }

@@ -240,6 +240,18 @@ def ivf_assignments(
                 centers[j] = members.mean(axis=0)
     centroids = [[float(x) for x in c] for c in centers]
 
+    return _ivf_assign(df, vec_col, centroids), centroids
+
+
+def _ivf_assign(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Tag each row with ``_ivf_list`` = argmin squared distance to the
+    given centroids — the distributed, map-only half of the coarse
+    quantizer (centroids fold into the plan as literals; no model
+    object, streaming/foreachBatch-safe). Shared by the initial fit
+    and :func:`append_to_ivf_index`, which must assign new batches
+    with the INDEX's centroids, never a refit."""
     v = F.col(vec_col).cast("array<double>")
     dists = F.array(
         *[
@@ -256,10 +268,9 @@ def ivf_assignments(
         ]
     )
     # argmin = position of the min element (ties -> first, like numpy)
-    assigned = df.withColumn(
+    return df.withColumn(
         "_ivf_list", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     )
-    return assigned, centroids
 
 
 def cosine_topk_ivf(
@@ -501,7 +512,87 @@ def build_ivf_index(
     spark.createDataFrame(rows, "list_id int, centroid array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/centroids")
+    # manifest: same contract as the dedup-index flavors (runtime
+    # import — dedup_index imports this module at top level)
+    from dbt_foundation_spark.operators.dedup_index import _write_manifest
+
+    _write_manifest(
+        df,
+        path,
+        {
+            "flavor": "ivf",
+            "n_lists": n_lists,
+            "seed": seed,
+            "dim": len(centroids[0]),
+        },
+    )
     return centroids
+
+
+def append_to_ivf_index(
+    df: DataFrame, id_col: str, vec_col: str, path: str
+) -> None:
+    """Admit a new batch into a persisted IVF index: assign each vector
+    to its nearest EXISTING centroid (the index's quantizer — never a
+    refit, which would orphan every previously-written list) and append
+    the rows into the matching list partitions.
+
+    This is the daily-ingest flank the dedup indexes already have
+    (``dedup_index.append_to_*``): the corpus is assigned once at build,
+    each ingest appends one small file set, and
+    ``maintenance.compact_index`` periodically folds the micro-files
+    back to target size per list. Appending never moves old rows, so
+    :func:`search_ivf_index`'s partition-pruning contract is unchanged.
+
+    Drift guard: a batch whose vectors don't match the index ``dim``
+    would silently mis-assign (``zip_with`` pads the short side with
+    NULLs), so the assignment plan carries an ``assert_true`` on the
+    vector length — a wrong-dim row fails the job instead of landing in
+    the wrong list. K-means quality degrades if the data distribution
+    shifts far from the build sample; re-run :func:`build_ivf_index`
+    on that signal (list-size skew via
+    :func:`embedding_bucket_profile`-style counts), not per ingest."""
+    from dbt_foundation_spark.operators.dedup_index import (
+        _read_manifest,
+        _validate_params,
+    )
+
+    spark = df.sparkSession
+    mft = _read_manifest(spark, path)
+    _validate_params(path, mft, {"flavor": "ivf"})
+    cents = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["list_id"],
+    )
+    centroids = [[float(x) for x in r["centroid"]] for r in cents]
+    dim = (mft or {}).get("dim") or len(centroids[0])
+    # the guard rides INSIDE the vector column (when/raise_error), not
+    # as a side column — a never-referenced assert_true column would be
+    # column-pruned out of the plan and the check silently skipped
+    checked = df.withColumn(
+        vec_col,
+        F.when(F.size(F.col(vec_col)) == F.lit(int(dim)), F.col(vec_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"IVF index {path} built for dim={int(dim)}, "
+                        "batch row has "
+                    ),
+                    F.coalesce(
+                        F.size(F.col(vec_col)).cast("string"), F.lit("NULL")
+                    ),
+                )
+            )
+        ),
+    )
+    (
+        _ivf_assign(checked, vec_col, centroids)
+        .select(id_col, vec_col, "_ivf_list")
+        .repartition("_ivf_list")
+        .write.mode("append")
+        .partitionBy("_ivf_list")
+        .parquet(f"{path}/lists")
+    )
 
 
 def search_ivf_index(

@@ -1176,7 +1176,7 @@ def test_compact_path_zorder_narrows_file_spans(spark, sf_dir, tmp_path):
 
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="not both"):
+    with _pytest.raises(ValueError, match="at most one"):
         compact_parquet_path(
             spark, zord, cluster_by=("o_orderkey",), zorder_by=("o_totalprice",)
         )
@@ -1223,3 +1223,173 @@ def test_compact_table_zorder(spark, sf_dir):
             )
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+
+
+def test_zorder_compaction_guards(spark, sf_dir, tmp_path):
+    """The zorder rewrite's robustness guards: an all-degenerate key
+    (constant z-columns) falls back to round-robin so the file-count
+    target still holds; 6+ columns auto-shrink bits instead of raising
+    after the stats scan; a hive-partitioned table refuses any
+    compaction that would flatten its partition spec."""
+    import uuid
+
+    from dbt_foundation_spark.operators.maintenance import (
+        compact_parquet_path,
+        compact_table,
+    )
+
+    # degenerate key: constant column → round-robin fallback, not 1 file
+    const = str(tmp_path / "const")
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "k", F.lit(1.0)
+    )
+    src.repartition(6).write.parquet(const)
+    stats = compact_parquet_path(
+        spark, const, target_file_bytes=6_000, zorder_by=("k",)
+    )
+    assert stats["after"]["n_files"] >= 4, stats["after"]
+
+    # 6 z-columns: bits auto-shrink to 62//6, no post-scan ValueError
+    wide = str(tmp_path / "wide")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(500).write.parquet(wide)
+    compact_parquet_path(
+        spark, wide, target_file_bytes=6_000,
+        zorder_by=(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_discount",
+        ),
+    )
+    assert spark.read.parquet(wide).count() == 500
+
+    # partitioned table: spec must be declared, zorder refused
+    schema = f"zg_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {schema}")
+    rel = f"{schema}.orders_part"
+    try:
+        spark.read.parquet(f"{sf_dir}/orders.parquet").write.partitionBy(
+            "o_orderstatus"
+        ).saveAsTable(rel)
+        with pytest.raises(ValueError, match="partitioned by"):
+            compact_table(spark, rel)  # undeclared spec would flatten
+        with pytest.raises(ValueError, match="partitioned by"):
+            compact_table(spark, rel, zorder_by=("o_totalprice",))
+        n = spark.table(rel).count()
+        compact_table(spark, rel, partition_by=("o_orderstatus",))
+        assert spark.table(rel).count() == n  # declared spec: fine
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+
+
+def test_ivf_index_append_ingest(spark, sf_dir, tmp_path):
+    """append_to_ivf_index is the daily-ingest flank of the persisted
+    ANN index: new vectors are assigned with the INDEX's centroids
+    (never a refit), land in the matching list partitions, and are
+    immediately searchable — with the partition-pruning contract
+    intact. Guards: wrong-flavor path and wrong-dim batch both fail
+    loudly instead of corrupting the index."""
+    from dbt_foundation_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from dbt_foundation_spark.queries._util import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    path = str(tmp_path / "ivf_app")
+    build_ivf_index(corpus, "vec_id", "embedding", path, n_lists=8)
+    append_to_ivf_index(batch, "vec_id", "embedding", path)
+
+    lists = spark.read.parquet(f"{path}/lists")
+    assert lists.count() == emb.count()
+
+    # an appended vector is searchable: querying with its own embedding
+    # must surface it at cosine ~1 even at n_probe=1 (the query's
+    # nearest centroid IS the list the append assigned it to)
+    b0 = batch.orderBy("vec_id").first()
+    got = search_ivf_index(
+        spark, path, "vec_id", "embedding",
+        [float(x) for x in b0["embedding"]], k=3, n_probe=1,
+    ).collect()
+    by_id = {r["vec_id"]: r["cosine_sim"] for r in got}
+    assert b0["vec_id"] in by_id and by_id[b0["vec_id"]] > 0.9999, got
+
+    # pruning still holds post-append: probe filter is a PartitionFilter
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        search_ivf_index(
+            spark, path, "vec_id", "embedding",
+            [float(x) for x in b0["embedding"]], k=3, n_probe=2,
+        ).explain(mode="formatted")
+    m = re.search(r"PartitionFilters: \[.*IN \(([^)]*)\)\]", buf.getvalue())
+    assert m and len(m.group(1).split(",")) == 2, buf.getvalue()[:800]
+
+    # flavor guard: an IVF append aimed at a minhash index raises
+    from dbt_foundation_spark.operators.dedup_index import build_minhash_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    mh = str(tmp_path / "mh_guard")
+    build_minhash_index(docs, "doc_id", "text", mh, num_hashes=16, bands=4)
+    with pytest.raises(ValueError, match="flavor"):
+        append_to_ivf_index(batch, "vec_id", "embedding", mh)
+
+    # dim guard: truncated vectors fail the job (silent mis-assignment
+    # is the failure mode — zip_with would NULL-pad the short side)
+    short = batch.withColumn("embedding", F.slice("embedding", 1, 3))
+    with pytest.raises(Exception, match="dim="):
+        append_to_ivf_index(short, "vec_id", "embedding", path)
+
+
+def test_compact_index_ivf_flavor(spark, sf_dir, tmp_path):
+    """compact_index on the IVF flavor folds per-ingest micro-files
+    back per list WITHOUT flattening the hive partition spec — search
+    answers and directory pruning both survive the rewrite."""
+    import os
+
+    from dbt_foundation_spark.operators.maintenance import (
+        compact_index,
+        parquet_path_stats,
+    )
+    from dbt_foundation_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from dbt_foundation_spark.queries._util import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_cpt")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 3 == 0), "vec_id", "embedding", path,
+        n_lists=4,
+    )
+    for r in (1, 2):  # two daily ingests -> two appended file sets
+        append_to_ivf_index(
+            emb.filter(F.col("vec_id") % 3 == r), "vec_id", "embedding", path
+        )
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+
+    def answers():
+        return [
+            (r["vec_id"], round(r["cosine_sim"], 9))
+            for r in search_ivf_index(
+                spark, path, "vec_id", "embedding", qv, k=5, n_probe=2
+            ).collect()
+        ]
+
+    want = answers()
+    before = parquet_path_stats(spark, f"{path}/lists")["n_files"]
+    stats = compact_index(spark, path)
+    assert set(stats) == {"lists", "centroids"}
+    after = parquet_path_stats(spark, f"{path}/lists")["n_files"]
+    assert after < before and after <= 4, (before, after)
+    # partition spec survived: per-list directories, not a flat file set
+    assert any(
+        e.startswith("_ivf_list=") for e in os.listdir(f"{path}/lists")
+    ), os.listdir(f"{path}/lists")
+    assert answers() == want and len(want) == 5
