@@ -556,8 +556,10 @@ INDEX_LAYOUT: dict[str, dict[str, tuple[str, ...]]] = {
     "embedding": {"bands": ("band", "bucket"), "vectors": ("id",)},
     # the similarity-family flavor (operators/similarity.py:
     # build/append/search_ivf_index); lists is HIVE-PARTITIONED on
-    # _ivf_list — see INDEX_PARTITIONED
-    "ivf": {"lists": ("_ivf_list",), "centroids": ()},
+    # _ivf_list — see INDEX_PARTITIONED. ingest_log exists only when
+    # streaming.run_ivf_ingest maintains the index (compact_index
+    # skips absent sub-datasets).
+    "ivf": {"lists": ("_ivf_list",), "centroids": (), "ingest_log": ()},
 }
 
 # (flavor, sub-dataset) pairs whose key columns are hive PARTITION
@@ -565,6 +567,13 @@ INDEX_LAYOUT: dict[str, dict[str, tuple[str, ...]]] = {
 # partitionBy or the rewrite silently flattens the layout and the
 # reader's partition pruning degrades to a data filter.
 INDEX_PARTITIONED: set[tuple[str, str]] = {("ivf", "lists")}
+
+# (flavor, sub-dataset) pairs that are SET-semantic and may carry
+# byte-identical duplicate rows after a crash-window batch replay
+# (streaming.run_ivf_ingest: a crash between append and its marker
+# write): compaction drops exact-duplicate rows, restoring
+# exactly-once state.
+INDEX_DISTINCT_ON_COMPACT: set[tuple[str, str]] = {("ivf", "lists")}
 
 
 def _resolve_dim(resolved: dict, mft: dict | None, df: DataFrame, vec_col: str) -> int:

@@ -215,6 +215,7 @@ def compact_parquet_path(
     cluster_by: tuple[str, ...] = (),
     zorder_by: tuple[str, ...] = (),
     partition_by: tuple[str, ...] = (),
+    distinct_rows: bool = False,
 ) -> dict:
     """Rewrite a path-based parquet dataset into ceil(total/target)
     files, preserving key clustering when ``cluster_by`` is given (the
@@ -257,6 +258,10 @@ def compact_parquet_path(
     before = parquet_path_stats(spark, path)
     n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
     df = spark.read.parquet(path)
+    if distinct_rows:
+        # set-semantic datasets (e.g. the IVF lists): fold away
+        # byte-identical rows left by a crash-window batch replay
+        df = df.dropDuplicates()
     writer_partition: tuple[str, ...] = ()
     if zorder_by:
         from dbt_foundation_spark.operators.layout import zorder_repartition
@@ -311,6 +316,7 @@ def compact_index(
     manifest; pre-manifest indexes must compact their datasets
     individually via :func:`compact_parquet_path`."""
     from dbt_foundation_spark.operators.dedup_index import (
+        INDEX_DISTINCT_ON_COMPACT,
         INDEX_LAYOUT,
         INDEX_PARTITIONED,
         _read_manifest,
@@ -323,10 +329,20 @@ def compact_index(
             "directly with compact_parquet_path"
         )
     flavor = mft["flavor"]
-    return {
-        sub: compact_parquet_path(
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(index_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    out = {}
+    for sub, keys in INDEX_LAYOUT[flavor].items():
+        sub_path = f"{index_path}/{sub}"
+        # optional sub-datasets (the ivf ingest_log exists only for
+        # stream-maintained indexes) are skipped, not errors
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(sub_path)):
+            continue
+        out[sub] = compact_parquet_path(
             spark,
-            f"{index_path}/{sub}",
+            sub_path,
             target_file_bytes,
             # hive-partitioned sub-datasets re-declare their partition
             # spec; the rest re-cluster on their join keys
@@ -335,6 +351,6 @@ def compact_index(
                 if (flavor, sub) in INDEX_PARTITIONED
                 else {"cluster_by": keys}
             ),
+            distinct_rows=(flavor, sub) in INDEX_DISTINCT_ON_COMPACT,
         )
-        for sub, keys in INDEX_LAYOUT[flavor].items()
-    }
+    return out

@@ -595,6 +595,149 @@ def append_to_ivf_index(
     )
 
 
+def ivf_list_profile(spark: SparkSession, path: str) -> DataFrame:
+    """Per-list member counts for a persisted IVF index, with each
+    list's share of the corpus — the rebuild signal for
+    :func:`append_to_ivf_index`'s no-refit contract. Appends assign
+    with the BUILD centroids, so a drifting ingest distribution shows
+    up here as list skew (a few lists absorbing most new vectors):
+    probes into fat lists scan ever more of the corpus and the
+    partition-pruning advantage decays. Rebuild (re-fit) when the top
+    list's share is many times 1/n_lists; until then appends are fine.
+
+    Cost: a scan that reads ONLY the partition column — parquet opens
+    no data pages, so this is metadata-speed even on a 100 TB index
+    (mirror of ``lsh_bucket_profile`` / ``embedding_bucket_profile``
+    for the similarity flavor)."""
+    lists = spark.read.parquet(f"{path}/lists")
+    counts = lists.groupBy("_ivf_list").agg(F.count(F.lit(1)).alias("n_members"))
+    total = Window.partitionBy()
+    return (
+        counts.withColumn(
+            "share", F.col("n_members") / F.sum("n_members").over(total)
+        )
+        .orderBy(F.desc("n_members"), "_ivf_list")
+    )
+
+
+def knn_join_ivf(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+    n_probe: int = 4,
+    exclude_self: bool = False,
+    num_salts: int = 32,
+    prune: bool = True,
+) -> DataFrame:
+    """Batch ANN over the persisted IVF index: for EVERY query row, the
+    top-k cosine neighbors among the vectors in that query's ``n_probe``
+    nearest lists — the many-query generalization of
+    :func:`search_ivf_index`, and the index-backed (sub-corpus-scan)
+    alternative to the exact :func:`knn_join`. Returns
+    (query_id, corpus_id, cosine_sim), per-query rows identical to a
+    :func:`search_ivf_index` call with the same k/n_probe.
+
+    Scale shape: each query expands to its ``n_probe`` probe rows (the
+    centroid argsort folds into the plan as literals — a map-only
+    stage), then probes ⋈ lists joins on the PARTITION column
+    ``_ivf_list``. With ``prune=True`` (default) the union of probed
+    list ids — BOUNDED by n_lists, computed by one job over the query
+    side only — is applied as a static ``isin`` partition filter, so
+    unprobed list directories are never read (PartitionFilters pinned
+    in test; measured here because Spark's dynamic partition pruning
+    does NOT fire on this shape — the probe side carries no selective
+    filter predicate, so the optimizer's heuristic declines). Pass
+    ``prune=False`` for query batches broad enough to probe every
+    list — it skips the extra query-side job that buys nothing there.
+    The join's parallelism is bounded by ``n_lists``: size it to a few
+    × the cluster's cores at build time (tens of rows per list is
+    centroid-starved anyway). Top-k reuses :func:`knn_join`'s two-phase
+    salted ranking so no reducer materializes a whole query's candidate
+    list.
+
+    ``exclude_self`` drops corpus rows whose id equals the query's
+    (queries drawn from the indexed corpus itself)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if num_salts < 1:
+        raise ValueError(f"num_salts must be >= 1, got {num_salts}")
+    from dbt_foundation_spark.operators.dedup_index import (
+        _read_manifest,
+        _validate_params,
+    )
+
+    mft = _read_manifest(spark, path)
+    _validate_params(path, mft, {"flavor": "ivf"})
+    cents = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["list_id"],
+    )
+    centroids = [[float(x) for x in r["centroid"]] for r in cents]
+    if not 1 <= n_probe <= len(centroids):
+        raise ValueError(f"n_probe must be in [1, {len(centroids)}], got {n_probe}")
+
+    qv = F.col(query_vec).cast("array<double>")
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            qv,
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, z: acc + z,
+                    ).alias("d"),
+                    F.lit(i).alias("i"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    probes = queries.select(
+        F.col(query_id).alias("query_id"),
+        # double-cast so the verify sim is bit-identical to
+        # search_ivf_index's double-literal query vector
+        qv.alias("_qv"),
+        F.explode(
+            F.slice(F.transform(ranked, lambda s: s["i"]), 1, n_probe)
+        ).alias("_ivf_list"),
+    )
+    lists = spark.read.parquet(f"{path}/lists")
+    corpus_id, corpus_vec = (c for c in lists.columns if c != "_ivf_list")
+    if prune:
+        probe_ids = sorted(
+            r["_ivf_list"]
+            for r in probes.select("_ivf_list").distinct().collect()
+        )
+        lists = lists.filter(F.col("_ivf_list").isin(probe_ids))
+    cand = lists.join(probes, "_ivf_list")
+    if exclude_self:
+        cand = cand.filter(F.col(corpus_id) != F.col("query_id"))
+    sims = cand.select(
+        "query_id",
+        F.col(corpus_id).alias("corpus_id"),
+        V.cosine(F.col(corpus_vec), F.col("_qv")).alias("cosine_sim"),
+    )
+    order = [F.desc("cosine_sim"), F.col("corpus_id")]
+    partial = Window.partitionBy(
+        "query_id", F.pmod(F.xxhash64(F.col("corpus_id")), F.lit(num_salts))
+    ).orderBy(*order)
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        sims.withColumn("_r", F.row_number().over(partial))
+        .filter(F.col("_r") <= k)
+        .withColumn("_r", F.row_number().over(final))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
 def search_ivf_index(
     spark: SparkSession,
     path: str,

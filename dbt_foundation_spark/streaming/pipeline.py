@@ -668,6 +668,82 @@ def run_dedup_ingest(
     q.awaitTermination()
 
 
+def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str):
+    """foreachBatch body for :func:`run_ivf_ingest`, module-level so the
+    replay-idempotence contract is directly testable: called twice with
+    the SAME batch id, the second call is a no-op (the first call's
+    marker under ``{index_path}/ingest_log`` short-circuits it)."""
+    from pyspark.errors import AnalysisException
+
+    from dbt_foundation_spark.operators.similarity import append_to_ivf_index
+
+    log_path = f"{index_path}/ingest_log"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            # membership probe, not a whole-log collect: the predicate
+            # pushes to the parquet footers, so a year of batch markers
+            # costs a row-group-stat check per batch, not O(batches)
+            # driver transfer
+            seen = (
+                spark.read.parquet(log_path)
+                .filter(F.col("batch_id") == int(batch_id))
+                .limit(1)
+                .count()
+                > 0
+            )
+        except AnalysisException:  # first-ever streamed batch: no log yet
+            seen = False
+        if seen:
+            return
+        append_to_ivf_index(batch_df, id_col, vec_col, index_path)
+        spark.createDataFrame(
+            [(int(batch_id),)], "batch_id long"
+        ).write.mode("append").parquet(log_path)
+
+    return sink
+
+
+def run_ivf_ingest(
+    stream_vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> None:
+    """Keep a persisted IVF ANN index fresh from a stream: each
+    micro-batch is assigned with the index's STORED centroids and
+    appended into the matching list partitions
+    (``operators.similarity.append_to_ivf_index``) — the streaming
+    flank of the index lifecycle (build → append per ingest →
+    ``compact_index`` → ``search_ivf_index`` / ``knn_join_ivf``),
+    mirroring what :func:`run_dedup_ingest` is for the dedup indexes.
+
+    Restart semantics: the stream checkpoint makes batch REPLAY the
+    only duplication risk (after a crash, foreachBatch re-runs the last
+    batch whose epoch never committed). Unlike the dedup ingest —
+    where a replayed batch is rejected by the admission gate itself —
+    a bare IVF append is not self-cleaning, so the sink records each
+    appended batch id in a marker dataset (``{index_path}/ingest_log``,
+    one tiny row per batch) and skips ids already recorded. The
+    remaining window is a crash BETWEEN append and marker write: a
+    replay there appends byte-identical (id, vector) rows again, which
+    inflates those lists' candidate counts but cannot change which
+    vectors exist or their assignments; ``compact_index`` drops such
+    exact-duplicate rows at the next maintenance window, restoring
+    exactly-once state. The per-batch cost is one tiny log read + a
+    map-only assignment — the corpus lists are never read."""
+    writer = stream_vecs.writeStream.foreachBatch(
+        _ivf_ingest_sink(index_path, id_col, vec_col)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
+
+
 def sessionize_tws(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Sessionization on transformWithStateInPandas — Spark 4's typed
     successor to applyInPandasWithState (named state variables, explicit

@@ -1393,3 +1393,92 @@ def test_compact_index_ivf_flavor(spark, sf_dir, tmp_path):
         e.startswith("_ivf_list=") for e in os.listdir(f"{path}/lists")
     ), os.listdir(f"{path}/lists")
     assert answers() == want and len(want) == 5
+
+    # the rebuild-signal profile: every member counted, shares sum to 1
+    from dbt_foundation_spark.operators.similarity import ivf_list_profile
+
+    prof = ivf_list_profile(spark, path).collect()
+    assert sum(r["n_members"] for r in prof) == emb.count()
+    assert abs(sum(r["share"] for r in prof) - 1.0) < 1e-9
+    assert prof[0]["n_members"] >= prof[-1]["n_members"]
+
+
+def test_knn_join_ivf_matches_single_search(spark, sf_dir, tmp_path):
+    """Batch ANN over the persisted index: every query's rows must be
+    IDENTICAL to a single search_ivf_index call at the same k/n_probe
+    (same centroids, same probe order, same ranking contract), and
+    exclude_self drops exactly the query's own corpus row."""
+    from dbt_foundation_spark.operators.similarity import (
+        build_ivf_index,
+        knn_join_ivf,
+        search_ivf_index,
+    )
+    from dbt_foundation_spark.queries._util import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_knn")
+    build_ivf_index(emb, "vec_id", "embedding", path, n_lists=8)
+
+    qs = emb.orderBy("vec_id").limit(5)
+    got = (
+        knn_join_ivf(spark, path, qs, "vec_id", "embedding", k=4, n_probe=2)
+        .collect()
+    )
+    by_query: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], -r["cosine_sim"], r["corpus_id"])):
+        by_query.setdefault(r["query_id"], []).append(
+            (r["corpus_id"], round(r["cosine_sim"], 9))
+        )
+    assert set(by_query) == {r["vec_id"] for r in qs.collect()}
+    for qrow in qs.collect():
+        want = [
+            (r["vec_id"], round(r["cosine_sim"], 9))
+            for r in search_ivf_index(
+                spark, path, "vec_id", "embedding",
+                [float(x) for x in qrow["embedding"]], k=4, n_probe=2,
+            ).collect()
+        ]
+        assert by_query[qrow["vec_id"]] == want, qrow["vec_id"]
+
+    # exclude_self: the query's own row (sim 1.0 top hit above) is gone
+    excl = knn_join_ivf(
+        spark, path, qs, "vec_id", "embedding", k=4, n_probe=2,
+        exclude_self=True,
+    ).collect()
+    assert all(r["corpus_id"] != r["query_id"] for r in excl)
+    assert {r["query_id"] for r in excl} == set(by_query)
+
+    # salting is a pure parallelization knob: num_salts=1 is identical
+    one = knn_join_ivf(
+        spark, path, qs, "vec_id", "embedding", k=4, n_probe=2, num_salts=1
+    ).collect()
+    assert {
+        (r["query_id"], r["corpus_id"], round(r["cosine_sim"], 9)) for r in one
+    } == {
+        (r["query_id"], r["corpus_id"], round(r["cosine_sim"], 9)) for r in got
+    }
+
+    # prune=True lands as a STATIC PartitionFilters IN-list (verified
+    # necessary: DPP does not fire on this shape); prune=False scans
+    # every list but returns the identical row set
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        knn_join_ivf(
+            spark, path, qs, "vec_id", "embedding", k=4, n_probe=2
+        ).explain(mode="formatted")
+    assert re.search(
+        r"PartitionFilters: \[.*_ivf_list.*IN \(", buf.getvalue()
+    ), buf.getvalue()[:800]
+    unpruned = knn_join_ivf(
+        spark, path, qs, "vec_id", "embedding", k=4, n_probe=2, prune=False
+    ).collect()
+    assert {
+        (r["query_id"], r["corpus_id"], round(r["cosine_sim"], 9))
+        for r in unpruned
+    } == {
+        (r["query_id"], r["corpus_id"], round(r["cosine_sim"], 9)) for r in got
+    }

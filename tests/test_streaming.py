@@ -1113,3 +1113,102 @@ def test_streaming_metrics_match_batch(spark, sf_dir, staging):
     assert round(row["volume"], 4) == round(
         sum(v[0] for v in want.values()), 4
     )
+
+
+def test_ivf_ingest_stream_appends_exactly_once(spark, sf_dir, staging):
+    """run_ivf_ingest keeps a persisted ANN index fresh from a stream:
+    each micro-batch is assigned with the STORED centroids and appended
+    once. Restart with the same checkpoint reprocesses nothing; a
+    replayed batch id is short-circuited by the ingest_log marker; the
+    one remaining crash window (append committed, marker lost) is
+    healed by compact_index's exact-duplicate fold."""
+    import shutil
+    import time as _time
+
+    import pyspark.sql.types as T
+
+    from dbt_foundation_spark.operators.maintenance import compact_index
+    from dbt_foundation_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from dbt_foundation_spark.streaming.pipeline import (
+        _ivf_ingest_sink,
+        read_event_stream,
+        run_ivf_ingest,
+    )
+
+    root = staging["root"]
+    emb = t(spark, sf_dir, "embeddings").orderBy("vec_id")
+    rows = emb.limit(104).collect()
+    schema = "vec_id long, embedding array<float>"
+
+    def frame(pairs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in pairs], schema
+        )
+
+    corpus = frame([(r["vec_id"], r["embedding"]) for r in rows[:100]])
+    idx = str(root / "ivf_stream_idx")
+    stream_dir = root / "ivf_stream"
+    ckpt = _ckpt(staging)
+    build_ivf_index(corpus, "vec_id", "embedding", idx, n_lists=4)
+
+    def lists_count():
+        return spark.read.parquet(f"{idx}/lists").count()
+
+    def log_ids():
+        return sorted(
+            r["batch_id"]
+            for r in spark.read.parquet(f"{idx}/ingest_log").collect()
+        )
+
+    def ingest():
+        run_ivf_ingest(
+            read_event_stream(
+                spark, str(stream_dir),
+                schema=T._parse_datatype_string(schema),
+                max_files_per_trigger=1,
+            ),
+            "vec_id", "embedding", idx, ckpt,
+        )
+
+    # run 1: two files -> two batches, both appended and logged
+    frame([(10_000, rows[100]["embedding"]), (10_001, rows[101]["embedding"])]
+          ).coalesce(1).write.mode("append").parquet(str(stream_dir))
+    _time.sleep(1.05)
+    frame([(10_100, rows[102]["embedding"])]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(stream_dir))
+    ingest()
+    assert lists_count() == 103
+    assert len(log_ids()) == 2
+
+    # a streamed vector is immediately searchable at n_probe=1
+    got = search_ivf_index(
+        spark, idx, "vec_id", "embedding",
+        [float(x) for x in rows[100]["embedding"]], k=2, n_probe=1,
+    ).collect()
+    assert got[0]["vec_id"] == 10_000 and got[0]["cosine_sim"] > 0.9999
+
+    # restart, nothing new: checkpoint replays nothing
+    ingest()
+    assert lists_count() == 103 and len(log_ids()) == 2
+
+    # epoch replay (crash after marker): same batch id is a no-op
+    sink = _ivf_ingest_sink(idx, "vec_id", "embedding")
+    replay = frame([(10_200, rows[103]["embedding"])])
+    sink(replay, 999)
+    sink(replay, 999)
+    assert lists_count() == 104 and 999 in log_ids()
+
+    # crash WINDOW (append landed, marker lost, batch replayed raw):
+    # exact-duplicate rows appear — compact_index folds them away
+    append_to_ivf_index(replay, "vec_id", "embedding", idx)
+    assert lists_count() == 105
+    stats = compact_index(spark, idx)
+    assert set(stats) == {"lists", "centroids", "ingest_log"}
+    assert lists_count() == 104
+    for p in ("ivf_stream_idx", "ivf_stream"):
+        shutil.rmtree(root / p, ignore_errors=True)
