@@ -243,6 +243,22 @@ def ivf_assignments(
     return _ivf_assign(df, vec_col, centroids), centroids
 
 
+def _sqdist(v, centroid: list[float]):
+    """Squared distance between a vector COLUMN and a literal centroid
+    — the single distance expression every IVF path (fit assignment,
+    append, batch probe ranking) builds from, so the quantizer
+    geometry cannot drift between them."""
+    return F.aggregate(
+        F.zip_with(
+            v,
+            F.array(*[F.lit(x) for x in centroid]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
 def _ivf_assign(
     df: DataFrame, vec_col: str, centroids: list[list[float]]
 ) -> DataFrame:
@@ -253,20 +269,7 @@ def _ivf_assign(
     and :func:`append_to_ivf_index`, which must assign new batches
     with the INDEX's centroids, never a refit."""
     v = F.col(vec_col).cast("array<double>")
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(x) for x in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, z: acc + z,
-            )
-            for c in centroids
-        ]
-    )
+    dists = F.array(*[_sqdist(v, c) for c in centroids])
     # argmin = position of the min element (ties -> first, like numpy)
     return df.withColumn(
         "_ivf_list", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
@@ -443,10 +446,9 @@ def knn_join(
     Scale shape (100 TB corpus, thousands of queries): the query side is
     BROADCAST (nested-loop against each corpus partition — the scan
     stays partition-parallel, no corpus shuffle), then top-k is taken in
-    TWO phases so no single reducer ever sees a whole query's candidate
-    list: phase 1 ranks within (query, salt=corpus_id % num_salts)
-    groups, keeping k rows per group; phase 2 ranks the surviving
-    k*num_salts rows per query. Salting by the corpus id is
+    TWO phases (:func:`_two_phase_topk`, shared with
+    :func:`knn_join_ivf`) so no single reducer ever sees a whole
+    query's candidate list. Salting by a hash of the corpus id is
     deterministic — results are identical for any num_salts >= 1.
     """
     if k < 1:
@@ -464,18 +466,7 @@ def knn_join(
         F.col(corpus_id).alias("corpus_id"),
         V.cosine(F.col(corpus_vec), F.col("_qv")).alias("cosine_sim"),
     )
-    order = [F.desc("cosine_sim"), F.col("corpus_id")]
-    partial = Window.partitionBy(
-        "query_id", F.pmod(F.col("corpus_id").cast("bigint"), F.lit(num_salts))
-    ).orderBy(*order)
-    final = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        sims.withColumn("_r", F.row_number().over(partial))
-        .filter(F.col("_r") <= k)
-        .withColumn("_r", F.row_number().over(final))
-        .filter(F.col("_r") <= k)
-        .drop("_r")
-    )
+    return _two_phase_topk(sims, k, num_salts)
 
 
 def build_ivf_index(
@@ -529,6 +520,101 @@ def build_ivf_index(
     return centroids
 
 
+def _load_ivf(spark: SparkSession, path: str):
+    """(centroids in list_id order, dim, manifest) for a persisted IVF
+    index, with the manifest flavor validated — the single load path
+    for append/search/batch-search, so loaders cannot diverge."""
+    from dbt_foundation_spark.operators.dedup_index import (
+        _read_manifest,
+        _validate_params,
+    )
+
+    mft = _read_manifest(spark, path)
+    _validate_params(path, mft, {"flavor": "ivf"})
+    cents = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["list_id"],
+    )
+    centroids = [[float(x) for x in r["centroid"]] for r in cents]
+    dim = int((mft or {}).get("dim") or len(centroids[0]))
+    return centroids, dim, mft
+
+
+def _dim_guarded(df: DataFrame, vec_col: str, dim: int, context: str) -> DataFrame:
+    """Replace ``vec_col`` with a copy that raises on a wrong-length or
+    NULL vector. Without this, ``zip_with`` NULL-pads the short side,
+    every centroid distance goes NULL, and the row is silently
+    mis-assigned / mis-ranked. The guard is woven INSIDE the vector
+    column via when/raise_error — a never-referenced ``assert_true``
+    side column would be column-pruned out of the plan and the check
+    silently skipped."""
+    v = F.col(vec_col)
+    return df.withColumn(
+        vec_col,
+        F.when(F.size(v) == F.lit(dim), v).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{context}: index built for dim={dim}, row has "),
+                    F.coalesce(F.size(v).cast("string"), F.lit("NULL")),
+                )
+            )
+        ),
+    )
+
+
+def _check_batch_schema(
+    df: DataFrame, id_col: str, vec_col: str, stored_schema
+) -> None:
+    """Refuse a batch whose id/vector column names or types differ from
+    the persisted lists dataset. Parquet would happily append the
+    mismatched files, after which the merged dataset's resolved schema
+    depends on WHICH footer Spark samples — the appended rows read as
+    all-NULL or the whole index stops resolving, and a later
+    ``compact_index`` bakes the damage in. Nullability is ignored
+    (``simpleString`` comparison): it varies by writer, not by data."""
+    stored_id, stored_vec = [
+        f for f in stored_schema.fields if f.name != "_ivf_list"
+    ]
+    if (id_col, vec_col) != (stored_id.name, stored_vec.name):
+        raise ValueError(
+            f"index stores columns ({stored_id.name!r}, {stored_vec.name!r}) "
+            f"but the batch was addressed as ({id_col!r}, {vec_col!r}) — "
+            "rename the batch columns; appending under different names "
+            "would corrupt the dataset's resolved schema"
+        )
+    batch = {f.name: f for f in df.schema.fields}
+    for name, stored_field in ((id_col, stored_id), (vec_col, stored_vec)):
+        got = batch[name].dataType.simpleString()
+        want = stored_field.dataType.simpleString()
+        if got != want:
+            raise ValueError(
+                f"batch column {name!r} is {got} but the index stores "
+                f"{want} — cast the batch before appending"
+            )
+
+
+def _append_assigned(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    centroids: list[list[float]],
+    dim: int,
+) -> None:
+    """Assignment + append with pre-loaded quantizer state — the core
+    :func:`append_to_ivf_index` and the streaming ingest sink share
+    (the sink loads centroids/schema ONCE, not per micro-batch)."""
+    checked = _dim_guarded(df, vec_col, dim, f"IVF index {path}")
+    (
+        _ivf_assign(checked, vec_col, centroids)
+        .select(id_col, vec_col, "_ivf_list")
+        .repartition("_ivf_list")
+        .write.mode("append")
+        .partitionBy("_ivf_list")
+        .parquet(f"{path}/lists")
+    )
+
+
 def append_to_ivf_index(
     df: DataFrame, id_col: str, vec_col: str, path: str
 ) -> None:
@@ -544,55 +630,20 @@ def append_to_ivf_index(
     back to target size per list. Appending never moves old rows, so
     :func:`search_ivf_index`'s partition-pruning contract is unchanged.
 
-    Drift guard: a batch whose vectors don't match the index ``dim``
-    would silently mis-assign (``zip_with`` pads the short side with
-    NULLs), so the assignment plan carries an ``assert_true`` on the
-    vector length — a wrong-dim row fails the job instead of landing in
-    the wrong list. K-means quality degrades if the data distribution
-    shifts far from the build sample; re-run :func:`build_ivf_index`
-    on that signal (list-size skew via
-    :func:`embedding_bucket_profile`-style counts), not per ingest."""
-    from dbt_foundation_spark.operators.dedup_index import (
-        _read_manifest,
-        _validate_params,
-    )
-
+    Guards: a wrong-length or NULL vector fails the job instead of
+    NULL-padding into the wrong list (:func:`_dim_guarded`, a
+    when/raise_error woven into the vector column), and a batch whose
+    column names/types differ from the stored lists schema is refused
+    before any file lands (:func:`_check_batch_schema`). K-means
+    quality degrades if the data distribution shifts far from the
+    build sample; re-run :func:`build_ivf_index` on that signal
+    (:func:`ivf_list_profile` skew), not per ingest."""
     spark = df.sparkSession
-    mft = _read_manifest(spark, path)
-    _validate_params(path, mft, {"flavor": "ivf"})
-    cents = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: r["list_id"],
+    centroids, dim, _ = _load_ivf(spark, path)
+    _check_batch_schema(
+        df, id_col, vec_col, spark.read.parquet(f"{path}/lists").schema
     )
-    centroids = [[float(x) for x in r["centroid"]] for r in cents]
-    dim = (mft or {}).get("dim") or len(centroids[0])
-    # the guard rides INSIDE the vector column (when/raise_error), not
-    # as a side column — a never-referenced assert_true column would be
-    # column-pruned out of the plan and the check silently skipped
-    checked = df.withColumn(
-        vec_col,
-        F.when(F.size(F.col(vec_col)) == F.lit(int(dim)), F.col(vec_col)).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"IVF index {path} built for dim={int(dim)}, "
-                        "batch row has "
-                    ),
-                    F.coalesce(
-                        F.size(F.col(vec_col)).cast("string"), F.lit("NULL")
-                    ),
-                )
-            )
-        ),
-    )
-    (
-        _ivf_assign(checked, vec_col, centroids)
-        .select(id_col, vec_col, "_ivf_list")
-        .repartition("_ivf_list")
-        .write.mode("append")
-        .partitionBy("_ivf_list")
-        .parquet(f"{path}/lists")
-    )
+    _append_assigned(df, id_col, vec_col, path, centroids, dim)
 
 
 def ivf_list_profile(spark: SparkSession, path: str) -> DataFrame:
@@ -659,47 +710,29 @@ def knn_join_ivf(
     list.
 
     ``exclude_self`` drops corpus rows whose id equals the query's
-    (queries drawn from the indexed corpus itself)."""
+    (queries drawn from the indexed corpus itself). Query vectors carry
+    the same wrong-dim/NULL raise guard as the append path — a
+    mis-sized query would otherwise probe meaningless lists and return
+    NULL similarities as "neighbors"."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if num_salts < 1:
         raise ValueError(f"num_salts must be >= 1, got {num_salts}")
-    from dbt_foundation_spark.operators.dedup_index import (
-        _read_manifest,
-        _validate_params,
-    )
-
-    mft = _read_manifest(spark, path)
-    _validate_params(path, mft, {"flavor": "ivf"})
-    cents = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: r["list_id"],
-    )
-    centroids = [[float(x) for x in r["centroid"]] for r in cents]
+    centroids, dim, _ = _load_ivf(spark, path)
     if not 1 <= n_probe <= len(centroids):
         raise ValueError(f"n_probe must be in [1, {len(centroids)}], got {n_probe}")
 
+    guarded = _dim_guarded(queries, query_vec, dim, f"IVF index {path} (query)")
     qv = F.col(query_vec).cast("array<double>")
     ranked = F.array_sort(
         F.array(
             *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            qv,
-                            F.array(*[F.lit(x) for x in c]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, z: acc + z,
-                    ).alias("d"),
-                    F.lit(i).alias("i"),
-                )
+                F.struct(_sqdist(qv, c).alias("d"), F.lit(i).alias("i"))
                 for i, c in enumerate(centroids)
             ]
         )
     )
-    probes = queries.select(
+    probes = guarded.select(
         F.col(query_id).alias("query_id"),
         # double-cast so the verify sim is bit-identical to
         # search_ivf_index's double-literal query vector
@@ -711,6 +744,12 @@ def knn_join_ivf(
     lists = spark.read.parquet(f"{path}/lists")
     corpus_id, corpus_vec = (c for c in lists.columns if c != "_ivf_list")
     if prune:
+        # pin the probe rows before the collect: the join below re-uses
+        # this SAME materialization, so (a) a nondeterministic queries
+        # plan (sample/limit/rand) cannot produce a filter that
+        # excludes lists the join then probes, and (b) the per-query
+        # centroid-ranking map stage runs once, not twice
+        probes = probes.localCheckpoint(eager=False)
         probe_ids = sorted(
             r["_ivf_list"]
             for r in probes.select("_ivf_list").distinct().collect()
@@ -724,6 +763,18 @@ def knn_join_ivf(
         F.col(corpus_id).alias("corpus_id"),
         V.cosine(F.col(corpus_vec), F.col("_qv")).alias("cosine_sim"),
     )
+    return _two_phase_topk(sims, k, num_salts)
+
+
+def _two_phase_topk(sims: DataFrame, k: int, num_salts: int) -> DataFrame:
+    """Per-query top-k over (query_id, corpus_id, cosine_sim) rows in
+    two phases so no single reducer materializes a whole query's
+    candidate list: phase 1 ranks within (query, salt=xxhash64(corpus
+    id) % num_salts) groups keeping k rows per group, phase 2 ranks the
+    surviving k·num_salts rows per query. Salting is deterministic —
+    results are identical for any num_salts >= 1 (pinned in tests).
+    Shared by :func:`knn_join` and :func:`knn_join_ivf` so the ranking
+    contract (desc cosine, id tiebreak) cannot drift between them."""
     order = [F.desc("cosine_sim"), F.col("corpus_id")]
     partial = Window.partitionBy(
         "query_id", F.pmod(F.xxhash64(F.col("corpus_id")), F.lit(num_salts))
@@ -757,13 +808,18 @@ def search_ivf_index(
     pruned `PartitionFilters`, and the test pins that the scan touches
     n_probe/n_lists of the files. Same ranking contract as
     :func:`cosine_topk` (desc cosine, id tiebreak)."""
-    cents = spark.read.parquet(f"{path}/centroids").collect()
+    centroids, dim, _ = _load_ivf(spark, path)
+    if len(query_vec) != dim:
+        raise ValueError(
+            f"IVF index {path} built for dim={dim}, query has {len(query_vec)}"
+        )
 
     def l2(a, b):
         return sum((x - y) ** 2 for x, y in zip(a, b))
 
-    probes = sorted(cents, key=lambda r: l2(r["centroid"], query_vec))[:n_probe]
-    probe_ids = [int(r["list_id"]) for r in probes]
+    probe_ids = sorted(
+        range(len(centroids)), key=lambda i: l2(centroids[i], query_vec)
+    )[:n_probe]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     out = (
         spark.read.parquet(f"{path}/lists")

@@ -668,19 +668,40 @@ def run_dedup_ingest(
     q.awaitTermination()
 
 
-def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str):
+def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str, app_id: str):
     """foreachBatch body for :func:`run_ivf_ingest`, module-level so the
     replay-idempotence contract is directly testable: called twice with
-    the SAME batch id, the second call is a no-op (the first call's
-    marker under ``{index_path}/ingest_log`` short-circuits it)."""
+    the SAME (app_id, batch id), the second call is a no-op (the first
+    call's marker under ``{index_path}/ingest_log`` short-circuits it).
+
+    The marker key is ``(app_id, batch_id)``, not the bare batch id —
+    Structured Streaming numbers batches PER CHECKPOINT from 0, so a
+    second stream feeding the same index (or a relocated checkpoint)
+    would otherwise collide with old markers and silently drop its
+    batches (the Delta ``txnAppId``/``txnVersion`` pattern). The
+    quantizer state (centroids, dim, lists schema) is loaded ONCE on
+    the first batch — immutable under the no-refit contract — so the
+    steady-state per-batch cost is one pushed-down marker probe + a
+    map-only assignment."""
     from pyspark.errors import AnalysisException
 
-    from dbt_foundation_spark.operators.similarity import append_to_ivf_index
+    from dbt_foundation_spark.operators.similarity import (
+        _append_assigned,
+        _check_batch_schema,
+        _load_ivf,
+    )
 
     log_path = f"{index_path}/ingest_log"
+    state: dict = {}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if not state:
+            centroids, dim, _ = _load_ivf(spark, index_path)
+            state["centroids"], state["dim"] = centroids, dim
+            state["schema"] = spark.read.parquet(
+                f"{index_path}/lists"
+            ).schema
         try:
             # membership probe, not a whole-log collect: the predicate
             # pushes to the parquet footers, so a year of batch markers
@@ -688,7 +709,10 @@ def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str):
             # driver transfer
             seen = (
                 spark.read.parquet(log_path)
-                .filter(F.col("batch_id") == int(batch_id))
+                .filter(
+                    (F.col("app_id") == app_id)
+                    & (F.col("batch_id") == int(batch_id))
+                )
                 .limit(1)
                 .count()
                 > 0
@@ -697,9 +721,13 @@ def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str):
             seen = False
         if seen:
             return
-        append_to_ivf_index(batch_df, id_col, vec_col, index_path)
+        _check_batch_schema(batch_df, id_col, vec_col, state["schema"])
+        _append_assigned(
+            batch_df, id_col, vec_col, index_path,
+            state["centroids"], state["dim"],
+        )
         spark.createDataFrame(
-            [(int(batch_id),)], "batch_id long"
+            [(app_id, int(batch_id))], "app_id string, batch_id long"
         ).write.mode("append").parquet(log_path)
 
     return sink
@@ -712,12 +740,13 @@ def run_ivf_ingest(
     index_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    app_id: str | None = None,
 ) -> None:
     """Keep a persisted IVF ANN index fresh from a stream: each
     micro-batch is assigned with the index's STORED centroids and
     appended into the matching list partitions
-    (``operators.similarity.append_to_ivf_index``) — the streaming
-    flank of the index lifecycle (build → append per ingest →
+    (``operators.similarity.append_to_ivf_index``'s core) — the
+    streaming flank of the index lifecycle (build → append per ingest →
     ``compact_index`` → ``search_ivf_index`` / ``knn_join_ivf``),
     mirroring what :func:`run_dedup_ingest` is for the dedup indexes.
 
@@ -726,17 +755,26 @@ def run_ivf_ingest(
     batch whose epoch never committed). Unlike the dedup ingest —
     where a replayed batch is rejected by the admission gate itself —
     a bare IVF append is not self-cleaning, so the sink records each
-    appended batch id in a marker dataset (``{index_path}/ingest_log``,
-    one tiny row per batch) and skips ids already recorded. The
-    remaining window is a crash BETWEEN append and marker write: a
-    replay there appends byte-identical (id, vector) rows again, which
-    inflates those lists' candidate counts but cannot change which
-    vectors exist or their assignments; ``compact_index`` drops such
-    exact-duplicate rows at the next maintenance window, restoring
-    exactly-once state. The per-batch cost is one tiny log read + a
-    map-only assignment — the corpus lists are never read."""
+    appended batch under ``{index_path}/ingest_log`` keyed by
+    ``(app_id, batch_id)`` — ``app_id`` defaults to the checkpoint
+    path, giving each stream its own marker namespace (batch ids are
+    per-checkpoint, so a bare-id key would make a SECOND stream into
+    the same index collide with old markers and silently drop its
+    batches). The remaining window is a crash BETWEEN append and
+    marker write: a replay there appends byte-identical (id, vector)
+    rows again, which inflates those lists' candidate counts but
+    cannot change which vectors exist or their assignments;
+    ``compact_index`` drops such exact-duplicate rows at the next
+    maintenance window, restoring exactly-once state — the same fold
+    heals the bigger operational mistake of re-playing a whole source
+    into the index under a FRESH checkpoint. The per-batch cost is one
+    pushed-down marker probe + a map-only assignment (quantizer state
+    loads once) — the corpus lists are never read."""
     writer = stream_vecs.writeStream.foreachBatch(
-        _ivf_ingest_sink(index_path, id_col, vec_col)
+        _ivf_ingest_sink(
+            index_path, id_col, vec_col,
+            checkpoint_dir if app_id is None else app_id,
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -1344,6 +1344,25 @@ def test_ivf_index_append_ingest(spark, sf_dir, tmp_path):
     with pytest.raises(Exception, match="dim="):
         append_to_ivf_index(short, "vec_id", "embedding", path)
 
+    # schema guard: renamed or retyped batch columns are refused BEFORE
+    # any file lands (mixed-schema parquet resolves nondeterministically)
+    renamed = batch.withColumnRenamed("vec_id", "id")
+    with pytest.raises(ValueError, match="stores columns"):
+        append_to_ivf_index(renamed, "id", "embedding", path)
+    doubled = batch.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    with pytest.raises(ValueError, match="array<float>"):
+        append_to_ivf_index(doubled, "vec_id", "embedding", path)
+
+    # a wrong-dim QUERY batch raises too (same failure mode on read)
+    from dbt_foundation_spark.operators.similarity import knn_join_ivf
+
+    with pytest.raises(Exception, match="dim="):
+        knn_join_ivf(
+            spark, path, short, "vec_id", "embedding", k=2, n_probe=1
+        ).collect()
+
 
 def test_compact_index_ivf_flavor(spark, sf_dir, tmp_path):
     """compact_index on the IVF flavor folds per-ingest micro-files

@@ -1196,19 +1196,26 @@ def test_ivf_ingest_stream_appends_exactly_once(spark, sf_dir, staging):
     ingest()
     assert lists_count() == 103 and len(log_ids()) == 2
 
-    # epoch replay (crash after marker): same batch id is a no-op
-    sink = _ivf_ingest_sink(idx, "vec_id", "embedding")
+    # epoch replay (crash after marker): same (app, batch id) is a no-op
+    sink = _ivf_ingest_sink(idx, "vec_id", "embedding", app_id="manual")
     replay = frame([(10_200, rows[103]["embedding"])])
     sink(replay, 999)
     sink(replay, 999)
     assert lists_count() == 104 and 999 in log_ids()
 
+    # markers are per-app: a SECOND stream whose batch numbering collides
+    # with an existing marker still appends (bare-batch-id keying would
+    # silently drop every batch of the second stream)
+    other = _ivf_ingest_sink(idx, "vec_id", "embedding", app_id="other")
+    other(frame([(10_300, rows[103]["embedding"])]), 999)
+    assert lists_count() == 105
+
     # crash WINDOW (append landed, marker lost, batch replayed raw):
     # exact-duplicate rows appear — compact_index folds them away
     append_to_ivf_index(replay, "vec_id", "embedding", idx)
-    assert lists_count() == 105
+    assert lists_count() == 106
     stats = compact_index(spark, idx)
     assert set(stats) == {"lists", "centroids", "ingest_log"}
-    assert lists_count() == 104
+    assert lists_count() == 105
     for p in ("ivf_stream_idx", "ivf_stream"):
         shutil.rmtree(root / p, ignore_errors=True)
