@@ -113,8 +113,18 @@ def run_curation_example(spark, sf_dir: str, workdir: str) -> dict:
     )
 
     # --- similarity: persisted IVF index, partition-pruned ANN query --
+    # full lifecycle: build on the corpus slice, APPEND the daily batch
+    # with the stored centroids, batch-query it, compact the ingest's
+    # micro-files back per list
+    from dbt_foundation_spark.operators.maintenance import compact_index
+    from dbt_foundation_spark.operators.similarity import (
+        append_to_ivf_index,
+        knn_join_ivf,
+    )
+
     ivf = str(Path(workdir) / "ivf_index")
-    build_ivf_index(emb, "vec_id", "embedding", ivf, n_lists=8)
+    build_ivf_index(emb_corpus, "vec_id", "embedding", ivf, n_lists=8)
+    append_to_ivf_index(emb_batch, "vec_id", "embedding", ivf)
     qv = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
@@ -123,6 +133,17 @@ def run_curation_example(spark, sf_dir: str, workdir: str) -> dict:
         spark, ivf, "vec_id", "embedding", qv, k=5, n_probe=3, exclude_id=0
     ).collect()
     out["ann_top5"] = [int(r["vec_id"]) for r in hits]
+    # every appended vector answers for itself in one batched job
+    knn = knn_join_ivf(
+        spark, ivf, emb_batch.limit(20), "vec_id", "embedding",
+        k=1, n_probe=2,
+    )
+    out["batch_self_hits"] = knn.filter(
+        F.col("query_id") == F.col("corpus_id")
+    ).count()
+    out["ivf_files_after_compact"] = compact_index(spark, ivf)["lists"][
+        "after"
+    ]["n_files"]
     return out
 
 
@@ -137,6 +158,10 @@ def main() -> None:
         print(f"semantic near-dups in batch (embedding index): {out['semantic_dupes']}")
         print(f"curated corpus: {out['curated']} docs -> {out['shard_dirs']}")
         print(f"ANN top-5 for vec 0: {out['ann_top5']}")
+        print(
+            f"batch ANN self-hits: {out['batch_self_hits']}/20; "
+            f"lists files after compact: {out['ivf_files_after_compact']}"
+        )
 
 
 if __name__ == "__main__":

@@ -19,6 +19,10 @@ def test_curation_example_end_to_end(spark, sf_dir, tmp_path):
     assert out["shard_dirs"] == ["shard=0", "shard=1", "shard=2", "shard=3"]
     assert len(out["ann_top5"]) == 5 and 0 not in out["ann_top5"]
     assert out["semantic_dupes"] > 0  # the synthetic corpus plants near-dups
+    # every appended vector self-retrieves through the batched ANN, and
+    # compaction folds the ingest's micro-files to ~1 per list
+    assert out["batch_self_hits"] == 20
+    assert out["ivf_files_after_compact"] <= 8
 
 
 def test_example_pipeline_end_to_end(spark, sf_dir):
