@@ -221,3 +221,51 @@ def test_empty_events_through_windows_and_metrics(spark):
     # grand total over empty frame: one row, NULL metric (SQL semantics)
     row = sl.query(["vol"]).collect()[0]
     assert row["vol"] is None
+
+
+def test_ivf_index_degenerate(spark, empty_vecs, one_vec, tmp_path):
+    """IVF day-0: unlike the LSH flavors a coarse quantizer cannot be
+    fitted on nothing — empty build raises the named sample error
+    (bootstrap with the first real corpus slice instead). After a
+    minimal build: empty appends are no-ops, an empty query batch
+    returns an empty frame with the contract schema, over-asked k
+    returns what exists, and a fresh append self-retrieves."""
+    from dbt_foundation_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        knn_join_ivf,
+        search_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf0")
+    with pytest.raises(ValueError, match="sample vectors"):
+        build_ivf_index(empty_vecs, "vec_id", "embedding", path, n_lists=2)
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(10, 18)],
+        "vec_id bigint, embedding array<float>",
+    )
+    build_ivf_index(tiny, "vec_id", "embedding", path, n_lists=2)
+
+    append_to_ivf_index(empty_vecs, "vec_id", "embedding", path)
+    assert spark.read.parquet(f"{path}/lists").count() == 8
+
+    empty_knn = knn_join_ivf(
+        spark, path, empty_vecs, "vec_id", "embedding", k=3, n_probe=1
+    )
+    assert empty_knn.columns == ["query_id", "corpus_id", "cosine_sim"]
+    assert empty_knn.count() == 0
+
+    # k far beyond the probed lists returns what exists, ranked
+    got = search_ivf_index(
+        spark, path, "vec_id", "embedding", [11.0, 1.0, 0.0, 0.0],
+        k=100, n_probe=2,
+    ).collect()
+    assert len(got) == 8 and got[0]["vec_id"] == 11
+
+    append_to_ivf_index(one_vec, "vec_id", "embedding", path)
+    top = search_ivf_index(
+        spark, path, "vec_id", "embedding", [1.0, 0.0, 0.0, 0.0],
+        k=1, n_probe=2,
+    ).first()
+    assert top["vec_id"] == 1 and top["cosine_sim"] > 0.9999
