@@ -199,9 +199,17 @@ def list_orphaned_objects(
 _THREE_PART = re.compile(r"\b\w+\.\w+\.\w+\b")
 
 
-def lint(project) -> list[str]:
+def lint(project, scale: bool = False) -> list[str]:
     """Static checks: plan-only compile of every model (dbt-parse), no
-    trailing semicolon, no hard-coded 3-part names in SQL models."""
+    trailing semicolon, no hard-coded 3-part names in SQL models.
+    ``scale=True`` additionally runs :func:`plans.inspect.scale_findings`
+    over each model's physical plan — rejecting cartesian products,
+    row-at-a-time Python UDFs, and single-partition global windows at
+    lint time, before anything executes (the check Snowflake-side dbt
+    cannot offer: the reference only sees cost after the fact through
+    query tags)."""
+    from .plans.inspect import scale_findings
+
     problems: list[str] = []
     for node in project.manifest.models():
         if node.sql is not None:
@@ -216,6 +224,10 @@ def lint(project) -> list[str]:
             _ = df.schema  # analysis only — no job
         except Exception as e:  # noqa: BLE001
             problems.append(f"{node.name}: does not compile: {e}")
+            continue
+        if scale:
+            # explain() is planning-only — still no job launched.
+            problems.extend(f"{node.name}: {f}" for f in scale_findings(df))
     return problems
 
 

@@ -6,8 +6,14 @@ Spark the plan is inspectable before running a single task, so the
 engine treats plan shape as a testable contract: filters reached the
 parquet scan, the scan's ReadSchema is pruned to the projection, small
 dimensions broadcast, and the shuffle count is what the operator
-promised. tests/test_plans.py pins these for the headline queries —
+promised. tests/test_scale_ops.py pins these for the headline queries —
 that is the 100 TB insurance the small-SF correctness runs can't give.
+
+:func:`scale_findings` / :func:`assert_scale_safe` turn the same
+introspection into a pre-execution gate: reject the plan shapes that
+run fine at sf0.1 and melt at 100 TB (cartesian products, row-at-a-time
+Python UDFs, windows/sorts funneled through one partition) before a
+single task launches.
 """
 
 from __future__ import annotations
@@ -100,6 +106,124 @@ def python_eval_count(df: DataFrame) -> int:
     """Row-at-a-time Python UDF evaluations in the plan (should be 0 in
     every hot path; Arrow ops show as ArrowEvalPython/MapInPandas)."""
     return len(re.findall(r"BatchEvalPython", explain_text(df)))
+
+
+def _physical_tree(df: DataFrame) -> list[tuple[int, str, str]]:
+    """Parse simple-mode explain into ``(depth, node_name, node_line)``
+    triples. Depth comes from the tree-drawing prefix (each level adds a
+    3-character ``+- `` / ``:- `` / padding segment), so a node's parent
+    is the nearest preceding entry with a smaller depth. Under AQE the
+    pre-execution tree is the *initial* plan — exactly the thing a gate
+    should judge, since it is what Spark commits to before runtime
+    statistics exist."""
+    nodes: list[tuple[int, str, str]] = []
+    for ln in explain_text(df, "simple").splitlines():
+        if not ln.strip() or ln.startswith("=="):
+            continue
+        m = re.match(r"^([\s:+|-]*)(\S.*)$", ln)
+        if m is None:
+            continue
+        prefix, body = m.group(1), m.group(2)
+        body = re.sub(r"^\*\(\d+\)\s*", "", body)  # codegen star marker
+        name_m = re.match(r"[A-Za-z]\w*", body)
+        if name_m is None:
+            continue
+        nodes.append((len(prefix) // 3, name_m.group(0), body))
+    return nodes
+
+
+#: Nodes that stream their whole input through the one post-``Exchange
+#: SinglePartition`` task. A final HashAggregate is NOT here: a global
+#: agg's single partition receives one pre-aggregated row per upstream
+#: task (map-side combine), which is bounded by task count, not data.
+_SINGLE_PARTITION_SINKS = frozenset(
+    {"Sort", "Window", "WindowGroupLimit", "WindowInPandas", "RunningWindowFunction"}
+)
+
+
+def scale_findings(df: DataFrame, max_shuffles: int | None = None) -> list[str]:
+    """Plan shapes that survive a local test and die at 100 TB, as
+    human-readable findings (empty list = scale-safe).
+
+    Checked, in the order a reviewer would triage them:
+
+    - **CartesianProduct** — an all-pairs join of two unbounded sides
+      (|L|x|R| rows). ``BroadcastNestedLoopJoin`` is deliberately NOT
+      flagged: it only appears when one side fit the broadcast
+      threshold, i.e. is bounded.
+    - **BatchEvalPython** — a row-at-a-time Python UDF in the plan;
+      10-100x slower than the Arrow path and serializes every row
+      through the Python worker. (Arrow ops show as ArrowEvalPython /
+      MapInPandas and are allowed.)
+    - **Exchange SinglePartition feeding a Sort/Window** — every input
+      row funnels through ONE task (an unpartitioned ``Window.orderBy``
+      or ``repartition(1).sortWithinPartitions``). A global aggregate's
+      SinglePartition exchange is allowed — see
+      ``_SINGLE_PARTITION_SINKS``.
+    - **Coalesce 1** — single-file output forces the final stage
+      serial; use a keyed ``repartition`` (cf. ``packing.export_shards``)
+      when file count matters.
+    - **shuffle budget** (opt-in via ``max_shuffles``) — CI pin for "this
+      operator promised N exchanges"; catches a silent extra shuffle
+      from a refactor.
+    """
+    nodes = _physical_tree(df)
+    findings: list[str] = []
+    for i, (depth, name, body) in enumerate(nodes):
+        if name == "CartesianProduct":
+            findings.append(
+                "CartesianProduct: all-pairs join of two unbounded sides — "
+                "add an equi/band key or broadcast a bounded side"
+            )
+        elif name == "BatchEvalPython":
+            findings.append(
+                "BatchEvalPython: row-at-a-time Python UDF — rewrite with "
+                "built-in Column expressions or an Arrow pandas_udf"
+            )
+        elif name == "Exchange" and "SinglePartition" in body:
+            parent = next(
+                (n for d, n, _ in reversed(nodes[:i]) if d < depth), None
+            )
+            if parent in _SINGLE_PARTITION_SINKS:
+                findings.append(
+                    f"Exchange SinglePartition under {parent}: the whole "
+                    "input streams through one task — give the window/sort "
+                    "a partition key (or a two-phase rank, cf. "
+                    "packing.serpentine_shards)"
+                )
+        elif name == "Coalesce" and re.match(r"Coalesce 1\b", body):
+            findings.append(
+                "Coalesce 1: final stage collapses to one task — "
+                "repartition by a key with a bounded group count instead"
+            )
+    if max_shuffles is not None:
+        shuffles = sum(1 for _, n, _ in nodes if n == "Exchange")
+        if shuffles > max_shuffles:
+            findings.append(
+                f"shuffle budget exceeded: {shuffles} exchanges in the plan, "
+                f"operator promised <= {max_shuffles}"
+            )
+    return findings
+
+
+class PlanScaleError(RuntimeError):
+    """A plan failed :func:`assert_scale_safe`; ``.findings`` holds the
+    individual violations."""
+
+    def __init__(self, findings: list[str]):
+        self.findings = findings
+        super().__init__(
+            "plan is not scale-safe:\n" + "\n".join(f"  - {f}" for f in findings)
+        )
+
+
+def assert_scale_safe(df: DataFrame, max_shuffles: int | None = None) -> None:
+    """Raise :class:`PlanScaleError` if :func:`scale_findings` is
+    non-empty — the CI gate form (``lint(project, scale=True)`` runs it
+    across a whole project's models)."""
+    findings = scale_findings(df, max_shuffles=max_shuffles)
+    if findings:
+        raise PlanScaleError(findings)
 
 
 def plan_summary(df: DataFrame) -> dict:

@@ -19,7 +19,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pyspark.sql import functions as F
 
 from dbt_foundation_spark.evaluator import evaluate
-from dbt_foundation_spark.ops import default_registry
+from dbt_foundation_spark.ops import default_registry, lint
 from dbt_foundation_spark.project import Project, Target
 from dbt_foundation_spark.sources.registry import testdata_sources
 from dbt_foundation_spark.testing import not_null, relationships, run_tests
@@ -227,6 +227,10 @@ def main() -> None:  # pragma: no cover - direct invocation path
               f"aov={row['aov']:.2f}")
     for f in evaluate(project):
         print(f"lint: {f}")
+    # physical-plan scale gate: planning-only, rejects cartesian/row-UDF/
+    # single-partition shapes before anything would run at cluster scale
+    for p in lint(project, scale=True):
+        print(f"plan-lint: {p}")
     default_registry().run("list_orphaned_objects", project)
     # docs artifacts: manifest.json + catalog.json
     with tempfile.TemporaryDirectory() as td:

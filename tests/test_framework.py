@@ -1479,3 +1479,29 @@ def test_export_shards_files_per_shard(spark, tmp_path):
         # (r4 ADVICE: a shard-constant salt silently produced 1 file)
         assert 2 <= len(files) <= 3
     assert spark.read.parquet(out).count() == 100
+
+
+def test_lint_scale_gate(project, spark):
+    """lint(scale=True) runs the physical-plan scale guard over every
+    model at planning time: a row-at-a-time Python UDF is reported
+    against its model name, clean models stay silent, and nothing
+    executes (the guard only explains)."""
+    @project.model()
+    def fine_model(ctx):
+        return (
+            spark.range(10)
+            .groupBy((F.col("id") % 2).alias("k"))
+            .count()
+        )
+
+    plus_one = F.udf(lambda x: x + 1, "bigint")
+
+    @project.model()
+    def udf_model(ctx):
+        return spark.range(5).select(plus_one("id").alias("y"))
+
+    problems = lint(project, scale=True)
+    assert any("udf_model" in p and "BatchEvalPython" in p for p in problems)
+    assert not any("fine_model" in p for p in problems)
+    # default lint stays plan-compile-only — no scale findings
+    assert not any("BatchEvalPython" in p for p in lint(project))

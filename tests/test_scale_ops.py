@@ -1501,3 +1501,96 @@ def test_knn_join_ivf_matches_single_search(spark, sf_dir, tmp_path):
     } == {
         (r["query_id"], r["corpus_id"], round(r["cosine_sim"], 9)) for r in got
     }
+
+
+def test_scale_guard_passes_healthy_plans(spark, sf_dir):
+    """scale_findings stays silent on the plan shapes the engine
+    actually emits: keyed aggregation, a global aggregate (its
+    SinglePartition exchange receives one map-side-combined row per
+    task, bounded by task count), and ORDER BY (range partitioning,
+    never a single-partition funnel)."""
+    from dbt_foundation_spark.plans.inspect import scale_findings
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    grouped = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    assert scale_findings(grouped) == []
+    assert scale_findings(li.agg(F.sum("l_quantity").alias("q"))) == []
+    assert scale_findings(grouped.orderBy("l_returnflag")) == []
+
+
+def test_scale_guard_flags_global_window(spark, sf_dir):
+    """An unpartitioned Window.orderBy funnels every row through one
+    task; the same window with a partition key is clean."""
+    from pyspark.sql import Window
+
+    from dbt_foundation_spark.plans.inspect import scale_findings
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    bad = li.withColumn("r", F.row_number().over(Window.orderBy("l_orderkey")))
+    assert any("SinglePartition" in f for f in scale_findings(bad))
+    good = li.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("l_orderkey")
+        ),
+    )
+    assert scale_findings(good) == []
+    # repartition(1) + sortWithinPartitions is the same funnel spelled
+    # differently — the parent Sort sees a SinglePartition child.
+    sneaky = li.repartition(1).sortWithinPartitions("l_orderkey")
+    assert any("SinglePartition" in f for f in scale_findings(sneaky))
+    # coalesce(1) collapses the final stage to one task.
+    assert any("Coalesce 1" in f for f in scale_findings(li.coalesce(1)))
+
+
+def test_scale_guard_flags_cartesian_and_row_udf(spark):
+    """CartesianProduct (all-pairs, both sides unbounded) and
+    BatchEvalPython (row-at-a-time Python) are the two instant
+    scale-killers; BroadcastNestedLoopJoin stays allowed because it
+    only exists when one side proved bounded."""
+    from dbt_foundation_spark.plans.inspect import scale_findings
+
+    a = spark.range(1000).withColumnRenamed("id", "a")
+    b = spark.range(1000).withColumnRenamed("id", "b")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert any(
+            f.startswith("CartesianProduct") for f in scale_findings(a.crossJoin(b))
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # with the engine's 64 MB threshold the same cross join broadcasts
+    # the bounded side — allowed by design
+    assert scale_findings(a.crossJoin(b)) == []
+
+    plus_one = F.udf(lambda x: x + 1, "bigint")
+    bad = spark.range(10).select(plus_one("id").alias("y"))
+    assert any("BatchEvalPython" in f for f in scale_findings(bad))
+
+
+def test_scale_guard_budget_and_raise(spark, sf_dir):
+    """max_shuffles is the CI pin for an operator's promised exchange
+    count; assert_scale_safe raises with every finding listed."""
+    from pyspark.sql import Window
+
+    from dbt_foundation_spark.plans.inspect import (
+        PlanScaleError,
+        assert_scale_safe,
+        scale_findings,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    grouped = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    assert_scale_safe(grouped)  # healthy plan: no raise
+    assert_scale_safe(grouped, max_shuffles=1)
+    assert any(
+        "shuffle budget" in f for f in scale_findings(grouped, max_shuffles=0)
+    )
+    bad = li.withColumn("r", F.row_number().over(Window.orderBy("l_quantity")))
+    with pytest.raises(PlanScaleError) as ei:
+        assert_scale_safe(bad)
+    assert "SinglePartition" in str(ei.value)
+    assert ei.value.findings
