@@ -1594,3 +1594,22 @@ def test_scale_guard_budget_and_raise(spark, sf_dir):
         assert_scale_safe(bad)
     assert "SinglePartition" in str(ei.value)
     assert ei.value.findings
+
+
+def test_catalog_guard_whitelist_pinned(spark, sf_dir):
+    """The full-catalog guard audit (tools/gen_plans.py, PLANS.md) found
+    exactly 4 queries with findings — all single-partition windows over
+    inputs bounded by construction. Pin representatives of both sides so
+    the whitelist can't silently grow: headline queries stay clean, and
+    the bounded ones trip ONLY the SinglePartition check (anything else
+    appearing — a cartesian, a row UDF — still fails here)."""
+    from dbt_foundation_spark.plans.inspect import scale_findings
+    from dbt_foundation_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in ("q_pricing_summary", "q_join_inner", "q_cosine_topk"):
+        assert scale_findings(qs[name](spark, sf_dir)) == [], name
+    for name in ("q_shard_plan", "q_metrics_layer"):
+        fs = scale_findings(qs[name](spark, sf_dir))
+        assert fs, f"{name}: bounded-window shape changed — update PLANS.md"
+        assert all("SinglePartition" in f for f in fs), (name, fs)
