@@ -89,8 +89,17 @@ from dbt_foundation_spark.operators.dedup import (
 
 def _write_manifest(df: DataFrame, path: str, params: dict) -> None:
     """Record the index's build parameters as a one-row JSON dataset —
-    written through Spark so it lives next to the index on any store."""
-    df.sparkSession.createDataFrame([params]).coalesce(1).write.mode(
+    written through Spark so it lands next to the index on any store.
+
+    Called by every ``build_*`` (all five flavors, incl. the IVF index
+    in operators/similarity.py), so it is also where a REBUILD clears
+    the tombstone log: the new corpus is a fresh id space, and a stale
+    log would silently hide any recycled id (operators/tombstones.py)."""
+    from dbt_foundation_spark.operators.tombstones import clear_tombstones
+
+    spark = df.sparkSession
+    clear_tombstones(spark, path)
+    spark.createDataFrame([params]).coalesce(1).write.mode(
         "overwrite"
     ).json(f"{path}/manifest")
 
@@ -157,6 +166,19 @@ def _validate_params(
             )
         resolved[k] = b
     return resolved
+
+
+def _live(spark: SparkSession, path: str, sub: str) -> DataFrame:
+    """Read an index sub-dataset restricted to LIVE documents — the
+    stored rows minus the tombstone log (operators/tombstones.py).
+    Every stored dataset in the dedup flavors keys documents by ``id``,
+    so the subtraction is uniform; an index with no log gets the bare
+    scan back (no join in the plan)."""
+    from dbt_foundation_spark.operators.tombstones import subtract_tombstones
+
+    return subtract_tombstones(
+        spark, path, spark.read.parquet(f"{path}/{sub}"), "id"
+    )
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_len: int) -> DataFrame:
@@ -238,7 +260,7 @@ def dedup_against_index(
     )
     sig_new = minhash_signature(new_df, id_col, text_col, num_hashes, shingle_len, portable)
     banded_new = _band_buckets(sig_new, bands, num_hashes // bands, portable)
-    index_bands = spark.read.parquet(f"{path}/bands")
+    index_bands = _live(spark, path, "bands")
     cand = (
         banded_new.select("band", "bucket", F.col("_id").alias("new_id"))
         .join(
@@ -251,7 +273,7 @@ def dedup_against_index(
     sh_new = _shingle_sets(new_df, id_col, text_col, shingle_len).select(
         F.col("id").alias("new_id"), F.col("shingles").alias("sh_a")
     )
-    sh_corpus = spark.read.parquet(f"{path}/shingles").select(
+    sh_corpus = _live(spark, path, "shingles").select(
         F.col("id").alias("corpus_id"), F.col("shingles").alias("sh_b")
     )
     pairs = cand.join(sh_new, "new_id").join(sh_corpus, "corpus_id")
@@ -365,7 +387,7 @@ def dedup_against_simhash_index(
     new_chunks = _simhash_chunks(
         new_df, id_col, text_col, int(resolved["max_hamming"]), portable
     )
-    idx = spark.read.parquet(f"{path}/chunks")
+    idx = _live(spark, path, "chunks")
     return (
         new_chunks.select(
             "chunk", "ck", F.col("id").alias("new_id"), F.col("simhash").alias("sh_a")
@@ -479,8 +501,8 @@ def containment_against_index(
     )
     hs_new = hashed_shingle_sets(new_df, id_col, text_col, shingle_len)
     post_new, pref_new = containment_postings(hs_new, threshold)
-    idx_post = spark.read.parquet(f"{path}/postings")
-    idx_pref = spark.read.parquet(f"{path}/prefixes")
+    idx_post = _live(spark, path, "postings")
+    idx_pref = _live(spark, path, "prefixes")
     c1 = pref_new.select(F.col("id").alias("new_id"), "s").join(
         idx_post.select(F.col("id").alias("corpus_id"), "s"), "s"
     )
@@ -493,7 +515,7 @@ def containment_against_index(
         .dropDuplicates(["new_id", "corpus_id"])
     )
     sh_a = hs_new.select(F.col("id").alias("new_id"), F.col("hs").alias("sh_a"))
-    sh_b = spark.read.parquet(f"{path}/hashsets").select(
+    sh_b = _live(spark, path, "hashsets").select(
         F.col("id").alias("corpus_id"), F.col("hs").alias("sh_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -680,7 +702,7 @@ def dedup_against_embedding_index(
 
     planes = random_hyperplanes(dim, m, seed)
     banded_new = hyperplane_banded(new_df, id_col, vec_col, planes, bands, m // bands)
-    idx = spark.read.parquet(f"{path}/bands")
+    idx = _live(spark, path, "bands")
     cand = (
         banded_new.select("band", "bucket", F.col("_id").alias("new_id"))
         .join(
@@ -691,7 +713,7 @@ def dedup_against_embedding_index(
         .dropDuplicates(["new_id", "corpus_id"])
     )
     v_new = new_df.select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("_va"))
-    v_corpus = spark.read.parquet(f"{path}/vectors").select(
+    v_corpus = _live(spark, path, "vectors").select(
         F.col("id").alias("corpus_id"), F.col("vec").alias("_vb")
     )
     return (

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -216,6 +216,8 @@ def compact_parquet_path(
     zorder_by: tuple[str, ...] = (),
     partition_by: tuple[str, ...] = (),
     distinct_rows: bool = False,
+    minus_ids: DataFrame | None = None,
+    minus_col: str | None = None,
 ) -> dict:
     """Rewrite a path-based parquet dataset into ceil(total/target)
     files, preserving key clustering when ``cluster_by`` is given (the
@@ -262,6 +264,17 @@ def compact_parquet_path(
         # set-semantic datasets (e.g. the IVF lists): fold away
         # byte-identical rows left by a crash-window batch replay
         df = df.dropDuplicates()
+    if minus_ids is not None:
+        # tombstone fold (operators/tombstones.py): physically drop the
+        # retracted rows during the rewrite that was happening anyway —
+        # broadcast anti-join, the log is takedown-sized
+        if not minus_col:
+            raise ValueError("minus_ids requires minus_col")
+        df = df.join(
+            F.broadcast(minus_ids.toDF("__tomb_id").distinct()),
+            on=F.col(minus_col) == F.col("__tomb_id"),
+            how="left_anti",
+        )
     writer_partition: tuple[str, ...] = ()
     if zorder_by:
         from dbt_foundation_spark.operators.layout import zorder_repartition
@@ -314,12 +327,22 @@ def compact_index(
     WITHOUT losing the clustering the batch-vs-index join relies on.
     Flavor (and hence layout + cluster keys) comes from the index
     manifest; pre-manifest indexes must compact their datasets
-    individually via :func:`compact_parquet_path`."""
+    individually via :func:`compact_parquet_path`.
+
+    Compaction is also where tombstoned documents
+    (operators/tombstones.py: ``retract_from_index``) are PHYSICALLY
+    removed: each doc-keyed sub-dataset's rewrite anti-joins the log,
+    and the log is cleared once every sub-dataset holds live rows
+    only."""
     from dbt_foundation_spark.operators.dedup_index import (
         INDEX_DISTINCT_ON_COMPACT,
         INDEX_LAYOUT,
         INDEX_PARTITIONED,
         _read_manifest,
+    )
+    from dbt_foundation_spark.operators.tombstones import (
+        clear_tombstones,
+        read_tombstones,
     )
 
     mft = _read_manifest(spark, index_path)
@@ -333,6 +356,13 @@ def compact_index(
     fs = jvm.org.apache.hadoop.fs.Path(index_path).getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
+    # tombstone fold: compaction is where logical takedowns become
+    # physical. Loaded ONCE and localCheckpointed — the log's own files
+    # must not be re-read mid-loop (clear_tombstones below deletes them
+    # while compacted sub-datasets may still be lazily evaluated).
+    tomb = read_tombstones(spark, index_path)
+    if tomb is not None:
+        tomb = tomb.localCheckpoint(eager=True)
     out = {}
     for sub, keys in INDEX_LAYOUT[flavor].items():
         sub_path = f"{index_path}/{sub}"
@@ -340,6 +370,7 @@ def compact_index(
         # stream-maintained indexes) are skipped, not errors
         if not fs.exists(jvm.org.apache.hadoop.fs.Path(sub_path)):
             continue
+        doc_col = _doc_id_col(spark, flavor, sub, sub_path)
         out[sub] = compact_parquet_path(
             spark,
             sub_path,
@@ -352,5 +383,33 @@ def compact_index(
                 else {"cluster_by": keys}
             ),
             distinct_rows=(flavor, sub) in INDEX_DISTINCT_ON_COMPACT,
+            minus_ids=tomb if doc_col else None,
+            minus_col=doc_col,
         )
+    if tomb is not None:
+        # every sub-dataset now holds live rows only; the read-side
+        # subtraction becomes a no-op, so drop the log. Crash earlier in
+        # this function = log survives, folded datasets re-subtract
+        # harmlessly (anti-join matches nothing), next run finishes.
+        clear_tombstones(spark, index_path)
     return out
+
+
+def _doc_id_col(
+    spark: SparkSession, flavor: str, sub: str, sub_path: str
+) -> str | None:
+    """The document-id column of an index sub-dataset (the tombstone
+    fold key), or None for datasets not keyed by document (IVF
+    centroids / ingest_log). Dedup flavors uniformly store ``id``; the
+    IVF lists keep the builder's column names, so the id is
+    schema-derived exactly as the read path derives it."""
+    if flavor != "ivf":
+        return "id"
+    if sub != "lists":
+        return None
+    schema = spark.read.parquet(sub_path).schema
+    return next(
+        f.name
+        for f in schema.fields
+        if f.name != "_ivf_list" and f.dataType.typeName() != "array"
+    )

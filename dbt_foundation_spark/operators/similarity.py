@@ -646,7 +646,25 @@ def append_to_ivf_index(
     _append_assigned(df, id_col, vec_col, path, centroids, dim)
 
 
-def ivf_list_profile(spark: SparkSession, path: str) -> DataFrame:
+def _live_lists(spark: SparkSession, path: str) -> DataFrame:
+    """The IVF lists dataset restricted to LIVE vectors — stored rows
+    minus the tombstone log (operators/tombstones.py). The id column is
+    schema-derived (the non-partition, non-array field), matching
+    whatever names the index was built with. No log -> the bare
+    partition-pruned scan, unchanged plan."""
+    from dbt_foundation_spark.operators.tombstones import subtract_tombstones
+
+    lists = spark.read.parquet(f"{path}/lists")
+    id_col = next(
+        f.name
+        for f in lists.schema.fields
+        if f.name != "_ivf_list" and f.dataType.typeName() != "array"
+    )
+    return subtract_tombstones(spark, path, lists, id_col)
+
+
+def ivf_list_profile(
+spark: SparkSession, path: str) -> DataFrame:
     """Per-list member counts for a persisted IVF index, with each
     list's share of the corpus — the rebuild signal for
     :func:`append_to_ivf_index`'s no-refit contract. Appends assign
@@ -659,8 +677,11 @@ def ivf_list_profile(spark: SparkSession, path: str) -> DataFrame:
     Cost: a scan that reads ONLY the partition column — parquet opens
     no data pages, so this is metadata-speed even on a 100 TB index
     (mirror of ``lsh_bucket_profile`` / ``embedding_bucket_profile``
-    for the similarity flavor)."""
-    lists = spark.read.parquet(f"{path}/lists")
+    for the similarity flavor). With a live tombstone log
+    (operators/tombstones.py) the subtraction additionally reads the id
+    column, so counts reflect LIVE members; compaction restores the
+    metadata-only scan."""
+    lists = _live_lists(spark, path)
     counts = lists.groupBy("_ivf_list").agg(F.count(F.lit(1)).alias("n_members"))
     total = Window.partitionBy()
     return (
@@ -741,7 +762,7 @@ def knn_join_ivf(
             F.slice(F.transform(ranked, lambda s: s["i"]), 1, n_probe)
         ).alias("_ivf_list"),
     )
-    lists = spark.read.parquet(f"{path}/lists")
+    lists = _live_lists(spark, path)
     corpus_id, corpus_vec = (c for c in lists.columns if c != "_ivf_list")
     if prune:
         # pin the probe rows before the collect: the join below re-uses
@@ -822,7 +843,7 @@ def search_ivf_index(
     )[:n_probe]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     out = (
-        spark.read.parquet(f"{path}/lists")
+        _live_lists(spark, path)
         .filter(F.col("_ivf_list").isin(probe_ids))
         .select(F.col(id_col), V.cosine(F.col(vec_col), q).alias("cosine_sim"))
     )

@@ -144,6 +144,24 @@ def run_curation_example(spark, sf_dir: str, workdir: str) -> dict:
     out["ivf_files_after_compact"] = compact_index(spark, ivf)["lists"][
         "after"
     ]["n_files"]
+
+    # --- takedown: logically retract the query's own vector, verify it
+    # vanished from ANN results, then let the next compaction fold the
+    # deletion physically and clear the log
+    from dbt_foundation_spark.operators.tombstones import (
+        read_tombstones,
+        retract_from_index,
+    )
+
+    retract_from_index(spark, ivf, [hits[0]["vec_id"]])
+    post = search_ivf_index(
+        spark, ivf, "vec_id", "embedding", qv, k=5, n_probe=3, exclude_id=0
+    ).collect()
+    out["retracted_gone"] = all(
+        r["vec_id"] != hits[0]["vec_id"] for r in post
+    )
+    compact_index(spark, ivf)
+    out["tombstones_after_compact"] = read_tombstones(spark, ivf) is None
     return out
 
 
@@ -161,6 +179,10 @@ def main() -> None:
         print(
             f"batch ANN self-hits: {out['batch_self_hits']}/20; "
             f"lists files after compact: {out['ivf_files_after_compact']}"
+        )
+        print(
+            f"takedown: retracted vector gone={out['retracted_gone']}, "
+            f"log folded at compaction={out['tombstones_after_compact']}"
         )
 
 

@@ -23,6 +23,9 @@ def test_curation_example_end_to_end(spark, sf_dir, tmp_path):
     # compaction folds the ingest's micro-files to ~1 per list
     assert out["batch_self_hits"] == 20
     assert out["ivf_files_after_compact"] <= 8
+    # takedown flank: retraction hides the vector, compaction clears the log
+    assert out["retracted_gone"] is True
+    assert out["tombstones_after_compact"] is True
 
 
 def test_example_pipeline_end_to_end(spark, sf_dir):

@@ -1,0 +1,237 @@
+"""Tombstone retraction (operators/tombstones.py) across the persisted
+index family: logical takedown must equal rebuild-without on every read
+path, compaction must fold it physically and clear the log, and a
+rebuild must clear a stale log."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_foundation_spark.operators.tombstones import (
+    clear_tombstones,
+    read_tombstones,
+    retract_from_index,
+)
+
+
+def _pairs(df):
+    return sorted((r[0], r[1]) for r in df.collect())
+
+
+def test_retract_minhash_equals_rebuild_without(spark, sf_dir, tmp_path):
+    """Retraction == rebuilding the index without the retracted docs:
+    the dedup candidates against the tombstoned index must equal the
+    recompute-both-sides join against the shrunken corpus, before AND
+    after compaction folds the log away."""
+    from dbt_foundation_spark.operators.dedup import minhash_lsh_join
+    from dbt_foundation_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+    from dbt_foundation_spark.operators.maintenance import compact_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 > 1)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    kw = dict(num_hashes=16, bands=4, shingle_len=3)
+    path = str(tmp_path / "mh")
+    build_minhash_index(corpus, "doc_id", "text", path, **kw)
+
+    before = _pairs(
+        dedup_against_index(
+            spark, batch, "doc_id", "text", path, jaccard_threshold=0.5, **kw
+        )
+    )
+    assert before
+    dead = sorted({c for _, c in before})[: max(1, len(before) // 2)]
+    assert retract_from_index(spark, path, dead) == len(dead)
+
+    after = _pairs(
+        dedup_against_index(
+            spark, batch, "doc_id", "text", path, jaccard_threshold=0.5, **kw
+        )
+    )
+    want = _pairs(
+        minhash_lsh_join(
+            batch,
+            corpus.filter(~F.col("doc_id").isin(dead)),
+            "doc_id",
+            "text",
+            jaccard_threshold=0.5,
+            **kw,
+        )
+    )
+    assert after == want and after != before
+
+    compact_index(spark, path)
+    assert read_tombstones(spark, path) is None
+    assert (
+        _pairs(
+            dedup_against_index(
+                spark, batch, "doc_id", "text", path, jaccard_threshold=0.5, **kw
+            )
+        )
+        == want
+    )
+    stored = {r["id"] for r in spark.read.parquet(f"{path}/shingles").collect()}
+    assert not stored & set(dead)
+
+
+def test_retract_simhash_containment_embedding(spark, tmp_path):
+    """The other three dedup flavors subtract the log on every stored
+    dataset: a planted duplicate of a retracted corpus doc stops
+    matching, an unrelated corpus doc keeps matching its own twin."""
+    from dbt_foundation_spark.operators.dedup_index import (
+        build_containment_index,
+        build_embedding_index,
+        build_simhash_index,
+        containment_against_index,
+        dedup_against_embedding_index,
+        dedup_against_simhash_index,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog and then runs far away into the hills today"
+    b = "spark physical plans pin shuffle counts broadcast joins and codegen spans for every headline query"
+    corpus = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    batch = spark.createDataFrame([(101, a), (102, b)], ["doc_id", "text"])
+
+    sp = str(tmp_path / "sh")
+    build_simhash_index(corpus, "doc_id", "text", sp)
+    assert _pairs(
+        dedup_against_simhash_index(spark, batch, "doc_id", "text", sp)
+    ) == [(101, 1), (102, 2)]
+    retract_from_index(spark, sp, [1])
+    assert _pairs(
+        dedup_against_simhash_index(spark, batch, "doc_id", "text", sp)
+    ) == [(102, 2)]
+
+    cp = str(tmp_path / "ct")
+    build_containment_index(corpus, "doc_id", "text", cp)
+    assert _pairs(
+        containment_against_index(spark, batch, "doc_id", "text", cp)
+    ) == [(101, 1), (102, 2)]
+    retract_from_index(spark, cp, [1])
+    assert _pairs(
+        containment_against_index(spark, batch, "doc_id", "text", cp)
+    ) == [(102, 2)]
+
+    va = [1.0, 0.0, 0.0, 0.2]
+    vb = [0.0, 1.0, 0.1, 0.0]
+    vcorpus = spark.createDataFrame([(1, va), (2, vb)], ["doc_id", "vec"])
+    vbatch = spark.createDataFrame([(101, va), (102, vb)], ["doc_id", "vec"])
+    ep = str(tmp_path / "emb")
+    build_embedding_index(vcorpus, "doc_id", "vec", ep, dim=4)
+    assert _pairs(
+        dedup_against_embedding_index(spark, vbatch, "doc_id", "vec", ep)
+    ) == [(101, 1), (102, 2)]
+    retract_from_index(spark, ep, [1])
+    assert _pairs(
+        dedup_against_embedding_index(spark, vbatch, "doc_id", "vec", ep)
+    ) == [(102, 2)]
+
+
+def test_retract_ivf_search_knn_profile_compact(spark, sf_dir, tmp_path):
+    """IVF flank: a retracted vector disappears from single-query
+    search, batch k-NN join, and the list profile counts; compaction
+    physically drops its lists rows and clears the log."""
+    from dbt_foundation_spark.operators.maintenance import compact_index
+    from dbt_foundation_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_list_profile,
+        knn_join_ivf,
+        search_ivf_index,
+    )
+    from dbt_foundation_spark.queries._util import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, "vec_id", "embedding", path, n_lists=8)
+
+    row0 = emb.orderBy("vec_id").first()
+    qv = [float(x) for x in row0["embedding"]]
+    top = search_ivf_index(
+        spark, path, "vec_id", "embedding", qv, k=5, n_probe=2
+    ).collect()
+    assert top[0]["vec_id"] == row0["vec_id"]  # its own vector wins
+
+    total_before = ivf_list_profile(spark, path).agg(
+        F.sum("n_members")
+    ).first()[0]
+    assert retract_from_index(spark, path, [row0["vec_id"]]) == 1
+
+    after = search_ivf_index(
+        spark, path, "vec_id", "embedding", qv, k=5, n_probe=2
+    ).collect()
+    assert len(after) == 5
+    assert all(r["vec_id"] != row0["vec_id"] for r in after)
+    # the survivors are exactly the old top-k minus the retracted hit
+    assert [r["vec_id"] for r in after][:4] == [
+        r["vec_id"] for r in top if r["vec_id"] != row0["vec_id"]
+    ]
+
+    queries = emb.filter(F.col("vec_id") == row0["vec_id"])
+    kj = knn_join_ivf(
+        spark, path, queries, "vec_id", "embedding", k=5, n_probe=2
+    ).collect()
+    assert all(r["corpus_id"] != row0["vec_id"] for r in kj)
+
+    assert (
+        ivf_list_profile(spark, path).agg(F.sum("n_members")).first()[0]
+        == total_before - 1
+    )
+
+    compact_index(spark, path)
+    assert read_tombstones(spark, path) is None
+    lists = spark.read.parquet(f"{path}/lists")
+    assert lists.filter(F.col("vec_id") == row0["vec_id"]).count() == 0
+    again = search_ivf_index(
+        spark, path, "vec_id", "embedding", qv, k=5, n_probe=2
+    ).collect()
+    assert [r["vec_id"] for r in again] == [r["vec_id"] for r in after]
+
+
+def test_retract_validation_clear_and_rebuild(spark, tmp_path):
+    """Guard rails: typo paths raise, empty batches are no-ops, revive
+    restores matches, and a rebuild clears a stale log so recycled ids
+    are never silently hidden."""
+    from dbt_foundation_spark.operators.dedup_index import (
+        build_simhash_index,
+        dedup_against_simhash_index,
+    )
+
+    with pytest.raises(ValueError, match="does not exist"):
+        retract_from_index(spark, str(tmp_path / "nope"), [1])
+
+    text = "one common sentence repeated verbatim across the corpus and the batch for matching"
+    corpus = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    batch = spark.createDataFrame([(9, text)], ["doc_id", "text"])
+    path = str(tmp_path / "sh")
+    build_simhash_index(corpus, "doc_id", "text", path)
+
+    assert retract_from_index(spark, path, []) == 0
+    assert read_tombstones(spark, path) is None
+    with pytest.raises(ValueError, match="single-column"):
+        retract_from_index(spark, path, corpus)
+
+    retract_from_index(spark, path, [1])
+    assert (
+        dedup_against_simhash_index(spark, batch, "doc_id", "text", path).count()
+        == 0
+    )
+    # revive the id: matches come back, log is empty again
+    assert clear_tombstones(spark, path, [1]) == 1
+    assert (
+        dedup_against_simhash_index(spark, batch, "doc_id", "text", path).count()
+        == 1
+    )
+
+    # stale-log-vs-rebuild: retract, then REBUILD at the same path with
+    # the same (recycled) id — the build must clear the log
+    retract_from_index(spark, path, [1])
+    build_simhash_index(corpus, "doc_id", "text", path)
+    assert read_tombstones(spark, path) is None
+    assert (
+        dedup_against_simhash_index(spark, batch, "doc_id", "text", path).count()
+        == 1
+    )
