@@ -92,9 +92,14 @@ def _write_manifest(df: DataFrame, path: str, params: dict) -> None:
     written through Spark so it lands next to the index on any store.
 
     Called by every ``build_*`` (all five flavors, incl. the IVF index
-    in operators/similarity.py), so it is also where a REBUILD clears
-    the tombstone log: the new corpus is a fresh id space, and a stale
-    log would silently hide any recycled id (operators/tombstones.py)."""
+    in operators/similarity.py), so it is also where a COMPLETED
+    rebuild clears the tombstone log: the new corpus is a fresh id
+    space, and a stale log would silently hide any recycled id
+    (operators/tombstones.py). Deliberately at the END of the build —
+    a build that crashes mid-way leaves mixed-generation datasets
+    whatever the ordering, the recovery is to RE-RUN the build, and
+    clearing up-front would instead let a crashed rebuild resurrect
+    retracted docs (the worse failure for takedown compliance)."""
     from dbt_foundation_spark.operators.tombstones import clear_tombstones
 
     spark = df.sparkSession
@@ -168,16 +173,19 @@ def _validate_params(
     return resolved
 
 
-def _live(spark: SparkSession, path: str, sub: str) -> DataFrame:
+def _live(
+    spark: SparkSession, path: str, sub: str, tomb: DataFrame | None
+) -> DataFrame:
     """Read an index sub-dataset restricted to LIVE documents — the
     stored rows minus the tombstone log (operators/tombstones.py).
     Every stored dataset in the dedup flavors keys documents by ``id``,
-    so the subtraction is uniform; an index with no log gets the bare
-    scan back (no join in the plan)."""
+    so the subtraction is uniform; ``tomb`` is the log read ONCE per
+    query via ``read_tombstones`` (several sub-datasets share it), and
+    ``None`` gets the bare scan back (no join in the plan)."""
     from dbt_foundation_spark.operators.tombstones import subtract_tombstones
 
     return subtract_tombstones(
-        spark, path, spark.read.parquet(f"{path}/{sub}"), "id"
+        spark, path, spark.read.parquet(f"{path}/{sub}"), "id", tomb=tomb
     )
 
 
@@ -260,7 +268,10 @@ def dedup_against_index(
     )
     sig_new = minhash_signature(new_df, id_col, text_col, num_hashes, shingle_len, portable)
     banded_new = _band_buckets(sig_new, bands, num_hashes // bands, portable)
-    index_bands = _live(spark, path, "bands")
+    from dbt_foundation_spark.operators.tombstones import read_tombstones
+
+    tomb = read_tombstones(spark, path)
+    index_bands = _live(spark, path, "bands", tomb)
     cand = (
         banded_new.select("band", "bucket", F.col("_id").alias("new_id"))
         .join(
@@ -273,7 +284,7 @@ def dedup_against_index(
     sh_new = _shingle_sets(new_df, id_col, text_col, shingle_len).select(
         F.col("id").alias("new_id"), F.col("shingles").alias("sh_a")
     )
-    sh_corpus = _live(spark, path, "shingles").select(
+    sh_corpus = _live(spark, path, "shingles", tomb).select(
         F.col("id").alias("corpus_id"), F.col("shingles").alias("sh_b")
     )
     pairs = cand.join(sh_new, "new_id").join(sh_corpus, "corpus_id")
@@ -387,7 +398,9 @@ def dedup_against_simhash_index(
     new_chunks = _simhash_chunks(
         new_df, id_col, text_col, int(resolved["max_hamming"]), portable
     )
-    idx = _live(spark, path, "chunks")
+    from dbt_foundation_spark.operators.tombstones import read_tombstones
+
+    idx = _live(spark, path, "chunks", read_tombstones(spark, path))
     return (
         new_chunks.select(
             "chunk", "ck", F.col("id").alias("new_id"), F.col("simhash").alias("sh_a")
@@ -501,8 +514,11 @@ def containment_against_index(
     )
     hs_new = hashed_shingle_sets(new_df, id_col, text_col, shingle_len)
     post_new, pref_new = containment_postings(hs_new, threshold)
-    idx_post = _live(spark, path, "postings")
-    idx_pref = _live(spark, path, "prefixes")
+    from dbt_foundation_spark.operators.tombstones import read_tombstones
+
+    tomb = read_tombstones(spark, path)
+    idx_post = _live(spark, path, "postings", tomb)
+    idx_pref = _live(spark, path, "prefixes", tomb)
     c1 = pref_new.select(F.col("id").alias("new_id"), "s").join(
         idx_post.select(F.col("id").alias("corpus_id"), "s"), "s"
     )
@@ -515,7 +531,7 @@ def containment_against_index(
         .dropDuplicates(["new_id", "corpus_id"])
     )
     sh_a = hs_new.select(F.col("id").alias("new_id"), F.col("hs").alias("sh_a"))
-    sh_b = _live(spark, path, "hashsets").select(
+    sh_b = _live(spark, path, "hashsets", tomb).select(
         F.col("id").alias("corpus_id"), F.col("hs").alias("sh_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -702,7 +718,10 @@ def dedup_against_embedding_index(
 
     planes = random_hyperplanes(dim, m, seed)
     banded_new = hyperplane_banded(new_df, id_col, vec_col, planes, bands, m // bands)
-    idx = _live(spark, path, "bands")
+    from dbt_foundation_spark.operators.tombstones import read_tombstones
+
+    tomb = read_tombstones(spark, path)
+    idx = _live(spark, path, "bands", tomb)
     cand = (
         banded_new.select("band", "bucket", F.col("_id").alias("new_id"))
         .join(
@@ -713,7 +732,7 @@ def dedup_against_embedding_index(
         .dropDuplicates(["new_id", "corpus_id"])
     )
     v_new = new_df.select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("_va"))
-    v_corpus = _live(spark, path, "vectors").select(
+    v_corpus = _live(spark, path, "vectors", tomb).select(
         F.col("id").alias("corpus_id"), F.col("vec").alias("_vb")
     )
     return (

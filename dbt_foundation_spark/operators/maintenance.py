@@ -370,7 +370,14 @@ def compact_index(
         # stream-maintained indexes) are skipped, not errors
         if not fs.exists(jvm.org.apache.hadoop.fs.Path(sub_path)):
             continue
-        doc_col = _doc_id_col(spark, flavor, sub, sub_path)
+        # the id column only matters when there is a log to fold — and
+        # deriving it for the IVF lists costs a schema-inference read,
+        # so skip it entirely on the common no-takedown compaction
+        doc_col = (
+            _doc_id_col(spark, flavor, sub, sub_path)
+            if tomb is not None
+            else None
+        )
         out[sub] = compact_parquet_path(
             spark,
             sub_path,
@@ -407,9 +414,6 @@ def _doc_id_col(
         return "id"
     if sub != "lists":
         return None
-    schema = spark.read.parquet(sub_path).schema
-    return next(
-        f.name
-        for f in schema.fields
-        if f.name != "_ivf_list" and f.dataType.typeName() != "array"
-    )
+    from dbt_foundation_spark.operators.similarity import ivf_id_col
+
+    return ivf_id_col(spark.read.parquet(sub_path).schema)

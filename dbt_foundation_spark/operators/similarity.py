@@ -646,25 +646,30 @@ def append_to_ivf_index(
     _append_assigned(df, id_col, vec_col, path, centroids, dim)
 
 
+def ivf_id_col(schema) -> str:
+    """The document-id column of a persisted IVF lists dataset — the
+    non-partition, non-array field, whatever name the index was built
+    with. SHARED between the read path (:func:`_live_lists`) and the
+    compaction tombstone fold (maintenance._doc_id_col) so the two can
+    never drift onto different columns."""
+    return next(
+        f.name
+        for f in schema.fields
+        if f.name != "_ivf_list" and f.dataType.typeName() != "array"
+    )
+
+
 def _live_lists(spark: SparkSession, path: str) -> DataFrame:
     """The IVF lists dataset restricted to LIVE vectors — stored rows
-    minus the tombstone log (operators/tombstones.py). The id column is
-    schema-derived (the non-partition, non-array field), matching
-    whatever names the index was built with. No log -> the bare
-    partition-pruned scan, unchanged plan."""
+    minus the tombstone log (operators/tombstones.py). No log -> the
+    bare partition-pruned scan, unchanged plan."""
     from dbt_foundation_spark.operators.tombstones import subtract_tombstones
 
     lists = spark.read.parquet(f"{path}/lists")
-    id_col = next(
-        f.name
-        for f in lists.schema.fields
-        if f.name != "_ivf_list" and f.dataType.typeName() != "array"
-    )
-    return subtract_tombstones(spark, path, lists, id_col)
+    return subtract_tombstones(spark, path, lists, ivf_id_col(lists.schema))
 
 
-def ivf_list_profile(
-spark: SparkSession, path: str) -> DataFrame:
+def ivf_list_profile(spark: SparkSession, path: str) -> DataFrame:
     """Per-list member counts for a persisted IVF index, with each
     list's share of the corpus — the rebuild signal for
     :func:`append_to_ivf_index`'s no-refit contract. Appends assign

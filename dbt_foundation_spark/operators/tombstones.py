@@ -19,8 +19,14 @@ parquet (same store-agnostic stance as the rest of the index family):
   The fold is idempotent: a crash after some sub-datasets folded
   leaves the log in place, re-subtracting matches nothing on the
   already-folded datasets, and the next compaction finishes the job;
-- every ``build_*`` clears the log — a rebuild at the same path is a
-  fresh corpus, and a stale log would silently hide recycled ids.
+- every ``build_*`` clears the log when it completes — a rebuild is a
+  fresh corpus, and a stale log would silently hide recycled ids. The
+  clear runs at the END of the build, with the manifest write: a
+  build that crashes mid-way leaves mixed-generation datasets
+  regardless of the log, and the recovery contract is the same as
+  compaction's — RE-RUN the build (clearing at the start instead
+  would make a crashed rebuild silently resurrect retracted docs,
+  the worse failure for takedown compliance).
 
 Re-admission rule: a tombstone hides EVERY row with that id, including
 rows appended after the retraction. That is the correct takedown
@@ -37,6 +43,8 @@ from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_UNSET = object()  # sentinel: subtract_tombstones should read the log
 
 
 def _tomb_path(index_path: str) -> str:
@@ -63,12 +71,21 @@ def read_tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
 
 
 def subtract_tombstones(
-    spark: SparkSession, index_path: str, df: DataFrame, id_col: str
+    spark: SparkSession,
+    index_path: str,
+    df: DataFrame,
+    id_col: str,
+    tomb: DataFrame | None | object = _UNSET,
 ) -> DataFrame:
     """``df`` minus rows whose ``id_col`` is tombstoned. Broadcast
     left-anti: the log is bounded by takedown volume, never corpus
-    size, so the index side neither shuffles nor re-clusters."""
-    tomb = read_tombstones(spark, index_path)
+    size, so the index side neither shuffles nor re-clusters.
+
+    Callers that subtract from SEVERAL sub-datasets in one query pass
+    ``tomb=read_tombstones(...)`` so the log's file listing runs once
+    per query, not once per dataset."""
+    if tomb is _UNSET:
+        tomb = read_tombstones(spark, index_path)
     if tomb is None:
         return df
     return df.join(
@@ -76,6 +93,96 @@ def subtract_tombstones(
         on=F.col(id_col) == F.col("__tomb_id"),
         how="left_anti",
     )
+
+
+def _as_id_df(spark: SparkSession, ids: DataFrame | Iterable) -> DataFrame | None:
+    """Normalize a DataFrame-or-iterable of ids to a single distinct
+    ``id`` column, or None for an empty iterable. A caller DataFrame is
+    pinned with an eager localCheckpoint: the count and the write that
+    follow must see the SAME rows even when the plan is
+    nondeterministic (``suspect_docs.sample(...)``) — the hazard
+    ``knn_join_ivf`` pins the same way for its prune filter."""
+    if isinstance(ids, DataFrame):
+        if len(ids.columns) != 1:
+            raise ValueError(
+                f"ids must be a single-column DataFrame, got {ids.columns}"
+            )
+        return ids.toDF("id").distinct().localCheckpoint(eager=True)
+    vals = list(ids)
+    if not vals:
+        return None
+    return spark.createDataFrame([(v,) for v in vals], ["id"]).distinct()
+
+
+def _type_category(t: str) -> str:
+    if any(
+        t.startswith(p)
+        for p in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+    ):
+        return "numeric"
+    if t in ("string", "varchar", "char") or t.startswith(("varchar", "char")):
+        return "string"
+    return t
+
+
+def _index_id_type(spark: SparkSession, index_path: str) -> str | None:
+    """The index's document-id type, derived from its stored datasets
+    (flavor via manifest; dedup flavors key by ``id``, the IVF lists
+    keep the builder's names). None when underivable (pre-manifest
+    index, or datasets not yet written)."""
+    from pyspark.errors import AnalysisException
+
+    from dbt_foundation_spark.operators.dedup_index import (
+        INDEX_LAYOUT,
+        _read_manifest,
+    )
+
+    mft = _read_manifest(spark, index_path)
+    flavor = (mft or {}).get("flavor")
+    if flavor not in INDEX_LAYOUT:
+        return None
+    for sub in INDEX_LAYOUT[flavor]:
+        try:
+            schema = spark.read.parquet(f"{index_path}/{sub}").schema
+        except AnalysisException:
+            continue
+        if flavor == "ivf":
+            if sub != "lists":
+                continue
+            from dbt_foundation_spark.operators.similarity import ivf_id_col
+
+            return schema[ivf_id_col(schema)].dataType.simpleString()
+        if "id" in schema.names:
+            return schema["id"].dataType.simpleString()
+    return None
+
+
+def _conform_id_type(
+    spark: SparkSession, index_path: str, tomb: DataFrame
+) -> DataFrame:
+    """Pin the batch's id type to the log's (or, for a first batch, the
+    index's). Without this, a bigint batch followed by a string batch
+    leaves the log's parquet files with conflicting schemas — every
+    later read breaks — and a non-coercible mismatch would make the
+    anti-join match nothing while the retraction still reported
+    success. Same-category mismatches (int batch, bigint index) are
+    CAST to the target; cross-category mismatches raise."""
+    existing = read_tombstones(spark, index_path)
+    target = (
+        existing.schema["id"].dataType.simpleString()
+        if existing is not None
+        else _index_id_type(spark, index_path)
+    )
+    got = tomb.schema["id"].dataType.simpleString()
+    if target is None or got == target:
+        return tomb
+    if _type_category(got) != _type_category(target):
+        raise ValueError(
+            f"{index_path}: retraction ids are {got} but the index keys "
+            f"documents by {target} — a takedown with the wrong id type "
+            "would silently remove nothing"
+        )
+    return tomb.select(F.col("id").cast(target).alias("id"))
 
 
 def retract_from_index(
@@ -95,20 +202,13 @@ def retract_from_index(
             f"{base} does not exist — refusing to start a tombstone log "
             "at a path that holds no index (typo guard)"
         )
-    if isinstance(ids, DataFrame):
-        if len(ids.columns) != 1:
-            raise ValueError(
-                f"ids must be a single-column DataFrame, got {ids.columns}"
-            )
-        tomb = ids.toDF("id").distinct()
-    else:
-        vals = list(ids)
-        if not vals:
-            return 0
-        tomb = spark.createDataFrame([(v,) for v in vals], ["id"]).distinct()
+    tomb = _as_id_df(spark, ids)
+    if tomb is None:
+        return 0
     n = tomb.count()
     if n == 0:
         return 0
+    tomb = _conform_id_type(spark, base, tomb)
     # coalesce(1): one takedown batch = one small file; the log is
     # bounded by takedown volume and cleared at every compaction, so
     # file count never accumulates past compaction cadence.
@@ -120,7 +220,7 @@ def clear_tombstones(
     spark: SparkSession, index_path: str, ids: DataFrame | Iterable | None = None
 ) -> int:
     """Drop the whole tombstone log (``ids=None`` — what compaction
-    does after folding, and what a rebuild does implicitly) or revive a
+    does after folding, and what a completed rebuild does) or revive a
     subset of retracted ids so they can be re-admitted. Returns the
     number of ids removed from the log.
 
@@ -136,17 +236,9 @@ def clear_tombstones(
         n = existing.count()
         fs.delete(p, True)
         return n
-    if isinstance(ids, DataFrame):
-        if len(ids.columns) != 1:
-            raise ValueError(
-                f"ids must be a single-column DataFrame, got {ids.columns}"
-            )
-        revive = ids.toDF("id").distinct()
-    else:
-        vals = list(ids)
-        if not vals:
-            return 0
-        revive = spark.createDataFrame([(v,) for v in vals], ["id"]).distinct()
+    revive = _as_id_df(spark, ids)
+    if revive is None:
+        return 0
     keep = existing.join(F.broadcast(revive), "id", "left_anti")
     kept_rows = keep.collect()  # bounded: takedown-sized log
     removed = existing.count() - len(kept_rows)

@@ -199,7 +199,11 @@ def list_orphaned_objects(
 _THREE_PART = re.compile(r"\b\w+\.\w+\.\w+\b")
 
 
-def lint(project, scale: bool = False) -> list[str]:
+def lint(
+    project,
+    scale: bool = False,
+    scale_allow: dict[str, tuple[str, ...]] | None = None,
+) -> list[str]:
     """Static checks: plan-only compile of every model (dbt-parse), no
     trailing semicolon, no hard-coded 3-part names in SQL models.
     ``scale=True`` additionally runs :func:`plans.inspect.scale_findings`
@@ -207,7 +211,10 @@ def lint(project, scale: bool = False) -> list[str]:
     row-at-a-time Python UDFs, and single-partition global windows at
     lint time, before anything executes (the check Snowflake-side dbt
     cannot offer: the reference only sees cost after the fact through
-    query tags)."""
+    query tags). ``scale_allow`` maps model name → finding substrings
+    to suppress, for windows whose single-partition input is bounded
+    by construction (keep the justification in the model's docstring —
+    same contract as PLANS.md's whitelist table)."""
     from .plans.inspect import scale_findings
 
     problems: list[str] = []
@@ -227,7 +234,10 @@ def lint(project, scale: bool = False) -> list[str]:
             continue
         if scale:
             # explain() is planning-only — still no job launched.
-            problems.extend(f"{node.name}: {f}" for f in scale_findings(df))
+            allow = (scale_allow or {}).get(node.name, ())
+            problems.extend(
+                f"{node.name}: {f}" for f in scale_findings(df, allow=allow)
+            )
     return problems
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import io
 import re
+from collections.abc import Iterable
 from contextlib import redirect_stdout
 
 from pyspark.sql import DataFrame
@@ -132,16 +133,33 @@ def _physical_tree(df: DataFrame) -> list[tuple[int, str, str]]:
     return nodes
 
 
-#: Nodes that stream their whole input through the one post-``Exchange
-#: SinglePartition`` task. A final HashAggregate is NOT here: a global
-#: agg's single partition receives one pre-aggregated row per upstream
-#: task (map-side combine), which is bounded by task count, not data.
-_SINGLE_PARTITION_SINKS = frozenset(
-    {"Sort", "Window", "WindowGroupLimit", "WindowInPandas", "RunningWindowFunction"}
+#: Parents under which an ``Exchange SinglePartition`` is NOT a funnel,
+#: because the rows crossing it are bounded regardless of input size:
+#: a final global aggregate receives one map-side-combined row per
+#: upstream task (bounded by task count, not data), and the limit
+#: family moves at most the limit per upstream partition. Everything
+#: else — Sort, Window, FlatMapGroupsInPandas (keyless
+#: ``groupBy().applyInPandas``), a bare ``repartition(1)`` feeding
+#: whatever comes next — streams the whole input through ONE task and
+#: is flagged (deny-by-default: an unknown parent is a funnel until
+#: proven bounded).
+_SINGLE_PARTITION_SAFE_PARENTS = frozenset(
+    {
+        "HashAggregate",
+        "SortAggregate",
+        "ObjectHashAggregate",
+        "GlobalLimit",
+        "CollectLimit",
+        "TakeOrderedAndProject",
+    }
 )
 
 
-def scale_findings(df: DataFrame, max_shuffles: int | None = None) -> list[str]:
+def scale_findings(
+    df: DataFrame,
+    max_shuffles: int | None = None,
+    allow: Iterable[str] = (),
+) -> list[str]:
     """Plan shapes that survive a local test and die at 100 TB, as
     human-readable findings (empty list = scale-safe).
 
@@ -155,17 +173,25 @@ def scale_findings(df: DataFrame, max_shuffles: int | None = None) -> list[str]:
       10-100x slower than the Arrow path and serializes every row
       through the Python worker. (Arrow ops show as ArrowEvalPython /
       MapInPandas and are allowed.)
-    - **Exchange SinglePartition feeding a Sort/Window** — every input
-      row funnels through ONE task (an unpartitioned ``Window.orderBy``
-      or ``repartition(1).sortWithinPartitions``). A global aggregate's
-      SinglePartition exchange is allowed — see
-      ``_SINGLE_PARTITION_SINKS``.
+    - **Exchange SinglePartition** feeding anything but a bounded-flow
+      parent (``_SINGLE_PARTITION_SAFE_PARENTS``) — every input row
+      funnels through ONE task: an unpartitioned ``Window.orderBy``, a
+      ``repartition(1)``, a keyless ``groupBy().applyInPandas``. A
+      global aggregate's / limit's SinglePartition exchange is allowed
+      (bounded rows cross it).
     - **Coalesce 1** — single-file output forces the final stage
       serial; use a keyed ``repartition`` (cf. ``packing.export_shards``)
       when file count matters.
     - **shuffle budget** (opt-in via ``max_shuffles``) — CI pin for "this
       operator promised N exchanges"; catches a silent extra shuffle
       from a refactor.
+
+    ``allow``: substrings of findings to suppress — the escape hatch
+    for windows/sorts whose single-partition input is BOUNDED by
+    construction (a cardinality the plan text cannot carry; e.g. the
+    serpentine rank's n_shards-row histogram, cf. the justification
+    table in PLANS.md). Pass e.g. ``allow=("Exchange SinglePartition
+    under Window",)`` and keep the justification next to the call.
     """
     nodes = _physical_tree(df)
     findings: list[str] = []
@@ -184,11 +210,12 @@ def scale_findings(df: DataFrame, max_shuffles: int | None = None) -> list[str]:
             parent = next(
                 (n for d, n, _ in reversed(nodes[:i]) if d < depth), None
             )
-            if parent in _SINGLE_PARTITION_SINKS:
+            if parent not in _SINGLE_PARTITION_SAFE_PARENTS:
                 findings.append(
-                    f"Exchange SinglePartition under {parent}: the whole "
-                    "input streams through one task — give the window/sort "
-                    "a partition key (or a two-phase rank, cf. "
+                    "Exchange SinglePartition under "
+                    f"{parent or 'plan root'}: the whole input streams "
+                    "through one task — give the window/sort/group a "
+                    "partition key (or a two-phase rank, cf. "
                     "packing.serpentine_shards)"
                 )
         elif name == "Coalesce" and re.match(r"Coalesce 1\b", body):
@@ -203,6 +230,9 @@ def scale_findings(df: DataFrame, max_shuffles: int | None = None) -> list[str]:
                 f"shuffle budget exceeded: {shuffles} exchanges in the plan, "
                 f"operator promised <= {max_shuffles}"
             )
+    allowed = tuple(allow)
+    if allowed:
+        findings = [f for f in findings if not any(a in f for a in allowed)]
     return findings
 
 
@@ -217,11 +247,17 @@ class PlanScaleError(RuntimeError):
         )
 
 
-def assert_scale_safe(df: DataFrame, max_shuffles: int | None = None) -> None:
+def assert_scale_safe(
+    df: DataFrame,
+    max_shuffles: int | None = None,
+    allow: Iterable[str] = (),
+) -> None:
     """Raise :class:`PlanScaleError` if :func:`scale_findings` is
     non-empty — the CI gate form (``lint(project, scale=True)`` runs it
-    across a whole project's models)."""
-    findings = scale_findings(df, max_shuffles=max_shuffles)
+    across a whole project's models). ``allow`` suppresses findings by
+    substring for bounded-by-construction shapes (document why at the
+    call site)."""
+    findings = scale_findings(df, max_shuffles=max_shuffles, allow=allow)
     if findings:
         raise PlanScaleError(findings)
 

@@ -1500,8 +1500,30 @@ def test_lint_scale_gate(project, spark):
     def udf_model(ctx):
         return spark.range(5).select(plus_one("id").alias("y"))
 
+    @project.model()
+    def bounded_window_model(ctx):
+        # 8-row bounded input by construction — the shape scale_allow
+        # exists for (the plan text cannot carry the cardinality)
+        from pyspark.sql import Window
+
+        return (
+            spark.range(8)
+            .withColumn("r", F.row_number().over(Window.orderBy("id")))
+        )
+
     problems = lint(project, scale=True)
     assert any("udf_model" in p and "BatchEvalPython" in p for p in problems)
+    assert any(
+        "bounded_window_model" in p and "SinglePartition" in p for p in problems
+    )
     assert not any("fine_model" in p for p in problems)
+    # per-model suppression for the justified bounded shape
+    allowed = lint(
+        project,
+        scale=True,
+        scale_allow={"bounded_window_model": ("Exchange SinglePartition",)},
+    )
+    assert not any("bounded_window_model" in p for p in allowed)
+    assert any("udf_model" in p for p in allowed)  # others still flagged
     # default lint stays plan-compile-only — no scale findings
     assert not any("BatchEvalPython" in p for p in lint(project))

@@ -1613,3 +1613,34 @@ def test_catalog_guard_whitelist_pinned(spark, sf_dir):
         fs = scale_findings(qs[name](spark, sf_dir))
         assert fs, f"{name}: bounded-window shape changed — update PLANS.md"
         assert all("SinglePartition" in f for f in fs), (name, fs)
+
+
+def test_scale_guard_funnels_and_allow(spark):
+    """Review follow-ups: the SinglePartition check is deny-by-default
+    (safe-parent list), so the two shapes the sink-list version missed
+    — keyless groupBy().applyInPandas (one Python worker swallows the
+    whole input) and a bare repartition(1) — are flagged; a KEYED
+    applyInPandas distributes and stays clean; allow= suppresses by
+    substring for bounded-by-construction inputs."""
+    from pyspark.sql import Window
+
+    from dbt_foundation_spark.plans.inspect import scale_findings
+
+    df = spark.range(1000)
+
+    def ident(pdf):
+        return pdf
+
+    funnel = df.groupBy().applyInPandas(ident, schema="id long")
+    assert any("SinglePartition" in x for x in scale_findings(funnel))
+    assert any(
+        "SinglePartition" in x for x in scale_findings(df.repartition(1))
+    )
+    keyed = df.groupBy((F.col("id") % 8).alias("k")).applyInPandas(
+        lambda pdf: pdf[["id"]], schema="id long"
+    )
+    assert scale_findings(keyed) == []
+
+    bad = df.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    assert scale_findings(bad) != []
+    assert scale_findings(bad, allow=("Exchange SinglePartition",)) == []
