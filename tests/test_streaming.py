@@ -1219,3 +1219,59 @@ def test_ivf_ingest_stream_appends_exactly_once(spark, sf_dir, staging):
     assert lists_count() == 105
     for p in ("ivf_stream_idx", "ivf_stream"):
         shutil.rmtree(root / p, ignore_errors=True)
+
+
+def test_dedup_ingest_respects_tombstones(spark, sf_dir, staging):
+    """Takedown x streaming admission: a batch doc that duplicates a
+    RETRACTED corpus doc must be admitted (the tombstone removes the
+    corpus twin from the candidates), and its admission becomes corpus
+    for the next batch — so a later duplicate of the SAME text is
+    rejected against the newly admitted doc, not the retracted one."""
+    import time as _time
+
+    from dbt_foundation_spark.operators.dedup_index import build_minhash_index
+    from dbt_foundation_spark.operators.tombstones import retract_from_index
+    from dbt_foundation_spark.streaming.pipeline import (
+        read_document_stream,
+        run_dedup_ingest,
+    )
+
+    root = staging["root"]
+    texts = [
+        r["text"]
+        for r in t(spark, sf_dir, "documents").orderBy("doc_id").limit(12).collect()
+    ]
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, tx, "en", "src0", len(tx)) for i, tx in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    corpus = docs(list(enumerate(texts[:10])))
+    params = dict(num_hashes=16, bands=4, shingle_len=3)
+    index = str(root / "tomb_ingest_index")
+    build_minhash_index(corpus, "doc_id", "text", index, **params)
+    retract_from_index(spark, index, [0])
+
+    stream_dir = root / "tomb_ingest_stream"
+    batches = [
+        # 2000 duplicates RETRACTED corpus doc 0 -> must be admitted;
+        # 2001 duplicates live corpus doc 1 -> must be rejected
+        docs([(2000, texts[0]), (2001, texts[1])]),
+        # 2100 duplicates texts[0] again -> rejected against 2000 (the
+        # admission appended it), NOT against the retracted doc 0
+        docs([(2100, texts[0]), (2101, texts[11])]),
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(str(stream_dir))
+        if i < len(batches) - 1:
+            _time.sleep(1.05)
+    out = str(root / "tomb_ingest_out")
+    run_dedup_ingest(
+        read_document_stream(spark, str(stream_dir), max_files_per_trigger=1),
+        "doc_id", "text", index, out, _ckpt(staging),
+        jaccard_threshold=0.7, **params,
+    )
+    admitted = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert admitted == [2000, 2101]
