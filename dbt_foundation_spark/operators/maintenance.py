@@ -208,6 +208,20 @@ def parquet_path_stats(spark: SparkSession, path: str) -> dict:
     return _file_stats(spark.read.parquet(path))
 
 
+def _has_data_files(spark: SparkSession, path: str) -> bool:
+    """True if any non-hidden file exists under ``path`` (recursive) —
+    a pure FileSystem listing, no Spark job."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def compact_parquet_path(
     spark: SparkSession,
     path: str,
@@ -297,6 +311,20 @@ def compact_parquet_path(
     if writer_partition:
         w = w.partitionBy(*writer_partition)
     w.parquet(tmp)
+    if writer_partition and not _has_data_files(spark, tmp):
+        # the rewrite emptied a hive-partitioned dataset (e.g. a
+        # tombstone fold retracted every row): a partitionBy write of
+        # zero rows emits NO partition dirs and NO schema-bearing file,
+        # leaving the dataset unreadable (UNABLE_TO_INFER_SCHEMA) for
+        # every later read AND for the `after` stats below. Park the
+        # schema in a sentinel partition dir (col=-1) holding one
+        # footer-only empty file: readers see 0 rows with the partition
+        # column intact, appends lay real partition dirs beside it, and
+        # the next non-empty compaction folds the sentinel away.
+        sentinel = "/".join(f"{c}=-1" for c in writer_partition)
+        out.drop(*writer_partition).limit(0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/{sentinel}")
 
     # any OTHER stale __compact_old (base still live) is a fully
     # superseded copy from a crash after install — drop it, else the

@@ -235,3 +235,77 @@ def test_retract_validation_clear_and_rebuild(spark, tmp_path):
         dedup_against_simhash_index(spark, batch, "doc_id", "text", path).count()
         == 1
     )
+
+
+def test_retract_everything_then_recover(spark, tmp_path):
+    """Total-takedown boundary: retracting EVERY document and compacting
+    must leave a queryable (0-candidate) index — including the
+    hive-partitioned IVF lists, where a naive empty partitionBy rewrite
+    leaves no partition dirs and no schema (UNABLE_TO_INFER_SCHEMA);
+    compaction parks the schema in a sentinel partition dir instead.
+    Appends then lay real partition dirs beside the sentinel and the
+    next compaction folds it away."""
+    from dbt_foundation_spark.operators.dedup_index import (
+        build_simhash_index,
+        dedup_against_simhash_index,
+    )
+    from dbt_foundation_spark.operators.maintenance import compact_index
+    from dbt_foundation_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_list_profile,
+        search_ivf_index,
+    )
+
+    # flat (cluster_by) layout: simhash
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    sp = str(tmp_path / "sh")
+    build_simhash_index(corpus, "doc_id", "text", sp)
+    retract_from_index(spark, sp, [1])
+    compact_index(spark, sp)
+    assert read_tombstones(spark, sp) is None
+    batch = spark.createDataFrame([(9, text)], ["doc_id", "text"])
+    assert (
+        dedup_against_simhash_index(spark, batch, "doc_id", "text", sp).count()
+        == 0
+    )
+
+    # hive-partitioned layout: IVF lists
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0, 0.5]) for i in range(20)],
+        ["vec_id", "vec"],
+    )
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(emb, "vec_id", "vec", ivf, n_lists=4)
+    retract_from_index(spark, ivf, list(range(20)))
+    compact_index(spark, ivf)
+    assert read_tombstones(spark, ivf) is None
+    qv = [1.0, 1.0, 0.0, 2.0]
+    assert (
+        search_ivf_index(spark, ivf, "vec_id", "vec", qv, k=3, n_probe=4).count()
+        == 0
+    )
+    assert ivf_list_profile(spark, ivf).count() == 0
+
+    # the emptied index is still a working index: append + search + the
+    # next compaction folds the sentinel partition away
+    emb2 = spark.createDataFrame(
+        [(100 + i, [float(i), 1.0, 0.0, 2.0]) for i in range(8)],
+        ["vec_id", "vec"],
+    )
+    append_to_ivf_index(emb2, "vec_id", "vec", ivf)
+    hits = search_ivf_index(
+        spark, ivf, "vec_id", "vec", qv, k=3, n_probe=4
+    ).collect()
+    assert len(hits) == 3 and all(r["vec_id"] >= 100 for r in hits)
+    compact_index(spark, ivf)
+    dirs = {
+        p.name
+        for p in (tmp_path / "ivf" / "lists").iterdir()
+        if p.is_dir()
+    }
+    assert dirs and "_ivf_list=-1" not in dirs  # sentinel folded away
+    assert [r["vec_id"] for r in search_ivf_index(
+        spark, ivf, "vec_id", "vec", qv, k=3, n_probe=4
+    ).collect()] == [r["vec_id"] for r in hits]
