@@ -445,3 +445,45 @@ def _doc_id_col(
     from dbt_foundation_spark.operators.similarity import ivf_id_col
 
     return ivf_id_col(spark.read.parquet(sub_path).schema)
+
+
+def index_stats(spark: SparkSession, index_path: str) -> dict:
+    """One operational summary for a persisted index — the "DESCRIBE
+    DETAIL" of the index family: flavor + build parameters from the
+    manifest, per-sub-dataset file stats (the compaction signal: file
+    count grows by one set per ingest), and the live tombstone count
+    (the fold-pending signal). Metadata-only: file listings plus the
+    one-row manifest and the takedown-sized log — no corpus scan.
+
+    Returns ``{"flavor", "params", "datasets": {sub: {"n_files",
+    "total_bytes"}}, "tombstones": n}``; absent optional sub-datasets
+    (e.g. the ivf ingest_log) are omitted."""
+    from pyspark.errors import AnalysisException
+
+    from dbt_foundation_spark.operators.dedup_index import (
+        INDEX_LAYOUT,
+        _read_manifest,
+    )
+    from dbt_foundation_spark.operators.tombstones import read_tombstones
+
+    mft = _read_manifest(spark, index_path)
+    if mft is None:
+        raise ValueError(
+            f"{index_path} has no manifest — not a (post-manifest) "
+            "persisted index; inspect datasets directly with "
+            "parquet_path_stats"
+        )
+    flavor = mft["flavor"]
+    datasets: dict[str, dict] = {}
+    for sub in INDEX_LAYOUT[flavor]:
+        try:
+            datasets[sub] = parquet_path_stats(spark, f"{index_path}/{sub}")
+        except AnalysisException:
+            continue  # optional sub-dataset not present
+    tomb = read_tombstones(spark, index_path)
+    return {
+        "flavor": flavor,
+        "params": {k: v for k, v in mft.items() if k != "flavor"},
+        "datasets": datasets,
+        "tombstones": 0 if tomb is None else tomb.count(),
+    }

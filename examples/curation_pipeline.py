@@ -162,6 +162,9 @@ def run_curation_example(spark, sf_dir: str, workdir: str) -> dict:
     )
     compact_index(spark, ivf)
     out["tombstones_after_compact"] = read_tombstones(spark, ivf) is None
+    from dbt_foundation_spark.operators.maintenance import index_stats
+
+    out["ivf_stats"] = index_stats(spark, ivf)
     return out
 
 
@@ -184,6 +187,7 @@ def main() -> None:
             f"takedown: retracted vector gone={out['retracted_gone']}, "
             f"log folded at compaction={out['tombstones_after_compact']}"
         )
+        print(f"index stats: {out['ivf_stats']}")
 
 
 if __name__ == "__main__":

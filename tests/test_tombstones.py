@@ -309,3 +309,37 @@ def test_retract_everything_then_recover(spark, tmp_path):
     assert [r["vec_id"] for r in search_ivf_index(
         spark, ivf, "vec_id", "vec", qv, k=3, n_probe=4
     ).collect()] == [r["vec_id"] for r in hits]
+
+
+def test_index_stats_summary(spark, tmp_path):
+    """index_stats reports flavor/params/per-dataset files/tombstone
+    count for any index flavor, and raises a named error off-index."""
+    from dbt_foundation_spark.operators.dedup_index import build_minhash_index
+    from dbt_foundation_spark.operators.maintenance import index_stats
+    from dbt_foundation_spark.operators.similarity import build_ivf_index
+
+    corpus = spark.createDataFrame(
+        [(i, f"document number {i} with some shared words {i % 3}") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    mh = str(tmp_path / "mh")
+    build_minhash_index(corpus, "doc_id", "text", mh, num_hashes=16, bands=4)
+    retract_from_index(spark, mh, [1, 2])
+    s = index_stats(spark, mh)
+    assert s["flavor"] == "minhash" and s["params"]["num_hashes"] == 16
+    assert set(s["datasets"]) == {"bands", "shingles"}
+    assert all(d["n_files"] >= 1 for d in s["datasets"].values())
+    assert s["tombstones"] == 2
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.0, 0.5]) for i in range(12)],
+        ["vec_id", "vec"],
+    )
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(emb, "vec_id", "vec", ivf, n_lists=2)
+    s2 = index_stats(spark, ivf)
+    assert s2["flavor"] == "ivf" and s2["tombstones"] == 0
+    assert "lists" in s2["datasets"] and "ingest_log" not in s2["datasets"]
+
+    with pytest.raises(ValueError, match="no manifest"):
+        index_stats(spark, str(tmp_path / "not_an_index"))
