@@ -107,8 +107,11 @@ def _as_id_df(spark: SparkSession, ids: DataFrame | Iterable) -> DataFrame | Non
             raise ValueError(
                 f"ids must be a single-column DataFrame, got {ids.columns}"
             )
-        return ids.toDF("id").distinct().localCheckpoint(eager=True)
-    vals = list(ids)
+        # NULL ids can never match a row (NULL equality) — logging them
+        # would inflate the reported count and bloat the log for nothing
+        norm = ids.toDF("id").where(F.col("id").isNotNull()).distinct()
+        return norm.localCheckpoint(eager=True)
+    vals = [v for v in ids if v is not None]
     if not vals:
         return None
     return spark.createDataFrame([(v,) for v in vals], ["id"]).distinct()

@@ -343,3 +343,26 @@ def test_index_stats_summary(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no manifest"):
         index_stats(spark, str(tmp_path / "not_an_index"))
+
+
+def test_retract_ignores_null_ids(spark, tmp_path):
+    """NULL ids can never match a row (NULL equality) — they are
+    dropped from the batch, not logged: the count reflects retractable
+    ids only, and an all-NULL batch is a no-op."""
+    from dbt_foundation_spark.operators.dedup_index import build_simhash_index
+
+    corpus = spark.createDataFrame(
+        [(1, "some corpus document text for the null id retraction test")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "sh")
+    build_simhash_index(corpus, "doc_id", "text", path)
+
+    assert retract_from_index(spark, path, [None, None]) == 0
+    assert read_tombstones(spark, path) is None
+
+    ids = spark.createDataFrame(
+        [(None,), (1,), (None,)], "doc_id: bigint"
+    ).select("doc_id")
+    assert retract_from_index(spark, path, ids) == 1
+    assert [r["id"] for r in read_tombstones(spark, path).collect()] == [1]
