@@ -422,11 +422,15 @@ def compact_index(
             minus_col=doc_col,
         )
     if tomb is not None:
-        # every sub-dataset now holds live rows only; the read-side
-        # subtraction becomes a no-op, so drop the log. Crash earlier in
-        # this function = log survives, folded datasets re-subtract
-        # harmlessly (anti-join matches nothing), next run finishes.
-        clear_tombstones(spark, index_path)
+        # the folded ids are now physically gone, so remove exactly
+        # THEM from the log — not the whole log: a retract_from_index
+        # batch appended while this (long) compaction ran is not in the
+        # snapshot, was not folded, and must keep subtracting until the
+        # next compaction folds it. Crash earlier in this function =
+        # log survives, folded datasets re-subtract harmlessly
+        # (anti-join matches nothing), next run finishes; the subset
+        # clear itself installs via the write-aside rename swap.
+        clear_tombstones(spark, index_path, ids=tomb)
     return out
 
 

@@ -768,7 +768,16 @@ def knn_join_ivf(
         ).alias("_ivf_list"),
     )
     lists = _live_lists(spark, path)
-    corpus_id, corpus_vec = (c for c in lists.columns if c != "_ivf_list")
+    # derive by TYPE, not position, and through the same helper the
+    # tombstone fold uses (ivf_id_col) — a store whose column order
+    # ever diverged from (id, vec) would otherwise silently swap the
+    # two and return vectors as "corpus_id"
+    corpus_id = ivf_id_col(lists.schema)
+    corpus_vec = next(
+        f.name
+        for f in lists.schema.fields
+        if f.name != "_ivf_list" and f.dataType.typeName() == "array"
+    )
     if prune:
         # pin the probe rows before the collect: the join below re-uses
         # this SAME materialization, so (a) a nondeterministic queries

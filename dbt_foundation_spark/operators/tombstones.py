@@ -15,10 +15,13 @@ parquet (same store-agnostic stance as the rest of the index family):
   the index side, and an index with no log gets back the UNWRAPPED
   scan (zero plan change on the common path);
 - ``maintenance.compact_index`` folds the deletions physically (the
-  rewrite it was already doing anti-joins the log) and clears the log.
-  The fold is idempotent: a crash after some sub-datasets folded
-  leaves the log in place, re-subtracting matches nothing on the
-  already-folded datasets, and the next compaction finishes the job;
+  rewrite it was already doing anti-joins a snapshot of the log) and
+  clears exactly the FOLDED ids from the log — retractions appended
+  while the compaction ran are not in the snapshot and keep
+  subtracting until the next fold. The fold is idempotent: a crash
+  after some sub-datasets folded leaves the log in place,
+  re-subtracting matches nothing on the already-folded datasets, and
+  the next compaction finishes the job;
 - every ``build_*`` clears the log when it completes — a rebuild is a
   fresh corpus, and a stale log would silently hide recycled ids. The
   clear runs at the END of the build, with the manifest write: a
@@ -57,16 +60,41 @@ def _hadoop(spark: SparkSession, path: str):
     return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
+def _restore_parked_log(spark: SparkSession, index_path: str) -> bool:
+    """Crash recovery for the revive swap (:func:`clear_tombstones`
+    subset path): a run that died between its rename-aside and install
+    leaves the log parked at ``tombstones__revive_old`` and NOTHING at
+    ``tombstones`` — which every read path would treat as "no
+    takedowns", silently resurrecting every retracted id. Detect that
+    state and rename the parked copy back. Returns True if a restore
+    happened. Runs only on the already-exceptional no-log path, so the
+    common read costs nothing extra."""
+    tp = _tomb_path(index_path)
+    p, fs = _hadoop(spark, tp)
+    old = spark._jvm.org.apache.hadoop.fs.Path(tp + "__revive_old")
+    if fs.exists(p) or not fs.exists(old):
+        return False
+    if not fs.rename(old, p):
+        raise IOError(f"could not restore parked tombstone log {tp}__revive_old")
+    return True
+
+
 def read_tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
     """The retracted-id set (one ``id`` column, distinct), or ``None``
     when the index has no tombstones — callers use ``None`` to skip the
-    anti-join entirely, keeping the no-takedown plan unchanged."""
+    anti-join entirely, keeping the no-takedown plan unchanged.
+
+    A missing log triggers the parked-copy check (crash window of the
+    revive swap) before concluding "no takedowns" — reads self-heal
+    rather than waiting for the next maintenance call."""
     from pyspark.errors import AnalysisException
 
     try:
         df = spark.read.parquet(_tomb_path(index_path))
     except AnalysisException:
-        return None
+        if not _restore_parked_log(spark, index_path):
+            return None
+        df = spark.read.parquet(_tomb_path(index_path))
     return df.select("id").distinct()
 
 
@@ -185,7 +213,30 @@ def _conform_id_type(
             f"documents by {target} — a takedown with the wrong id type "
             "would silently remove nothing"
         )
-    return tomb.select(F.col("id").cast(target).alias("id"))
+    casted = tomb.select(
+        F.col("id").alias("__orig"), F.col("id").try_cast(target).alias("id")
+    )
+    # try_cast pins the lossy-value behavior regardless of ANSI mode:
+    # under ANSI (Spark 4 default) a plain cast would kill the job with
+    # CAST_OVERFLOW deep in a task; under legacy mode it would silently
+    # produce a NULL tombstone id that matches NOTHING while the
+    # retraction still reports it retracted. Either way the failure
+    # belongs HERE, named: the batch is takedown-sized, so the extra
+    # job is cheap — raise with examples. (``tomb`` is non-null by
+    # construction — _as_id_df drops NULL ids — so any NULL here is
+    # cast loss, not input.)
+    lost = [
+        r["__orig"]
+        for r in casted.where(F.col("id").isNull()).limit(3).collect()
+    ]
+    if lost:
+        raise ValueError(
+            f"{index_path}: retraction ids {lost} do not fit the "
+            f"index's id type {target} (cast from {got} produced NULL) "
+            "— refusing to report a takedown that would remove nothing "
+            "for those ids"
+        )
+    return casted.select("id")
 
 
 def retract_from_index(
@@ -222,19 +273,38 @@ def retract_from_index(
 def clear_tombstones(
     spark: SparkSession, index_path: str, ids: DataFrame | Iterable | None = None
 ) -> int:
-    """Drop the whole tombstone log (``ids=None`` — what compaction
-    does after folding, and what a completed rebuild does) or revive a
-    subset of retracted ids so they can be re-admitted. Returns the
-    number of ids removed from the log.
+    """Drop the whole tombstone log (``ids=None`` — what a completed
+    rebuild does) or remove a subset of ids from the log — the revive
+    path, and what compaction calls with its folded snapshot so
+    retractions appended DURING a long compaction survive the fold.
+    Returns the number of ids removed from the log.
 
-    The subset rewrite collects the surviving log to the driver — safe
-    by the same bound the broadcast subtraction relies on: the log is
-    takedown-sized, not corpus-sized."""
+    The subset path collects the surviving log to the driver — safe by
+    the same bound the broadcast subtraction relies on: the log is
+    takedown-sized, not corpus-sized. The rewrite installs via
+    write-aside + two renames (the ``compact_parquet_path`` pattern):
+    survivors land at ``tombstones__revive_tmp`` first, the live log is
+    parked at ``__revive_old``, the tmp renamed in, the parked copy
+    dropped. Every crash window is safe: before the rename-aside the
+    log is untouched (revive simply not yet applied — re-run); between
+    the renames the parked copy is restored by the next read
+    (:func:`_restore_parked_log`) or maintenance call; after install
+    the parked copy is superseded and lazily dropped here."""
+    # heal / tidy the revive swap's crash windows before reading
+    _restore_parked_log(spark, index_path)
+    tp = _tomb_path(index_path)
+    p, fs = _hadoop(spark, tp)
+    jvm = spark._jvm
+    old_p = jvm.org.apache.hadoop.fs.Path(tp + "__revive_old")
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tp + "__revive_tmp")
+    if fs.exists(p):
+        # any parked copy alongside a live log is a superseded
+        # crash-after-install leftover — drop it or the next swap's
+        # rename-aside would fail forever
+        fs.delete(old_p, True)
     existing = read_tombstones(spark, index_path)
     if existing is None:
         return 0
-    tp = _tomb_path(index_path)
-    p, fs = _hadoop(spark, tp)
     if ids is None:
         n = existing.count()
         fs.delete(p, True)
@@ -245,9 +315,22 @@ def clear_tombstones(
     keep = existing.join(F.broadcast(revive), "id", "left_anti")
     kept_rows = keep.collect()  # bounded: takedown-sized log
     removed = existing.count() - len(kept_rows)
-    fs.delete(p, True)
-    if kept_rows:
-        spark.createDataFrame(kept_rows, existing.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tp)
+    if removed == 0:
+        return 0  # nothing leaves the log — no rewrite, no crash window
+    if not kept_rows:
+        # every id revived == full clear: one delete, and a crash
+        # before it just means the revive has not happened yet
+        fs.delete(p, True)
+        return removed
+    fs.delete(tmp_p, True)  # stale tmp from an earlier crashed attempt
+    spark.createDataFrame(kept_rows, existing.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tp + "__revive_tmp")
+    if not fs.rename(p, old_p):
+        raise IOError(f"revive swap failed renaming {tp} aside")
+    if not fs.rename(tmp_p, p):
+        # roll back so the log never stays missing
+        fs.rename(old_p, p)
+        raise IOError(f"revive swap failed installing {tp}__revive_tmp")
+    fs.delete(old_p, True)
     return removed

@@ -34,82 +34,80 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness harness only ingests the first 50 entries of
-# ``queries()``.  Round-5 rotation (VERDICT r4 "Next round" #1/#3):
-# (a) the 2 queries that never had a driver row — q_sketch_rollup /
-# q_approx_distinct, which this round gained deterministic oracles
-# (exact counts hash-compared, sketch estimate asserted within a 5 %
-# bound as a boolean column) so their first driver row is a FULL check;
-# (b) the 2 queries whose implementation round 5 touched —
-# q_shard_plan (serpentine offset join made null-safe) and
-# q_metrics_layer (cumulative metrics now honor the measure agg);
-# the other r5-touched surfaces (microbatch partition_by, contract
-# NULL-check) are exercised by r4-green queries whose compared output
-# is unchanged and re-pinned by new pytest cases, so they yield their
-# slots; (c) all 46 oracled queries whose latest green row is r2 —
-# with 50 slots per round and 153 oracled queries (146 + the two
-# newly-oracled sketch queries + q_dedup_minhash/q_dedup_simhash/
-# q_cosine_topk_ivf/q_multimodal_features/q_frame_sample, upgraded
-# late in round 5 with the same validated-in-place pattern; those
-# five sit just after the window
-# since their r2 rows-only evidence is superseded by in-repo parity
-# at two SFs and they'll lead the r6 window) this is the refresh
-# deadline round (evidence would otherwise go 4 rounds stale).
-# 2 + 2 + 46 = exactly 50.
+# ``queries()``.  Round-6 rotation (VERDICT r5 "Next round" #1/#3):
+# (a) the 5 queries whose validated-in-place oracles landed LATE in
+# round 5 (after that round's window was set) — q_dedup_minhash
+# (ground-truth pair count via inverted-index join + banding-recall
+# bound), q_dedup_simhash (planted-duplicate canary), q_cosine_topk_ivf
+# (exact top-10 + IVF recall bound), q_multimodal_features /
+# q_frame_sample (generator-arithmetic re-derivation). Their only
+# driver rows are r1 rows-only; this round gives each its first FULL
+# (rows+schema+hash) driver row. (b) 45 of the 50 queries whose latest
+# green row is r3 — now the oldest full-check evidence (the r2 bucket
+# was emptied in r5). Five r3 queries are deferred to the r7 window:
+# q_dedup_minhash_portable, q_dedup_simhash_portable,
+# q_cosine_topk_quantized, q_dedup_incremental, q_dedup_corpus — all
+# five are dedup/ANN flavors whose siblings (the fast minhash/simhash
+# detectors, the IVF index) get fresh r6 rows in slot (a), so the
+# family's freshest evidence is ≤1 round old either way. 5 + 45 = 50.
+# r7 plan: those 5 deferred r3 queries + 45 of the 48 r4 rows (the
+# remaining 3 r4 rows + this round's r6 block refresh in r8) — the
+# steady-state cycle is ~3 rounds for 153 oracled queries at 50/round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) first-ever driver rows, newly oracle-backed
-    "q_sketch_rollup",
-    "q_approx_distinct",
-    # (b) implementation touched in round 5
-    "q_shard_plan",
-    "q_metrics_layer",
-    # (c) r2-stale evidence refresh — dbt_utils scalar/test family first
-    # (deliberately deferred from the r4 window), then the remainder
-    "q_test_unique",
-    "q_test_notnull",
-    "q_test_accepted_values",
-    "q_test_equal_rowcount",
-    "q_test_equality",
-    "q_safe_divide",
-    "q_width_bucket",
-    "q_haversine",
-    "q_parse_url",
-    "q_slugify",
-    "q_dedup_exact",
-    "q_dedup_fingerprint",
-    "q_dedup_rownum",
-    "q_cosine_topk",
-    "q_cosine_topk_lsh",
-    "q_token_counts",
-    "q_doc_quality",
-    "q_quality_filter",
-    "q_lang_id",
-    "q_bpe_token_count",
-    "q_json_props",
-    "q_info_schema_views",
-    "q_grouping_sets",
-    "q_distinct",
-    "q_topk",
-    "q_percentiles",
-    "q_list_agg",
-    "q_join_outer",
-    "q_conditional_agg",
-    "q_surrogate_key",
-    "q_date_spine",
-    "q_generate_series",
-    "q_pivot",
-    "q_unpivot",
-    "q_union_relations",
-    "q_crossdb_listagg",
-    "q_udtf_chunks",
-    "q_window_rank",
-    "q_window_running_sum",
-    "q_window_lag_lead",
-    "q_window_ntile",
-    "q_window_moving_avg",
-    "q_tumbling_window",
-    "q_sliding_window",
-    "q_session_window",
-    "q_rollup_cascade",
+    # (a) first-ever FULL driver rows — oracles landed late in r5
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_cosine_topk_ivf",
+    "q_multimodal_features",
+    "q_frame_sample",
+    # (b) r3-stale evidence refresh — reference/framework core first,
+    # then the relational/TPC-H-analog block, then the LLM-pipeline
+    # operators (order mirrors the r3 window's own grouping)
+    "q_literal_union",
+    "q_ref_filter",
+    "q_notnull_filter",
+    "q_source_scan",
+    "q_star_except",
+    "q_recent_events",
+    "q_json_extract_agg",
+    "q_group_by_all",
+    "q_table_rebuild",
+    "q_incremental_append",
+    "q_incremental_merge",
+    "q_snapshot_scd2",
+    "q_cdc_snapshot",
+    "q_pricing_summary",
+    "q_join_inner",
+    "q_join_semi",
+    "q_fk_orphans",
+    "q_join_range",
+    "q_shipping_priority",
+    "q_lateral_json",
+    "q_except",
+    "q_intersect",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_crossdb_datemath",
+    "q_session_window_native",
+    "q_asof_join",
+    "q_range_bin_join",
+    "q_ngram_jaccard",
+    "q_embedding_neardup",
+    "q_array_ops",
+    "q_epoch_shuffle",
+    "q_stratified_sample",
+    "q_doc_chunks",
+    "q_vocab_encode",
+    "q_dedup_components",
+    "q_repetition_signals",
+    "q_sequence_pack",
+    "q_contamination",
+    "q_knn_join",
+    "q_domain_mix",
+    "q_pii_redact",
+    "q_quality_quantile",
+    "q_embedding_quantize",
+    "q_containment",
 )
 
 

@@ -1644,3 +1644,40 @@ def test_scale_guard_funnels_and_allow(spark):
     bad = df.withColumn("r", F.row_number().over(Window.orderBy("id")))
     assert scale_findings(bad) != []
     assert scale_findings(bad, allow=("Exchange SinglePartition",)) == []
+
+
+def test_knn_join_ivf_column_order_independent(spark, sf_dir, tmp_path):
+    """knn_join_ivf derives (corpus_id, corpus_vec) by TYPE through
+    ivf_id_col — the same derivation the tombstone fold uses — not by
+    stored column position: a lists dataset rewritten with its data
+    columns reversed (vec first, id second) returns the identical
+    neighbor set instead of silently swapping id and vector."""
+    from dbt_foundation_spark.operators.similarity import (
+        build_ivf_index,
+        knn_join_ivf,
+    )
+    from dbt_foundation_spark.queries._util import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_colorder")
+    build_ivf_index(emb, "vec_id", "embedding", path, n_lists=4)
+    qs = emb.orderBy("vec_id").limit(3)
+
+    def rows(df):
+        return {
+            (r["query_id"], r["corpus_id"], round(r["cosine_sim"], 9))
+            for r in df.collect()
+        }
+
+    want = rows(knn_join_ivf(spark, path, qs, "vec_id", "embedding", k=3, n_probe=2))
+
+    lists = (
+        spark.read.parquet(f"{path}/lists")
+        .select("embedding", "vec_id", "_ivf_list")
+        .localCheckpoint(eager=True)  # pin before overwriting the source
+    )
+    lists.repartition("_ivf_list").write.mode("overwrite").partitionBy(
+        "_ivf_list"
+    ).parquet(f"{path}/lists")
+    got = rows(knn_join_ivf(spark, path, qs, "vec_id", "embedding", k=3, n_probe=2))
+    assert got == want

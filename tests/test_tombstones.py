@@ -366,3 +366,274 @@ def test_retract_ignores_null_ids(spark, tmp_path):
     ).select("doc_id")
     assert retract_from_index(spark, path, ids) == 1
     assert [r["id"] for r in read_tombstones(spark, path).collect()] == [1]
+
+
+def _tomb_set(spark, path):
+    t = read_tombstones(spark, path)
+    return set() if t is None else {r["id"] for r in t.collect()}
+
+
+def _exists(spark, p):
+    from dbt_foundation_spark.operators.tombstones import _hadoop
+
+    hp, fs = _hadoop(spark, p)
+    return fs.exists(hp)
+
+
+def test_revive_swap_crash_windows(spark, tmp_path):
+    """The subset-revive rewrite must never hold the only copy of the
+    log in driver memory: survivors land at ``__revive_tmp`` first and
+    install via rename, the parked ``__revive_old`` copy is restored by
+    the NEXT READ if the swap died between its renames, and stale
+    tmp/old leftovers from crashed runs are tidied — no crash window
+    can silently resurrect every retracted id."""
+    from dbt_foundation_spark.operators.tombstones import _hadoop, _tomb_path
+
+    corpus = spark.createDataFrame(
+        [(i, f"distinct corpus document number {i} with its own words") for i in range(1, 5)],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "sh")
+    from dbt_foundation_spark.operators.dedup_index import build_simhash_index
+
+    build_simhash_index(corpus, "doc_id", "text", path)
+    tp = _tomb_path(path)
+
+    assert retract_from_index(spark, path, [1, 2, 3, 4]) == 4
+    # reviving an id that is not tombstoned: no rewrite, log untouched
+    assert clear_tombstones(spark, path, [9]) == 0
+    assert _tomb_set(spark, path) == {1, 2, 3, 4}
+    # normal partial revive: swap leaves no tmp/old residue
+    assert clear_tombstones(spark, path, [1]) == 1
+    assert _tomb_set(spark, path) == {2, 3, 4}
+    assert not _exists(spark, tp + "__revive_old")
+    assert not _exists(spark, tp + "__revive_tmp")
+
+    # crash window 1: died between rename-aside and install — the log
+    # dir is GONE and the only copy is parked. A bare read self-heals.
+    hp, fs = _hadoop(spark, tp)
+    jvm = spark._jvm
+    assert fs.rename(hp, jvm.org.apache.hadoop.fs.Path(tp + "__revive_old"))
+    assert _tomb_set(spark, path) == {2, 3, 4}  # read restored it
+    assert _exists(spark, tp) and not _exists(spark, tp + "__revive_old")
+
+    # crash window 2: died after install, before dropping the parked
+    # copy — plus a stale tmp from an even earlier attempt. The next
+    # clear tidies both and the superseded parked ids never reappear.
+    spark.createDataFrame([(99,)], "id: bigint").write.parquet(tp + "__revive_old")
+    spark.createDataFrame([(98,)], "id: bigint").write.parquet(tp + "__revive_tmp")
+    assert clear_tombstones(spark, path, [2]) == 1
+    assert _tomb_set(spark, path) == {3, 4}
+    assert not _exists(spark, tp + "__revive_old")
+    assert not _exists(spark, tp + "__revive_tmp")
+
+
+def test_compact_keeps_concurrent_retraction(spark, tmp_path, monkeypatch):
+    """A retract_from_index batch that lands WHILE compact_index runs
+    (after the fold snapshot was taken) must survive the fold: the
+    clear removes only the snapshot's ids, and the late retraction
+    keeps subtracting until the next compaction folds it."""
+    import dbt_foundation_spark.operators.maintenance as maint
+    from dbt_foundation_spark.operators.dedup_index import (
+        build_simhash_index,
+        dedup_against_simhash_index,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten eleven"),
+        (3, "red orange yellow green blue indigo violet crimson amber teal"),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(100 + i, t) for i, t in rows], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "sh")
+    build_simhash_index(corpus, "doc_id", "text", path)
+    retract_from_index(spark, path, [1])
+
+    real = maint.compact_parquet_path
+    fired = {"done": False}
+
+    def inject_then_compact(spark_arg, sub_path, *a, **kw):
+        out = real(spark_arg, sub_path, *a, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            # lands inside the compaction window, after the snapshot
+            retract_from_index(spark, path, [2])
+        return out
+
+    monkeypatch.setattr(maint, "compact_parquet_path", inject_then_compact)
+    maint.compact_index(spark, path)
+
+    # id 1 folded physically and left the log; id 2 still logged
+    assert _tomb_set(spark, path) == {2}
+    stored = {r["id"] for r in spark.read.parquet(f"{path}/chunks").collect()}
+    assert 1 not in stored and 2 in stored
+    got = {
+        r[1]
+        for r in dedup_against_simhash_index(
+            spark, batch, "doc_id", "text", path
+        ).collect()
+    }
+    assert got == {3}  # 1 gone physically, 2 hidden logically
+
+    # the next compaction folds the late retraction and empties the log
+    monkeypatch.setattr(maint, "compact_parquet_path", real)
+    maint.compact_index(spark, path)
+    assert read_tombstones(spark, path) is None
+    stored = {r["id"] for r in spark.read.parquet(f"{path}/chunks").collect()}
+    assert stored == {3}
+
+
+def test_retract_lossy_cast_raises(spark, tmp_path):
+    """Same-category id casts that DON'T fit (bigint batch onto an
+    int-keyed index, value > 2^31) must raise, not report a takedown
+    that logged a NULL id matching nothing. Values that fit still
+    cast and retract."""
+    from dbt_foundation_spark.operators.dedup_index import build_simhash_index
+
+    corpus = spark.createDataFrame(
+        [(1, "an int keyed corpus document for the lossy cast guard test")],
+        "doc_id: int, text: string",
+    )
+    path = str(tmp_path / "sh")
+    build_simhash_index(corpus, "doc_id", "text", path)
+
+    with pytest.raises(ValueError, match="do not fit"):
+        retract_from_index(spark, path, [2**40])  # python int -> bigint
+    assert read_tombstones(spark, path) is None
+
+    assert retract_from_index(spark, path, [1]) == 1  # bigint 1 fits int
+    t = read_tombstones(spark, path)
+    assert t.schema["id"].dataType.simpleString() == "int"
+    assert _tomb_set(spark, path) == {1}
+
+
+def test_interleaving_random_sequence_matches_model(spark, tmp_path):
+    """Randomized lifecycle sequences (append / retract / revive /
+    compact in seeded-random order) against a brute-force set model,
+    for one flat flavor (simhash, cluster_by layout) and the
+    hive-partitioned one (IVF). Model: live = appended − folded −
+    tombstoned; retract moves live ids into the log, revive moves them
+    back, compact folds the CURRENT log physically (ids become
+    unrevivable) and empties it. Every operation is followed by a full
+    read-path check — the single-operation contracts pinned above
+    cannot catch ordering bugs like a compact that forgets a prior
+    revive or a revive after a fold that resurrects nothing."""
+    import random
+
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_simhash_index,
+        build_simhash_index,
+        dedup_against_simhash_index,
+    )
+    from dbt_foundation_spark.operators.maintenance import compact_index
+    from dbt_foundation_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    # --- simhash ---------------------------------------------------
+    rng = random.Random(7)
+    path = str(tmp_path / "sh")
+
+    def text(i):
+        return f"doc {i} " + " ".join(f"tok{i}x{j}" for j in range(10))
+
+    def doc_df(ids):
+        return spark.createDataFrame([(i, text(i)) for i in ids], ["doc_id", "text"])
+
+    appended, tombstoned, folded = set(range(4)), set(), set()
+    build_simhash_index(doc_df(appended), "doc_id", "text", path)
+    next_id = 4
+
+    def check_simhash():
+        live = appended - tombstoned - folded
+        batch = spark.createDataFrame(
+            [(1000 + i, text(i)) for i in sorted(appended)], ["doc_id", "text"]
+        )
+        got = {
+            (r[0], r[1])
+            for r in dedup_against_simhash_index(
+                spark, batch, "doc_id", "text", path
+            ).collect()
+        }
+        assert got == {(1000 + i, i) for i in live}, (live, got)
+
+    for _ in range(10):
+        op = rng.choice(["append", "retract", "revive", "compact"])
+        if op == "append":
+            new = list(range(next_id, next_id + rng.randint(1, 3)))
+            next_id = new[-1] + 1
+            append_to_simhash_index(doc_df(new), "doc_id", "text", path)
+            appended |= set(new)
+        elif op == "retract":
+            live = sorted(appended - tombstoned - folded)
+            pick = set(rng.sample(live, k=rng.randint(0, len(live))))
+            assert retract_from_index(spark, path, sorted(pick)) == len(pick)
+            tombstoned |= pick
+        elif op == "revive":
+            pick = set(rng.sample(sorted(tombstoned), k=rng.randint(0, len(tombstoned)))) if tombstoned else set()
+            # also try reviving an already-folded id: must be a no-op
+            dead_pick = sorted(pick | set(list(folded)[:1]))
+            assert clear_tombstones(spark, path, dead_pick) == len(pick)
+            tombstoned -= pick
+        else:
+            compact_index(spark, path)
+            folded |= tombstoned
+            tombstoned = set()
+            assert read_tombstones(spark, path) is None
+        check_simhash()
+
+    # --- IVF (hive-partitioned lists) --------------------------------
+    rng = random.Random(11)
+    ipath = str(tmp_path / "ivf")
+    dim = 6
+
+    def vec(i):
+        r = random.Random(1000 + i)
+        return [r.uniform(-1, 1) for _ in range(dim)]
+
+    def vec_df(ids):
+        return spark.createDataFrame(
+            [(i, vec(i)) for i in ids], "vec_id: bigint, embedding: array<double>"
+        )
+
+    appended, tombstoned, folded = set(range(8)), set(), set()
+    build_ivf_index(vec_df(appended), "vec_id", "embedding", ipath, n_lists=2)
+    next_id = 8
+
+    def check_ivf():
+        live = appended - tombstoned - folded
+        got = {
+            r["vec_id"]
+            for r in search_ivf_index(
+                spark, ipath, "vec_id", "embedding", vec(0), k=500, n_probe=2
+            ).collect()
+        }
+        assert got == live, (live, got)
+
+    for _ in range(8):
+        op = rng.choice(["append", "retract", "revive", "compact"])
+        if op == "append":
+            new = list(range(next_id, next_id + rng.randint(1, 3)))
+            next_id = new[-1] + 1
+            append_to_ivf_index(vec_df(new), "vec_id", "embedding", ipath)
+            appended |= set(new)
+        elif op == "retract":
+            live = sorted(appended - tombstoned - folded)
+            pick = set(rng.sample(live, k=rng.randint(0, len(live))))
+            assert retract_from_index(spark, ipath, sorted(pick)) == len(pick)
+            tombstoned |= pick
+        elif op == "revive":
+            pick = set(rng.sample(sorted(tombstoned), k=rng.randint(0, len(tombstoned)))) if tombstoned else set()
+            assert clear_tombstones(spark, ipath, sorted(pick)) == len(pick)
+            tombstoned -= pick
+        else:
+            compact_index(spark, ipath)
+            folded |= tombstoned
+            tombstoned = set()
+            assert read_tombstones(spark, ipath) is None
+        check_ivf()
