@@ -20,6 +20,69 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SKIP = {"q_literal_union", "q_ref_filter", "q_notnull_filter", "q_catalog_tables"}
 
 
+def _index_lifecycle(spark, sf_dir: str) -> dict[str, float]:
+    """Timed persisted-index lifecycle — the operations a 100 TB
+    deployment actually SCHEDULES (build once, append per ingest,
+    retract on takedown, compact to fold both), which the query-only
+    timings above never exercise. One minhash index (flat, band-
+    clustered layout) and one IVF index (hive-partitioned lists):
+    build → append a 10% batch → retract ~200 ids → compact (folds the
+    tombstones physically and clears the log). Scratch lives in a temp
+    dir and is removed; the headline ``value`` metric is unaffected —
+    these are reported as their own section."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_index,
+        build_minhash_index,
+    )
+    from dbt_foundation_spark.operators.maintenance import compact_index
+    from dbt_foundation_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+    from dbt_foundation_spark.operators.tombstones import retract_from_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out: dict[str, float] = {}
+
+    def clock(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        out[name] = round(time.perf_counter() - t0, 4)
+
+    root = tempfile.mkdtemp(prefix="bench_index_")
+    try:
+        mh, ivf = f"{root}/mh", f"{root}/ivf"
+        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        batch = docs.filter(F.col("doc_id") % 10 == 0)
+        kw = dict(num_hashes=32, bands=8, shingle_len=3)
+        clock("minhash_build", lambda: build_minhash_index(
+            corpus, "doc_id", "text", mh, **kw))
+        clock("minhash_append", lambda: append_to_index(
+            batch, "doc_id", "text", mh, **kw))
+        dead = [r[0] for r in corpus.select("doc_id").limit(200).collect()]
+        clock("minhash_retract", lambda: retract_from_index(spark, mh, dead))
+        clock("minhash_compact_fold", lambda: compact_index(spark, mh))
+
+        vcorpus = emb.filter(F.col("vec_id") % 10 != 0)
+        vbatch = emb.filter(F.col("vec_id") % 10 == 0)
+        clock("ivf_build", lambda: build_ivf_index(
+            vcorpus, "vec_id", "embedding", ivf, n_lists=16))
+        clock("ivf_append", lambda: append_to_ivf_index(
+            vbatch, "vec_id", "embedding", ivf))
+        vdead = [r[0] for r in vcorpus.select("vec_id").limit(200).collect()]
+        clock("ivf_retract", lambda: retract_from_index(spark, ivf, vdead))
+        clock("ivf_compact_fold", lambda: compact_index(spark, ivf))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -201,7 +264,26 @@ def main() -> None:
                         "basis": kind,
                     }
                 )
-        regressions.sort(key=lambda r: -r["ratio"])
+    # index lifecycle timings (round-5 ask #6): drift-normalized against
+    # the previous committed run with the same basis/floors as queries —
+    # these are one-shot maintenance ops (no warm pass makes sense: a
+    # build IS cold in production), so the cold floor applies.
+    lifecycle = _index_lifecycle(spark, sf_dir)
+    prev_life = (prev or {}).get("index_lifecycle", {})
+    for name, cur in lifecycle.items():
+        if name in prev_life:
+            p = round(prev_life[name] * speed, 4)
+            if _looks_worse(p, cur, 0.6):
+                regressions.append(
+                    {
+                        "query": f"lifecycle:{name}",
+                        "prev": p,
+                        "cur": cur,
+                        "ratio": round(cur / p, 2),
+                        "basis": "lifecycle",
+                    }
+                )
+    regressions.sort(key=lambda r: -r["ratio"])
     # Full per-query timings go to a sidecar file; stdout gets one COMPACT
     # line (top-5 slowest only) so the driver's bounded capture never
     # truncates the JSON (round-1 BENCH had parsed:null from a ~2.5 KB line).
@@ -211,6 +293,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "warm_top10": warm,
+        "index_lifecycle": lifecycle,
         "regressions": regressions,
         "overhead_floor_sec": overhead_floor,
         "overhead_floor_total": round(overhead_floor * len(timings), 2),
@@ -232,6 +315,7 @@ def main() -> None:
                 "queries": top5,
                 "warm_top10": warm,
                 "regressions": regressions[:5],
+                "index_lifecycle": lifecycle,
                 "n_queries": len(timings),
                 "overhead_floor_sec": overhead_floor,
                 "calib_sec": calib,

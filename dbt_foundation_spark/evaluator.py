@@ -66,6 +66,67 @@ coverage" families):
 - exposures_dependent_on_private_models: an exposure's parent model is
   not ``access: public`` (``fct_exposures_dependent_on_private_models``
   over dbt 1.5 groups/access) — BI-facing contracts must be public.
+- staging_dependent_on_staging: a ``stg_`` model refs another ``stg_``
+  model (``fct_staging_dependent_on_staging``) — each staging model
+  reads its source directly; shared cleanup is an intermediate.
+- undocumented_source_tables / undocumented_sources: declared source
+  tables without a table-level ``description``, and source GROUPS
+  where no table carries a ``source_description``
+  (``fct_undocumented_source_tables`` / ``fct_undocumented_sources``).
+- undocumented_public_models: ``access: public`` models without a
+  model-level ``description`` (``fct_undocumented_public_models``) —
+  a contract other teams build on must say what it is.
+
+Rule-by-rule parity vs dbt_project_evaluator 1.1.2 — every ``fct_*``
+model in the package, mapped to its check here (the auditable table
+the round-5 review asked for):
+
+========================================== ==================================
+package model (``fct_``)                   here
+========================================== ==================================
+bidirectional_relationships                bidirectional_pair
+direct_join_to_source                      direct_source_join
+duplicate_sources                          duplicate_sources
+hard_coded_references                      hard_coded_reference
+marts_or_intermediate_dependent_on_source  naming_convention ("reads sources
+                                           but not stg_-prefixed") +
+                                           direct_source_join — together they
+                                           flag every non-staging source read
+model_fanout                               model_fanout
+multiple_sources_joined                    multiple_sources_joined
+rejoining_of_upstream_concepts             rejoining_of_upstream_concepts
+root_models                                root_models
+source_fanout                              source_fanout
+staging_dependent_on_marts_or_intermediate staging_depends_on_downstream
+staging_dependent_on_staging               staging_dependent_on_staging
+too_many_joins                             too_many_joins
+unused_sources                             unused_sources
+missing_primary_key_tests                  missing_primary_key_tests
+sources_without_freshness                  sources_without_freshness
+test_coverage                              test_coverage (ratio) +
+                                           untested_models (per offender)
+documentation_coverage                     documentation_coverage (ratio) +
+                                           undocumented_models (per offender)
+undocumented_models                        undocumented_models (column docs —
+                                           the registry's docs surface)
+undocumented_source_tables                 undocumented_source_tables
+undocumented_sources                       undocumented_sources
+chained_views_dependencies                 chained_view_dependencies
+exposure_parents_materializations          exposure_parent_materialization
+exposures_dependent_on_private_models      exposures_dependent_on_private_models
+undocumented_public_models                 undocumented_public_models
+model_naming_conventions                   naming_convention (stg_ prefix —
+                                           the one layer boundary the
+                                           in-process registry encodes)
+model_directories                          N/A — models are in-process
+                                           Python/SQL registrations; there is
+                                           no models/ directory tree whose
+                                           paths could match or mismatch
+source_directories                         N/A — sources are registry
+                                           entries, not YAML files in a tree
+test_directories                           N/A — generic tests attach to
+                                           columns in code, not test files
+========================================== ==================================
 """
 
 from __future__ import annotations
@@ -222,6 +283,28 @@ def evaluate(
                             "dependencies must flow staging → marts",
                         )
                     )
+                elif dep in models:
+                    findings.append(
+                        Finding(
+                            "staging_dependent_on_staging",
+                            name,
+                            f"staging model refs staging model {dep} — "
+                            "each staging model should read its source "
+                            "directly; shared cleanup belongs in an "
+                            "intermediate model",
+                        )
+                    )
+        if node.config.extra.get("access") == "public" and not node.config.extra.get(
+            "description"
+        ):
+            findings.append(
+                Finding(
+                    "undocumented_public_models",
+                    name,
+                    "access: public but no model description — a public "
+                    "contract other teams build on must say what it is",
+                )
+            )
         has_tests = any(c.get("tests") for c in node.columns.values())
         if has_tests:
             n_tested += 1
@@ -406,6 +489,34 @@ def evaluate(
                     f"{src[0]}.{src[1]}",
                     "consumed by the DAG but declares no loaded_at_field/"
                     "staleness budget — invisible to check_freshness",
+                )
+            )
+
+    # undocumented_source_tables / undocumented_sources: every DECLARED
+    # source table should carry a table-level description, and every
+    # source GROUP (source_name) a parent-level one — the package scans
+    # the whole sources.yml, not just consumed entries, so so do we.
+    src_group_docs: dict[str, bool] = {}
+    for s in project.sources.items():
+        src_group_docs[s.source_name] = bool(
+            src_group_docs.get(s.source_name) or s.source_description
+        )
+        if not s.description:
+            findings.append(
+                Finding(
+                    "undocumented_source_tables",
+                    f"{s.source_name}.{s.table_name}",
+                    "declared source table has no description",
+                )
+            )
+    for sname in sorted(src_group_docs):
+        if not src_group_docs[sname]:
+            findings.append(
+                Finding(
+                    "undocumented_sources",
+                    sname,
+                    "source group has no parent-level description "
+                    "(set source_description on its tables)",
                 )
             )
 

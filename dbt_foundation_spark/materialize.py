@@ -406,34 +406,44 @@ def _incremental(project: Project, node: Node, df: DataFrame) -> None:
             _swap_in(project, rel, df, node)
         return
     if strategy in ("merge", "delete+insert"):
-        # dbt's delete+insert strategy (delete target rows matching the
-        # batch's keys, insert the batch) is semantically identical to
-        # the anti-join+union MERGE rewrite below — one code path.
-        keys = node.config.unique_key
-        if not keys:
-            raise ValueError(f"{node.name}: {strategy} strategy requires unique_key")
-        keys = [keys] if isinstance(keys, str) else list(keys)
-        existing = _align(spark.table(rel), target)
-        preds = node.config.incremental_predicates
-        if preds:
-            # dbt's incremental_predicates: only existing rows INSIDE the
-            # predicate window are scanned for key matches (at 100 TB the
-            # predicate is what keeps the anti-join from reading the whole
-            # table — typically a partition bound). Rows outside the window
-            # are kept verbatim EVEN IF their key re-arrives — the
-            # documented dbt trade-off, not a bug.
-            window = F.expr(" AND ".join(f"({p})" for p in preds))
-            inside = existing.filter(window)
-            outside = existing.filter(~window | window.isNull())
-            merged = (
-                outside.unionByName(inside.join(df, on=keys, how="left_anti"))
-                .unionByName(df)
-            )
-        else:
-            merged = existing.join(df, on=keys, how="left_anti").unionByName(df)
-        _swap_in(project, rel, merged, node)
+        _swap_in(project, rel, _merged_rows(project, node, df, target), node)
         return
     raise ValueError(f"unknown incremental strategy: {strategy}")
+
+
+def _merged_rows(project: Project, node: Node, df: DataFrame, target) -> DataFrame:
+    """The MERGE / delete+insert output plan (dbt's delete+insert —
+    delete target rows matching the batch's keys, insert the batch —
+    is semantically identical to the anti-join+union rewrite, so one
+    code path). Split from :func:`_incremental` so the streaming bridge
+    can run the pre-execution scale gate on the exact plan the sink is
+    about to execute (``streaming.pipeline.run_into_incremental``)."""
+    spark = project.spark
+    rel = project.relation_name(node)
+    keys = node.config.unique_key
+    if not keys:
+        raise ValueError(
+            f"{node.name}: {node.config.incremental_strategy} strategy "
+            "requires unique_key"
+        )
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    existing = _align(spark.table(rel), target)
+    preds = node.config.incremental_predicates
+    if preds:
+        # dbt's incremental_predicates: only existing rows INSIDE the
+        # predicate window are scanned for key matches (at 100 TB the
+        # predicate is what keeps the anti-join from reading the whole
+        # table — typically a partition bound). Rows outside the window
+        # are kept verbatim EVEN IF their key re-arrives — the
+        # documented dbt trade-off, not a bug.
+        window = F.expr(" AND ".join(f"({p})" for p in preds))
+        inside = existing.filter(window)
+        outside = existing.filter(~window | window.isNull())
+        return (
+            outside.unionByName(inside.join(df, on=keys, how="left_anti"))
+            .unionByName(df)
+        )
+    return existing.join(df, on=keys, how="left_anti").unionByName(df)
 
 
 def _snapshot(project: Project, node: Node, df: DataFrame) -> None:

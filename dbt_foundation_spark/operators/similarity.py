@@ -604,14 +604,30 @@ def _append_assigned(
     """Assignment + append with pre-loaded quantizer state — the core
     :func:`append_to_ivf_index` and the streaming ingest sink share
     (the sink loads centroids/schema ONCE, not per micro-batch)."""
-    checked = _dim_guarded(df, vec_col, dim, f"IVF index {path}")
     (
-        _ivf_assign(checked, vec_col, centroids)
-        .select(id_col, vec_col, "_ivf_list")
-        .repartition("_ivf_list")
+        _assigned_rows(df, id_col, vec_col, path, centroids, dim)
         .write.mode("append")
         .partitionBy("_ivf_list")
         .parquet(f"{path}/lists")
+    )
+
+
+def _assigned_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    centroids: list[list[float]],
+    dim: int,
+) -> DataFrame:
+    """The assignment plan of :func:`_append_assigned` WITHOUT the
+    write — split out so the streaming ingest can run the pre-execution
+    scale gate on the exact plan it is about to execute."""
+    checked = _dim_guarded(df, vec_col, dim, f"IVF index {path}")
+    return (
+        _ivf_assign(checked, vec_col, centroids)
+        .select(id_col, vec_col, "_ivf_list")
+        .repartition("_ivf_list")
     )
 
 

@@ -254,6 +254,7 @@ class Project:
         contract: dict | None = None,
         group: str | None = None,
         access: str = "protected",
+        description: str = "",
         package: str | None = None,
         version: int | None = None,
         latest_version: bool = False,
@@ -301,6 +302,11 @@ class Project:
                 cfg.extra["group"] = group
             if access != "protected":
                 cfg.extra["access"] = access
+            if description:
+                # model-level docs (dbt's model `description:`) — the
+                # evaluator's undocumented_public_models contract check;
+                # column-level docs live in `columns`
+                cfg.extra["description"] = description
             if zorder_by:
                 cfg.extra["zorder_by"] = tuple(zorder_by)
             if event_time is not None:

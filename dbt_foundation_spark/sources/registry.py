@@ -48,6 +48,11 @@ class Source:
     loaded_at_field: str | None = None
     warn_after_seconds: int | None = None
     error_after_seconds: int | None = None
+    # dbt docs surface (sources.yml ``description:`` at the table level
+    # and at the parent-source level) — read by the evaluator's
+    # undocumented_source_tables / undocumented_sources checks
+    description: str | None = None
+    source_description: str | None = None
 
     def load(self, spark: SparkSession) -> DataFrame:
         if self.catalog_table:

@@ -285,6 +285,29 @@ def run_to_parquet(
     q.awaitTermination()
 
 
+def _gate_first_batch(
+    gate_state: dict, *dfs: DataFrame, allow: Iterable[str] = ()
+) -> None:
+    """Pre-execution scale gate for foreachBatch bodies: run
+    ``plans.inspect.assert_scale_safe`` on the batch plans ONCE per
+    stream run. The plan SHAPE is batch-invariant (same operators,
+    different file slices), so the first trigger proves the run and
+    later triggers skip the plan walk. The batch catalog is gated by
+    ``lint(project, scale=True)``, but these sinks execute plans the
+    lint never sees — without this, a detector change reintroducing a
+    row-UDF or a single-partition funnel would ship silently and only
+    show up as 100 TB throughput collapse. Failing the FIRST trigger is
+    the streaming equivalent of failing CI; the stream dies with
+    :class:`plans.inspect.PlanScaleError` in its cause chain."""
+    if gate_state.get("scale_gated"):
+        return
+    from dbt_foundation_spark.plans import inspect as plan_inspect
+
+    for df in dfs:
+        plan_inspect.assert_scale_safe(df, allow=allow)
+    gate_state["scale_gated"] = True
+
+
 def run_into_incremental(
     project,
     node_name: str,
@@ -320,7 +343,33 @@ def run_into_incremental(
             "append/merge strategies"
         )
 
+    from dbt_foundation_spark.materialize import _evolved_schema, _merged_rows
+
+    spark = project.spark
+    rel = project.relation_name(node)
+    gate_state: dict = {}
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch hands the micro-batch over as an opaque
+        # ExistingRDD scan (stream-side transforms already ran inside
+        # the streaming engine), so the gateable plan is the STRATEGY's
+        # — for merge/delete+insert, the existing⟕batch anti-join +
+        # union this sink is about to execute. Each strategy shape is
+        # gated once per run: the first batch usually CREATEs the
+        # table (nothing to gate), the first merge against it is the
+        # plan that must stay scale-safe.
+        if (
+            not gate_state.get("scale_gated")
+            and node.config.incremental_strategy in ("merge", "delete+insert")
+            and spark.catalog.tableExists(rel)
+        ):
+            from dbt_foundation_spark.materialize import _align
+
+            target, _ = _evolved_schema(project, node, rel, batch_df)
+            _gate_first_batch(
+                gate_state,
+                _merged_rows(project, node, _align(batch_df, target), target),
+            )
         _incremental(project, node, batch_df)
 
     writer = stream_df.writeStream.foreachBatch(sink).option(
@@ -643,6 +692,8 @@ def run_dedup_ingest(
             "minhash/simhash/containment/embedding"
         )
 
+    gate_state: dict = {}
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint()  # pin: file batches re-list lazily
@@ -655,7 +706,12 @@ def run_dedup_ingest(
         drops = corpus_hits.union(within_hits).distinct()
         survivors = batch_df.join(
             drops, batch_df[id_col] == drops._drop_id, "left_anti"
-        ).localCheckpoint()  # two consumers below — compute the gate once
+        )
+        # the survivors plan embeds the WHOLE detector (index join +
+        # within-batch pairs) — one gate covers everything this sink
+        # executes per trigger
+        _gate_first_batch(gate_state, survivors)
+        survivors = survivors.localCheckpoint()  # two consumers below
         survivors.write.mode("append").parquet(out_path)
         admit(survivors)
 
@@ -687,6 +743,7 @@ def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str, app_id: str):
 
     from dbt_foundation_spark.operators.similarity import (
         _append_assigned,
+        _assigned_rows,
         _check_batch_schema,
         _load_ivf,
     )
@@ -722,6 +779,15 @@ def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str, app_id: str):
         if seen:
             return
         _check_batch_schema(batch_df, id_col, vec_col, state["schema"])
+        # gate the exact assignment plan the append executes (state
+        # doubles as the once-per-run latch, like the quantizer cache)
+        _gate_first_batch(
+            state,
+            _assigned_rows(
+                batch_df, id_col, vec_col, index_path,
+                state["centroids"], state["dim"],
+            ),
+        )
         _append_assigned(
             batch_df, id_col, vec_col, index_path,
             state["centroids"], state["dim"],

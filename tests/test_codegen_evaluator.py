@@ -437,6 +437,69 @@ def test_evaluator_too_many_joins(project):
     ]
 
 
+def test_evaluator_staging_dependent_on_staging(project):
+    @project.model
+    def stg_orders(ctx):
+        return ctx.source("raw", "orders")
+
+    @project.model
+    def stg_orders_clean(ctx):  # staging chained on staging
+        return ctx.ref("stg_orders")
+
+    project.run()
+    got = [
+        f for f in evaluate(project) if f.check == "staging_dependent_on_staging"
+    ]
+    assert len(got) == 1
+    assert got[0].node == "stg_orders_clean" and "stg_orders" in got[0].detail
+
+
+def test_evaluator_undocumented_public_models(project):
+    @project.model(access="public", description="documented public mart")
+    def fct_documented(ctx):
+        return ctx.source("raw", "orders")
+
+    @project.model(access="public")
+    def fct_bare(ctx):
+        return ctx.source("raw", "orders")
+
+    @project.model  # protected: not held to the public-contract bar
+    def fct_internal(ctx):
+        return ctx.source("raw", "orders")
+
+    project.run()
+    got = {
+        f.node for f in evaluate(project) if f.check == "undocumented_public_models"
+    }
+    assert got == {"fct_bare"}
+
+
+def test_evaluator_undocumented_sources(spark, sf_dir):
+    from dbt_foundation_spark.sources.registry import Source, SourceRegistry
+
+    reg = SourceRegistry()
+    reg.add(Source(
+        "raw", "orders", path=f"{sf_dir}/orders.parquet",
+        description="order headers", source_description="the raw layer",
+    ))
+    reg.add(Source("raw", "lineitem", path=f"{sf_dir}/lineitem.parquet"))
+    reg.add(Source("ext", "events", path=f"{sf_dir}/events.parquet"))
+    project = Project("doc_src_proj", spark, sources=reg)
+
+    @project.model
+    def stg_orders(ctx):
+        return ctx.source("raw", "orders")
+
+    project.run()
+    fs = evaluate(project)
+    tables = {f.node for f in fs if f.check == "undocumented_source_tables"}
+    groups = {f.node for f in fs if f.check == "undocumented_sources"}
+    # table-level: the two without description:, regardless of use
+    assert tables == {"raw.lineitem", "ext.events"}
+    # group-level: raw has a parent description on one table, ext has none
+    assert groups == {"ext"}
+
+
 def test_evaluator_exposure_private_parent(project):
     @project.model(access="public", group="core")
     def fct_public(ctx):

@@ -1275,3 +1275,155 @@ def test_dedup_ingest_respects_tombstones(spark, sf_dir, staging):
     )
     admitted = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert admitted == [2000, 2101]
+
+
+def test_ingest_sinks_run_scale_gate(spark, staging, monkeypatch):
+    """Every foreachBatch ingest runs the pre-execution scale gate on
+    its first batch — and ONLY the first (the plan shape is
+    batch-invariant; later triggers skip the walk). Batch queries get
+    this from lint(project, scale=True); the sinks execute plans the
+    lint never sees, so each must self-gate."""
+    import uuid as _uuid
+
+    from dbt_foundation_spark.operators.dedup_index import build_minhash_index
+    from dbt_foundation_spark.operators.similarity import build_ivf_index
+    from dbt_foundation_spark.plans import inspect as plan_inspect
+    from dbt_foundation_spark.project import Project, Target
+    from dbt_foundation_spark.streaming.pipeline import (
+        run_dedup_ingest,
+        run_into_incremental,
+        run_ivf_ingest,
+    )
+
+    calls = []
+    real = plan_inspect.assert_scale_safe
+
+    def counting(df, **kw):
+        calls.append(1)
+        return real(df, **kw)
+
+    monkeypatch.setattr(plan_inspect, "assert_scale_safe", counting)
+
+    # --- run_into_incremental: 2 files x maxFilesPerTrigger=1 = two
+    # micro-batches in ONE run -> exactly one gate call
+    schema = f"st_{_uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
+    p = Project("stream_gate", spark, target=Target(schema=schema))
+
+    @p.model(
+        materialized="incremental",
+        incremental_strategy="merge",
+        unique_key="k",
+    )
+    def fct_gate_kv(ctx):
+        raise AssertionError("bridge must not invoke the model fn")
+
+    in_dir = staging["root"] / f"gate_in_{_uuid.uuid4().hex[:6]}"
+    try:
+        for lo in (0, 10):
+            spark.createDataFrame(
+                [(lo + i, "x") for i in range(5)], "k int, v string"
+            ).coalesce(1).write.mode("append").parquet(str(in_dir))
+        stream = (
+            spark.readStream.schema("k int, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        run_into_incremental(p, "fct_gate_kv", stream, _ckpt(staging))
+        assert spark.table(f"{schema}.fct_gate_kv").count() == 10
+        assert len(calls) == 1  # once per RUN, not per batch
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+
+    # --- run_dedup_ingest (minhash): gate sees the full detector plan
+    calls.clear()
+    docs = [(i, f"dedup gate corpus doc {i} " + " ".join(f"w{i}{j}" for j in range(8)))
+            for i in range(4)]
+    corpus = spark.createDataFrame(docs, ["doc_id", "text"])
+    mh = str(staging["root"] / f"gate_mh_{_uuid.uuid4().hex[:6]}")
+    kw = dict(num_hashes=16, bands=4, shingle_len=3)
+    build_minhash_index(corpus, "doc_id", "text", mh, **kw)
+    din = staging["root"] / f"gate_docs_{_uuid.uuid4().hex[:6]}"
+    spark.createDataFrame(
+        [(100 + i, t) for i, t in docs[:2]] + [(201, "an entirely new document with its own words")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(din))
+    dstream = spark.readStream.schema("doc_id bigint, text string").parquet(str(din))
+    run_dedup_ingest(
+        dstream, "doc_id", "text", mh,
+        str(staging["root"] / f"gate_out_{_uuid.uuid4().hex[:6]}"),
+        _ckpt(staging), jaccard_threshold=0.5, **kw,
+    )
+    assert len(calls) == 1
+
+    # --- run_ivf_ingest: gate sees the assignment plan
+    calls.clear()
+    import random as _random
+
+    def vec(i):
+        r = _random.Random(i)
+        return [r.uniform(-1, 1) for _ in range(4)]
+
+    ivf = str(staging["root"] / f"gate_ivf_{_uuid.uuid4().hex[:6]}")
+    build_ivf_index(
+        spark.createDataFrame(
+            [(i, vec(i)) for i in range(8)],
+            "vec_id: bigint, embedding: array<double>",
+        ),
+        "vec_id", "embedding", ivf, n_lists=2,
+    )
+    vin = staging["root"] / f"gate_vecs_{_uuid.uuid4().hex[:6]}"
+    spark.createDataFrame(
+        [(100 + i, vec(100 + i)) for i in range(3)],
+        "vec_id: bigint, embedding: array<double>",
+    ).coalesce(1).write.parquet(str(vin))
+    vstream = spark.readStream.schema(
+        "vec_id bigint, embedding array<double>"
+    ).parquet(str(vin))
+    run_ivf_ingest(vstream, "vec_id", "embedding", ivf, _ckpt(staging))
+    assert len(calls) == 1
+
+
+def test_ingest_gate_rejects_row_udf(spark, staging, monkeypatch):
+    """Negative flank: a detector change that sneaks a row-at-a-time
+    Python UDF into the dedup sink's plan kills the stream on the FIRST
+    trigger with the scale gate's finding in the failure chain, instead
+    of shipping a 10-100x-slower plan silently."""
+    import uuid as _uuid
+
+    from dbt_foundation_spark.operators import dedup as dedup_ops
+    from dbt_foundation_spark.operators.dedup_index import build_minhash_index
+    from dbt_foundation_spark.streaming.pipeline import run_dedup_ingest
+
+    real_pairs = dedup_ops.minhash_lsh_pairs
+    rogue = F.udf(lambda x: x, "bigint")
+
+    def bad_pairs(*a, **kw):
+        return real_pairs(*a, **kw).withColumn("id_a", rogue("id_a"))
+
+    monkeypatch.setattr(dedup_ops, "minhash_lsh_pairs", bad_pairs)
+
+    corpus = spark.createDataFrame(
+        [(1, "a corpus document for the negative scale gate test words")],
+        ["doc_id", "text"],
+    )
+    mh = str(staging["root"] / f"neg_mh_{_uuid.uuid4().hex[:6]}")
+    kw = dict(num_hashes=16, bands=4, shingle_len=3)
+    build_minhash_index(corpus, "doc_id", "text", mh, **kw)
+    din = staging["root"] / f"neg_docs_{_uuid.uuid4().hex[:6]}"
+    spark.createDataFrame(
+        [(2, "an entirely different new document with its own words")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(din))
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(str(din))
+    with pytest.raises(Exception) as ei:
+        run_dedup_ingest(
+            stream, "doc_id", "text", mh,
+            str(staging["root"] / f"neg_out_{_uuid.uuid4().hex[:6]}"),
+            _ckpt(staging), jaccard_threshold=0.5, **kw,
+        )
+    chain, seen = ei.value, []
+    while chain is not None:
+        seen.append(str(chain))
+        chain = getattr(chain, "__cause__", None)
+    assert any("BatchEvalPython" in s for s in seen), seen[-1][:500]

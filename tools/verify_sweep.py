@@ -1,7 +1,18 @@
 """Driver-contract sweep: vanilla session -> entry/queries/oracle_sql,
-each oracle-backed query compared against DuckDB at sf0.01 with the
-driver's sorted-columns value hash. Prints per-query lines and a final
-``BAD: [...]`` summary line. Mirrors .claude/skills/verify/SKILL.md."""
+each oracle-backed query compared against DuckDB with the driver's
+sorted-columns value hash. Prints per-query lines and a final
+``BAD: [...]`` summary line. Mirrors .claude/skills/verify/SKILL.md.
+
+Usage::
+
+    python tools/verify_sweep.py                 # sf0.01 (the driver's t2)
+    python tools/verify_sweep.py --sf 0.001      # fast pre-commit tier
+    python tools/verify_sweep.py --sf both       # 0.001 then 0.01 — catches
+                                                 # SF-dependent bugs (empty
+                                                 # partitions, degenerate
+                                                 # samples) before the driver
+    python tools/verify_sweep.py q_foo q_bar     # only named queries
+"""
 import hashlib
 import sys
 import time
@@ -13,17 +24,21 @@ from pyspark.sql import SparkSession
 
 sys.path.insert(0, "/root/repo")
 
+args = sys.argv[1:]
+sfs = ["0.01"]
+if "--sf" in args:
+    i = args.index("--sf")
+    val = args[i + 1]
+    del args[i : i + 2]
+    sfs = ["0.001", "0.01"] if val == "both" else [val]
+only = args
+
 spark = SparkSession.builder.master("local[8]").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as e  # noqa: E402
 
 assert e.entry(spark).count() >= 0
 qs, os_ = e.queries(), e.oracle_sql()
-sf = "/root/testdata/sf0.01"
-con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
 
 def vhash(df):
@@ -36,25 +51,31 @@ def vhash(df):
 
 
 bad = []
-only = sys.argv[1:]
-for name, fn in sorted(qs.items()):
-    if only and name not in only:
-        continue
-    t0 = time.time()
-    try:
-        g = fn(spark, sf).toPandas()
-        if name in os_:
-            w = con.execute(os_[name]).df()
-            ok = len(g) == len(w) and vhash(g) == vhash(w)
-            print(name, "MATCH" if ok else "MISMATCH", len(g),
-                  f"{time.time()-t0:.1f}s", flush=True)
-            if not ok:
-                bad.append(name)
-        else:
-            print(name, "rows-only", len(g), f"{time.time()-t0:.1f}s",
-                  flush=True)
-    except Exception as ex:  # noqa: BLE001
-        traceback.print_exc()
-        print(name, "ERROR", repr(ex), flush=True)
-        bad.append(name)
+for sf_tag in sfs:
+    sf = f"/root/testdata/sf{sf_tag}"
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            g = fn(spark, sf).toPandas()
+            if name in os_:
+                w = con.execute(os_[name]).df()
+                ok = len(g) == len(w) and vhash(g) == vhash(w)
+                print(f"sf{sf_tag}", name, "MATCH" if ok else "MISMATCH",
+                      len(g), f"{time.time()-t0:.1f}s", flush=True)
+                if not ok:
+                    bad.append(f"sf{sf_tag}:{name}")
+            else:
+                print(f"sf{sf_tag}", name, "rows-only", len(g),
+                      f"{time.time()-t0:.1f}s", flush=True)
+        except Exception as ex:  # noqa: BLE001
+            traceback.print_exc()
+            print(f"sf{sf_tag}", name, "ERROR", repr(ex), flush=True)
+            bad.append(f"sf{sf_tag}:{name}")
+    con.close()
 print("BAD:", bad, flush=True)
