@@ -460,8 +460,14 @@ def index_stats(spark: SparkSession, index_path: str) -> dict:
     one-row manifest and the takedown-sized log — no corpus scan.
 
     Returns ``{"flavor", "params", "datasets": {sub: {"n_files",
-    "total_bytes"}}, "tombstones": n}``; absent optional sub-datasets
-    (e.g. the ivf ingest_log) are omitted."""
+    "total_bytes"}}, "tombstones": n, "crash_leftovers": [...]}``;
+    absent optional sub-datasets (e.g. the ivf ingest_log) are
+    omitted. ``crash_leftovers`` lists any ``__compact_tmp`` /
+    ``__compact_old`` / ``__revive_tmp`` / ``__revive_old`` directories
+    present — each means a maintenance op died mid-swap; every one is
+    healed by simply RE-RUNNING the op (compaction restores/supersedes
+    its own, the tombstone paths self-heal on the next read or clear),
+    so a non-empty list is a "re-run maintenance" signal, not damage."""
     from pyspark.errors import AnalysisException
 
     from dbt_foundation_spark.operators.dedup_index import (
@@ -485,9 +491,21 @@ def index_stats(spark: SparkSession, index_path: str) -> dict:
         except AnalysisException:
             continue  # optional sub-dataset not present
     tomb = read_tombstones(spark, index_path)
+    # crash-leftover scan: one directory listing of the index root —
+    # swap residue is always a SIBLING of the dataset it was swapping
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    suffixes = ("__compact_tmp", "__compact_old", "__revive_tmp", "__revive_old")
+    leftovers = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().endswith(suffixes)
+    )
     return {
         "flavor": flavor,
         "params": {k: v for k, v in mft.items() if k != "flavor"},
         "datasets": datasets,
         "tombstones": 0 if tomb is None else tomb.count(),
+        "crash_leftovers": leftovers,
     }

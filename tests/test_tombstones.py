@@ -330,6 +330,17 @@ def test_index_stats_summary(spark, tmp_path):
     assert set(s["datasets"]) == {"bands", "shingles"}
     assert all(d["n_files"] >= 1 for d in s["datasets"].values())
     assert s["tombstones"] == 2
+    assert s["crash_leftovers"] == []
+
+    # a parked swap dir shows up as a re-run-maintenance signal
+    spark.createDataFrame([(9,)], "id: bigint").write.parquet(
+        f"{mh}/bands__compact_old"
+    )
+    assert index_stats(spark, mh)["crash_leftovers"] == ["bands__compact_old"]
+    from dbt_foundation_spark.operators.tombstones import _hadoop
+
+    p, fs = _hadoop(spark, f"{mh}/bands__compact_old")
+    fs.delete(p, True)
 
     emb = spark.createDataFrame(
         [(i, [float(i % 3), 1.0, 0.0, 0.5]) for i in range(12)],
