@@ -463,11 +463,12 @@ def index_stats(spark: SparkSession, index_path: str) -> dict:
     "total_bytes"}}, "tombstones": n, "crash_leftovers": [...]}``;
     absent optional sub-datasets (e.g. the ivf ingest_log) are
     omitted. ``crash_leftovers`` lists any ``__compact_tmp`` /
-    ``__compact_old`` / ``__revive_tmp`` / ``__revive_old`` directories
-    present — each means a maintenance op died mid-swap; every one is
-    healed by simply RE-RUNNING the op (compaction restores/supersedes
-    its own, the tombstone paths self-heal on the next read or clear),
-    so a non-empty list is a "re-run maintenance" signal, not damage."""
+    ``__compact_old`` / ``__revive_tmp`` directories present — each
+    means a maintenance op died mid-operation; every one is healed by
+    simply RE-RUNNING the op (compaction restores/supersedes its own
+    residue; a revive tmp is superseded scratch the next clear
+    deletes), so a non-empty list is a "re-run maintenance" signal,
+    not damage."""
     from pyspark.errors import AnalysisException
 
     from dbt_foundation_spark.operators.dedup_index import (
@@ -496,7 +497,7 @@ def index_stats(spark: SparkSession, index_path: str) -> dict:
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(index_path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    suffixes = ("__compact_tmp", "__compact_old", "__revive_tmp", "__revive_old")
+    suffixes = ("__compact_tmp", "__compact_old", "__revive_tmp")
     leftovers = sorted(
         st.getPath().getName()
         for st in fs.listStatus(root)

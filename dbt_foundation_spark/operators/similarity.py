@@ -571,10 +571,18 @@ def _check_batch_schema(
     depends on WHICH footer Spark samples — the appended rows read as
     all-NULL or the whole index stops resolving, and a later
     ``compact_index`` bakes the damage in. Nullability is ignored
-    (``simpleString`` comparison): it varies by writer, not by data."""
-    stored_id, stored_vec = [
-        f for f in stored_schema.fields if f.name != "_ivf_list"
-    ]
+    (``simpleString`` comparison): it varies by writer, not by data.
+
+    Columns are derived by TYPE (:func:`ivf_id_col` + the array field),
+    the same derivation every read/fold path uses — a store whose
+    column order diverged from (id, vec) must still accept appends, or
+    an index whose reads work would permanently refuse ingest."""
+    stored_id = stored_schema[ivf_id_col(stored_schema)]
+    stored_vec = next(
+        f
+        for f in stored_schema.fields
+        if f.name != "_ivf_list" and f.dataType.typeName() == "array"
+    )
     if (id_col, vec_col) != (stored_id.name, stored_vec.name):
         raise ValueError(
             f"index stores columns ({stored_id.name!r}, {stored_vec.name!r}) "

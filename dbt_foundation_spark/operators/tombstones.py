@@ -60,41 +60,34 @@ def _hadoop(spark: SparkSession, path: str):
     return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
-def _restore_parked_log(spark: SparkSession, index_path: str) -> bool:
-    """Crash recovery for the revive swap (:func:`clear_tombstones`
-    subset path): a run that died between its rename-aside and install
-    leaves the log parked at ``tombstones__revive_old`` and NOTHING at
-    ``tombstones`` — which every read path would treat as "no
-    takedowns", silently resurrecting every retracted id. Detect that
-    state and rename the parked copy back. Returns True if a restore
-    happened. Runs only on the already-exceptional no-log path, so the
-    common read costs nothing extra."""
+def _log_files(spark: SparkSession, index_path: str) -> list[str]:
+    """The tombstone log's data files at this instant — the unit of the
+    subset clear's fold: only files listed HERE are read, replaced and
+    deleted, so a retraction batch appended concurrently lands as a new
+    file the fold never touches."""
     tp = _tomb_path(index_path)
     p, fs = _hadoop(spark, tp)
-    old = spark._jvm.org.apache.hadoop.fs.Path(tp + "__revive_old")
-    if fs.exists(p) or not fs.exists(old):
-        return False
-    if not fs.rename(old, p):
-        raise IOError(f"could not restore parked tombstone log {tp}__revive_old")
-    return True
+    if not fs.exists(p):
+        return []
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next().getPath()
+        if not f.getName().startswith(("_", ".")):
+            out.append(f.toString())
+    return out
 
 
 def read_tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
     """The retracted-id set (one ``id`` column, distinct), or ``None``
     when the index has no tombstones — callers use ``None`` to skip the
-    anti-join entirely, keeping the no-takedown plan unchanged.
-
-    A missing log triggers the parked-copy check (crash window of the
-    revive swap) before concluding "no takedowns" — reads self-heal
-    rather than waiting for the next maintenance call."""
+    anti-join entirely, keeping the no-takedown plan unchanged."""
     from pyspark.errors import AnalysisException
 
     try:
         df = spark.read.parquet(_tomb_path(index_path))
     except AnalysisException:
-        if not _restore_parked_log(spark, index_path):
-            return None
-        df = spark.read.parquet(_tomb_path(index_path))
+        return None
     return df.select("id").distinct()
 
 
@@ -279,58 +272,89 @@ def clear_tombstones(
     retractions appended DURING a long compaction survive the fold.
     Returns the number of ids removed from the log.
 
-    The subset path collects the surviving log to the driver — safe by
-    the same bound the broadcast subtraction relies on: the log is
-    takedown-sized, not corpus-sized. The rewrite installs via
-    write-aside + two renames (the ``compact_parquet_path`` pattern):
-    survivors land at ``tombstones__revive_tmp`` first, the live log is
-    parked at ``__revive_old``, the tmp renamed in, the parked copy
-    dropped. Every crash window is safe: before the rename-aside the
-    log is untouched (revive simply not yet applied — re-run); between
-    the renames the parked copy is restored by the next read
-    (:func:`_restore_parked_log`) or maintenance call; after install
-    the parked copy is superseded and lazily dropped here."""
-    # heal / tidy the revive swap's crash windows before reading
-    _restore_parked_log(spark, index_path)
+    The subset path is a FILE-LEVEL fold, not a directory rewrite: it
+    lists the log's data files, computes survivors from exactly those
+    files, writes the survivors as a new file INTO the live log, then
+    deletes only the files it read. A batch appended concurrently is a
+    file the fold never listed — never read, never rewritten, never
+    deleted — so no interleaving can lose a retraction (the
+    delete-then-rewrite this replaced could drop the whole log; even a
+    directory-rename swap would destroy files appended between its
+    read and its rename). Crash anywhere = some read files not yet
+    deleted: surviving ids are merely duplicated (the log reads
+    DISTINCT) and revived ids may still be present — the revive has
+    simply not completed; re-run it. Over-retention is the safe
+    failure direction for a takedown log, and at no instant is a
+    surviving id absent from the live log.
+
+    The driver-side collect is safe by the same bound the broadcast
+    subtraction relies on: the log is takedown-sized, not corpus-sized.
+
+    Interleaving contract (documented, not enforced): a REVIVE issued
+    while ``compact_index`` is running can report success and still
+    lose the id — sub-datasets already rewritten against the
+    pre-revive snapshot have dropped its rows physically. Revives are
+    operator-initiated maintenance and belong in the same maintenance
+    window as compaction (the ``compact_table`` catalog-swap
+    contract); retraction — the online, compliance-critical direction
+    — carries no such restriction and is safe against concurrent
+    compaction by the snapshot-clear above."""
     tp = _tomb_path(index_path)
     p, fs = _hadoop(spark, tp)
     jvm = spark._jvm
-    old_p = jvm.org.apache.hadoop.fs.Path(tp + "__revive_old")
-    tmp_p = jvm.org.apache.hadoop.fs.Path(tp + "__revive_tmp")
-    if fs.exists(p):
-        # any parked copy alongside a live log is a superseded
-        # crash-after-install leftover — drop it or the next swap's
-        # rename-aside would fail forever
-        fs.delete(old_p, True)
-    existing = read_tombstones(spark, index_path)
-    if existing is None:
-        return 0
     if ids is None:
+        existing = read_tombstones(spark, index_path)
+        if existing is None:
+            return 0
         n = existing.count()
         fs.delete(p, True)
         return n
     revive = _as_id_df(spark, ids)
     if revive is None:
         return 0
-    keep = existing.join(F.broadcast(revive), "id", "left_anti")
+    files = _log_files(spark, index_path)
+    if not files:
+        return 0
+    # pin the listed files' content: the count, the collect and the
+    # survivor write below must see the same rows while those files
+    # are later deleted out from under the plan
+    snap = (
+        spark.read.parquet(*files)
+        .select("id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    keep = snap.join(F.broadcast(revive), "id", "left_anti")
     kept_rows = keep.collect()  # bounded: takedown-sized log
-    removed = existing.count() - len(kept_rows)
+    removed = snap.count() - len(kept_rows)
     if removed == 0:
-        return 0  # nothing leaves the log — no rewrite, no crash window
-    if not kept_rows:
-        # every id revived == full clear: one delete, and a crash
-        # before it just means the revive has not happened yet
-        fs.delete(p, True)
-        return removed
-    fs.delete(tmp_p, True)  # stale tmp from an earlier crashed attempt
-    spark.createDataFrame(kept_rows, existing.schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tp + "__revive_tmp")
-    if not fs.rename(p, old_p):
-        raise IOError(f"revive swap failed renaming {tp} aside")
-    if not fs.rename(tmp_p, p):
-        # roll back so the log never stays missing
-        fs.rename(old_p, p)
-        raise IOError(f"revive swap failed installing {tp}__revive_tmp")
-    fs.delete(old_p, True)
+        return 0  # nothing leaves the log — no rewrite, no deletes
+    if kept_rows:
+        # survivors enter the live log BEFORE any old file is deleted,
+        # so no read between the two steps can miss a surviving id
+        import uuid
+
+        tmp = f"{tp}__revive_tmp"
+        tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs.delete(tmp_p, True)  # stale residue from a crashed attempt
+        spark.createDataFrame(kept_rows, snap.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        moved = False
+        it = fs.listFiles(tmp_p, False)
+        while it.hasNext():
+            f = it.next().getPath()
+            if f.getName().startswith(("_", ".")):
+                continue
+            dest = jvm.org.apache.hadoop.fs.Path(
+                f"{tp}/revive-{uuid.uuid4().hex[:12]}.parquet"
+            )
+            if not fs.rename(f, dest):
+                raise IOError(f"could not move survivor file into {tp}")
+            moved = True
+        if not moved:
+            raise IOError(f"survivor write produced no data file under {tmp}")
+        fs.delete(tmp_p, True)
+    for f in files:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
     return removed

@@ -286,7 +286,10 @@ def run_to_parquet(
 
 
 def _gate_first_batch(
-    gate_state: dict, *dfs: DataFrame, allow: Iterable[str] = ()
+    gate_state: dict,
+    *dfs: DataFrame,
+    allow: Iterable[str] = (),
+    key: str = "scale_gated",
 ) -> None:
     """Pre-execution scale gate for foreachBatch bodies: run
     ``plans.inspect.assert_scale_safe`` on the batch plans ONCE per
@@ -299,13 +302,13 @@ def _gate_first_batch(
     show up as 100 TB throughput collapse. Failing the FIRST trigger is
     the streaming equivalent of failing CI; the stream dies with
     :class:`plans.inspect.PlanScaleError` in its cause chain."""
-    if gate_state.get("scale_gated"):
+    if gate_state.get(key):
         return
     from dbt_foundation_spark.plans import inspect as plan_inspect
 
     for df in dfs:
         plan_inspect.assert_scale_safe(df, allow=allow)
-    gate_state["scale_gated"] = True
+    gate_state[key] = True
 
 
 def run_into_incremental(
@@ -352,24 +355,26 @@ def run_into_incremental(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch hands the micro-batch over as an opaque
         # ExistingRDD scan (stream-side transforms already ran inside
-        # the streaming engine), so the gateable plan is the STRATEGY's
-        # — for merge/delete+insert, the existing⟕batch anti-join +
-        # union this sink is about to execute. Each strategy shape is
-        # gated once per run: the first batch usually CREATEs the
-        # table (nothing to gate), the first merge against it is the
-        # plan that must stay scale-safe.
-        if (
-            not gate_state.get("scale_gated")
-            and node.config.incremental_strategy in ("merge", "delete+insert")
-            and spark.catalog.tableExists(rel)
-        ):
-            from dbt_foundation_spark.materialize import _align
+        # the streaming engine), so the gateable plans are the
+        # STRATEGY's. Two shapes, each gated once per run: the batch
+        # scan itself on the first trigger (the create/append write
+        # plan), and — for merge/delete+insert — the existing⟕batch
+        # anti-join + union the first time it executes, which on a
+        # fresh table is trigger TWO (trigger one is the CTAS).
+        _gate_first_batch(gate_state, batch_df)
+        if node.config.incremental_strategy in (
+            "merge",
+            "delete+insert",
+        ) and spark.catalog.tableExists(rel):
+            if not gate_state.get("merge_gated"):
+                from dbt_foundation_spark.materialize import _align
 
-            target, _ = _evolved_schema(project, node, rel, batch_df)
-            _gate_first_batch(
-                gate_state,
-                _merged_rows(project, node, _align(batch_df, target), target),
-            )
+                target, _ = _evolved_schema(project, node, rel, batch_df)
+                _gate_first_batch(
+                    gate_state,
+                    _merged_rows(project, node, _align(batch_df, target), target),
+                    key="merge_gated",
+                )
         _incremental(project, node, batch_df)
 
     writer = stream_df.writeStream.foreachBatch(sink).option(

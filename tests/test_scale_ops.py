@@ -1681,3 +1681,19 @@ def test_knn_join_ivf_column_order_independent(spark, sf_dir, tmp_path):
     ).parquet(f"{path}/lists")
     got = rows(knn_join_ivf(spark, path, qs, "vec_id", "embedding", k=3, n_probe=2))
     assert got == want
+
+    # the APPEND path shares the type-based derivation: a reordered
+    # store must keep accepting ingest (the schema check binds id/vec
+    # by type, not position)
+    from pyspark.sql import functions as F
+
+    from dbt_foundation_spark.operators.similarity import append_to_ivf_index
+
+    extra = emb.orderBy(F.desc("vec_id")).limit(2).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    append_to_ivf_index(extra, "vec_id", "embedding", path)
+    n_new = spark.read.parquet(f"{path}/lists").filter(
+        F.col("vec_id") >= 1_000_000
+    ).count()
+    assert n_new == 2

@@ -1331,7 +1331,10 @@ def test_ingest_sinks_run_scale_gate(spark, staging, monkeypatch):
         )
         run_into_incremental(p, "fct_gate_kv", stream, _ckpt(staging))
         assert spark.table(f"{schema}.fct_gate_kv").count() == 10
-        assert len(calls) == 1  # once per RUN, not per batch
+        # two gated shapes, each once per RUN (not per batch): the
+        # batch write plan on trigger one (which CTASes), the merge
+        # anti-join+union plan on trigger two (first merge execution)
+        assert len(calls) == 2
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
 

@@ -391,22 +391,21 @@ def _exists(spark, p):
     return fs.exists(hp)
 
 
-def test_revive_swap_crash_windows(spark, tmp_path):
-    """The subset-revive rewrite must never hold the only copy of the
-    log in driver memory: survivors land at ``__revive_tmp`` first and
-    install via rename, the parked ``__revive_old`` copy is restored by
-    the NEXT READ if the swap died between its renames, and stale
-    tmp/old leftovers from crashed runs are tidied — no crash window
-    can silently resurrect every retracted id."""
-    from dbt_foundation_spark.operators.tombstones import _hadoop, _tomb_path
+def test_revive_file_fold_concurrency_and_crash(spark, tmp_path, monkeypatch):
+    """The subset clear is a FILE-LEVEL fold: it deletes only the files
+    it listed and read, so a retraction appended between the listing
+    and the deletes survives untouched; a crash that leaves both the
+    survivor file and the not-yet-deleted originals behind is mere
+    duplication + not-yet-applied revive, healed by re-running."""
+    import dbt_foundation_spark.operators.tombstones as tomb_mod
+    from dbt_foundation_spark.operators.dedup_index import build_simhash_index
+    from dbt_foundation_spark.operators.tombstones import _tomb_path
 
     corpus = spark.createDataFrame(
         [(i, f"distinct corpus document number {i} with its own words") for i in range(1, 5)],
         ["doc_id", "text"],
     )
     path = str(tmp_path / "sh")
-    from dbt_foundation_spark.operators.dedup_index import build_simhash_index
-
     build_simhash_index(corpus, "doc_id", "text", path)
     tp = _tomb_path(path)
 
@@ -414,29 +413,34 @@ def test_revive_swap_crash_windows(spark, tmp_path):
     # reviving an id that is not tombstoned: no rewrite, log untouched
     assert clear_tombstones(spark, path, [9]) == 0
     assert _tomb_set(spark, path) == {1, 2, 3, 4}
-    # normal partial revive: swap leaves no tmp/old residue
+    # normal partial revive: no tmp residue, survivors intact
     assert clear_tombstones(spark, path, [1]) == 1
     assert _tomb_set(spark, path) == {2, 3, 4}
-    assert not _exists(spark, tp + "__revive_old")
     assert not _exists(spark, tp + "__revive_tmp")
 
-    # crash window 1: died between rename-aside and install — the log
-    # dir is GONE and the only copy is parked. A bare read self-heals.
-    hp, fs = _hadoop(spark, tp)
-    jvm = spark._jvm
-    assert fs.rename(hp, jvm.org.apache.hadoop.fs.Path(tp + "__revive_old"))
-    assert _tomb_set(spark, path) == {2, 3, 4}  # read restored it
-    assert _exists(spark, tp) and not _exists(spark, tp + "__revive_old")
+    # concurrency: a retraction landing AFTER the fold's file listing
+    # is a file the fold never touches — it must survive the clear
+    real_log_files = tomb_mod._log_files
 
-    # crash window 2: died after install, before dropping the parked
-    # copy — plus a stale tmp from an even earlier attempt. The next
-    # clear tidies both and the superseded parked ids never reappear.
-    spark.createDataFrame([(99,)], "id: bigint").write.parquet(tp + "__revive_old")
-    spark.createDataFrame([(98,)], "id: bigint").write.parquet(tp + "__revive_tmp")
+    def list_then_concurrent_retract(spark_arg, index_path):
+        files = real_log_files(spark_arg, index_path)
+        monkeypatch.setattr(tomb_mod, "_log_files", real_log_files)
+        retract_from_index(spark, path, [99])  # lands mid-clear
+        return files
+
+    monkeypatch.setattr(tomb_mod, "_log_files", list_then_concurrent_retract)
     assert clear_tombstones(spark, path, [2]) == 1
+    assert _tomb_set(spark, path) == {3, 4, 99}
+
+    # crash state: survivor file installed, originals not yet deleted
+    # (duplicated survivors + the revived id still present). Re-running
+    # the revive completes it and folds the duplicates.
+    spark.createDataFrame([(3,), (4,)], "id: bigint").coalesce(1).write.mode(
+        "append"
+    ).parquet(tp)
+    assert _tomb_set(spark, path) == {3, 4, 99}  # reads are DISTINCT
+    assert clear_tombstones(spark, path, [99]) == 1
     assert _tomb_set(spark, path) == {3, 4}
-    assert not _exists(spark, tp + "__revive_old")
-    assert not _exists(spark, tp + "__revive_tmp")
 
 
 def test_compact_keeps_concurrent_retraction(spark, tmp_path, monkeypatch):

@@ -28,7 +28,11 @@ args = sys.argv[1:]
 sfs = ["0.01"]
 if "--sf" in args:
     i = args.index("--sf")
+    if i + 1 >= len(args):
+        sys.exit("--sf needs a value: 0.001, 0.01, 0.1 or both")
     val = args[i + 1]
+    if val not in ("both", "0.001", "0.01", "0.1"):
+        sys.exit(f"unknown --sf {val!r}: use 0.001, 0.01, 0.1 or both")
     del args[i : i + 2]
     sfs = ["0.001", "0.01"] if val == "both" else [val]
 only = args
