@@ -66,9 +66,31 @@ def compact_table(
 
     Bucketed tables must not be compacted this way (the rewrite would
     drop the bucket spec) — detect and refuse.
+
+    Crash recovery: the install swap is DROP target → RENAME staging,
+    and Spark's session catalog cannot make that pair atomic — a crash
+    between the two leaves no table at ``relation`` and the COMPLETE
+    compacted copy at ``{relation}__compact_tmp``. This function
+    detects that state on entry and installs the staging copy before
+    doing anything else, so re-running compaction is always the fix
+    (the same restore-on-rerun contract as
+    :func:`compact_parquet_path`). The gap still exists for readers
+    DURING the window — schedule compaction in a maintenance window,
+    as with every non-transactional layout change.
     """
     if partition_by and zorder_by:
         raise ValueError("pass either partition_by or zorder_by, not both")
+    staging = f"{relation}__compact_tmp"
+    if not spark.catalog.tableExists(relation) and spark.catalog.tableExists(
+        staging
+    ):
+        # previous run crashed between DROP and RENAME: staging holds
+        # the complete compacted table — install it, then carry on with
+        # a normal (idempotent) compaction pass over the restored data
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {relation}")
+        if partition_by:
+            spark.sql(f"MSCK REPAIR TABLE {relation}")
+        spark.sql(f"REFRESH TABLE {relation}")
     desc = spark.sql(f"DESCRIBE TABLE EXTENDED {relation}").collect()
     if any("Num Buckets" in (r["col_name"] or "") for r in desc):
         raise ValueError(f"{relation} is bucketed; compaction would drop the bucket spec")
@@ -101,7 +123,6 @@ def compact_table(
     n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
 
     df = spark.table(relation)
-    staging = f"{relation}__compact_tmp"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     if zorder_by:
         from dbt_foundation_spark.operators.layout import zorder_repartition
@@ -248,8 +269,9 @@ def compact_parquet_path(
     Swap is write-aside + two renames through the Hadoop FileSystem API
     (atomic per rename on local/HDFS; on S3-style stores rename is
     copy+delete — schedule compaction in the same maintenance window as
-    every other non-transactional layout change, exactly like
-    :func:`compact_table`'s drop/rename gap). Returns before/after
+    every other non-transactional layout change; :func:`compact_table`
+    carries the same window for its catalog swap and the same
+    restore-on-rerun recovery). Returns before/after
     stats so callers can assert the shrink.
 
     Crash recovery: a run that died between its two renames leaves the

@@ -1697,3 +1697,30 @@ def test_knn_join_ivf_column_order_independent(spark, sf_dir, tmp_path):
         F.col("vec_id") >= 1_000_000
     ).count()
     assert n_new == 2
+
+
+def test_compact_table_restores_crashed_swap(spark):
+    """A compaction that died between its DROP and RENAME leaves the
+    complete compacted copy parked at {rel}__compact_tmp and nothing
+    at rel; re-running compact_table installs the parked copy first
+    (restore-on-rerun — the compact_parquet_path contract, now shared
+    by the catalog variant) and then compacts normally."""
+    import uuid as _uuid
+
+    from dbt_foundation_spark.operators.maintenance import compact_table
+
+    rel = f"default.cmp_crash_{_uuid.uuid4().hex[:8]}"
+    spark.range(0, 1000).selectExpr("id", "id % 7 AS v").write.saveAsTable(rel)
+    want = spark.table(rel).count()
+    # simulate the crash window: complete staging copy present, target
+    # dropped — exactly the state a death between DROP and RENAME leaves
+    spark.table(rel).write.saveAsTable(f"{rel}__compact_tmp")
+    spark.sql(f"DROP TABLE {rel}")
+    try:
+        stats = compact_table(spark, rel)
+        assert spark.table(rel).count() == want
+        assert stats["after"]["n_files"] >= 1
+        assert not spark.catalog.tableExists(f"{rel}__compact_tmp")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {rel}")
+        spark.sql(f"DROP TABLE IF EXISTS {rel}__compact_tmp")
