@@ -611,7 +611,26 @@ INDEX_PARTITIONED: set[tuple[str, str]] = {("ivf", "lists")}
 # (streaming.run_ivf_ingest: a crash between append and its marker
 # write): compaction drops exact-duplicate rows, restoring
 # exactly-once state.
-INDEX_DISTINCT_ON_COMPACT: set[tuple[str, str]] = {("ivf", "lists")}
+# Every stored dataset below is a SET by construction (band/chunk/
+# posting membership rows, one signature or hash-set row per doc) —
+# row multiplicity never carries meaning, queries distinct their
+# candidate pairs, and the only way a byte-identical duplicate row
+# appears is a crash-window batch replay (the streaming ingests'
+# append-then-crash-then-replay paths). Folding duplicates at
+# compaction therefore both shrinks the rewrite and HEALS every such
+# replay window, uniformly across flavors — the same contract
+# run_ivf_ingest has always leaned on for the lists dataset.
+INDEX_DISTINCT_ON_COMPACT: set[tuple[str, str]] = {
+    ("ivf", "lists"),
+    ("minhash", "bands"),
+    ("minhash", "shingles"),
+    ("simhash", "chunks"),
+    ("containment", "postings"),
+    ("containment", "prefixes"),
+    ("containment", "hashsets"),
+    ("embedding", "bands"),
+    ("embedding", "vectors"),
+}
 
 
 def _resolve_dim(resolved: dict, mft: dict | None, df: DataFrame, vec_col: str) -> int:

@@ -532,6 +532,53 @@ def sessionize_buffered(
     )
 
 
+def _install_batch_output(
+    df: DataFrame, out_path: str, app_id: str, batch_id: int
+) -> None:
+    """Exactly-once survivor write for the dedup ingest: the batch's
+    rows land as ONE deterministically-named file
+    (``ingest-<app-hash>-<batch>.parquet``) installed by rename only if
+    absent. A replayed batch recomputes the same survivors (the index
+    is unchanged until ``admit`` runs) and finds its file already
+    installed — a plain ``mode("append")`` would duplicate every
+    survivor row on replay instead. ``app_id`` namespaces the file per
+    stream (batch ids are per-checkpoint, the run_ivf_ingest marker
+    lesson). One file per micro-batch is the normal streaming-sink
+    shape — micro-batches are trigger-bounded — and
+    ``compact_parquet_path(out_path)`` folds them like any other
+    append-grown dataset."""
+    import hashlib
+
+    spark = df.sparkSession
+    jvm = spark._jvm
+    dest_name = (
+        f"ingest-{hashlib.md5(app_id.encode()).hexdigest()[:12]}"
+        f"-{int(batch_id)}.parquet"
+    )
+    dest = jvm.org.apache.hadoop.fs.Path(f"{out_path}/{dest_name}")
+    fs = dest.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(dest):
+        return  # replay: this batch's output is already installed
+    tmp = f"{out_path.rstrip('/')}__ingest_tmp"
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(tmp_p, True)  # stale residue from a crashed attempt
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = None
+    it = fs.listFiles(tmp_p, False)
+    while it.hasNext():
+        f = it.next().getPath()
+        if not f.getName().startswith(("_", ".")):
+            part = f
+            break
+    if part is None:  # defensive: no data file produced
+        fs.delete(tmp_p, True)
+        return
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(out_path))
+    if not fs.rename(part, dest) and not fs.exists(dest):
+        raise IOError(f"could not install {dest_name} into {out_path}")
+    fs.delete(tmp_p, True)
+
+
 def run_dedup_ingest(
     stream_docs: DataFrame,
     id_col: str,
@@ -599,7 +646,17 @@ def run_dedup_ingest(
     The index read inside the sink happens per micro-batch (foreachBatch
     bodies run driver-side per trigger), so appends from batch N are
     visible to batch N+1 — the property the within-one-job variant
-    (joining a static snapshot) would silently lose."""
+    (joining a static snapshot) would silently lose.
+
+    Restart semantics: the stream checkpoint makes batch REPLAY the
+    only duplication risk. The survivor OUTPUT is exactly-once across
+    replays — each batch's rows install as one deterministically-named
+    file, skipped if already present (:func:`_install_batch_output`);
+    a plain append would write every survivor twice when the sink dies
+    between its two steps. The index side self-cleans: a replay after
+    a completed admit recomputes an empty survivor set (the batch now
+    matches the corpus), and byte-identical rows from a partial admit
+    fold away at the next ``compact_index``."""
     from dbt_foundation_spark.operators import dedup, dedup_index
 
     if detector == "minhash":
@@ -717,7 +774,20 @@ def run_dedup_ingest(
         # executes per trigger
         _gate_first_batch(gate_state, survivors)
         survivors = survivors.localCheckpoint()  # two consumers below
-        survivors.write.mode("append").parquet(out_path)
+        # exactly-once OUTPUT across crash replays (see the helper):
+        # install-if-absent, keyed by (stream, batch). Crash between
+        # install and admit -> replay recomputes the SAME survivors
+        # (index unchanged), skips the install, admits once. Crash
+        # after admit -> replay's survivors are EMPTY (the batch now
+        # matches the corpus) and the pre-crash install already holds
+        # the output. Crash MID-admit: replayed docs whose verify
+        # still fails (their doc-keyed dataset rows are missing) are
+        # re-admitted in full and the byte-identical duplicates fold
+        # at compact_index (INDEX_DISTINCT_ON_COMPACT covers every
+        # dedup dataset); the single-dataset simhash flavor can
+        # instead keep a partially-chunked doc until the next rebuild
+        # — bounded to the one crashed batch.
+        _install_batch_output(survivors, out_path, checkpoint_dir, int(batch_id))
         admit(survivors)
 
     writer = stream_docs.writeStream.foreachBatch(sink).option(

@@ -1430,3 +1430,72 @@ def test_ingest_gate_rejects_row_udf(spark, staging, monkeypatch):
         seen.append(str(chain))
         chain = getattr(chain, "__cause__", None)
     assert any("BatchEvalPython" in s for s in seen), seen[-1][:500]
+
+
+def test_dedup_ingest_crash_replay_exactly_once(spark, staging, monkeypatch):
+    """Worst replay window: the sink dies between the survivor install
+    and the index admit, so the replayed batch recomputes the same
+    survivor set (the index is unchanged). The deterministic install
+    makes the OUTPUT exactly-once — no duplicated corpus rows — and
+    the replay completes the admit."""
+    import uuid as _uuid
+
+    from dbt_foundation_spark.operators import dedup_index
+    from dbt_foundation_spark.operators.dedup_index import build_minhash_index
+    from dbt_foundation_spark.streaming.pipeline import run_dedup_ingest
+
+    kw = dict(num_hashes=16, bands=4, shingle_len=3)
+    docs = [
+        (i, f"crash replay corpus doc {i} " + " ".join(f"w{i}{j}" for j in range(8)))
+        for i in range(3)
+    ]
+    corpus = spark.createDataFrame(docs, ["doc_id", "text"])
+    mh = str(staging["root"] / f"cr_mh_{_uuid.uuid4().hex[:6]}")
+    build_minhash_index(corpus, "doc_id", "text", mh, **kw)
+
+    din = staging["root"] / f"cr_in_{_uuid.uuid4().hex[:6]}"
+    spark.createDataFrame(
+        [
+            (100, docs[0][1]),  # exact dup of corpus doc 0 -> dropped
+            (201, "a brand new document with completely fresh original words"),
+            (202, "some other text overlapping nothing anywhere else at all"),
+        ],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(din))
+    out = str(staging["root"] / f"cr_out_{_uuid.uuid4().hex[:6]}")
+    ckpt = _ckpt(staging)
+
+    # crash injection: the admit dies on its first call, AFTER the
+    # survivor output was installed
+    real_append = dedup_index.append_to_index
+    armed = {"on": True}
+
+    def exploding_append(*a, **kws):
+        if armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("injected crash between install and admit")
+        return real_append(*a, **kws)
+
+    monkeypatch.setattr(dedup_index, "append_to_index", exploding_append)
+
+    def run():
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+            str(din)
+        )
+        run_dedup_ingest(
+            stream, "doc_id", "text", mh, out, ckpt,
+            jaccard_threshold=0.5, **kw,
+        )
+
+    with pytest.raises(Exception, match="injected crash"):
+        run()
+    # the output was installed before the crash; the admit never ran
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [201, 202]
+    stored = {r["id"] for r in spark.read.parquet(f"{mh}/shingles").collect()}
+    assert not stored & {201, 202}
+
+    run()  # restart with the same checkpoint -> the batch replays
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [201, 202]  # exactly-once: no duplicated rows
+    stored = {r["id"] for r in spark.read.parquet(f"{mh}/shingles").collect()}
+    assert {201, 202} <= stored  # the replay completed the admit
