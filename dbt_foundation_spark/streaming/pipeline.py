@@ -559,7 +559,9 @@ def _install_batch_output(
     fs = dest.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(dest):
         return  # replay: this batch's output is already installed
-    tmp = f"{out_path.rstrip('/')}__ingest_tmp"
+    # tmp is namespaced by the dest file so two streams feeding the
+    # same out_path (distinct app_ids) can never collide mid-write
+    tmp = f"{out_path.rstrip('/')}__ingest_tmp_{dest_name}"
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
     fs.delete(tmp_p, True)  # stale residue from a crashed attempt
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
