@@ -148,7 +148,17 @@ def main() -> None:
     # minimum is the stable statistic for "how fast can this plan go"
     # (raised from two samples in round 5 — min-of-2 still flagged
     # unchanged queries at 1.4x across same-day runs)
-    detail_path = Path(__file__).resolve().parent / "bench_detail.json"
+    # Baseline rule (round-6 verdict #2): ``bench_detail.json`` is the
+    # COMMITTED sf0.1 baseline — it becomes the baseline only by an
+    # explicit commit of a driver-scale run. A smoke run at any other SF
+    # must never clobber it (it happened by accident in r5/r6), so
+    # non-baseline SFs read AND write an SF-suffixed sidecar instead —
+    # which also gives smoke runs their own same-scale drift basis.
+    here = Path(__file__).resolve().parent
+    if sf == 0.1:
+        detail_path = here / "bench_detail.json"
+    else:
+        detail_path = here / f"bench_detail_sf{sf}.json"
     try:
         prev = json.loads(detail_path.read_text())
     except (OSError, ValueError):
@@ -320,7 +330,7 @@ def main() -> None:
                 "overhead_floor_sec": overhead_floor,
                 "calib_sec": calib,
                 "drift_ratio": round(drift, 3),
-                "detail": "bench_detail.json",
+                "detail": detail_path.name,
                 "sf": sf,
             }
         )

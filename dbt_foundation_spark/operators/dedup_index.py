@@ -110,17 +110,21 @@ def _write_manifest(df: DataFrame, path: str, params: dict) -> None:
 
 
 def _read_manifest(spark: SparkSession, path: str) -> dict | None:
-    from pyspark.errors import AnalysisException
-
-    try:
-        row = spark.read.json(f"{path}/manifest").first()
-    except AnalysisException:
-        # path absent: a pre-manifest index — trust the caller, as
-        # before manifests existed. Any OTHER failure (permissions,
-        # transient store error) propagates: silently skipping
-        # validation there would re-open the exact footgun the
-        # manifest exists to close.
+    # absent-path probe via the FileSystem, not a read + caught
+    # AnalysisException: a pre-manifest index — trust the caller, as
+    # before manifests existed. Any read failure (permissions,
+    # transient store error) propagates: silently skipping validation
+    # there would re-open the exact footgun the manifest exists to
+    # close. (fs.exists instead of try/except because Spark logs the
+    # JVM stack of even CAUGHT exceptions, burying bench/driver tails
+    # under harmless py4j traces — round-6 verdict #4.)
+    mpath = f"{path}/manifest"
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(mpath)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
         return None
+    row = spark.read.json(mpath).first()
     m = row.asDict() if row else None
     if m is not None and "flavor" not in m:
         raise ValueError(

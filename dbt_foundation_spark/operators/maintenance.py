@@ -47,6 +47,26 @@ def table_file_stats(spark: SparkSession, relation: str) -> dict:
     return _file_stats(spark.table(relation))
 
 
+def _partition_cols(desc: list) -> list[str]:
+    """Partition column names from ``DESCRIBE TABLE EXTENDED`` rows —
+    the section between ``# Partition Information`` and the next
+    ``#``-header."""
+    cols: list[str] = []
+    in_part_section = False
+    for r in desc:
+        name = (r["col_name"] or "").strip()
+        if name.startswith("# Partition Information"):
+            in_part_section = True
+            continue
+        if in_part_section:
+            if name.startswith("# col_name") or not name:
+                continue
+            if name.startswith("#"):
+                break
+            cols.append(name)
+    return cols
+
+
 def compact_table(
     spark: SparkSession,
     relation: str,
@@ -86,9 +106,18 @@ def compact_table(
     ):
         # previous run crashed between DROP and RENAME: staging holds
         # the complete compacted table — install it, then carry on with
-        # a normal (idempotent) compaction pass over the restored data
+        # a normal (idempotent) compaction pass over the restored data.
+        # MSCK is decided from the RESTORED table's own partition spec,
+        # not this call's partition_by: a recovery invocation whose
+        # arguments differ from the crashed run's would otherwise MSCK
+        # a non-partitioned table (AnalysisException mid-recovery) or
+        # skip a needed repair — the spec-mismatch validation below
+        # still fires afterward for THIS run's rewrite.
         spark.sql(f"ALTER TABLE {staging} RENAME TO {relation}")
-        if partition_by:
+        restored_desc = spark.sql(
+            f"DESCRIBE TABLE EXTENDED {relation}"
+        ).collect()
+        if _partition_cols(restored_desc):
             spark.sql(f"MSCK REPAIR TABLE {relation}")
         spark.sql(f"REFRESH TABLE {relation}")
     desc = spark.sql(f"DESCRIBE TABLE EXTENDED {relation}").collect()
@@ -98,19 +127,7 @@ def compact_table(
     # table compacted without its partition columns would come back
     # FLAT (partition pruning silently gone), so the declared
     # partition_by must match the catalog's spec
-    table_parts: list[str] = []
-    in_part_section = False
-    for r in desc:
-        name = (r["col_name"] or "").strip()
-        if name.startswith("# Partition Information"):
-            in_part_section = True
-            continue
-        if in_part_section:
-            if name.startswith("# col_name") or not name:
-                continue
-            if name.startswith("#"):
-                break
-            table_parts.append(name)
+    table_parts = _partition_cols(desc)
     if tuple(table_parts) != tuple(partition_by):
         raise ValueError(
             f"{relation} is partitioned by {table_parts} but compaction "
@@ -392,6 +409,7 @@ def compact_index(
     )
     from dbt_foundation_spark.operators.tombstones import (
         clear_tombstones,
+        compaction_marker_path,
         read_tombstones,
     )
 
@@ -406,6 +424,16 @@ def compact_index(
     fs = jvm.org.apache.hadoop.fs.Path(index_path).getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
+    # __compacting marker: held for the whole rewrite so a concurrent
+    # REVIVE (clear_tombstones with ids) raises instead of silently
+    # losing rows already folded against the pre-revive snapshot
+    # (round-6 verdict #3 — the window was a docstring contract before).
+    # Deliberately NOT in a try/finally: a compaction that fails has
+    # possibly rewritten some sub-datasets, so revives must stay
+    # blocked until a re-run completes the fold — the marker clears at
+    # the END, with the snapshot clear. Retraction is never blocked.
+    marker = jvm.org.apache.hadoop.fs.Path(compaction_marker_path(index_path))
+    fs.mkdirs(marker)
     # tombstone fold: compaction is where logical takedowns become
     # physical. Loaded ONCE and localCheckpointed — the log's own files
     # must not be re-read mid-loop (clear_tombstones below deletes them
@@ -452,7 +480,8 @@ def compact_index(
         # log survives, folded datasets re-subtract harmlessly
         # (anti-join matches nothing), next run finishes; the subset
         # clear itself installs via the write-aside rename swap.
-        clear_tombstones(spark, index_path, ids=tomb)
+        clear_tombstones(spark, index_path, ids=tomb, _during_compaction=True)
+    fs.delete(marker, True)
     return out
 
 
@@ -485,14 +514,13 @@ def index_stats(spark: SparkSession, index_path: str) -> dict:
     "total_bytes"}}, "tombstones": n, "crash_leftovers": [...]}``;
     absent optional sub-datasets (e.g. the ivf ingest_log) are
     omitted. ``crash_leftovers`` lists any ``__compact_tmp`` /
-    ``__compact_old`` / ``__revive_tmp`` directories present — each
-    means a maintenance op died mid-operation; every one is healed by
-    simply RE-RUNNING the op (compaction restores/supersedes its own
-    residue; a revive tmp is superseded scratch the next clear
+    ``__compact_old`` / ``__revive_tmp`` / ``__compacting`` directories
+    present — each means a maintenance op died mid-operation; every
+    one is healed by simply RE-RUNNING the op (compaction
+    restores/supersedes its own residue and clears the marker that
+    blocks revives; a revive tmp is superseded scratch the next clear
     deletes), so a non-empty list is a "re-run maintenance" signal,
     not damage."""
-    from pyspark.errors import AnalysisException
-
     from dbt_foundation_spark.operators.dedup_index import (
         INDEX_LAYOUT,
         _read_manifest,
@@ -507,19 +535,21 @@ def index_stats(spark: SparkSession, index_path: str) -> dict:
             "parquet_path_stats"
         )
     flavor = mft["flavor"]
-    datasets: dict[str, dict] = {}
-    for sub in INDEX_LAYOUT[flavor]:
-        try:
-            datasets[sub] = parquet_path_stats(spark, f"{index_path}/{sub}")
-        except AnalysisException:
-            continue  # optional sub-dataset not present
-    tomb = read_tombstones(spark, index_path)
-    # crash-leftover scan: one directory listing of the index root —
-    # swap residue is always a SIBLING of the dataset it was swapping
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(index_path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    suffixes = ("__compact_tmp", "__compact_old", "__revive_tmp")
+    datasets: dict[str, dict] = {}
+    for sub in INDEX_LAYOUT[flavor]:
+        # existence probe via the FileSystem, not a read + caught
+        # AnalysisException — Spark logs the JVM stack even for caught
+        # exceptions and buries the bench/driver tail (r6 verdict #4)
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{index_path}/{sub}")):
+            continue  # optional sub-dataset not present
+        datasets[sub] = parquet_path_stats(spark, f"{index_path}/{sub}")
+    tomb = read_tombstones(spark, index_path)
+    # crash-leftover scan: one directory listing of the index root —
+    # swap residue is always a SIBLING of the dataset it was swapping
+    suffixes = ("__compact_tmp", "__compact_old", "__revive_tmp", "__compacting")
     leftovers = sorted(
         st.getPath().getName()
         for st in fs.listStatus(root)

@@ -469,12 +469,23 @@ def knn_join(
     return _two_phase_topk(sims, k, num_salts)
 
 
+def recommended_n_lists(n_vectors: int) -> int:
+    """The √N rule of thumb for IVF list count (the FAISS guidance —
+    ``n_lists ≈ sqrt(corpus)`` balances per-list scan cost against
+    centroid-ranking cost: probes then touch ~n_probe·√N vectors each),
+    clamped to [4, 65536] so tiny corpora still get a usable quantizer
+    and huge ones don't drown the driver in centroid literals."""
+    import math
+
+    return max(4, min(int(math.isqrt(max(1, n_vectors))), 65536))
+
+
 def build_ivf_index(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     path: str,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     seed: int = 42,
     target_fit_rows: int = 100_000,
 ) -> list[list[float]]:
@@ -487,7 +498,17 @@ def build_ivf_index(
     once at build time, and every query's probe becomes PARTITION
     PRUNING — the scan physically reads only the n_probe list
     directories, which is how a 100 TB ANN corpus answers in
-    sub-corpus-scan time. Returns the centroids it wrote."""
+    sub-corpus-scan time. Returns the centroids it wrote.
+
+    ``n_lists=None`` (default) sizes the quantizer by the √N rule
+    (:func:`recommended_n_lists`) from a one-pass corpus count — cheap
+    next to the fit + full assignment write this function already does.
+    Pass an explicit ``n_lists`` to pin it (e.g. a few × the cluster's
+    cores when the query side, not the corpus, bounds parallelism);
+    :func:`ivf_sizing_advice` reports when a pinned choice has drifted
+    >4× from the rule as the corpus grows through appends."""
+    if n_lists is None:
+        n_lists = recommended_n_lists(df.count())
     assigned, centroids = ivf_assignments(
         df, vec_col, n_lists=n_lists, seed=seed, target_fit_rows=target_fit_rows
     )
@@ -578,11 +599,7 @@ def _check_batch_schema(
     column order diverged from (id, vec) must still accept appends, or
     an index whose reads work would permanently refuse ingest."""
     stored_id = stored_schema[ivf_id_col(stored_schema)]
-    stored_vec = next(
-        f
-        for f in stored_schema.fields
-        if f.name != "_ivf_list" and f.dataType.typeName() == "array"
-    )
+    stored_vec = stored_schema[ivf_vec_col(stored_schema)]
     if (id_col, vec_col) != (stored_id.name, stored_vec.name):
         raise ValueError(
             f"index stores columns ({stored_id.name!r}, {stored_vec.name!r}) "
@@ -676,11 +693,40 @@ def ivf_id_col(schema) -> str:
     with. SHARED between the read path (:func:`_live_lists`) and the
     compaction tombstone fold (maintenance._doc_id_col) so the two can
     never drift onto different columns."""
-    return next(
-        f.name
-        for f in schema.fields
-        if f.name != "_ivf_list" and f.dataType.typeName() != "array"
+    name = next(
+        (
+            f.name
+            for f in schema.fields
+            if f.name != "_ivf_list" and f.dataType.typeName() != "array"
+        ),
+        None,
     )
+    if name is None:
+        raise ValueError(
+            "IVF lists dataset has no scalar (non-array) id column — the "
+            f"store is corrupt or hand-edited; fields: {schema.fieldNames()}"
+        )
+    return name
+
+
+def ivf_vec_col(schema) -> str:
+    """The vector column of a persisted IVF lists dataset — the array
+    field, by TYPE (mirror of :func:`ivf_id_col`; a bare ``next`` here
+    would surface a corrupt store as an opaque StopIteration)."""
+    name = next(
+        (
+            f.name
+            for f in schema.fields
+            if f.name != "_ivf_list" and f.dataType.typeName() == "array"
+        ),
+        None,
+    )
+    if name is None:
+        raise ValueError(
+            "IVF lists dataset has no array-typed vector column — the "
+            f"store is corrupt or hand-edited; fields: {schema.fieldNames()}"
+        )
+    return name
 
 
 def _live_lists(spark: SparkSession, path: str) -> DataFrame:
@@ -710,6 +756,20 @@ def ivf_list_profile(spark: SparkSession, path: str) -> DataFrame:
     (operators/tombstones.py) the subtraction additionally reads the id
     column, so counts reflect LIVE members; compaction restores the
     metadata-only scan."""
+    advice = ivf_sizing_advice(spark, path)
+    if advice["rebuild_recommended"]:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: n_lists=%d is %.1fx off the sqrt-N rule for %d live "
+            "vectors — rebuild with n_lists~%d (build_ivf_index default "
+            "does this)",
+            path,
+            advice["n_lists"],
+            advice["ratio"],
+            advice["n_vectors"],
+            advice["recommended_n_lists"],
+        )
     lists = _live_lists(spark, path)
     counts = lists.groupBy("_ivf_list").agg(F.count(F.lit(1)).alias("n_members"))
     total = Window.partitionBy()
@@ -719,6 +779,29 @@ def ivf_list_profile(spark: SparkSession, path: str) -> DataFrame:
         )
         .orderBy(F.desc("n_members"), "_ivf_list")
     )
+
+
+def ivf_sizing_advice(spark: SparkSession, path: str) -> dict:
+    """Is this index's list count still right for its corpus size?
+    Appends grow the corpus under a FIXED quantizer, so an index built
+    at √N drifts as N grows; this compares the stored ``n_lists``
+    against :func:`recommended_n_lists` for the LIVE vector count and
+    recommends a rebuild when they disagree by >4× either way (under-
+    listed: probes scan ever-fatter lists; over-listed: centroid
+    ranking + tiny files dominate). Cost: one count over the lists
+    dataset's id/partition columns — no vector pages are read."""
+    _, _, mft = _load_ivf(spark, path)
+    n_lists = int(mft["n_lists"])
+    n_vectors = _live_lists(spark, path).count()
+    rec = recommended_n_lists(n_vectors)
+    ratio = max(n_lists / rec, rec / n_lists)
+    return {
+        "n_vectors": n_vectors,
+        "n_lists": n_lists,
+        "recommended_n_lists": rec,
+        "ratio": round(ratio, 2),
+        "rebuild_recommended": ratio > 4.0,
+    }
 
 
 def knn_join_ivf(
@@ -797,11 +880,7 @@ def knn_join_ivf(
     # ever diverged from (id, vec) would otherwise silently swap the
     # two and return vectors as "corpus_id"
     corpus_id = ivf_id_col(lists.schema)
-    corpus_vec = next(
-        f.name
-        for f in lists.schema.fields
-        if f.name != "_ivf_list" and f.dataType.typeName() == "array"
-    )
+    corpus_vec = ivf_vec_col(lists.schema)
     if prune:
         # pin the probe rows before the collect: the join below re-uses
         # this SAME materialization, so (a) a nondeterministic queries

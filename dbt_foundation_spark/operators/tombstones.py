@@ -78,17 +78,34 @@ def _log_files(spark: SparkSession, index_path: str) -> list[str]:
     return out
 
 
+def _has_data_file(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists and holds at least one non-hidden file —
+    the absent-or-empty probe used instead of read-and-catch (a caught
+    AnalysisException still dumps its JVM stack into the driver tail)."""
+    p, fs = _hadoop(spark, path)
+    if not fs.exists(p):
+        return False
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        if not it.next().getPath().getName().startswith(("_", ".")):
+            return True
+    return False
+
+
 def read_tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
     """The retracted-id set (one ``id`` column, distinct), or ``None``
     when the index has no tombstones — callers use ``None`` to skip the
-    anti-join entirely, keeping the no-takedown plan unchanged."""
-    from pyspark.errors import AnalysisException
+    anti-join entirely, keeping the no-takedown plan unchanged.
 
-    try:
-        df = spark.read.parquet(_tomb_path(index_path))
-    except AnalysisException:
+    The absent-log probe is a FileSystem listing, not a read + caught
+    AnalysisException: Spark logs the full JVM stack of the exception
+    even when Python catches it, which buried every bench / driver
+    tail under a harmless py4j trace (round-6 verdict #4). Listing
+    data FILES (not just the directory) also covers the empty-dir
+    state the file-level clears leave behind."""
+    if not _log_files(spark, index_path):
         return None
-    return df.select("id").distinct()
+    return spark.read.parquet(_tomb_path(index_path)).select("id").distinct()
 
 
 def subtract_tombstones(
@@ -154,8 +171,6 @@ def _index_id_type(spark: SparkSession, index_path: str) -> str | None:
     (flavor via manifest; dedup flavors key by ``id``, the IVF lists
     keep the builder's names). None when underivable (pre-manifest
     index, or datasets not yet written)."""
-    from pyspark.errors import AnalysisException
-
     from dbt_foundation_spark.operators.dedup_index import (
         INDEX_LAYOUT,
         _read_manifest,
@@ -166,10 +181,13 @@ def _index_id_type(spark: SparkSession, index_path: str) -> str | None:
     if flavor not in INDEX_LAYOUT:
         return None
     for sub in INDEX_LAYOUT[flavor]:
-        try:
-            schema = spark.read.parquet(f"{index_path}/{sub}").schema
-        except AnalysisException:
+        # fs probe, not read + caught AnalysisException (the caught
+        # exception's JVM stack still lands in the driver tail); the
+        # data-file check also skips an existing-but-empty dir, which
+        # the old except-and-continue covered via UNABLE_TO_INFER_SCHEMA
+        if not _has_data_file(spark, f"{index_path}/{sub}"):
             continue
+        schema = spark.read.parquet(f"{index_path}/{sub}").schema
         if flavor == "ivf":
             if sub != "lists":
                 continue
@@ -263,13 +281,29 @@ def retract_from_index(
     return n
 
 
+def compaction_marker_path(index_path: str) -> str:
+    """The ``__compacting`` marker ``maintenance.compact_index`` holds
+    while it rewrites an index's sub-datasets. Its presence means a
+    compaction is in flight OR a previous one crashed mid-rewrite —
+    in both states some sub-datasets may already be rewritten against
+    the pre-revive tombstone snapshot, so a revive issued now could
+    report success for an id whose rows are physically gone. The
+    revive path refuses while it exists; re-running ``compact_index``
+    finishes the fold and clears the marker (the restore-on-rerun
+    contract every maintenance op in this family carries)."""
+    return f"{index_path.rstrip('/')}/__compacting"
+
+
 def clear_tombstones(
-    spark: SparkSession, index_path: str, ids: DataFrame | Iterable | None = None
+    spark: SparkSession,
+    index_path: str,
+    ids: DataFrame | Iterable | None = None,
+    _during_compaction: bool = False,
 ) -> int:
-    """Drop the whole tombstone log (``ids=None`` — what a completed
-    rebuild does) or remove a subset of ids from the log — the revive
-    path, and what compaction calls with its folded snapshot so
-    retractions appended DURING a long compaction survive the fold.
+    """Drop the tombstone log's current files (``ids=None`` — what a
+    completed rebuild does) or remove a subset of ids from the log —
+    the revive path, and what compaction calls with its folded snapshot
+    so retractions appended DURING a long compaction survive the fold.
     Returns the number of ids removed from the log.
 
     The subset path is a FILE-LEVEL fold, not a directory rewrite: it
@@ -290,25 +324,45 @@ def clear_tombstones(
     The driver-side collect is safe by the same bound the broadcast
     subtraction relies on: the log is takedown-sized, not corpus-sized.
 
-    Interleaving contract (documented, not enforced): a REVIVE issued
-    while ``compact_index`` is running can report success and still
+    Interleaving contract (ENFORCED since round 7): a REVIVE issued
+    while ``compact_index`` is running could report success and still
     lose the id — sub-datasets already rewritten against the
-    pre-revive snapshot have dropped its rows physically. Revives are
-    operator-initiated maintenance and belong in the same maintenance
-    window as compaction (the ``compact_table`` catalog-swap
-    contract); retraction — the online, compliance-critical direction
-    — carries no such restriction and is safe against concurrent
-    compaction by the snapshot-clear above."""
+    pre-revive snapshot have dropped its rows physically — so the
+    revive path RAISES while the index carries the ``__compacting``
+    marker (:func:`compaction_marker_path`; ``compact_index`` holds it
+    for the rewrite and passes ``_during_compaction=True`` for its own
+    snapshot clear). A stale marker from a crashed compaction is
+    cleared by re-running ``compact_index`` — the same restore-on-
+    rerun recovery the rewrite itself uses. Retraction — the online,
+    compliance-critical direction — carries no such restriction and is
+    safe against concurrent compaction by the snapshot-clear above.
+
+    The full clear (``ids=None``) is file-level for the same reason
+    the subset fold is: it lists the log's data files, counts the
+    distinct ids in exactly those files, and deletes only those files
+    — a ``retract_from_index`` batch appended between the listing and
+    the deletes lands as a file the clear never saw and survives (the
+    directory delete this replaced would silently destroy it)."""
     tp = _tomb_path(index_path)
     p, fs = _hadoop(spark, tp)
     jvm = spark._jvm
     if ids is None:
-        existing = read_tombstones(spark, index_path)
-        if existing is None:
+        files = _log_files(spark, index_path)
+        if not files:
             return 0
-        n = existing.count()
-        fs.delete(p, True)
+        n = spark.read.parquet(*files).select("id").distinct().count()
+        for f in files:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
         return n
+    marker = jvm.org.apache.hadoop.fs.Path(compaction_marker_path(index_path))
+    if not _during_compaction and fs.exists(marker):
+        raise RuntimeError(
+            f"{index_path}: a compaction is in progress (or a previous "
+            "one crashed mid-rewrite) — __compacting marker present. A "
+            "revive now could report success for an id whose rows the "
+            "rewrite already dropped physically. Re-run compact_index "
+            "to finish the fold (which clears the marker), then revive."
+        )
     revive = _as_id_df(spark, ids)
     if revive is None:
         return 0

@@ -34,80 +34,78 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness harness only ingests the first 50 entries of
-# ``queries()``.  Round-6 rotation (VERDICT r5 "Next round" #1/#3):
-# (a) the 5 queries whose validated-in-place oracles landed LATE in
-# round 5 (after that round's window was set) — q_dedup_minhash
-# (ground-truth pair count via inverted-index join + banding-recall
-# bound), q_dedup_simhash (planted-duplicate canary), q_cosine_topk_ivf
-# (exact top-10 + IVF recall bound), q_multimodal_features /
-# q_frame_sample (generator-arithmetic re-derivation). Their only
-# driver rows are r1 rows-only; this round gives each its first FULL
-# (rows+schema+hash) driver row. (b) 45 of the 50 queries whose latest
-# green row is r3 — now the oldest full-check evidence (the r2 bucket
-# was emptied in r5). Five r3 queries are deferred to the r7 window:
-# q_dedup_minhash_portable, q_dedup_simhash_portable,
-# q_cosine_topk_quantized, q_dedup_incremental, q_dedup_corpus — all
-# five are dedup/ANN flavors whose siblings (the fast minhash/simhash
-# detectors, the IVF index) get fresh r6 rows in slot (a), so the
-# family's freshest evidence is ≤1 round old either way. 5 + 45 = 50.
-# r7 plan: those 5 deferred r3 queries + 45 of the 48 r4 rows (the
-# remaining 3 r4 rows + this round's r6 block refresh in r8) — the
-# steady-state cycle is ~3 rounds for 153 oracled queries at 50/round.
+# ``queries()``.  Round-7 rotation (VERDICT r6 "Next round" #1; union
+# r1–r6 recomputed at round start: 5×r3, 48×r4, 50×r5, 50×r6 full rows
+# + the 3 rows-only-by-design catalog-state queries):
+# (a) the 5 queries deferred from the r6 window, whose latest full row
+# is r3 — now the oldest evidence in the catalog: q_dedup_minhash_portable,
+# q_dedup_simhash_portable, q_cosine_topk_quantized, q_dedup_incremental,
+# q_dedup_corpus. (b) 45 of the 48 queries whose latest green row is r4.
+# Three r4 queries are deferred to the r8 window —
+# q_incremental_microbatch, q_dedup_keep_best, q_embedding_meanpool —
+# chosen because each one's family carries fresh r6 evidence
+# (q_incremental_append/merge, q_dedup_components/q_dedup_minhash,
+# q_embedding_quantize/q_embedding_neardup), so no family's freshest
+# row ages past 1 round. 5 + 45 = 50.
+# r8 plan: those 3 deferred r4 queries + 47 of the 50 r5 rows (the
+# remaining 3 r5 rows lead r9 with the r6 block) — the steady-state
+# cycle is ~3 rounds for 153 oracled queries at 50/round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) first-ever FULL driver rows — oracles landed late in r5
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_cosine_topk_ivf",
-    "q_multimodal_features",
-    "q_frame_sample",
-    # (b) r3-stale evidence refresh — reference/framework core first,
-    # then the relational/TPC-H-analog block, then the LLM-pipeline
-    # operators (order mirrors the r3 window's own grouping)
-    "q_literal_union",
-    "q_ref_filter",
-    "q_notnull_filter",
-    "q_source_scan",
-    "q_star_except",
-    "q_recent_events",
-    "q_json_extract_agg",
-    "q_group_by_all",
-    "q_table_rebuild",
-    "q_incremental_append",
-    "q_incremental_merge",
-    "q_snapshot_scd2",
-    "q_cdc_snapshot",
-    "q_pricing_summary",
-    "q_join_inner",
-    "q_join_semi",
-    "q_fk_orphans",
-    "q_join_range",
-    "q_shipping_priority",
-    "q_lateral_json",
-    "q_except",
-    "q_intersect",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_crossdb_datemath",
-    "q_session_window_native",
-    "q_asof_join",
-    "q_range_bin_join",
-    "q_ngram_jaccard",
-    "q_embedding_neardup",
-    "q_array_ops",
-    "q_epoch_shuffle",
-    "q_stratified_sample",
-    "q_doc_chunks",
-    "q_vocab_encode",
-    "q_dedup_components",
-    "q_repetition_signals",
-    "q_sequence_pack",
-    "q_contamination",
-    "q_knn_join",
-    "q_domain_mix",
-    "q_pii_redact",
-    "q_quality_quantile",
-    "q_embedding_quantize",
-    "q_containment",
+    # (a) oldest evidence first — the 5 dedup/ANN flavors deferred from r6
+    "q_dedup_minhash_portable",
+    "q_dedup_simhash_portable",
+    "q_cosine_topk_quantized",
+    "q_dedup_incremental",
+    "q_dedup_corpus",
+    # (b) r4-stale evidence refresh — relational/TPC-H-analog block
+    # first, then windows/framework, then the LLM-pipeline operators
+    # (order mirrors the r4 window's own grouping)
+    "q_big_orders",
+    "q_brand_revenue",
+    "q_cohort_retention",
+    "q_customer_distribution",
+    "q_excess_shippers",
+    "q_exists_priority",
+    "q_forecast_revenue",
+    "q_gap_fill",
+    "q_idle_customers",
+    "q_important_nations",
+    "q_local_volume",
+    "q_market_share",
+    "q_min_cost_supplier",
+    "q_nation_profit",
+    "q_nation_volume",
+    "q_priority_shipments",
+    "q_promo_revenue",
+    "q_returned_customers",
+    "q_small_qty_revenue",
+    "q_supplier_variety",
+    "q_top_supplier",
+    "q_value_outliers",
+    "q_waiting_suppliers",
+    "q_window_cume_dist",
+    "q_window_first_last",
+    "q_window_range_frame",
+    "q_winsorize",
+    "q_histogram_quantiles",
+    "q_salted_join",
+    "q_two_phase_distinct",
+    "q_zorder_layout",
+    "q_clone_pointer",
+    "q_model_contract",
+    # LLM-pipeline / text operators from the r4 block
+    "q_bigram_logprob",
+    "q_unigram_logprob",
+    "q_char_entropy",
+    "q_corpus_pipeline",
+    "q_filter_funnel",
+    "q_fuzzy_match",
+    "q_idf_novelty",
+    "q_repeated_spans",
+    "q_temperature_mix",
+    "q_token_budget_select",
+    "q_top_terms",
+    "q_train_test_split",
 )
 
 

@@ -124,13 +124,27 @@ def davg(col: str | Column, alias: str, scale: int = 8) -> Column:
 
 
 def sql_dsum(expr: str, alias: str, scale: int = 8) -> str:
-    """DuckDB twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+    """DuckDB twin of :func:`dsum`.
+
+    The final decimal→double goes THROUGH VARCHAR: DuckDB's direct
+    decimal→double cast is double-rounded (int128→double, then
+    /10^scale) and drifts 1 ulp from Spark's correctly-rounded cast
+    once sums reach ~1e9 — which sf0.1 totals do (the r7 sf0.1 sweep
+    caught 6 queries green at sf0.01 drifting at sf0.1). The varchar
+    round-trip renders the exact decimal digits and strtod parses them
+    correctly rounded, bit-identical to Spark's Decimal.toDouble, at
+    every magnitude — same schema, no output change."""
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS VARCHAR)"
+        f" AS DOUBLE) AS {alias}"
+    )
 
 
 def sql_davg(expr: str, alias: str, scale: int = 8) -> str:
-    """DuckDB twin of :func:`davg`."""
+    """DuckDB twin of :func:`davg` (varchar-routed like
+    :func:`sql_dsum` — the sum feeding the division carries the same
+    decimal→double double-rounding hazard)."""
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS VARCHAR)"
+        f" AS DOUBLE) / COUNT({expr}) AS {alias}"
     )

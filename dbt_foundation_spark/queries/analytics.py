@@ -22,8 +22,10 @@ from dbt_foundation_spark.queries._util import t
     WITH stats AS (
         SELECT user_id,
                COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE) AS s1,
-               CAST(SUM(CAST(value * value AS DECIMAL(18,8))) AS DOUBLE) AS s2
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS VARCHAR)
+                    AS DOUBLE) AS s1,
+               CAST(CAST(SUM(CAST(value * value AS DECIMAL(18,8))) AS VARCHAR)
+                    AS DOUBLE) AS s2
         FROM events GROUP BY user_id
     )
     SELECT e.event_id, e.user_id,

@@ -1216,7 +1216,8 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), agg AS (
         SELECT label, p, COUNT(*) AS n,
                CAST(CAST(round(
-                   CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*),
+                   CAST(CAST(SUM(CAST(v AS DECIMAL(18,8))) AS VARCHAR)
+                        AS DOUBLE) / COUNT(*),
                6) AS DECIMAL(12,6)) AS VARCHAR) AS m
         FROM pos GROUP BY label, p
     )

@@ -505,9 +505,10 @@ def q_clone_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lines GROUP BY ship_month
     )
     SELECT ship_month,
-           CAST(revenue AS DOUBLE) AS revenue,
-           CAST(promo_revenue AS DOUBLE) AS promo_revenue,
-           round(CAST(promo_revenue AS DOUBLE) / CAST(revenue AS DOUBLE), 6)
+           CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(CAST(promo_revenue AS VARCHAR) AS DOUBLE) AS promo_revenue,
+           round(CAST(CAST(promo_revenue AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(revenue AS VARCHAR) AS DOUBLE), 6)
                AS discount_share,
            -- exact decimal → string: DuckDB's decimal→double cast is
            -- double-rounded (int128→double, then /10^scale) and drifts

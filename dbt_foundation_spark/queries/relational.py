@@ -1331,7 +1331,7 @@ def q_important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_partkey, l_suppkey
     )
     SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-           round(unit_cost, 6) AS best_cost
+           unit_cost AS best_cost
     FROM cost c
     WHERE unit_cost = (SELECT MIN(unit_cost) FROM cost c2
                        WHERE c2.l_partkey = c.l_partkey)
@@ -1347,8 +1347,11 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-plus-self-join, and the idiomatic Spark shape for
     per-group argmin. Ties keep all tied suppliers on both engines.
     Unit cost is a single per-row division (no summation), so
-    cross-engine doubles are identical; round(6) only normalizes
-    repr."""
+    cross-engine doubles are bit-identical and compared RAW: a
+    round(6) here looked repr-cosmetic but landed on a half-boundary
+    at sf0.1 (133.7415625 — Spark's BigDecimal HALF_UP vs DuckDB's
+    multiply-and-round disagree on the 6th digit; the r7 sf0.1
+    sweep caught it)."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
@@ -1362,7 +1365,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l_partkey").alias("partkey"),
             F.col("l_suppkey").alias("suppkey"),
-            F.round("unit_cost", 6).alias("best_cost"),
+            F.col("unit_cost").alias("best_cost"),
         )
         .orderBy("partkey", "suppkey")
     )

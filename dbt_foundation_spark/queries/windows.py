@@ -220,9 +220,13 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_session_window",
     oracle="""
     WITH flagged AS (
+        -- interval comparison, not epoch() doubles: epoch seconds at
+        -- ~1.7e9 have ~0.24 us ulp, so a gap of exactly the timeout
+        -- can compare either way; timestamp+INTERVAL is exact integer
+        -- time arithmetic in both engines (r7 sf0.1 sweep finding)
         SELECT user_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -246,9 +250,14 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.J sessionization (30-min gap), lag+cumsum formulation.
 
     Matches F.session_window's merge rule (a gap of exactly the timeout
-    starts a new session). One shuffle on user_id serves both windows
-    and the final aggregation. The native session_window variant is
-    q_session_window_native (rows-only)."""
+    starts a new session) at FULL microsecond precision: the boundary
+    test is ``ts >= prev + INTERVAL 30 MINUTES`` — exact integer time
+    arithmetic. The unix_timestamp() diff this replaced truncates each
+    stamp to whole seconds, which flips the verdict for gaps within a
+    second of the timeout (one extra session at sf0.1; the r7 sweep
+    caught it — sf0.01 never produced such a gap). One shuffle on
+    user_id serves both windows and the final aggregation. The native
+    session_window variant is q_session_window_native."""
     events = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
     cum = (
@@ -259,7 +268,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_ts = F.lag("ts").over(w)
     new_session = F.when(
         prev_ts.isNull()
-        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) >= 1800),
+        | (F.col("ts") >= prev_ts + F.expr("INTERVAL 30 MINUTES")),
         1,
     ).otherwise(0)
     sessions = events.withColumn("new_session", new_session).withColumn(
@@ -279,9 +288,11 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_session_window_native",
     oracle="""
     WITH flagged AS (
+        -- exact interval boundary, not epoch() doubles (see
+        -- q_session_window — same r7 sf0.1 sweep finding)
         SELECT user_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -339,12 +350,12 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT '1 hour' AS level, bucket_start, event_type,
            CAST(n_events AS BIGINT) AS n_events,
-           CAST(sum_value AS DOUBLE) AS sum_value
+           CAST(CAST(sum_value AS VARCHAR) AS DOUBLE) AS sum_value
     FROM hourly
     UNION ALL
     SELECT '1 day' AS level, bucket_start, event_type,
            CAST(n_events AS BIGINT) AS n_events,
-           CAST(sum_value AS DOUBLE) AS sum_value
+           CAST(CAST(sum_value AS VARCHAR) AS DOUBLE) AS sum_value
     FROM daily
     """,
 )

@@ -546,7 +546,23 @@ def _install_batch_output(
     lesson). One file per micro-batch is the normal streaming-sink
     shape — micro-batches are trigger-bounded — and
     ``compact_parquet_path(out_path)`` folds them like any other
-    append-grown dataset."""
+    append-grown dataset.
+
+    The replay check is a zero-byte marker in the SIBLING directory
+    ``{out_path}__ingest_markers`` (written after the data file
+    installs, one per (stream, batch)), NOT the data file itself:
+    compaction rewrites/renames the ``ingest-*`` data files away, so a
+    data-file-as-marker scheme would let a replayed batch whose output
+    had since been compacted reinstall itself and duplicate every row
+    the fold already absorbed. The sibling survives any compaction of
+    ``out_path``; the data-file check below remains as a heal for the
+    crash window between install and marker write. Residual window
+    (documented, vanishingly narrow): a crash in that same gap
+    FOLLOWED by a compaction of ``out_path`` before the stream
+    restarts — avoid compacting ``out_path`` while its stream is down
+    mid-crash, the same maintenance-window discipline every other
+    non-transactional swap in this family carries. Markers are
+    zero-byte and bounded by batch count; leave them in place."""
     import hashlib
 
     spark = df.sparkSession
@@ -557,8 +573,20 @@ def _install_batch_output(
     )
     dest = jvm.org.apache.hadoop.fs.Path(f"{out_path}/{dest_name}")
     fs = dest.getFileSystem(spark._jsc.hadoopConfiguration())
+    marker_dir = f"{out_path.rstrip('/')}__ingest_markers"
+    marker = jvm.org.apache.hadoop.fs.Path(f"{marker_dir}/{dest_name}.done")
+
+    def _write_marker() -> None:
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(marker_dir))
+        fs.create(marker, True).close()
+
+    if fs.exists(marker):
+        return  # replay: this batch committed (data possibly compacted)
     if fs.exists(dest):
-        return  # replay: this batch's output is already installed
+        # crash window: data installed, marker write didn't happen —
+        # heal the marker, install nothing
+        _write_marker()
+        return
     # tmp is namespaced by the dest file so two streams feeding the
     # same out_path (distinct app_ids) can never collide mid-write
     tmp = f"{out_path.rstrip('/')}__ingest_tmp_{dest_name}"
@@ -579,6 +607,7 @@ def _install_batch_output(
     if not fs.rename(part, dest) and not fs.exists(dest):
         raise IOError(f"could not install {dest_name} into {out_path}")
     fs.delete(tmp_p, True)
+    _write_marker()
 
 
 def run_dedup_ingest(
@@ -816,8 +845,6 @@ def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str, app_id: str):
     the first batch — immutable under the no-refit contract — so the
     steady-state per-batch cost is one pushed-down marker probe + a
     map-only assignment."""
-    from pyspark.errors import AnalysisException
-
     from dbt_foundation_spark.operators.similarity import (
         _append_assigned,
         _assigned_rows,
@@ -836,7 +863,15 @@ def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str, app_id: str):
             state["schema"] = spark.read.parquet(
                 f"{index_path}/lists"
             ).schema
-        try:
+        # first-ever streamed batch: no log yet — fs.exists, not a
+        # caught AnalysisException (Spark logs the JVM stack of even
+        # caught exceptions into the driver tail; r6 verdict #4)
+        jvm = spark._jvm
+        lp = jvm.org.apache.hadoop.fs.Path(log_path)
+        fs = lp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(lp):
+            seen = False
+        else:
             # membership probe, not a whole-log collect: the predicate
             # pushes to the parquet footers, so a year of batch markers
             # costs a row-group-stat check per batch, not O(batches)
@@ -851,8 +886,6 @@ def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str, app_id: str):
                 .count()
                 > 0
             )
-        except AnalysisException:  # first-ever streamed batch: no log yet
-            seen = False
         if seen:
             return
         _check_batch_schema(batch_df, id_col, vec_col, state["schema"])

@@ -1724,3 +1724,43 @@ def test_compact_table_restores_crashed_swap(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {rel}")
         spark.sql(f"DROP TABLE IF EXISTS {rel}__compact_tmp")
+
+
+def test_ivf_sizing_rule_and_advice(spark, tmp_path):
+    """The sqrt-N sizing rule (r6 verdict #6): build_ivf_index with no
+    n_lists derives it from the corpus count; ivf_sizing_advice flags a
+    pinned n_lists that drifted >4x from the rule for the LIVE corpus
+    and stays quiet inside the band."""
+    from dbt_foundation_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_sizing_advice,
+        recommended_n_lists,
+    )
+
+    # the rule itself: sqrt, clamped to [4, 65536]
+    assert recommended_n_lists(0) == 4
+    assert recommended_n_lists(100) == 10
+    assert recommended_n_lists(1_000_000) == 1000
+    assert recommended_n_lists(10**10) == 65536
+
+    def vec(i):
+        return [float(i % 7), float(i % 5), float(i % 3)]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(256)],
+        "vec_id: bigint, embedding: array<double>",
+    )
+    # default build: n_lists comes from the rule (sqrt(256) = 16)
+    path = str(tmp_path / "ivf_default")
+    build_ivf_index(emb, "vec_id", "embedding", path)
+    advice = ivf_sizing_advice(spark, path)
+    assert advice["n_lists"] == recommended_n_lists(256) == 16
+    assert advice["n_vectors"] == 256
+    assert advice["ratio"] == 1.0 and not advice["rebuild_recommended"]
+
+    # pinned far under the rule: 16x off -> rebuild recommended
+    pinned = str(tmp_path / "ivf_pinned")
+    build_ivf_index(emb, "vec_id", "embedding", pinned, n_lists=2)
+    advice = ivf_sizing_advice(spark, pinned)
+    assert advice["recommended_n_lists"] == 16
+    assert advice["ratio"] == 8.0 and advice["rebuild_recommended"]

@@ -1499,3 +1499,49 @@ def test_dedup_ingest_crash_replay_exactly_once(spark, staging, monkeypatch):
     assert got == [201, 202]  # exactly-once: no duplicated rows
     stored = {r["id"] for r in spark.read.parquet(f"{mh}/shingles").collect()}
     assert {201, 202} <= stored  # the replay completed the admit
+
+
+def test_ingest_marker_survives_output_compaction(spark, staging):
+    """The exactly-once replay check must survive compact_parquet_path
+    rewriting the ingest-* data files away (r7 advice #1): the marker
+    lives in the sibling __ingest_markers dir, so a replayed batch
+    whose output was since compacted still skips; the heal path writes
+    a missing marker when the data file alone is present."""
+    import uuid as _uuid
+
+    from dbt_foundation_spark.operators.maintenance import compact_parquet_path
+    from dbt_foundation_spark.streaming.pipeline import _install_batch_output
+
+    out = str(staging["root"] / f"mk_out_{_uuid.uuid4().hex[:6]}")
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    _install_batch_output(batch, out, "app-x", 0)
+    assert spark.read.parquet(out).count() == 2
+
+    # compaction renames every ingest-* data file away
+    compact_parquet_path(spark, out)
+    files = [
+        r["_p"]
+        for r in spark.read.parquet(out)
+        .select(F.col("_metadata.file_path").alias("_p"))
+        .distinct()
+        .collect()
+    ]
+    assert files and not any("ingest-" in f for f in files)
+
+    # replay of the committed batch after compaction: marker says skip
+    _install_batch_output(batch, out, "app-x", 0)
+    assert spark.read.parquet(out).count() == 2  # no duplicate rows
+
+    # heal path: data file present, marker missing (crash between
+    # install and marker write) -> replay skips AND heals the marker
+    from dbt_foundation_spark.operators.tombstones import _hadoop
+
+    _install_batch_output(batch, out, "app-x", 1)
+    marker = f"{out}__ingest_markers/ingest-" \
+        + __import__("hashlib").md5(b"app-x").hexdigest()[:12] + "-1.parquet.done"
+    mp, fs = _hadoop(spark, marker)
+    assert fs.exists(mp)
+    fs.delete(mp, False)
+    _install_batch_output(batch, out, "app-x", 1)
+    assert fs.exists(mp)  # healed
+    assert spark.read.parquet(out).count() == 4  # still exactly-once

@@ -652,3 +652,100 @@ def test_interleaving_random_sequence_matches_model(spark, tmp_path):
             tombstoned = set()
             assert read_tombstones(spark, ipath) is None
         check_ivf()
+
+
+def test_revive_blocked_while_compacting(spark, tmp_path, monkeypatch):
+    """The revive/compaction maintenance window is ENFORCED (r6 verdict
+    #3): a revive issued while compact_index holds the __compacting
+    marker raises instead of silently losing the id; a crashed
+    compaction leaves the marker (revives stay blocked — some
+    sub-datasets may be rewritten against the pre-revive snapshot), and
+    re-running compact_index clears it. Retraction is never blocked."""
+    import dbt_foundation_spark.operators.maintenance as maint
+    from dbt_foundation_spark.operators.dedup_index import build_simhash_index
+    from dbt_foundation_spark.operators.tombstones import compaction_marker_path
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten eleven"),
+            (3, "red orange yellow green blue indigo violet crimson amber teal"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "sh")
+    build_simhash_index(corpus, "doc_id", "text", path)
+    retract_from_index(spark, path, [1, 2])
+
+    # mid-compaction: inject a revive attempt while the marker is held
+    real = maint.compact_parquet_path
+    seen = {"raised": False}
+
+    def revive_mid_compaction(spark_arg, sub_path, *a, **kw):
+        if not seen["raised"]:
+            seen["raised"] = True
+            with pytest.raises(RuntimeError, match="__compacting"):
+                clear_tombstones(spark, path, [1])
+            # retraction stays online during the same window
+            assert retract_from_index(spark, path, [777]) == 1
+        return real(spark_arg, sub_path, *a, **kw)
+
+    monkeypatch.setattr(maint, "compact_parquet_path", revive_mid_compaction)
+    maint.compact_index(spark, path)
+    assert seen["raised"]
+    # completed compaction clears the marker; the late retraction
+    # survived the fold and a revive of it now succeeds
+    assert not _exists(spark, compaction_marker_path(path))
+    assert _tomb_set(spark, path) == {777}
+    assert clear_tombstones(spark, path, [777]) == 1
+
+    # crashed compaction: marker stays, revives blocked, rerun heals
+    retract_from_index(spark, path, [3])
+
+    def crash_compaction(*a, **kw):
+        raise RuntimeError("injected compaction crash")
+
+    monkeypatch.setattr(maint, "compact_parquet_path", crash_compaction)
+    with pytest.raises(RuntimeError, match="injected compaction crash"):
+        maint.compact_index(spark, path)
+    assert _exists(spark, compaction_marker_path(path))
+    with pytest.raises(RuntimeError, match="__compacting"):
+        clear_tombstones(spark, path, [3])
+    # index_stats surfaces the stale marker as a re-run signal
+    assert "__compacting" in maint.index_stats(spark, path)["crash_leftovers"]
+    monkeypatch.setattr(maint, "compact_parquet_path", real)
+    maint.compact_index(spark, path)
+    assert not _exists(spark, compaction_marker_path(path))
+    assert read_tombstones(spark, path) is None
+
+
+def test_full_clear_is_file_level(spark, tmp_path, monkeypatch):
+    """clear_tombstones(ids=None) — the completed-rebuild clear — must
+    delete only the files it listed: a retract_from_index batch landing
+    between the listing and the deletes survives (the directory delete
+    this replaced would silently destroy it)."""
+    import dbt_foundation_spark.operators.tombstones as tomb_mod
+    from dbt_foundation_spark.operators.dedup_index import build_simhash_index
+
+    corpus = spark.createDataFrame(
+        [(i, f"fully distinct corpus doc number {i} for the clear test") for i in range(1, 4)],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "sh")
+    build_simhash_index(corpus, "doc_id", "text", path)
+    retract_from_index(spark, path, [1, 2])
+
+    real_log_files = tomb_mod._log_files
+
+    def list_then_concurrent_retract(spark_arg, index_path):
+        files = real_log_files(spark_arg, index_path)
+        monkeypatch.setattr(tomb_mod, "_log_files", real_log_files)
+        retract_from_index(spark, path, [99])  # lands mid-clear
+        return files
+
+    monkeypatch.setattr(tomb_mod, "_log_files", list_then_concurrent_retract)
+    assert clear_tombstones(spark, path) == 2
+    assert _tomb_set(spark, path) == {99}
+    # a second clear with no interleaving empties the log fully
+    assert clear_tombstones(spark, path) == 1
+    assert read_tombstones(spark, path) is None
