@@ -789,9 +789,11 @@ def ivf_sizing_advice(spark: SparkSession, path: str) -> dict:
     recommends a rebuild when they disagree by >4× either way (under-
     listed: probes scan ever-fatter lists; over-listed: centroid
     ranking + tiny files dominate). Cost: one count over the lists
-    dataset's id/partition columns — no vector pages are read."""
-    _, _, mft = _load_ivf(spark, path)
-    n_lists = int(mft["n_lists"])
+    dataset's id/partition columns — no vector pages are read. The
+    list count comes from the CENTROIDS dataset, not the manifest, so
+    pre-manifest indexes (mft=None) are advised too."""
+    centroids, _, _ = _load_ivf(spark, path)
+    n_lists = len(centroids)
     n_vectors = _live_lists(spark, path).count()
     rec = recommended_n_lists(n_vectors)
     ratio = max(n_lists / rec, rec / n_lists)

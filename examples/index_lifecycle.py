@@ -7,12 +7,15 @@
     takedown   → retract_from_index (O(batch) log append; every read
                  path subtracts it immediately)
     revive     → clear_tombstones(ids=...) (file-level fold — see
-                 operators/tombstones.py for the crash contract)
+                 operators/tombstones.py for the crash contract;
+                 raises while compact_index holds the __compacting
+                 marker, so a revive can never race a fold)
     maintain   → compact_index (folds micro-files AND tombstones;
                  clears exactly the folded ids)
     observe    → index_stats (files per dataset = compaction signal,
                  tombstones = fold-pending signal, crash_leftovers =
-                 re-run-maintenance signal)
+                 re-run-maintenance signal) and, for IVF indexes,
+                 ivf_sizing_advice (√N rule drift = rebuild signal)
 
 Run directly (uses sf0.001 testdata):  python examples/index_lifecycle.py
 """
