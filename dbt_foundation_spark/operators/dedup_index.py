@@ -115,14 +115,16 @@ def _read_manifest(spark: SparkSession, path: str) -> dict | None:
     # before manifests existed. Any read failure (permissions,
     # transient store error) propagates: silently skipping validation
     # there would re-open the exact footgun the manifest exists to
-    # close. (fs.exists instead of try/except because Spark logs the
-    # JVM stack of even CAUGHT exceptions, burying bench/driver tails
-    # under harmless py4j traces — round-6 verdict #4.)
+    # close. (A data-FILE probe, not try/except — Spark logs the JVM
+    # stack of even CAUGHT exceptions, burying bench/driver tails
+    # under harmless py4j traces (r6 verdict #4) — and not bare
+    # fs.exists: a manifest write that crashed before committing its
+    # json part leaves an empty dir, which reads as "pre-manifest",
+    # the same trust-the-caller state the crash interrupted.)
+    from dbt_foundation_spark.operators.tombstones import _has_data_file
+
     mpath = f"{path}/manifest"
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(mpath)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(p):
+    if not _has_data_file(spark, mpath):
         return None
     row = spark.read.json(mpath).first()
     m = row.asDict() if row else None

@@ -248,16 +248,11 @@ def parquet_path_stats(spark: SparkSession, path: str) -> dict:
 
 def _has_data_files(spark: SparkSession, path: str) -> bool:
     """True if any non-hidden file exists under ``path`` (recursive) —
-    a pure FileSystem listing, no Spark job."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    it = fs.listFiles(p, True)
-    while it.hasNext():
-        name = it.next().getPath().getName()
-        if not name.startswith(("_", ".")):
-            return True
-    return False
+    a pure FileSystem listing, no Spark job. Delegates to the single
+    shared probe (tombstones._has_data_file) so the two can't drift."""
+    from dbt_foundation_spark.operators.tombstones import _has_data_file
+
+    return _has_data_file(spark, path)
 
 
 def compact_parquet_path(
@@ -411,6 +406,7 @@ def compact_index(
         clear_tombstones,
         compaction_marker_path,
         read_tombstones,
+        revive_marker_path,
     )
 
     mft = _read_manifest(spark, index_path)
@@ -428,12 +424,28 @@ def compact_index(
     # REVIVE (clear_tombstones with ids) raises instead of silently
     # losing rows already folded against the pre-revive snapshot
     # (round-6 verdict #3 — the window was a docstring contract before).
-    # Deliberately NOT in a try/finally: a compaction that fails has
-    # possibly rewritten some sub-datasets, so revives must stay
-    # blocked until a re-run completes the fold — the marker clears at
-    # the END, with the snapshot clear. Retraction is never blocked.
+    # Symmetric write-then-check handshake with the revive's
+    # __reviving marker (tombstones.revive_marker_path): our marker
+    # goes down FIRST, then we test for a revive — so of two ops
+    # starting concurrently at least one is guaranteed to see the
+    # other and raise. Deliberately NOT in a try/finally: a compaction
+    # that fails has possibly rewritten some sub-datasets, so revives
+    # must stay blocked until a re-run completes the fold — the marker
+    # clears at the END, with the snapshot clear. Retraction is never
+    # blocked.
     marker = jvm.org.apache.hadoop.fs.Path(compaction_marker_path(index_path))
     fs.mkdirs(marker)
+    reviving = jvm.org.apache.hadoop.fs.Path(revive_marker_path(index_path))
+    if fs.exists(reviving):
+        # nothing rewritten yet, so withdrawing our marker is safe
+        fs.delete(marker, True)
+        raise RuntimeError(
+            f"{index_path}: a revive is in progress (or a crashed "
+            "revive needs re-running) — __reviving marker present. "
+            "Compacting now would fold a log that may hold survivors "
+            "next to not-yet-deleted originals. Finish or re-run the "
+            "revive (which clears the marker), then compact."
+        )
     # tombstone fold: compaction is where logical takedowns become
     # physical. Loaded ONCE and localCheckpointed — the log's own files
     # must not be re-read mid-loop (clear_tombstones below deletes them
@@ -514,13 +526,14 @@ def index_stats(spark: SparkSession, index_path: str) -> dict:
     "total_bytes"}}, "tombstones": n, "crash_leftovers": [...]}``;
     absent optional sub-datasets (e.g. the ivf ingest_log) are
     omitted. ``crash_leftovers`` lists any ``__compact_tmp`` /
-    ``__compact_old`` / ``__revive_tmp`` / ``__compacting`` directories
-    present — each means a maintenance op died mid-operation; every
-    one is healed by simply RE-RUNNING the op (compaction
-    restores/supersedes its own residue and clears the marker that
-    blocks revives; a revive tmp is superseded scratch the next clear
-    deletes), so a non-empty list is a "re-run maintenance" signal,
-    not damage."""
+    ``__compact_old`` / ``__revive_tmp`` / ``__compacting`` /
+    ``__reviving`` directories present — each means a maintenance op
+    died mid-operation; every one is healed by simply RE-RUNNING the
+    op (compaction restores/supersedes its own residue and clears the
+    marker that blocks revives; a crashed revive's marker clears when
+    the revive re-runs; a revive tmp is superseded scratch the next
+    clear deletes), so a non-empty list is a "re-run maintenance"
+    signal, not damage."""
     from dbt_foundation_spark.operators.dedup_index import (
         INDEX_LAYOUT,
         _read_manifest,
@@ -540,16 +553,25 @@ def index_stats(spark: SparkSession, index_path: str) -> dict:
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     datasets: dict[str, dict] = {}
     for sub in INDEX_LAYOUT[flavor]:
-        # existence probe via the FileSystem, not a read + caught
-        # AnalysisException — Spark logs the JVM stack even for caught
-        # exceptions and buries the bench/driver tail (r6 verdict #4)
-        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{index_path}/{sub}")):
-            continue  # optional sub-dataset not present
+        # data-FILE probe, not a read + caught AnalysisException (Spark
+        # logs the JVM stack even for caught exceptions and buries the
+        # bench/driver tail — r6 verdict #4) and not bare fs.exists (an
+        # existing-but-empty dir from a crashed write would make the
+        # read raise — and index_stats' whole job is describing damaged
+        # indexes)
+        if not _has_data_files(spark, f"{index_path}/{sub}"):
+            continue  # optional sub-dataset not present (or empty husk)
         datasets[sub] = parquet_path_stats(spark, f"{index_path}/{sub}")
     tomb = read_tombstones(spark, index_path)
     # crash-leftover scan: one directory listing of the index root —
     # swap residue is always a SIBLING of the dataset it was swapping
-    suffixes = ("__compact_tmp", "__compact_old", "__revive_tmp", "__compacting")
+    suffixes = (
+        "__compact_tmp",
+        "__compact_old",
+        "__revive_tmp",
+        "__compacting",
+        "__reviving",
+    )
     leftovers = sorted(
         st.getPath().getName()
         for st in fs.listStatus(root)

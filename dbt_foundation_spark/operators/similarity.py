@@ -748,6 +748,9 @@ def ivf_list_profile(spark: SparkSession, path: str) -> DataFrame:
     probes into fat lists scan ever more of the corpus and the
     partition-pruning advantage decays. Rebuild (re-fit) when the top
     list's share is many times 1/n_lists; until then appends are fine.
+    :func:`ivf_sizing_advice` is the complementary count-vs-√N-rule
+    signal — kept a SEPARATE call so this profile stays a pure, lazy,
+    metadata-speed plan (no extra jobs, no logging side effects).
 
     Cost: a scan that reads ONLY the partition column — parquet opens
     no data pages, so this is metadata-speed even on a 100 TB index
@@ -756,20 +759,6 @@ def ivf_list_profile(spark: SparkSession, path: str) -> DataFrame:
     (operators/tombstones.py) the subtraction additionally reads the id
     column, so counts reflect LIVE members; compaction restores the
     metadata-only scan."""
-    advice = ivf_sizing_advice(spark, path)
-    if advice["rebuild_recommended"]:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "%s: n_lists=%d is %.1fx off the sqrt-N rule for %d live "
-            "vectors — rebuild with n_lists~%d (build_ivf_index default "
-            "does this)",
-            path,
-            advice["n_lists"],
-            advice["ratio"],
-            advice["n_vectors"],
-            advice["recommended_n_lists"],
-        )
     lists = _live_lists(spark, path)
     counts = lists.groupBy("_ivf_list").agg(F.count(F.lit(1)).alias("n_members"))
     total = Window.partitionBy()
@@ -794,16 +783,32 @@ def ivf_sizing_advice(spark: SparkSession, path: str) -> dict:
     pre-manifest indexes (mft=None) are advised too."""
     centroids, _, _ = _load_ivf(spark, path)
     n_lists = len(centroids)
+    if n_lists == 0:
+        raise ValueError(
+            f"IVF index {path} has an empty centroids dataset — the "
+            "store is corrupt or hand-edited; rebuild with "
+            "build_ivf_index"
+        )
     n_vectors = _live_lists(spark, path).count()
     rec = recommended_n_lists(n_vectors)
     ratio = max(n_lists / rec, rec / n_lists)
-    return {
+    advice = {
         "n_vectors": n_vectors,
         "n_lists": n_lists,
         "recommended_n_lists": rec,
         "ratio": round(ratio, 2),
         "rebuild_recommended": ratio > 4.0,
     }
+    if advice["rebuild_recommended"]:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: n_lists=%d is %.1fx off the sqrt-N rule for %d live "
+            "vectors — rebuild with n_lists~%d (build_ivf_index "
+            "default does this)",
+            path, n_lists, advice["ratio"], n_vectors, rec,
+        )
+    return advice
 
 
 def knn_join_ivf(

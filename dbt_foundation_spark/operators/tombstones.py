@@ -294,6 +294,21 @@ def compaction_marker_path(index_path: str) -> str:
     return f"{index_path.rstrip('/')}/__compacting"
 
 
+def revive_marker_path(index_path: str) -> str:
+    """The ``__reviving`` marker :func:`clear_tombstones` holds while
+    it folds the log. The exclusion with compaction is SYMMETRIC
+    write-then-check (each side creates its own marker, THEN checks
+    the other's): if both ops start concurrently, at least one of the
+    two checks observes the other's marker and raises, so the
+    check-then-act race a single one-sided marker leaves open cannot
+    interleave silently. A crashed revive leaves its marker in place
+    — deliberately: the log may hold survivors next to not-yet-deleted
+    originals, and a compaction folding that state would physically
+    drop rows mid-revive. Re-running the revive (the documented crash
+    recovery) completes the fold and clears the marker."""
+    return f"{index_path.rstrip('/')}/__reviving"
+
+
 def clear_tombstones(
     spark: SparkSession,
     index_path: str,
@@ -324,28 +339,60 @@ def clear_tombstones(
     The driver-side collect is safe by the same bound the broadcast
     subtraction relies on: the log is takedown-sized, not corpus-sized.
 
-    Interleaving contract (ENFORCED since round 7): a REVIVE issued
-    while ``compact_index`` is running could report success and still
-    lose the id — sub-datasets already rewritten against the
-    pre-revive snapshot have dropped its rows physically — so the
-    revive path RAISES while the index carries the ``__compacting``
-    marker (:func:`compaction_marker_path`; ``compact_index`` holds it
-    for the rewrite and passes ``_during_compaction=True`` for its own
-    snapshot clear). A stale marker from a crashed compaction is
-    cleared by re-running ``compact_index`` — the same restore-on-
-    rerun recovery the rewrite itself uses. Retraction — the online,
-    compliance-critical direction — carries no such restriction and is
-    safe against concurrent compaction by the snapshot-clear above.
+    Interleaving contract (ENFORCED since round 7): a revive — subset
+    OR full clear — issued while ``compact_index`` is running could
+    report success and still lose ids whose rows sub-datasets already
+    rewritten against the pre-revive snapshot dropped physically. Both
+    clear paths therefore take the SYMMETRIC marker handshake
+    (:func:`revive_marker_path`): create ``__reviving``, then raise if
+    ``__compacting`` exists (``compact_index`` does the mirror-image
+    check, so concurrent starts cannot both proceed). ``compact_index``
+    passes ``_during_compaction=True`` for its own snapshot clear,
+    which skips the handshake. Stale markers heal by re-running the op
+    that left them. Retraction — the online, compliance-critical
+    direction — carries no restriction and is safe against concurrent
+    compaction by the snapshot-clear above.
 
     The full clear (``ids=None``) is file-level for the same reason
     the subset fold is: it lists the log's data files, counts the
     distinct ids in exactly those files, and deletes only those files
     — a ``retract_from_index`` batch appended between the listing and
     the deletes lands as a file the clear never saw and survives (the
-    directory delete this replaced would silently destroy it)."""
+    directory delete this replaced would silently destroy it). The
+    returned count is the distinct-id count OF THE FOLDED FILES: an id
+    concurrently re-retracted into a surviving file stays tombstoned
+    and is still counted — exact attribution under concurrency is
+    unknowable without a log lock, and over-counting the clear is the
+    harmless direction (the log itself is always consistent)."""
     tp = _tomb_path(index_path)
     p, fs = _hadoop(spark, tp)
     jvm = spark._jvm
+    compacting = jvm.org.apache.hadoop.fs.Path(
+        compaction_marker_path(index_path)
+    )
+    own = jvm.org.apache.hadoop.fs.Path(revive_marker_path(index_path))
+    if not _during_compaction:
+        # write-then-check: our marker must be visible BEFORE we test
+        # for a compaction, so a compact_index starting concurrently is
+        # guaranteed to see it (its own mkdirs precedes its check)
+        fs.mkdirs(own)
+        if fs.exists(compacting):
+            fs.delete(own, True)
+            raise RuntimeError(
+                f"{index_path}: a compaction is in progress (or a "
+                "previous one crashed mid-rewrite) — __compacting "
+                "marker present. A revive now could report success for "
+                "an id whose rows the rewrite already dropped "
+                "physically. Re-run compact_index to finish the fold "
+                "(which clears the marker), then revive."
+            )
+    removed = _clear_impl(spark, index_path, ids, tp, fs, jvm)
+    if not _during_compaction:
+        fs.delete(own, True)
+    return removed
+
+
+def _clear_impl(spark, index_path, ids, tp, fs, jvm) -> int:
     if ids is None:
         files = _log_files(spark, index_path)
         if not files:
@@ -354,15 +401,6 @@ def clear_tombstones(
         for f in files:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
         return n
-    marker = jvm.org.apache.hadoop.fs.Path(compaction_marker_path(index_path))
-    if not _during_compaction and fs.exists(marker):
-        raise RuntimeError(
-            f"{index_path}: a compaction is in progress (or a previous "
-            "one crashed mid-rewrite) — __compacting marker present. A "
-            "revive now could report success for an id whose rows the "
-            "rewrite already dropped physically. Re-run compact_index "
-            "to finish the fold (which clears the marker), then revive."
-        )
     revive = _as_id_df(spark, ids)
     if revive is None:
         return 0

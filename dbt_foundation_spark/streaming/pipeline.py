@@ -556,13 +556,16 @@ def _install_batch_output(
     had since been compacted reinstall itself and duplicate every row
     the fold already absorbed. The sibling survives any compaction of
     ``out_path``; the data-file check below remains as a heal for the
-    crash window between install and marker write. Residual window
-    (documented, vanishingly narrow): a crash in that same gap
-    FOLLOWED by a compaction of ``out_path`` before the stream
-    restarts — avoid compacting ``out_path`` while its stream is down
-    mid-crash, the same maintenance-window discipline every other
-    non-transactional swap in this family carries. Markers are
-    zero-byte and bounded by batch count; leave them in place."""
+    crash window between install and marker write. A missing
+    ``out_path`` wipes the sibling (fresh-start self-heal): markers
+    without a dataset are definitionally stale, and a rebuild at the
+    same paths would otherwise skip every batch against them. Both
+    mechanisms assume the standard maintenance-window discipline:
+    compact ``out_path`` only while its stream is STOPPED and not
+    mid-crash (the compaction swap makes ``out_path`` briefly absent,
+    which a concurrently-running sink would read as a fresh start).
+    Markers are zero-byte and bounded by batch count; leave them in
+    place."""
     import hashlib
 
     spark = df.sparkSession
@@ -579,6 +582,15 @@ def _install_batch_output(
     def _write_marker() -> None:
         fs.mkdirs(jvm.org.apache.hadoop.fs.Path(marker_dir))
         fs.create(marker, True).close()
+
+    # fresh-start self-heal: if out_path itself is GONE, any surviving
+    # markers are definitionally stale (no compaction output can exist
+    # for a dataset that doesn't) — a rebuild that wiped out_path and
+    # the checkpoint would otherwise reproduce the old dest_names,
+    # match the orphaned markers, and silently skip every batch while
+    # the output stayed empty. Delete the sibling and start clean.
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(out_path)):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(marker_dir), True)
 
     if fs.exists(marker):
         return  # replay: this batch committed (data possibly compacted)
@@ -863,13 +875,14 @@ def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str, app_id: str):
             state["schema"] = spark.read.parquet(
                 f"{index_path}/lists"
             ).schema
-        # first-ever streamed batch: no log yet — fs.exists, not a
-        # caught AnalysisException (Spark logs the JVM stack of even
-        # caught exceptions into the driver tail; r6 verdict #4)
-        jvm = spark._jvm
-        lp = jvm.org.apache.hadoop.fs.Path(log_path)
-        fs = lp.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(lp):
+        # first-ever streamed batch: no log yet — a data-FILE probe,
+        # not a caught AnalysisException (Spark logs the JVM stack of
+        # even caught exceptions into the driver tail; r6 verdict #4)
+        # and not bare fs.exists (a crashed first append can leave an
+        # empty log dir whose read would raise and pin the stream down)
+        from dbt_foundation_spark.operators.tombstones import _has_data_file
+
+        if not _has_data_file(spark, log_path):
             seen = False
         else:
             # membership probe, not a whole-log collect: the predicate

@@ -1545,3 +1545,27 @@ def test_ingest_marker_survives_output_compaction(spark, staging):
     _install_batch_output(batch, out, "app-x", 1)
     assert fs.exists(mp)  # healed
     assert spark.read.parquet(out).count() == 4  # still exactly-once
+
+
+def test_ingest_markers_heal_on_fresh_start(spark, staging):
+    """A rebuild that wipes out_path (and the checkpoint) must not be
+    silently skipped by orphaned markers in the sibling dir: when
+    out_path itself is absent, _install_batch_output clears the stale
+    marker log and installs from scratch."""
+    import uuid as _uuid
+
+    from dbt_foundation_spark.operators.tombstones import _hadoop
+    from dbt_foundation_spark.streaming.pipeline import _install_batch_output
+
+    out = str(staging["root"] / f"fs_out_{_uuid.uuid4().hex[:6]}")
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    _install_batch_output(batch, out, "app-y", 0)
+    assert spark.read.parquet(out).count() == 2
+
+    # operator rebuild: wipe out_path but (realistically) forget the
+    # sibling marker dir
+    op, fs = _hadoop(spark, out)
+    fs.delete(op, True)
+    # same app_id, batch ids restarting at 0 -> old dest_names recur
+    _install_batch_output(batch, out, "app-y", 0)
+    assert spark.read.parquet(out).count() == 2  # reinstalled, not skipped

@@ -749,3 +749,37 @@ def test_full_clear_is_file_level(spark, tmp_path, monkeypatch):
     # a second clear with no interleaving empties the log fully
     assert clear_tombstones(spark, path) == 1
     assert read_tombstones(spark, path) is None
+
+
+def test_compaction_blocked_while_reviving(spark, tmp_path):
+    """The exclusion is symmetric: compact_index raises while a revive
+    holds (or a crashed revive left) the __reviving marker, and
+    withdraws its own __compacting marker when it does — so the failed
+    attempt doesn't block the revive's re-run."""
+    from dbt_foundation_spark.operators.dedup_index import build_simhash_index
+    from dbt_foundation_spark.operators.maintenance import compact_index
+    from dbt_foundation_spark.operators.tombstones import (
+        _hadoop,
+        compaction_marker_path,
+        revive_marker_path,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "sh")
+    build_simhash_index(corpus, "doc_id", "text", path)
+    retract_from_index(spark, path, [1])
+
+    rp, fs = _hadoop(spark, revive_marker_path(path))
+    fs.mkdirs(rp)  # a revive in flight (or crashed mid-fold)
+    with pytest.raises(RuntimeError, match="__reviving"):
+        compact_index(spark, path)
+    # the failed compaction withdrew its own marker...
+    assert not _exists(spark, compaction_marker_path(path))
+    # ...so the revive re-run proceeds (and clears its marker)
+    assert clear_tombstones(spark, path, [1]) == 1
+    assert not _exists(spark, revive_marker_path(path))
+    compact_index(spark, path)  # and compaction now succeeds
+    assert read_tombstones(spark, path) is None
