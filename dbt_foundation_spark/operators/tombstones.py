@@ -365,7 +365,7 @@ def clear_tombstones(
     unknowable without a log lock, and over-counting the clear is the
     harmless direction (the log itself is always consistent)."""
     tp = _tomb_path(index_path)
-    p, fs = _hadoop(spark, tp)
+    _, fs = _hadoop(spark, tp)
     jvm = spark._jvm
     compacting = jvm.org.apache.hadoop.fs.Path(
         compaction_marker_path(index_path)
