@@ -35,9 +35,27 @@ if "--sf" in args:
         sys.exit(f"unknown --sf {val!r}: use 0.001, 0.01, 0.1 or both")
     del args[i : i + 2]
     sfs = ["0.001", "0.01"] if val == "both" else [val]
+# --master / --shuffle-partitions: determinism probes. Every query's
+# result must be INVARIANT to parallelism and partition count — a
+# mismatch that appears only under an odd configuration is a real
+# nondeterminism bug (order-dependent float folds, limit-without-sort,
+# partition-dependent sampling) the default-config sweep can't see.
+master = "local[8]"
+if "--master" in args:
+    i = args.index("--master")
+    master = args[i + 1]
+    del args[i : i + 2]
+shuffle = None
+if "--shuffle-partitions" in args:
+    i = args.index("--shuffle-partitions")
+    shuffle = args[i + 1]
+    del args[i : i + 2]
 only = args
 
-spark = SparkSession.builder.master("local[8]").getOrCreate()
+builder = SparkSession.builder.master(master)
+if shuffle is not None:
+    builder = builder.config("spark.sql.shuffle.partitions", shuffle)
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as e  # noqa: E402
 
