@@ -50,11 +50,19 @@ if "--shuffle-partitions" in args:
     i = args.index("--shuffle-partitions")
     shuffle = args[i + 1]
     del args[i : i + 2]
+confs = []
+while "--conf" in args:  # repeatable: --conf spark.sql.adaptive.enabled=false
+    i = args.index("--conf")
+    k, _, v = args[i + 1].partition("=")
+    confs.append((k, v))
+    del args[i : i + 2]
 only = args
 
 builder = SparkSession.builder.master(master)
 if shuffle is not None:
     builder = builder.config("spark.sql.shuffle.partitions", shuffle)
+for k, v in confs:
+    builder = builder.config(k, v)
 spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as e  # noqa: E402
