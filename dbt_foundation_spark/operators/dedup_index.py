@@ -103,29 +103,41 @@ def _write_manifest(df: DataFrame, path: str, params: dict) -> None:
     from dbt_foundation_spark.operators.tombstones import clear_tombstones
 
     spark = df.sparkSession
-    clear_tombstones(spark, path)
+    # _rebuild_reset: the rebuild just replaced every dataset, so the
+    # clear bypasses the revive/compaction handshake and removes any
+    # stale __compacting/__reviving marker — those guarded a generation
+    # that no longer exists, and raising here would leave the new index
+    # with a stale log and no manifest (the worse failure)
+    clear_tombstones(spark, path, _rebuild_reset=True)
     spark.createDataFrame([params]).coalesce(1).write.mode(
         "overwrite"
     ).json(f"{path}/manifest")
 
 
 def _read_manifest(spark: SparkSession, path: str) -> dict | None:
-    # absent-path probe via the FileSystem, not a read + caught
+    # absent-DIRECTORY probe via the FileSystem, not a read + caught
     # AnalysisException: a pre-manifest index — trust the caller, as
-    # before manifests existed. Any read failure (permissions,
-    # transient store error) propagates: silently skipping validation
-    # there would re-open the exact footgun the manifest exists to
-    # close. (A data-FILE probe, not try/except — Spark logs the JVM
-    # stack of even CAUGHT exceptions, burying bench/driver tails
-    # under harmless py4j traces (r6 verdict #4) — and not bare
-    # fs.exists: a manifest write that crashed before committing its
-    # json part leaves an empty dir, which reads as "pre-manifest",
-    # the same trust-the-caller state the crash interrupted.)
-    from dbt_foundation_spark.operators.tombstones import _has_data_file
+    # before manifests existed. (fs probes, not try/except — Spark
+    # logs the JVM stack of even CAUGHT exceptions, burying
+    # bench/driver tails under harmless py4j traces; r6 verdict #4.)
+    # An EXISTING dir with no data file is NOT pre-manifest: that is
+    # the crash window of _write_manifest's overwrite (old manifest
+    # deleted, new part not committed) — raise loudly; silently
+    # skipping validation there would re-open the exact footgun the
+    # manifest exists to close. Any other read failure (permissions,
+    # transient store error) propagates for the same reason.
+    from dbt_foundation_spark.operators.tombstones import _hadoop, _has_data_file
 
     mpath = f"{path}/manifest"
-    if not _has_data_file(spark, mpath):
+    mp, mfs = _hadoop(spark, mpath)
+    if not mfs.exists(mp):
         return None
+    if not _has_data_file(spark, mpath):
+        raise ValueError(
+            f"{mpath} exists but holds no data file — a manifest write "
+            "crashed mid-overwrite; re-run the build (which rewrites "
+            "the manifest) rather than operating unvalidated"
+        )
     row = spark.read.json(mpath).first()
     m = row.asDict() if row else None
     if m is not None and "flavor" not in m:

@@ -434,11 +434,19 @@ def compact_index(
     # clears at the END, with the snapshot clear. Retraction is never
     # blocked.
     marker = jvm.org.apache.hadoop.fs.Path(compaction_marker_path(index_path))
+    # a marker that existed BEFORE this run is a crashed compaction's
+    # deliberate guard over half-rewritten datasets — a conflict below
+    # must NOT withdraw it (mkdirs is an idempotent no-op on it, so
+    # "we created it" cannot be inferred after the fact)
+    stale_marker = fs.exists(marker)
     fs.mkdirs(marker)
     reviving = jvm.org.apache.hadoop.fs.Path(revive_marker_path(index_path))
     if fs.exists(reviving):
-        # nothing rewritten yet, so withdrawing our marker is safe
-        fs.delete(marker, True)
+        if not stale_marker:
+            # THIS run created the marker and has rewritten nothing
+            # yet, so withdrawing it is safe; a stale one stays to keep
+            # guarding the earlier crash's half-rewritten state
+            fs.delete(marker, True)
         raise RuntimeError(
             f"{index_path}: a revive is in progress (or a crashed "
             "revive needs re-running) — __reviving marker present. "

@@ -314,6 +314,7 @@ def clear_tombstones(
     index_path: str,
     ids: DataFrame | Iterable | None = None,
     _during_compaction: bool = False,
+    _rebuild_reset: bool = False,
 ) -> int:
     """Drop the tombstone log's current files (``ids=None`` — what a
     completed rebuild does) or remove a subset of ids from the log —
@@ -346,12 +347,21 @@ def clear_tombstones(
     clear paths therefore take the SYMMETRIC marker handshake
     (:func:`revive_marker_path`): create ``__reviving``, then raise if
     ``__compacting`` exists (``compact_index`` does the mirror-image
-    check, so concurrent starts cannot both proceed). ``compact_index``
+    check, so concurrent starts cannot both proceed — and a marker
+    that existed BEFORE the op started is a crashed run's deliberate
+    guard, which a conflict must leave in place). ``compact_index``
     passes ``_during_compaction=True`` for its own snapshot clear,
-    which skips the handshake. Stale markers heal by re-running the op
-    that left them. Retraction — the online, compliance-critical
-    direction — carries no restriction and is safe against concurrent
-    compaction by the snapshot-clear above.
+    which skips the handshake. ``_write_manifest`` passes
+    ``_rebuild_reset=True`` at the end of a completed rebuild: every
+    dataset was just replaced, so stale markers guard a generation
+    that no longer exists — the rebuild clear bypasses the handshake
+    and REMOVES both markers (blocking the documented
+    rebuild-heals-a-crashed-compaction path on a stale marker would
+    leave the new index with a stale log and no manifest). Stale
+    markers otherwise heal by re-running the op that left them.
+    Retraction — the online, compliance-critical direction — carries
+    no restriction and is safe against concurrent compaction by the
+    snapshot-clear above.
 
     The full clear (``ids=None``) is file-level for the same reason
     the subset fold is: it lists the log's data files, counts the
@@ -367,17 +377,36 @@ def clear_tombstones(
     tp = _tomb_path(index_path)
     _, fs = _hadoop(spark, tp)
     jvm = spark._jvm
+    # normalize/validate ids BEFORE any marker goes down: a typo'd or
+    # empty revive must fail/return without leaving a false
+    # crashed-revive guard blocking compactions
+    revive = _as_id_df(spark, ids) if ids is not None else None
+    if ids is not None and revive is None:
+        return 0
     compacting = jvm.org.apache.hadoop.fs.Path(
         compaction_marker_path(index_path)
     )
     own = jvm.org.apache.hadoop.fs.Path(revive_marker_path(index_path))
+    if _rebuild_reset:
+        # completed rebuild: the datasets any stale marker was guarding
+        # were just replaced wholesale — clear the log and both markers
+        removed = _clear_impl(spark, index_path, ids, revive, tp, fs, jvm)
+        fs.delete(own, True)
+        fs.delete(compacting, True)
+        return removed
     if not _during_compaction:
         # write-then-check: our marker must be visible BEFORE we test
         # for a compaction, so a compact_index starting concurrently is
-        # guaranteed to see it (its own mkdirs precedes its check)
+        # guaranteed to see it (its own mkdirs precedes its check). A
+        # marker that already existed is a crashed revive's guard over
+        # a half-folded log — conflict below must NOT withdraw it
+        # (mkdirs is an idempotent no-op, so creation can't be inferred
+        # after the fact).
+        stale_own = fs.exists(own)
         fs.mkdirs(own)
         if fs.exists(compacting):
-            fs.delete(own, True)
+            if not stale_own:
+                fs.delete(own, True)
             raise RuntimeError(
                 f"{index_path}: a compaction is in progress (or a "
                 "previous one crashed mid-rewrite) — __compacting "
@@ -386,13 +415,13 @@ def clear_tombstones(
                 "physically. Re-run compact_index to finish the fold "
                 "(which clears the marker), then revive."
             )
-    removed = _clear_impl(spark, index_path, ids, tp, fs, jvm)
+    removed = _clear_impl(spark, index_path, ids, revive, tp, fs, jvm)
     if not _during_compaction:
         fs.delete(own, True)
     return removed
 
 
-def _clear_impl(spark, index_path, ids, tp, fs, jvm) -> int:
+def _clear_impl(spark, index_path, ids, revive, tp, fs, jvm) -> int:
     if ids is None:
         files = _log_files(spark, index_path)
         if not files:
@@ -401,9 +430,6 @@ def _clear_impl(spark, index_path, ids, tp, fs, jvm) -> int:
         for f in files:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
         return n
-    revive = _as_id_df(spark, ids)
-    if revive is None:
-        return 0
     files = _log_files(spark, index_path)
     if not files:
         return 0

@@ -783,3 +783,101 @@ def test_compaction_blocked_while_reviving(spark, tmp_path):
     assert not _exists(spark, revive_marker_path(path))
     compact_index(spark, path)  # and compaction now succeeds
     assert read_tombstones(spark, path) is None
+
+
+def test_stale_markers_survive_conflicts_and_rebuild_resets(spark, tmp_path):
+    """Stale markers are deliberate guards and conflicts must not
+    withdraw them: a heal re-run that loses the handshake leaves the
+    crashed run's marker in place (mkdirs is idempotent, so "we made
+    it" can't be inferred); a completed REBUILD resets both markers —
+    its datasets replaced whatever the stale guard covered — and a
+    typo'd revive fails BEFORE taking the marker."""
+    import dbt_foundation_spark.operators.maintenance as maint
+    from dbt_foundation_spark.operators.dedup_index import (
+        _read_manifest,
+        build_simhash_index,
+    )
+    from dbt_foundation_spark.operators.tombstones import (
+        _hadoop,
+        compaction_marker_path,
+        revive_marker_path,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "sh")
+    build_simhash_index(corpus, "doc_id", "text", path)
+    retract_from_index(spark, path, [1])
+
+    cp, fs = _hadoop(spark, compaction_marker_path(path))
+    rp, _ = _hadoop(spark, revive_marker_path(path))
+
+    # crashed compaction's stale __compacting + a revive attempt: the
+    # revive loses the handshake and must NOT remove the stale guard
+    fs.mkdirs(cp)
+    with pytest.raises(RuntimeError, match="__compacting"):
+        clear_tombstones(spark, path, [1])
+    assert _exists(spark, compaction_marker_path(path))
+    assert not _exists(spark, revive_marker_path(path))
+
+    # crashed revive's stale __reviving + a compaction attempt: the
+    # compaction loses and must NOT remove the stale guard either
+    fs.delete(cp, True)
+    fs.mkdirs(rp)
+    with pytest.raises(RuntimeError, match="__reviving"):
+        maint.compact_index(spark, path)
+    assert _exists(spark, revive_marker_path(path))
+    assert not _exists(spark, compaction_marker_path(path))
+
+    # the heal re-run of the revive proceeds over its own stale marker
+    # and clears it on completion
+    assert clear_tombstones(spark, path, [1]) == 1
+    assert not _exists(spark, revive_marker_path(path))
+
+    # a typo'd revive (multi-column ids) fails WITHOUT leaving a marker
+    bad = spark.createDataFrame([(1, 2)], ["a", "b"])
+    with pytest.raises(ValueError, match="single-column"):
+        clear_tombstones(spark, path, bad)
+    assert not _exists(spark, revive_marker_path(path))
+
+    # a completed rebuild resets BOTH stale markers and the log
+    fs.mkdirs(cp)
+    fs.mkdirs(rp)
+    retract_from_index(spark, path, [1])
+    build_simhash_index(corpus, "doc_id", "text", path)
+    assert read_tombstones(spark, path) is None
+    assert not _exists(spark, compaction_marker_path(path))
+    assert not _exists(spark, revive_marker_path(path))
+    assert _read_manifest(spark, path) is not None
+
+
+def test_read_manifest_empty_dir_raises(spark, tmp_path):
+    """An EXISTING manifest dir with no data file is _write_manifest's
+    crash window, not a pre-manifest index — reads must raise loudly
+    instead of silently skipping parameter validation."""
+    from dbt_foundation_spark.operators.dedup_index import (
+        _read_manifest,
+        build_simhash_index,
+    )
+    from dbt_foundation_spark.operators.tombstones import _hadoop
+
+    path = str(tmp_path / "sh")
+    build_simhash_index(
+        spark.createDataFrame(
+            [(1, "some corpus document words for the manifest crash test")],
+            ["doc_id", "text"],
+        ),
+        "doc_id",
+        "text",
+        path,
+    )
+    # absent dir: pre-manifest, trust the caller
+    assert _read_manifest(spark, str(tmp_path / "nowhere")) is None
+    # simulate the overwrite crash: manifest dir exists, data file gone
+    mp, fs = _hadoop(spark, f"{path}/manifest")
+    fs.delete(mp, True)
+    fs.mkdirs(mp)
+    with pytest.raises(ValueError, match="no data file"):
+        _read_manifest(spark, path)

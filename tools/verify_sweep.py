@@ -40,22 +40,28 @@ if "--sf" in args:
 # mismatch that appears only under an odd configuration is a real
 # nondeterminism bug (order-dependent float folds, limit-without-sort,
 # partition-dependent sampling) the default-config sweep can't see.
+def _operand(flag: str) -> str:
+    i = args.index(flag)
+    if i + 1 >= len(args):
+        sys.exit(f"{flag} needs a value")
+    val = args[i + 1]
+    del args[i : i + 2]
+    return val
+
+
 master = "local[8]"
 if "--master" in args:
-    i = args.index("--master")
-    master = args[i + 1]
-    del args[i : i + 2]
+    master = _operand("--master")
 shuffle = None
 if "--shuffle-partitions" in args:
-    i = args.index("--shuffle-partitions")
-    shuffle = args[i + 1]
-    del args[i : i + 2]
+    shuffle = _operand("--shuffle-partitions")
 confs = []
 while "--conf" in args:  # repeatable: --conf spark.sql.adaptive.enabled=false
-    i = args.index("--conf")
-    k, _, v = args[i + 1].partition("=")
+    kv = _operand("--conf")
+    k, eq, v = kv.partition("=")
+    if not eq or not k or not v:
+        sys.exit(f"--conf needs key=value, got {kv!r}")
     confs.append((k, v))
-    del args[i : i + 2]
 only = args
 
 builder = SparkSession.builder.master(master)
