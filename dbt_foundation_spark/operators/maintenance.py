@@ -452,7 +452,14 @@ def compact_index(
             "revive needs re-running) — __reviving marker present. "
             "Compacting now would fold a log that may hold survivors "
             "next to not-yet-deleted originals. Finish or re-run the "
-            "revive (which clears the marker), then compact."
+            "revive (which clears the marker), then compact. If BOTH "
+            "__reviving and __compacting are crash leftovers (no op "
+            "live — index_stats lists them), the re-run directions are "
+            "circular; escape by rebuilding the index (rebuild_*_index "
+            "resets both markers) or, after confirming nothing is "
+            "running, deleting the stale __reviving marker directory "
+            "and re-running the revive FIRST (its half-folded log must "
+            "complete before any compaction folds it)."
         )
     # tombstone fold: compaction is where logical takedowns become
     # physical. Loaded ONCE and localCheckpointed — the log's own files

@@ -60,36 +60,51 @@ def _hadoop(spark: SparkSession, path: str):
     return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
+def _iter_visible_files(fs, p):
+    """Yield the fully-qualified paths of data files under ``p`` whose
+    path has NO hidden component below ``p`` — not merely a non-hidden
+    leaf name.  ``fs.listFiles(p, True)`` recurses into hidden
+    directories, so a ``part-0000`` under ``_temporary/.../`` (the
+    scratch of a crashed or in-flight FileOutputCommitter write) has a
+    visible leaf but is not data; counting it made consumers read a
+    directory Spark's file index sees as empty (UNABLE_TO_INFER_SCHEMA),
+    and made the file-level folds delete a concurrent append's
+    uncommitted task files, failing its commit."""
+    base = fs.makeQualified(p).toString().rstrip("/")
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next().getPath()
+        fstr = f.toString()
+        rel = fstr[len(base):].lstrip("/") if fstr.startswith(base) else f.getName()
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        yield f
+
+
 def _log_files(spark: SparkSession, index_path: str) -> list[str]:
-    """The tombstone log's data files at this instant — the unit of the
-    subset clear's fold: only files listed HERE are read, replaced and
-    deleted, so a retraction batch appended concurrently lands as a new
-    file the fold never touches."""
+    """The tombstone log's committed data files at this instant — the
+    unit of the subset clear's fold: only files listed HERE are read,
+    replaced and deleted, so a retraction batch appended concurrently
+    lands as a new file the fold never touches, and its in-flight
+    ``_temporary`` scratch is never read or deleted (hidden path
+    components are excluded at every depth, not just the leaf)."""
     tp = _tomb_path(index_path)
     p, fs = _hadoop(spark, tp)
     if not fs.exists(p):
         return []
-    out = []
-    it = fs.listFiles(p, True)
-    while it.hasNext():
-        f = it.next().getPath()
-        if not f.getName().startswith(("_", ".")):
-            out.append(f.toString())
-    return out
+    return [f.toString() for f in _iter_visible_files(fs, p)]
 
 
 def _has_data_file(spark: SparkSession, path: str) -> bool:
-    """True iff ``path`` exists and holds at least one non-hidden file —
-    the absent-or-empty probe used instead of read-and-catch (a caught
-    AnalysisException still dumps its JVM stack into the driver tail)."""
+    """True iff ``path`` exists and holds at least one committed data
+    file — no hidden component at ANY depth, so crash residue under
+    ``_temporary/`` does not count — the absent-or-empty probe used
+    instead of read-and-catch (a caught AnalysisException still dumps
+    its JVM stack into the driver tail)."""
     p, fs = _hadoop(spark, path)
     if not fs.exists(p):
         return False
-    it = fs.listFiles(p, True)
-    while it.hasNext():
-        if not it.next().getPath().getName().startswith(("_", ".")):
-            return True
-    return False
+    return next(iter(_iter_visible_files(fs, p)), None) is not None
 
 
 def read_tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
@@ -413,7 +428,15 @@ def clear_tombstones(
                 "marker present. A revive now could report success for "
                 "an id whose rows the rewrite already dropped "
                 "physically. Re-run compact_index to finish the fold "
-                "(which clears the marker), then revive."
+                "(which clears the marker), then revive. If BOTH "
+                "__compacting and __reviving are crash leftovers (no "
+                "op live — index_stats lists them), the re-run "
+                "directions are circular; escape by rebuilding the "
+                "index (rebuild_*_index resets both markers) or, after "
+                "confirming nothing is running, deleting the stale "
+                "__compacting marker directory and re-running this "
+                "revive FIRST (a compaction must not fold a half-"
+                "revived log), then compact_index."
             )
     removed = _clear_impl(spark, index_path, ids, revive, tp, fs, jvm)
     if not _during_compaction:

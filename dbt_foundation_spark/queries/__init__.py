@@ -34,78 +34,77 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness harness only ingests the first 50 entries of
-# ``queries()``.  Round-7 rotation (VERDICT r6 "Next round" #1; union
-# r1–r6 recomputed at round start: 5×r3, 48×r4, 50×r5, 50×r6 full rows
+# ``queries()``.  Round-8 rotation (VERDICT r7 "Next round" #1; union
+# r1–r7 recomputed at round start: 3×r4, 50×r5, 50×r6, 50×r7 full rows
 # + the 3 rows-only-by-design catalog-state queries):
-# (a) the 5 queries deferred from the r6 window, whose latest full row
-# is r3 — now the oldest evidence in the catalog: q_dedup_minhash_portable,
-# q_dedup_simhash_portable, q_cosine_topk_quantized, q_dedup_incremental,
-# q_dedup_corpus. (b) 45 of the 48 queries whose latest green row is r4.
-# Three r4 queries are deferred to the r8 window —
-# q_incremental_microbatch, q_dedup_keep_best, q_embedding_meanpool —
-# chosen because each one's family carries fresh r6 evidence
-# (q_incremental_append/merge, q_dedup_components/q_dedup_minhash,
-# q_embedding_quantize/q_embedding_neardup), so no family's freshest
-# row ages past 1 round. 5 + 45 = 50.
-# r8 plan: those 3 deferred r4 queries + 47 of the 50 r5 rows (the
-# remaining 3 r5 rows lead r9 with the r6 block) — the steady-state
+# (a) the 3 queries deferred from the r7 window, whose latest full row
+# is r4 — now the oldest evidence in the catalog: q_incremental_microbatch,
+# q_dedup_keep_best, q_embedding_meanpool. (b) 47 of the 50 queries
+# whose latest green row is r5.  Three r5 queries are deferred to the
+# r9 window — q_dedup_exact, q_cosine_topk_lsh, q_window_rank — chosen
+# because each one's family carries fresh r7 evidence (q_dedup_corpus/
+# q_dedup_minhash_portable, q_cosine_topk_quantized, q_window_cume_dist/
+# q_window_first_last), so no family's freshest row ages past 1 round.
+# 3 + 47 = 50.
+# r9 plan: those 3 deferred r5 queries + 47 of the 50 r6 rows (the
+# remaining 3 r6 rows lead r10 with the r7 block) — the steady-state
 # cycle is ~3 rounds for 153 oracled queries at 50/round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) oldest evidence first — the 5 dedup/ANN flavors deferred from r6
-    "q_dedup_minhash_portable",
-    "q_dedup_simhash_portable",
-    "q_cosine_topk_quantized",
-    "q_dedup_incremental",
-    "q_dedup_corpus",
-    # (b) r4-stale evidence refresh — relational/TPC-H-analog block
-    # first, then windows/framework, then the LLM-pipeline operators
-    # (order mirrors the r4 window's own grouping)
-    "q_big_orders",
-    "q_brand_revenue",
-    "q_cohort_retention",
-    "q_customer_distribution",
-    "q_excess_shippers",
-    "q_exists_priority",
-    "q_forecast_revenue",
-    "q_gap_fill",
-    "q_idle_customers",
-    "q_important_nations",
-    "q_local_volume",
-    "q_market_share",
-    "q_min_cost_supplier",
-    "q_nation_profit",
-    "q_nation_volume",
-    "q_priority_shipments",
-    "q_promo_revenue",
-    "q_returned_customers",
-    "q_small_qty_revenue",
-    "q_supplier_variety",
-    "q_top_supplier",
-    "q_value_outliers",
-    "q_waiting_suppliers",
-    "q_window_cume_dist",
-    "q_window_first_last",
-    "q_window_range_frame",
-    "q_winsorize",
-    "q_histogram_quantiles",
-    "q_salted_join",
-    "q_two_phase_distinct",
-    "q_zorder_layout",
-    "q_clone_pointer",
-    "q_model_contract",
-    # LLM-pipeline / text operators from the r4 block
-    "q_bigram_logprob",
-    "q_unigram_logprob",
-    "q_char_entropy",
-    "q_corpus_pipeline",
-    "q_filter_funnel",
-    "q_fuzzy_match",
-    "q_idf_novelty",
-    "q_repeated_spans",
-    "q_temperature_mix",
-    "q_token_budget_select",
-    "q_top_terms",
-    "q_train_test_split",
+    # (a) oldest evidence first — the 3 rows deferred from r7 (r4 age)
+    "q_incremental_microbatch",
+    "q_dedup_keep_best",
+    "q_embedding_meanpool",
+    # (b) r5-stale evidence refresh — dedup/ANN + LLM-text block first
+    # (order mirrors the r5 window's own grouping)
+    "q_dedup_fingerprint",
+    "q_cosine_topk",
+    "q_token_counts",
+    "q_doc_quality",
+    "q_quality_filter",
+    "q_lang_id",
+    "q_bpe_token_count",
+    "q_json_props",
+    "q_shard_plan",
+    "q_metrics_layer",
+    # info-schema / generic-test / dbt_utils parity block
+    "q_info_schema_views",
+    "q_grouping_sets",
+    "q_distinct",
+    "q_topk",
+    "q_approx_distinct",
+    "q_test_unique",
+    "q_test_notnull",
+    "q_test_accepted_values",
+    "q_test_equal_rowcount",
+    "q_test_equality",
+    "q_percentiles",
+    "q_list_agg",
+    "q_join_outer",
+    "q_conditional_agg",
+    "q_surrogate_key",
+    "q_dedup_rownum",
+    "q_date_spine",
+    "q_generate_series",
+    "q_safe_divide",
+    "q_width_bucket",
+    "q_haversine",
+    "q_parse_url",
+    "q_slugify",
+    "q_pivot",
+    "q_unpivot",
+    "q_union_relations",
+    "q_crossdb_listagg",
+    "q_udtf_chunks",
+    # window / time-series block
+    "q_window_running_sum",
+    "q_window_lag_lead",
+    "q_window_ntile",
+    "q_window_moving_avg",
+    "q_tumbling_window",
+    "q_sliding_window",
+    "q_session_window",
+    "q_rollup_cascade",
+    "q_sketch_rollup",
 )
 
 

@@ -556,16 +556,24 @@ def _install_batch_output(
     had since been compacted reinstall itself and duplicate every row
     the fold already absorbed. The sibling survives any compaction of
     ``out_path``; the data-file check below remains as a heal for the
-    crash window between install and marker write. A missing
-    ``out_path`` wipes the sibling (fresh-start self-heal): markers
-    without a dataset are definitionally stale, and a rebuild at the
-    same paths would otherwise skip every batch against them. Both
-    mechanisms assume the standard maintenance-window discipline:
-    compact ``out_path`` only while its stream is STOPPED and not
-    mid-crash (the compaction swap makes ``out_path`` briefly absent,
-    which a concurrently-running sink would read as a fresh start).
-    Markers are zero-byte and bounded by batch count; leave them in
-    place."""
+    crash window between install and marker write.
+
+    Fresh-start self-heal: markers without a dataset are
+    definitionally stale — a rebuild that wiped ``out_path`` and the
+    checkpoint would otherwise reproduce the old dest_names, match the
+    orphaned markers, and silently skip every batch while the output
+    stayed empty. The wipe is evidence-gated, not a bare existence
+    probe (round-7 advice): it fires only on THIS STREAM'S FIRST batch
+    (``batch_id == 0`` — a fresh checkpoint, exactly the rebuild
+    state) with ``out_path`` absent, and deletes only markers bearing
+    this stream's own ``ingest-<app-hash>-`` prefix. A second stream
+    sharing ``out_path`` can therefore never destroy the first's
+    markers, and a momentary ``out_path`` absence mid-life (e.g. a
+    contract-violating compaction swap under a running sink) wipes
+    nothing at batch N>0. Both mechanisms still assume the standard
+    maintenance-window discipline: compact ``out_path`` only while its
+    stream is STOPPED and not mid-crash. Markers are zero-byte and
+    bounded by batch count; leave them in place."""
     import hashlib
 
     spark = df.sparkSession
@@ -583,14 +591,20 @@ def _install_batch_output(
         fs.mkdirs(jvm.org.apache.hadoop.fs.Path(marker_dir))
         fs.create(marker, True).close()
 
-    # fresh-start self-heal: if out_path itself is GONE, any surviving
-    # markers are definitionally stale (no compaction output can exist
-    # for a dataset that doesn't) — a rebuild that wiped out_path and
-    # the checkpoint would otherwise reproduce the old dest_names,
-    # match the orphaned markers, and silently skip every batch while
-    # the output stayed empty. Delete the sibling and start clean.
-    if not fs.exists(jvm.org.apache.hadoop.fs.Path(out_path)):
-        fs.delete(jvm.org.apache.hadoop.fs.Path(marker_dir), True)
+    # fresh-start self-heal — evidence-gated (see docstring): only on
+    # this stream's FIRST batch (fresh checkpoint == the rebuild state)
+    # with out_path gone, and only OUR app-hash's markers. A sibling
+    # stream's markers and any batch-N>0 momentary absence are
+    # untouchable by construction.
+    if int(batch_id) == 0 and not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(out_path)
+    ):
+        own_prefix = dest_name.rsplit("-", 1)[0] + "-"  # ingest-<hash>-
+        mdir_p = jvm.org.apache.hadoop.fs.Path(marker_dir)
+        if fs.exists(mdir_p):
+            for st in fs.listStatus(mdir_p):
+                if st.getPath().getName().startswith(own_prefix):
+                    fs.delete(st.getPath(), False)
 
     if fs.exists(marker):
         return  # replay: this batch committed (data possibly compacted)

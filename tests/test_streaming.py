@@ -1569,3 +1569,169 @@ def test_ingest_markers_heal_on_fresh_start(spark, staging):
     # same app_id, batch ids restarting at 0 -> old dest_names recur
     _install_batch_output(batch, out, "app-y", 0)
     assert spark.read.parquet(out).count() == 2  # reinstalled, not skipped
+
+
+def test_ingest_marker_wipe_scoped_and_first_batch_only(spark, staging):
+    """The fresh-start marker wipe is evidence-gated (r7 advice): it
+    fires only on the stream's FIRST batch (batch_id 0 — a fresh
+    checkpoint, the rebuild state) with out_path absent, and deletes
+    only THIS stream's ``ingest-<app-hash>-`` markers. A second stream
+    sharing out_path can never destroy the first's markers, and a
+    momentary out_path absence mid-life (a contract-violating
+    compaction swap under a running sink) wipes nothing — the surviving
+    marker keeps the replay exactly-once."""
+    import hashlib
+
+    from dbt_foundation_spark.streaming.pipeline import _install_batch_output
+
+    root = staging["root"]
+    out = str(root / "marker_scope_out")
+    mdir = Path(out + "__ingest_markers")
+    app = str(root / "marker_scope_ckpt")
+    own = hashlib.md5(app.encode()).hexdigest()[:12]
+
+    df = spark.createDataFrame([(1, "t")], ["doc_id", "text"])
+
+    # rebuild state: out_path absent, stale own marker + a sibling
+    # stream's marker present
+    mdir.mkdir(parents=True)
+    stale_own = mdir / f"ingest-{own}-0.parquet.done"
+    foreign = mdir / "ingest-feedfacecafe-0.parquet.done"
+    stale_own.touch()
+    foreign.touch()
+    _install_batch_output(df, out, app, 0)
+    # own stale marker was wiped, so batch 0 INSTALLED (not skipped)...
+    assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [1]
+    assert stale_own.exists()  # ...and re-written after the install
+    assert foreign.exists()    # the sibling stream's marker survived
+
+    # mid-life momentary absence: batch 1 committed, then out_path
+    # vanishes (swap window). The batch-1 replay must SKIP (marker
+    # honored — wiping it would duplicate the batch), and no marker
+    # of either stream is deleted.
+    _install_batch_output(df, out, app, 1)
+    marker_1 = mdir / f"ingest-{own}-1.parquet.done"
+    assert marker_1.exists()
+    shutil.rmtree(out)
+    _install_batch_output(df, out, app, 1)  # replay during the window
+    assert marker_1.exists() and foreign.exists() and stale_own.exists()
+    assert not Path(out).exists()  # skipped: no reinstall, no duplicate
+    shutil.rmtree(mdir, ignore_errors=True)
+
+
+def test_online_retraction_during_running_ingest(spark, sf_dir, staging, monkeypatch):
+    """Online retraction against a RUNNING dedup-ingest stream (r7
+    verdict #5): retract_from_index is documented safe-anytime-online —
+    tombstones land in the log and the admission path subtracts them
+    per batch. Retractions appended BETWEEN micro-batches take effect
+    at the next batch's index read; one RACING a batch (landing after
+    that batch's index read) does not disturb the in-flight batch and
+    takes effect at the next. The admitted corpus must equal the
+    sequential loop with the same retractions at the same points."""
+    import time as _time
+
+    import dbt_foundation_spark.operators.dedup_index as dix
+    from dbt_foundation_spark.operators.dedup import minhash_lsh_pairs
+    from dbt_foundation_spark.operators.tombstones import retract_from_index
+    from dbt_foundation_spark.streaming.pipeline import (
+        read_document_stream,
+        run_dedup_ingest,
+    )
+
+    root = staging["root"]
+    texts = [
+        r["text"]
+        for r in t(spark, sf_dir, "documents").orderBy("doc_id").limit(25).collect()
+    ]
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, tx, "en", "src0", len(tx)) for i, tx in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    corpus = docs(list(enumerate(texts[:20])))
+    params = dict(num_hashes=16, bands=4, shingle_len=3)
+    batches = [
+        # b0: 1000 duplicates live corpus doc 0 -> dropped; 1001 fresh
+        docs([(1000, texts[0]), (1001, texts[20])]),
+        # between b0 and b1: retract corpus doc 0 and stream-admitted
+        # 1001. b1: 1100 (texts[0]) and 1101 (texts[20]) now admit —
+        # their only matches are tombstoned; 1102 fresh. RACING b1:
+        # 1100 is retracted mid-batch (after b1's index read).
+        docs([(1100, texts[0]), (1101, texts[20]), (1102, texts[21])]),
+        # b2: 1200 (texts[0]) admits — 1100 was tombstoned mid-b1 and
+        # doc 0 earlier; 1202 still duplicates LIVE 1102 -> dropped;
+        # 1203 duplicates live corpus doc 1 -> dropped; 1201 fresh.
+        docs([(1200, texts[0]), (1201, texts[22]),
+              (1202, texts[21]), (1203, texts[1])]),
+    ]
+    between = {1: [0, 1001]}   # applied before batch N's index read
+    racing = {1: [1100]}       # applied mid-batch N, after its read
+
+    # --- streaming run with injected retraction timing ---
+    s_index = str(root / "ret_s_index")
+    dix.build_minhash_index(corpus, "doc_id", "text", s_index, **params)
+    stream_dir = root / "ret_stream"
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(str(stream_dir))
+        if i < len(batches) - 1:
+            _time.sleep(1.05)
+    out = str(root / "ret_out")
+
+    seen = {"n": 0}
+    real_vs = dix.dedup_against_index
+
+    def vs_with_between_retractions(spark_arg, batch, *a, **kw):
+        n = seen["n"]
+        seen["n"] += 1
+        for rid in between.get(n, []):
+            retract_from_index(spark_arg, s_index, [rid])
+        hits = real_vs(spark_arg, batch, *a, **kw)
+        # racing: lands AFTER this batch's index read, while the batch
+        # is still being processed (localCheckpoint pins the read)
+        for rid in racing.get(n, []):
+            retract_from_index(spark_arg, s_index, [rid])
+        return hits
+
+    monkeypatch.setattr(dix, "dedup_against_index", vs_with_between_retractions)
+    run_dedup_ingest(
+        read_document_stream(spark, str(stream_dir), max_files_per_trigger=1),
+        "doc_id", "text", s_index, out, _ckpt(staging),
+        jaccard_threshold=0.7, **params,
+    )
+    monkeypatch.undo()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+
+    # --- sequential set model: same policy, same retraction points ---
+    q_index = str(root / "ret_q_index")
+    dix.build_minhash_index(corpus, "doc_id", "text", q_index, **params)
+    want = []
+    for n, b in enumerate(batches):
+        for rid in between.get(n, []):
+            retract_from_index(spark, q_index, [rid])
+        vs = dix.dedup_against_index(
+            spark, b, "doc_id", "text", q_index,
+            jaccard_threshold=0.7, **params,
+        ).select(F.col("new_id").alias("d"))
+        within = minhash_lsh_pairs(
+            b, "doc_id", "text", jaccard_threshold=0.7, **params
+        ).select(F.greatest("id_a", "id_b").alias("d"))
+        drops = {r["d"] for r in vs.union(within).distinct().collect()}
+        for rid in racing.get(n, []):
+            retract_from_index(spark, q_index, [rid])
+        keep = b.filter(
+            ~F.col("doc_id").isin(list(drops)) if drops else F.lit(True)
+        )
+        want += [r["doc_id"] for r in keep.select("doc_id").collect()]
+        dix.append_to_index(keep, "doc_id", "text", q_index, **params)
+    assert got == sorted(want)
+    # the individual claims, pinned explicitly:
+    assert 1000 not in got              # live corpus dup rejected
+    assert 1100 in got and 1101 in got  # between-batch retractions applied
+    assert 1100 in got                  # racing retraction didn't evict its batch
+    assert 1200 in got                  # mid-batch retraction visible at b2
+    assert 1202 not in got and 1203 not in got  # live dups still rejected
+    assert 1201 in got and 1102 in got
+    for p in ("ret_s_index", "ret_q_index", "ret_stream", "ret_out"):
+        shutil.rmtree(root / p, ignore_errors=True)

@@ -881,3 +881,251 @@ def test_read_manifest_empty_dir_raises(spark, tmp_path):
     fs.mkdirs(mp)
     with pytest.raises(ValueError, match="no data file"):
         _read_manifest(spark, path)
+
+
+def test_hidden_scratch_is_never_data_and_never_deleted(spark, tmp_path):
+    """Files under hidden directories — the ``_temporary/...`` scratch
+    a crashed or in-flight FileOutputCommitter write leaves — are NOT
+    data (r8 fix, r7 advice medium): counting them made consumers read
+    a directory Spark's file index sees as empty and raise
+    UNABLE_TO_INFER_SCHEMA, and the file-level folds must never read or
+    delete them — deleting an in-flight append's task scratch fails its
+    commit. The hidden check applies at EVERY path depth, not just the
+    leaf name."""
+    from dbt_foundation_spark.operators.dedup_index import build_simhash_index
+    from dbt_foundation_spark.operators.maintenance import _has_data_files
+    from dbt_foundation_spark.operators.tombstones import (
+        _has_data_file,
+        _log_files,
+        _tomb_path,
+    )
+
+    # a dir holding ONLY scratch (visible leaf, hidden ancestor) probes
+    # as empty on both delegating probes
+    scratch_only = tmp_path / "scratchy"
+    sub = scratch_only / "_temporary" / "0" / "attempt_000"
+    sub.mkdir(parents=True)
+    (sub / "part-00000-inflight.parquet").write_bytes(b"scratch")
+    assert not _has_data_file(spark, str(scratch_only))
+    assert not _has_data_files(spark, str(scratch_only))
+    # ...while a committed sibling makes the same dir non-empty
+    (scratch_only / "part-00001-committed.parquet").write_bytes(b"data")
+    assert _has_data_file(spark, str(scratch_only))
+
+    # a real tombstone log with planted in-flight scratch: the fold
+    # lists only the committed files, the read path is unaffected, and
+    # the full clear leaves the scratch untouched
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "sh")
+    build_simhash_index(corpus, "doc_id", "text", path)
+    retract_from_index(spark, path, [1])
+    committed = _log_files(spark, path)
+    assert committed
+    tdir = tmp_path / "sh" / "tombstones" / "_temporary" / "0"
+    tdir.mkdir(parents=True)
+    scratch = tdir / "part-00000-inflight.parquet"
+    scratch.write_bytes(b"in-flight retraction task scratch")
+    assert _log_files(spark, path) == committed
+    assert _tomb_set(spark, path) == {1}
+    assert clear_tombstones(spark, path) == 1
+    assert scratch.exists()
+    # the log now holds ONLY scratch: it probes as absent and the read
+    # path returns None instead of raising on an unreadable directory
+    assert read_tombstones(spark, path) is None
+    assert not _has_data_file(spark, _tomb_path(path))
+
+
+def test_double_stale_markers_error_names_escape(spark, tmp_path):
+    """When BOTH markers are crash leftovers, each op's re-run
+    direction points at the other — circular (r7 advice). Both error
+    messages must name the escape (rebuild resets both markers;
+    manual stale-marker removal with revive-first order), and the
+    rebuild escape must actually work."""
+    import dbt_foundation_spark.operators.maintenance as maint
+    from dbt_foundation_spark.operators.dedup_index import build_simhash_index
+    from dbt_foundation_spark.operators.tombstones import (
+        _hadoop,
+        compaction_marker_path,
+        revive_marker_path,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "sh")
+    build_simhash_index(corpus, "doc_id", "text", path)
+    retract_from_index(spark, path, [1])
+
+    cp, fs = _hadoop(spark, compaction_marker_path(path))
+    rp, _ = _hadoop(spark, revive_marker_path(path))
+    fs.mkdirs(cp)
+    fs.mkdirs(rp)
+
+    # both directions raise, and both name the rebuild escape
+    with pytest.raises(RuntimeError, match="rebuild"):
+        clear_tombstones(spark, path, [1])
+    with pytest.raises(RuntimeError, match="rebuild"):
+        maint.compact_index(spark, path)
+    # the conflicts withdrew neither stale guard
+    assert _exists(spark, compaction_marker_path(path))
+    assert _exists(spark, revive_marker_path(path))
+    # index_stats surfaces the circular state as two crash leftovers
+    leftovers = maint.index_stats(spark, path)["crash_leftovers"]
+    assert "__compacting" in leftovers and "__reviving" in leftovers
+
+    # documented escape #1: the rebuild resets both markers + the log
+    build_simhash_index(corpus, "doc_id", "text", path)
+    assert not _exists(spark, compaction_marker_path(path))
+    assert not _exists(spark, revive_marker_path(path))
+    assert read_tombstones(spark, path) is None
+
+    # documented escape #2: manual removal of ONE stale marker,
+    # revive FIRST (its half-folded log must complete before any
+    # compaction folds it), then compact
+    retract_from_index(spark, path, [1])
+    fs.mkdirs(cp)
+    fs.mkdirs(rp)
+    fs.delete(cp, True)  # the operator's manual adjudication
+    assert clear_tombstones(spark, path, [1]) == 1
+    assert not _exists(spark, revive_marker_path(path))
+    maint.compact_index(spark, path)
+    assert not _exists(spark, compaction_marker_path(path))
+
+
+def _ivf_corpus(spark):
+    return spark.createDataFrame(
+        [(i, [float(i % 4), float(i // 4), 1.0, 0.0]) for i in range(1, 13)],
+        "doc_id bigint, embedding array<float>",
+    )
+
+
+def _build_flavor(spark, flavor, path):
+    from dbt_foundation_spark.operators.dedup_index import build_simhash_index
+    from dbt_foundation_spark.operators.similarity import build_ivf_index
+
+    if flavor == "simhash":
+        build_simhash_index(
+            spark.createDataFrame(
+                [
+                    (i, f"fully distinct corpus doc number {i} marker matrix")
+                    for i in range(1, 5)
+                ],
+                ["doc_id", "text"],
+            ),
+            "doc_id",
+            "text",
+            path,
+        )
+    else:
+        build_ivf_index(_ivf_corpus(spark), "doc_id", "embedding", path, n_lists=2)
+
+
+@pytest.mark.parametrize("flavor", ["simhash", "ivf"])
+@pytest.mark.parametrize(
+    "step", ["own_marker_created", "rewrite_started", "impl_done"]
+)
+def test_compaction_crash_matrix(spark, tmp_path, monkeypatch, flavor, step):
+    """The marker-protocol prose contract, executable (r7 verdict #6):
+    kill compact_index at each protocol step — own marker just created
+    (nothing rewritten), mid-rewrite, and impl done but snapshot clear
+    not yet run — on a flat-clustered flavor (simhash) AND the
+    hive-partitioned one (ivf). In every crash state ``index_stats``
+    reports ``__compacting`` as a leftover, revives stay blocked, and
+    the documented re-run completes the fold, clears both the marker
+    and the log, and physically drops the retracted doc."""
+    import dbt_foundation_spark.operators.maintenance as maint
+    import dbt_foundation_spark.operators.tombstones as tomb_mod
+    from dbt_foundation_spark.operators.tombstones import compaction_marker_path
+
+    path = str(tmp_path / flavor)
+    _build_flavor(spark, flavor, path)
+    retract_from_index(spark, path, [1])
+
+    if step == "own_marker_created":
+        # first call after the handshake is the tombstone-log read
+        def boom(*a, **kw):
+            raise RuntimeError("injected crash")
+
+        monkeypatch.setattr(tomb_mod, "read_tombstones", boom)
+    elif step == "rewrite_started":
+        real = maint.compact_parquet_path
+        fired = {"n": 0}
+
+        def crash_after_first(*a, **kw):
+            out = real(*a, **kw)
+            fired["n"] += 1
+            raise RuntimeError("injected crash")
+
+        monkeypatch.setattr(maint, "compact_parquet_path", crash_after_first)
+    else:  # impl_done: every sub-dataset rewritten, snapshot clear dies
+        real_clear = tomb_mod.clear_tombstones
+
+        def crash_clear(*a, **kw):
+            if kw.get("_during_compaction"):
+                raise RuntimeError("injected crash")
+            return real_clear(*a, **kw)
+
+        monkeypatch.setattr(tomb_mod, "clear_tombstones", crash_clear)
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        maint.compact_index(spark, path)
+    monkeypatch.undo()
+
+    # crash state: marker left in place, surfaced, revives blocked
+    assert _exists(spark, compaction_marker_path(path))
+    assert "__compacting" in maint.index_stats(spark, path)["crash_leftovers"]
+    with pytest.raises(RuntimeError, match="__compacting"):
+        clear_tombstones(spark, path, [1])
+    # retraction stays online in every crash state
+    assert retract_from_index(spark, path, [2]) == 1
+
+    # the documented heal: re-run compact_index
+    maint.compact_index(spark, path)
+    assert not _exists(spark, compaction_marker_path(path))
+    assert read_tombstones(spark, path) is None
+    sub = "chunks" if flavor == "simhash" else "lists"
+    live = {r["id"] for r in spark.read.parquet(f"{path}/{sub}").select(
+        F.col("doc_id" if flavor == "ivf" else "id").alias("id")
+    ).collect()}
+    assert not live & {1, 2}
+    assert "__compacting" not in maint.index_stats(spark, path)["crash_leftovers"]
+
+
+@pytest.mark.parametrize("flavor", ["simhash", "ivf"])
+def test_revive_crash_matrix(spark, tmp_path, monkeypatch, flavor):
+    """The revive side of the crash matrix: kill clear_tombstones right
+    after its own marker went down (fold not yet run). The __reviving
+    marker stays, index_stats reports it, compactions stay blocked, and
+    re-running the revive completes the fold and clears the marker —
+    on the flat AND the hive-partitioned flavor."""
+    import dbt_foundation_spark.operators.maintenance as maint
+    import dbt_foundation_spark.operators.tombstones as tomb_mod
+    from dbt_foundation_spark.operators.tombstones import revive_marker_path
+
+    path = str(tmp_path / flavor)
+    _build_flavor(spark, flavor, path)
+    retract_from_index(spark, path, [1, 2])
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(tomb_mod, "_clear_impl", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        clear_tombstones(spark, path, [1])
+    monkeypatch.undo()
+
+    assert _exists(spark, revive_marker_path(path))
+    assert "__reviving" in maint.index_stats(spark, path)["crash_leftovers"]
+    with pytest.raises(RuntimeError, match="__reviving"):
+        maint.compact_index(spark, path)
+
+    # the documented heal: re-run the revive
+    assert clear_tombstones(spark, path, [1]) == 1
+    assert not _exists(spark, revive_marker_path(path))
+    assert _tomb_set(spark, path) == {2}
+    maint.compact_index(spark, path)  # and compaction proceeds again
+    assert read_tombstones(spark, path) is None
