@@ -457,9 +457,10 @@ def compact_index(
             "live — index_stats lists them), the re-run directions are "
             "circular; escape by rebuilding the index (rebuild_*_index "
             "resets both markers) or, after confirming nothing is "
-            "running, deleting the stale __reviving marker directory "
+            "running, deleting the stale __compacting marker directory "
             "and re-running the revive FIRST (its half-folded log must "
-            "complete before any compaction folds it)."
+            "complete before any compaction folds it), then "
+            "compact_index."
         )
     # tombstone fold: compaction is where logical takedowns become
     # physical. Loaded ONCE and localCheckpointed — the log's own files

@@ -69,13 +69,31 @@ def _iter_visible_files(fs, p):
     visible leaf but is not data; counting it made consumers read a
     directory Spark's file index sees as empty (UNABLE_TO_INFER_SCHEMA),
     and made the file-level folds delete a concurrent append's
-    uncommitted task files, failing its commit."""
-    base = fs.makeQualified(p).toString().rstrip("/")
+    uncommitted task files, failing its commit.
+
+    Relativization compares URI PATHS (scheme/authority stripped), so a
+    probe path and listFiles results qualified differently still match.
+    A file that cannot be relativized at all (a path-REWRITING mount —
+    e.g. a viewfs:// probe resolving to hdfs://nn/target/... leaves)
+    raises instead of guessing: a leaf-only fallback would silently
+    reintroduce the scratch-counts-as-data bug, and skipping would
+    silently hide real data (tombstones ignored = retracted docs
+    reappearing). Loud beats silently wrong in either direction."""
+    base = fs.makeQualified(p).toUri().getPath().rstrip("/")
     it = fs.listFiles(p, True)
     while it.hasNext():
         f = it.next().getPath()
-        fstr = f.toString()
-        rel = fstr[len(base):].lstrip("/") if fstr.startswith(base) else f.getName()
+        fpath = f.toUri().getPath()
+        if fpath == base:  # probed path IS the file: visible by definition
+            yield f
+            continue
+        if not fpath.startswith(base + "/"):
+            raise ValueError(
+                f"cannot relativize {f} under probe path {p} — a "
+                "path-rewriting filesystem mount? Refusing to classify "
+                "hidden-ness by leaf name alone."
+            )
+        rel = fpath[len(base) + 1 :]
         if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
             continue
         yield f

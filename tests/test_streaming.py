@@ -1728,8 +1728,9 @@ def test_online_retraction_during_running_ingest(spark, sf_dir, staging, monkeyp
     assert got == sorted(want)
     # the individual claims, pinned explicitly:
     assert 1000 not in got              # live corpus dup rejected
-    assert 1100 in got and 1101 in got  # between-batch retractions applied
-    assert 1100 in got                  # racing retraction didn't evict its batch
+    # between-batch retractions applied; the racing retraction of 1100
+    # did NOT evict it from its own in-flight batch
+    assert 1100 in got and 1101 in got
     assert 1200 in got                  # mid-batch retraction visible at b2
     assert 1202 not in got and 1203 not in got  # live dups still rejected
     assert 1201 in got and 1102 in got

@@ -1053,11 +1053,9 @@ def test_compaction_crash_matrix(spark, tmp_path, monkeypatch, flavor, step):
         monkeypatch.setattr(tomb_mod, "read_tombstones", boom)
     elif step == "rewrite_started":
         real = maint.compact_parquet_path
-        fired = {"n": 0}
 
         def crash_after_first(*a, **kw):
-            out = real(*a, **kw)
-            fired["n"] += 1
+            real(*a, **kw)  # first sub-dataset rewritten, then die
             raise RuntimeError("injected crash")
 
         monkeypatch.setattr(maint, "compact_parquet_path", crash_after_first)
@@ -1129,3 +1127,72 @@ def test_revive_crash_matrix(spark, tmp_path, monkeypatch, flavor):
     assert _tomb_set(spark, path) == {2}
     maint.compact_index(spark, path)  # and compaction proceeds again
     assert read_tombstones(spark, path) is None
+
+
+def test_iter_visible_files_fails_loud_on_unrelativizable_paths():
+    """A file listing whose paths cannot be relativized under the probe
+    path (a path-REWRITING mount: viewfs:// probe resolving to
+    hdfs://nn/target/... leaves) must RAISE, not guess: a leaf-only
+    fallback silently reintroduces scratch-as-data, and skipping
+    silently hides real data (ignored tombstones = retracted docs
+    reappearing). Stub FS objects — no Spark session needed."""
+    from dbt_foundation_spark.operators.tombstones import _iter_visible_files
+
+    class P:
+        def __init__(self, path):
+            self._path = path
+
+        def toUri(self):
+            return self
+
+        def getPath(self):
+            return self._path
+
+        def getName(self):
+            return self._path.rsplit("/", 1)[-1]
+
+    class LF:
+        def __init__(self, p):
+            self.p = p
+
+        def getPath(self):
+            return self.p
+
+    class FakeIt:
+        def __init__(self, items):
+            self.items = list(items)
+
+        def hasNext(self):
+            return bool(self.items)
+
+        def next(self):
+            return LF(self.items.pop(0))
+
+    class FS:
+        def __init__(self, listing):
+            self.listing = listing
+
+        def makeQualified(self, p):
+            return p
+
+        def listFiles(self, p, rec):
+            return FakeIt(self.listing)
+
+    probe = P("/mnt/view/index/tombstones")
+    # same-prefix listing: hidden-at-depth skipped, committed yielded,
+    # and a probe path that IS the file is visible by definition
+    ok = FS([
+        P("/mnt/view/index/tombstones/part-1.parquet"),
+        P("/mnt/view/index/tombstones/_temporary/0/part-2.parquet"),
+        P("/mnt/view/index/tombstones"),
+    ])
+    got = [f.getPath() for f in _iter_visible_files(ok, probe)]
+    assert got == [
+        "/mnt/view/index/tombstones/part-1.parquet",
+        "/mnt/view/index/tombstones",
+    ]
+
+    # rewritten-prefix listing: refuse to classify
+    rewritten = FS([P("/data/target7/index/tombstones/part-1.parquet")])
+    with pytest.raises(ValueError, match="relativize"):
+        list(_iter_visible_files(rewritten, probe))
