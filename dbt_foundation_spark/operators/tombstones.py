@@ -60,6 +60,19 @@ def _hadoop(spark: SparkSession, path: str):
     return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
+def _hidden_component(seg: str) -> bool:
+    """Spark's own listing rule (InMemoryFileIndex): a path component
+    is hidden when it starts with ``.``, or with ``_`` WITHOUT
+    containing ``=`` — hive partition directories (``_ivf_list=0``)
+    start with ``_`` but are data, while ``_temporary``/``_SUCCESS``
+    are not. Diverging from Spark here makes the probes disagree with
+    what a read would actually see (the r8 full-suite catch: the
+    compaction's empty-dataset probe called a freshly written
+    hive-partitioned dataset empty and injected its schema sentinel
+    next to live rows)."""
+    return seg.startswith(".") or (seg.startswith("_") and "=" not in seg)
+
+
 def _iter_visible_files(fs, p):
     """Yield the fully-qualified paths of data files under ``p`` whose
     path has NO hidden component below ``p`` — not merely a non-hidden
@@ -94,7 +107,7 @@ def _iter_visible_files(fs, p):
                 "hidden-ness by leaf name alone."
             )
         rel = fpath[len(base) + 1 :]
-        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+        if any(_hidden_component(seg) for seg in rel.split("/")):
             continue
         yield f
 

@@ -1180,15 +1180,21 @@ def test_iter_visible_files_fails_loud_on_unrelativizable_paths():
 
     probe = P("/mnt/view/index/tombstones")
     # same-prefix listing: hidden-at-depth skipped, committed yielded,
-    # and a probe path that IS the file is visible by definition
+    # hive partition dirs (leading '_' but containing '=') are DATA
+    # (Spark's own listing rule — the r8 full-suite catch), and a probe
+    # path that IS the file is visible by definition
     ok = FS([
         P("/mnt/view/index/tombstones/part-1.parquet"),
         P("/mnt/view/index/tombstones/_temporary/0/part-2.parquet"),
+        P("/mnt/view/index/tombstones/_ivf_list=7/part-3.parquet"),
+        P("/mnt/view/index/tombstones/_SUCCESS"),
+        P("/mnt/view/index/tombstones/.part-4.crc"),
         P("/mnt/view/index/tombstones"),
     ])
     got = [f.getPath() for f in _iter_visible_files(ok, probe)]
     assert got == [
         "/mnt/view/index/tombstones/part-1.parquet",
+        "/mnt/view/index/tombstones/_ivf_list=7/part-3.parquet",
         "/mnt/view/index/tombstones",
     ]
 
