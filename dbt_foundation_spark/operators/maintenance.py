@@ -455,12 +455,16 @@ def compact_index(
             "revive (which clears the marker), then compact. If BOTH "
             "__reviving and __compacting are crash leftovers (no op "
             "live — index_stats lists them), the re-run directions are "
-            "circular; escape by rebuilding the index (rebuild_*_index "
-            "resets both markers) or, after confirming nothing is "
-            "running, deleting the stale __compacting marker directory "
-            "and re-running the revive FIRST (its half-folded log must "
-            "complete before any compaction folds it), then "
-            "compact_index."
+            "circular; rebuild the index (rebuild_*_index resets both "
+            "markers) — the only LOSSLESS escape, since sub-datasets a "
+            "crashed compaction already rewrote have physically "
+            "dropped their tombstoned rows and no revive can restore "
+            "them. The in-place alternative (after confirming nothing "
+            "is running: delete the stale __compacting marker "
+            "directory, re-run the revive FIRST — its half-folded log "
+            "must complete before any compaction folds it — then "
+            "compact_index) may report revive success for ids whose "
+            "rows are already gone from the rewritten sub-datasets."
         )
     # tombstone fold: compaction is where logical takedowns become
     # physical. Loaded ONCE and localCheckpointed — the log's own files

@@ -61,16 +61,25 @@ def _hadoop(spark: SparkSession, path: str):
 
 
 def _hidden_component(seg: str) -> bool:
-    """Spark's own listing rule (InMemoryFileIndex): a path component
-    is hidden when it starts with ``.``, or with ``_`` WITHOUT
-    containing ``=`` — hive partition directories (``_ivf_list=0``)
-    start with ``_`` but are data, while ``_temporary``/``_SUCCESS``
-    are not. Diverging from Spark here makes the probes disagree with
-    what a read would actually see (the r8 full-suite catch: the
-    compaction's empty-dataset probe called a freshly written
+    """Spark's own listing rule (HadoopFSUtils.shouldFilterOutPathName),
+    clause for clause: a path component is filtered when it starts with
+    ``.``, starts with ``_`` WITHOUT containing ``=`` (hive partition
+    directories like ``_ivf_list=0`` are data; ``_temporary``/
+    ``_SUCCESS`` are not), or ends with ``._COPYING_`` (an in-flight
+    ``hadoop fs -put/-cp`` transfer) — except the parquet summary
+    names ``_metadata``/``_common_metadata``, which Spark lists.
+    Diverging from Spark in ANY clause makes the probes disagree with
+    what a read would actually see (the r8 full-suite catch: a
+    partition-dir-blind version of this rule called a freshly written
     hive-partitioned dataset empty and injected its schema sentinel
     next to live rows)."""
-    return seg.startswith(".") or (seg.startswith("_") and "=" not in seg)
+    if seg.startswith(("_metadata", "_common_metadata")):
+        return False
+    return (
+        seg.startswith(".")
+        or (seg.startswith("_") and "=" not in seg)
+        or seg.endswith("._COPYING_")
+    )
 
 
 def _iter_visible_files(fs, p):
@@ -462,12 +471,18 @@ def clear_tombstones(
                 "(which clears the marker), then revive. If BOTH "
                 "__compacting and __reviving are crash leftovers (no "
                 "op live — index_stats lists them), the re-run "
-                "directions are circular; escape by rebuilding the "
-                "index (rebuild_*_index resets both markers) or, after "
-                "confirming nothing is running, deleting the stale "
-                "__compacting marker directory and re-running this "
-                "revive FIRST (a compaction must not fold a half-"
-                "revived log), then compact_index."
+                "directions are circular; rebuild the index "
+                "(rebuild_*_index resets both markers) — the only "
+                "LOSSLESS escape, since sub-datasets the crashed "
+                "compaction already rewrote have physically dropped "
+                "their tombstoned rows and no revive can restore "
+                "them. The in-place alternative (after confirming "
+                "nothing is running: delete the stale __compacting "
+                "marker directory, re-run this revive FIRST — a "
+                "compaction must not fold a half-revived log — then "
+                "compact_index) may report revive success for ids "
+                "whose rows are already gone from the rewritten "
+                "sub-datasets."
             )
     removed = _clear_impl(spark, index_path, ids, revive, tp, fs, jvm)
     if not _during_compaction:
@@ -516,7 +531,7 @@ def _clear_impl(spark, index_path, ids, revive, tp, fs, jvm) -> int:
         it = fs.listFiles(tmp_p, False)
         while it.hasNext():
             f = it.next().getPath()
-            if f.getName().startswith(("_", ".")):
+            if _hidden_component(f.getName()):
                 continue
             dest = jvm.org.apache.hadoop.fs.Path(
                 f"{tp}/revive-{uuid.uuid4().hex[:12]}.parquet"

@@ -619,11 +619,13 @@ def _install_batch_output(
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
     fs.delete(tmp_p, True)  # stale residue from a crashed attempt
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    from dbt_foundation_spark.operators.tombstones import _hidden_component
+
     part = None
     it = fs.listFiles(tmp_p, False)
     while it.hasNext():
         f = it.next().getPath()
-        if not f.getName().startswith(("_", ".")):
+        if not _hidden_component(f.getName()):
             part = f
             break
     if part is None:  # defensive: no data file produced

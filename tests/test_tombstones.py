@@ -1189,12 +1189,20 @@ def test_iter_visible_files_fails_loud_on_unrelativizable_paths():
         P("/mnt/view/index/tombstones/_ivf_list=7/part-3.parquet"),
         P("/mnt/view/index/tombstones/_SUCCESS"),
         P("/mnt/view/index/tombstones/.part-4.crc"),
+        P("/mnt/view/index/tombstones/part-5.parquet._COPYING_"),
+        P("/mnt/view/index/tombstones/_metadata"),
+        P("/mnt/view/index/tombstones/_common_metadata"),
         P("/mnt/view/index/tombstones"),
     ])
     got = [f.getPath() for f in _iter_visible_files(ok, probe)]
+    # Spark's shouldFilterOutPathName clause-for-clause: partition dirs
+    # and the parquet summary names are listed; _temporary, _SUCCESS,
+    # dotfiles and in-flight ._COPYING_ transfers are not
     assert got == [
         "/mnt/view/index/tombstones/part-1.parquet",
         "/mnt/view/index/tombstones/_ivf_list=7/part-3.parquet",
+        "/mnt/view/index/tombstones/_metadata",
+        "/mnt/view/index/tombstones/_common_metadata",
         "/mnt/view/index/tombstones",
     ]
 
