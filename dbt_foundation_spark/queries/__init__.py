@@ -34,77 +34,77 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness harness only ingests the first 50 entries of
-# ``queries()``.  Round-8 rotation (VERDICT r7 "Next round" #1; union
-# r1–r7 recomputed at round start: 3×r4, 50×r5, 50×r6, 50×r7 full rows
+# ``queries()``.  Round-9 rotation (VERDICT r8 "Next round" #1; union
+# r1–r8 recomputed at round start: 3×r5, 50×r6, 50×r7, 50×r8 full rows
 # + the 3 rows-only-by-design catalog-state queries):
-# (a) the 3 queries deferred from the r7 window, whose latest full row
-# is r4 — now the oldest evidence in the catalog: q_incremental_microbatch,
-# q_dedup_keep_best, q_embedding_meanpool. (b) 47 of the 50 queries
-# whose latest green row is r5.  Three r5 queries are deferred to the
-# r9 window — q_dedup_exact, q_cosine_topk_lsh, q_window_rank — chosen
-# because each one's family carries fresh r7 evidence (q_dedup_corpus/
-# q_dedup_minhash_portable, q_cosine_topk_quantized, q_window_cume_dist/
-# q_window_first_last), so no family's freshest row ages past 1 round.
-# 3 + 47 = 50.
-# r9 plan: those 3 deferred r5 queries + 47 of the 50 r6 rows (the
-# remaining 3 r6 rows lead r10 with the r7 block) — the steady-state
-# cycle is ~3 rounds for 153 oracled queries at 50/round.
+# (a) the 3 queries deferred from the r8 window, whose latest full row
+# is r5 — now the oldest evidence in the catalog: q_dedup_exact,
+# q_cosine_topk_lsh, q_window_rank. (b) 47 of the 50 queries whose
+# latest green row is r6.  Three r6 queries are deferred to the r10
+# window — q_dedup_minhash, q_dedup_simhash, q_cosine_topk_ivf —
+# chosen because each one's family carries fresh r7/r8 evidence
+# (q_dedup_minhash_portable r7, q_dedup_simhash_portable r7,
+# q_cosine_topk r8 + q_cosine_topk_quantized r7), so no family's
+# freshest row ages past 1 round.  3 + 47 = 50.
+# r10 plan: those 3 deferred r6 queries + 47 of the 50 r7 rows — the
+# steady-state cycle is ~3 rounds for 153 oracled queries at 50/round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) oldest evidence first — the 3 rows deferred from r7 (r4 age)
-    "q_incremental_microbatch",
-    "q_dedup_keep_best",
-    "q_embedding_meanpool",
-    # (b) r5-stale evidence refresh — dedup/ANN + LLM-text block first
-    # (order mirrors the r5 window's own grouping)
-    "q_dedup_fingerprint",
-    "q_cosine_topk",
-    "q_token_counts",
-    "q_doc_quality",
-    "q_quality_filter",
-    "q_lang_id",
-    "q_bpe_token_count",
-    "q_json_props",
-    "q_shard_plan",
-    "q_metrics_layer",
-    # info-schema / generic-test / dbt_utils parity block
-    "q_info_schema_views",
-    "q_grouping_sets",
-    "q_distinct",
-    "q_topk",
-    "q_approx_distinct",
-    "q_test_unique",
-    "q_test_notnull",
-    "q_test_accepted_values",
-    "q_test_equal_rowcount",
-    "q_test_equality",
-    "q_percentiles",
-    "q_list_agg",
-    "q_join_outer",
-    "q_conditional_agg",
-    "q_surrogate_key",
-    "q_dedup_rownum",
-    "q_date_spine",
-    "q_generate_series",
-    "q_safe_divide",
-    "q_width_bucket",
-    "q_haversine",
-    "q_parse_url",
-    "q_slugify",
-    "q_pivot",
-    "q_unpivot",
-    "q_union_relations",
-    "q_crossdb_listagg",
-    "q_udtf_chunks",
-    # window / time-series block
-    "q_window_running_sum",
-    "q_window_lag_lead",
-    "q_window_ntile",
-    "q_window_moving_avg",
-    "q_tumbling_window",
-    "q_sliding_window",
-    "q_session_window",
-    "q_rollup_cascade",
-    "q_sketch_rollup",
+    # (a) oldest evidence first — the 3 rows deferred from r8 (r5 age)
+    "q_dedup_exact",
+    "q_cosine_topk_lsh",
+    "q_window_rank",
+    # (b) r6-stale evidence refresh — dedup/ANN + LLM-text block first
+    # (order mirrors the r6 window's own grouping)
+    "q_dedup_components",
+    "q_containment",
+    "q_ngram_jaccard",
+    "q_embedding_neardup",
+    "q_embedding_quantize",
+    "q_knn_join",
+    "q_contamination",
+    "q_repetition_signals",
+    "q_doc_chunks",
+    "q_vocab_encode",
+    "q_sequence_pack",
+    "q_pii_redact",
+    "q_quality_quantile",
+    "q_multimodal_features",
+    "q_frame_sample",
+    "q_array_ops",
+    # sampling / mixtures
+    "q_stratified_sample",
+    "q_domain_mix",
+    "q_epoch_shuffle",
+    # relational / TPC-H-ish block
+    "q_pricing_summary",
+    "q_shipping_priority",
+    "q_join_inner",
+    "q_join_semi",
+    "q_join_range",
+    "q_range_bin_join",
+    "q_asof_join",
+    "q_fk_orphans",
+    "q_except",
+    "q_intersect",
+    "q_literal_union",
+    "q_group_by_all",
+    "q_agg_cube",
+    "q_agg_rollup",
+    "q_star_except",
+    "q_ref_filter",
+    "q_source_scan",
+    "q_notnull_filter",
+    "q_recent_events",
+    "q_json_extract_agg",
+    "q_lateral_json",
+    "q_crossdb_datemath",
+    # framework sinks / time-series
+    "q_table_rebuild",
+    "q_incremental_append",
+    "q_incremental_merge",
+    "q_snapshot_scd2",
+    "q_cdc_snapshot",
+    "q_session_window_native",
 )
 
 

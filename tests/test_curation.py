@@ -615,3 +615,24 @@ def test_export_shards_layout_and_roundtrip(spark, tmp_path):
     # pruned read touches one partition directory
     one = spark.read.json(out).filter(F.col("shard") == 2)
     assert one.count() == 10
+
+
+def test_dedup_exact_seeds_non_vacuous(spark, sf_dir):
+    """VERDICT r8 #4: the exact-dup queries must assert on a NON-EMPTY
+    result at every scale.  The seeded literal duplicates guarantee
+    that; pin their clusters exactly (sf0.001 testdata itself has no
+    exact-duplicate texts, so the seeds are the entire result here)."""
+    from dbt_foundation_spark.queries.llm import q_dedup_exact, q_dedup_fingerprint
+
+    rows = {r["text"]: r for r in q_dedup_exact(spark, sf_dir).collect()}
+    assert "exact dedup gate-scale canary alpha" in rows
+    assert "exact dedup gate-scale canary beta" in rows
+    alpha = rows["exact dedup gate-scale canary alpha"]
+    assert (alpha["keeper_id"], alpha["n_members"]) == (-3, 3)
+    beta = rows["exact dedup gate-scale canary beta"]
+    assert (beta["keeper_id"], beta["n_members"]) == (-5, 2)
+
+    # fingerprint seeds: raw texts differ, normalized fingerprints agree
+    fps = {r["keeper_id"]: r for r in q_dedup_fingerprint(spark, sf_dir).collect()}
+    assert fps[-12]["n_members"] == 2  # fox pair: (-11, -12) keep min=-12
+    assert fps[-14]["n_members"] == 2  # canary-two pair: (-13, -14)
