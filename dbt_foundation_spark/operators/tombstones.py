@@ -528,10 +528,15 @@ def _clear_impl(spark, index_path, ids, revive, tp, fs, jvm) -> int:
             "overwrite"
         ).parquet(tmp)
         moved = False
+        # Writer-side scan of a directory we JUST wrote: move Spark
+        # part files by name, never the exempt _metadata /
+        # _common_metadata summary files a summary-enabled writer can
+        # emit — those would enter the log as 0-row revive-*.parquet
+        # clutter (ADVICE r8).
         it = fs.listFiles(tmp_p, False)
         while it.hasNext():
             f = it.next().getPath()
-            if _hidden_component(f.getName()):
+            if not f.getName().startswith("part-"):
                 continue
             dest = jvm.org.apache.hadoop.fs.Path(
                 f"{tp}/revive-{uuid.uuid4().hex[:12]}.parquet"

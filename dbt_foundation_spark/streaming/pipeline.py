@@ -619,13 +619,18 @@ def _install_batch_output(
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
     fs.delete(tmp_p, True)  # stale residue from a crashed attempt
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    from dbt_foundation_spark.operators.tombstones import _hidden_component
-
+    # Writer-side scan of a directory we JUST wrote: select the Spark
+    # part file by name.  The read-listing parity rule
+    # (_hidden_component) is right for probes of arbitrary data but
+    # wrong here — it exempts _metadata/_common_metadata, so with
+    # parquet summary metadata enabled a "first non-hidden file" pick
+    # could install the zero-row footer-only summary as the batch
+    # output and silently drop every row (ADVICE r8).
     part = None
     it = fs.listFiles(tmp_p, False)
     while it.hasNext():
         f = it.next().getPath()
-        if not _hidden_component(f.getName()):
+        if f.getName().startswith("part-"):
             part = f
             break
     if part is None:  # defensive: no data file produced

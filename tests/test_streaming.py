@@ -1736,3 +1736,57 @@ def test_online_retraction_during_running_ingest(spark, sf_dir, staging, monkeyp
     assert 1201 in got and 1102 in got
     for p in ("ret_s_index", "ret_q_index", "ret_stream", "ret_out"):
         shutil.rmtree(root / p, ignore_errors=True)
+
+
+def test_ingest_installs_part_file_under_summary_metadata(spark, sf_dir, staging):
+    """ADVICE r8: with parquet summary metadata enabled, the ingest
+    batch's tmp dir contains _common_metadata/_metadata (both exempt
+    from the read-listing hidden rule and lexicographically before
+    part-*).  The installer must select the part file BY NAME — a
+    "first non-hidden file" pick would install the 0-row footer as the
+    batch output and silently drop every admitted row."""
+    import shutil
+
+    from dbt_foundation_spark.operators.dedup_index import build_minhash_index
+    from dbt_foundation_spark.streaming.pipeline import (
+        read_document_stream,
+        run_dedup_ingest,
+    )
+
+    root = staging["root"]
+    texts = [
+        r["text"]
+        for r in t(spark, sf_dir, "documents").orderBy("doc_id").limit(8).collect()
+    ]
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, tx, "en", "src0", len(tx)) for i, tx in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    params = dict(num_hashes=16, bands=4, shingle_len=3)
+    s_index = str(root / "meta_index")
+    build_minhash_index(docs(list(enumerate(texts[:4]))), "doc_id", "text",
+                        s_index, **params)
+    stream_dir = root / "meta_stream"
+    docs([(1000, texts[4]), (1001, texts[5])]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(stream_dir))
+    out = str(root / "meta_out")
+
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    hc.set("parquet.summary.metadata.level", "ALL")
+    try:
+        run_dedup_ingest(
+            read_document_stream(spark, str(stream_dir), max_files_per_trigger=1),
+            "doc_id", "text", s_index, out, _ckpt(staging),
+            jaccard_threshold=0.7, **params,
+        )
+    finally:
+        hc.unset("parquet.summary.metadata.level")
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1000, 1001]  # rows survived — footer was not installed
+    for p in ("meta_index", "meta_stream", "meta_out"):
+        shutil.rmtree(root / p, ignore_errors=True)

@@ -1210,3 +1210,38 @@ def test_iter_visible_files_fails_loud_on_unrelativizable_paths():
     rewritten = FS([P("/data/target7/index/tombstones/part-1.parquet")])
     with pytest.raises(ValueError, match="relativize"):
         list(_iter_visible_files(rewritten, probe))
+
+
+def test_revive_fold_ignores_summary_metadata_files(spark, tmp_path):
+    """ADVICE r8: with parquet summary metadata enabled the survivor
+    rewrite's tmp dir contains _metadata/_common_metadata footer files
+    alongside the part file.  The fold must move ONLY the part file
+    into the log — a moved summary file would become a 0-row
+    revive-*.parquet and, worse, a "first non-hidden file" pick could
+    install a footer as the survivor set."""
+    from dbt_foundation_spark.operators.dedup_index import build_simhash_index
+    from dbt_foundation_spark.operators.tombstones import _hadoop, _tomb_path
+
+    corpus = spark.createDataFrame(
+        [(i, f"revive summary metadata corpus doc {i} words") for i in range(1, 4)],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "sh")
+    build_simhash_index(corpus, "doc_id", "text", path)
+    assert retract_from_index(spark, path, [1, 2, 3]) == 3
+
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    hc.set("parquet.summary.metadata.level", "ALL")
+    try:
+        # partial revive triggers the survivor rewrite through the tmp dir
+        assert clear_tombstones(spark, path, [1]) == 1
+    finally:
+        hc.unset("parquet.summary.metadata.level")
+
+    assert _tomb_set(spark, path) == {2, 3}
+    tp = _tomb_path(path)
+    hp, fs = _hadoop(spark, tp)
+    names = [st.getPath().getName() for st in fs.listStatus(hp)]
+    revives = [n for n in names if n.startswith("revive-")]
+    assert len(revives) == 1  # exactly the part file, no footer clutter
+    assert "_metadata" not in names and "_common_metadata" not in names
