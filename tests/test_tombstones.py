@@ -1245,3 +1245,64 @@ def test_revive_fold_ignores_summary_metadata_files(spark, tmp_path):
     revives = [n for n in names if n.startswith("revive-")]
     assert len(revives) == 1  # exactly the part file, no footer clutter
     assert "_metadata" not in names and "_common_metadata" not in names
+
+
+def test_iter_visible_files_matches_spark_listing(spark, tmp_path):
+    """VERDICT r8 #6: pin `_hidden_component` against SPARK'S OWN
+    listing, not hand-coded expectations.  For every pathological
+    layout in the probe's domain (flat or hive-partitioned parquet
+    datasets — the only shapes index maintenance probes), the files
+    `_iter_visible_files` yields must be EXACTLY the files
+    `spark.read.parquet` resolves (`inputFiles`).  A Spark-version
+    bump that changes `HadoopFSUtils.shouldFilterOutPathName` now
+    fails this test loudly instead of silently diverging."""
+    import os
+    import shutil
+
+    from dbt_foundation_spark.operators.tombstones import _hadoop, _iter_visible_files
+
+    src = str(tmp_path / "src")
+    spark.range(3).coalesce(1).write.parquet(src)
+    part = next(f for f in os.listdir(src) if f.startswith("part-"))
+
+    def mk(name, layout):
+        d = str(tmp_path / name / "ds")
+        for rel in layout:
+            p = os.path.join(d, rel)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            shutil.copy(os.path.join(src, part), p)
+        return d
+
+    layouts = {
+        # FileOutputCommitter scratch of an in-flight/crashed write
+        "scratch": ["a.parquet", "_temporary/0/task1/b.parquet"],
+        # '_'-prefixed partition dirs ARE data ('=' ⇒ not hidden)
+        "hive": ["_ivf_list=0/a.parquet", "_ivf_list=1/b.parquet"],
+        # distcp in-flight marker
+        "copying": ["a.parquet", "b.parquet._COPYING_"],
+        # parquet summary footers are EXEMPT from hiding (Spark lists them)
+        "metadata": ["a.parquet", "_metadata", "_common_metadata"],
+        "dotfile": ["a.parquet", ".hidden.parquet"],
+        # hidden dir nested INSIDE a partition dir
+        "hive_hidden_inner": ["k=1/a.parquet", "k=1/_inner/b.parquet", "k=2/b.parquet"],
+        "success": ["a.parquet", "_SUCCESS"],
+    }
+    for name, layout in layouts.items():
+        d = mk(name, layout)
+        spark_files = {f.split("/ds/", 1)[1] for f in spark.read.parquet(d).inputFiles()}
+        hp, fs = _hadoop(spark, d)
+        probe_files = {
+            f.toUri().getPath().split("/ds/", 1)[1] for f in _iter_visible_files(fs, hp)
+        }
+        assert probe_files == spark_files, (name, probe_files, spark_files)
+
+    # all-hidden dataset: Spark's file index sees nothing (the read
+    # fails schema inference) — the probe must also yield nothing
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    d = mk("only_hidden", ["_temporary/0/a.parquet"])
+    with _pytest.raises(AnalysisException, match="UNABLE_TO_INFER_SCHEMA"):
+        spark.read.parquet(d).inputFiles()
+    hp, fs = _hadoop(spark, d)
+    assert list(_iter_visible_files(fs, hp)) == []
