@@ -121,6 +121,26 @@ def _iter_visible_files(fs, p):
         yield f
 
 
+def iter_part_files(fs, p):
+    """The WRITER-side scan: yield the Spark part files (``part-*``)
+    directly under a directory this process just wrote.  Distinct
+    contract from :func:`_iter_visible_files` (the READ-listing parity
+    rule for probes of arbitrary data): a just-written Spark output
+    dir's data files are known by name, and the read rule would admit
+    the exempt ``_metadata``/``_common_metadata`` summary footers — a
+    "first non-hidden file" pick under
+    ``parquet.summary.metadata.level=ALL`` installs a 0-row footer as
+    the output (ADVICE r8).  Shared by the ingest batch installer and
+    the revive survivor fold so the contract lives in ONE place (the
+    r8 bug existed precisely because the two sites shared a contract
+    but not code)."""
+    it = fs.listFiles(p, False)
+    while it.hasNext():
+        f = it.next().getPath()
+        if f.getName().startswith("part-"):
+            yield f
+
+
 def _log_files(spark: SparkSession, index_path: str) -> list[str]:
     """The tombstone log's committed data files at this instant — the
     unit of the subset clear's fold: only files listed HERE are read,
@@ -528,16 +548,7 @@ def _clear_impl(spark, index_path, ids, revive, tp, fs, jvm) -> int:
             "overwrite"
         ).parquet(tmp)
         moved = False
-        # Writer-side scan of a directory we JUST wrote: move Spark
-        # part files by name, never the exempt _metadata /
-        # _common_metadata summary files a summary-enabled writer can
-        # emit — those would enter the log as 0-row revive-*.parquet
-        # clutter (ADVICE r8).
-        it = fs.listFiles(tmp_p, False)
-        while it.hasNext():
-            f = it.next().getPath()
-            if not f.getName().startswith("part-"):
-                continue
+        for f in iter_part_files(fs, tmp_p):
             dest = jvm.org.apache.hadoop.fs.Path(
                 f"{tp}/revive-{uuid.uuid4().hex[:12]}.parquet"
             )

@@ -40,15 +40,25 @@ _DUP_SEEDS: tuple[tuple[int, str], ...] = (
     (-5, "exact dedup gate-scale canary beta"),
 )
 
-_DUP_SEEDS_SQL = "(VALUES " + ", ".join(
-    f"(CAST({i} AS BIGINT), '{s}')" for i, s in _DUP_SEEDS
-) + ") seeds(doc_id, text)"
+
+def _seeds_sql(seeds: tuple[tuple[int, str], ...]) -> str:
+    """The seeds as a DuckDB VALUES relation — the oracle's replay of
+    the Spark-side union (seed texts contain no quotes by contract)."""
+    return "(VALUES " + ", ".join(
+        f"(CAST({i} AS BIGINT), '{s}')" for i, s in seeds
+    ) + ") seeds(doc_id, text)"
 
 
-def _docs_with_dup_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_with_seeds(
+    spark: SparkSession, sf_dir: str, seeds: tuple[tuple[int, str], ...]
+) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    seeds = spark.createDataFrame(list(_DUP_SEEDS), "doc_id bigint, text string")
-    return docs.unionByName(seeds)
+    return docs.unionByName(
+        spark.createDataFrame(list(seeds), "doc_id bigint, text string")
+    )
+
+
+_DUP_SEEDS_SQL = _seeds_sql(_DUP_SEEDS)
 
 
 @query(
@@ -68,7 +78,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates (replayed in the oracle) so the check is non-vacuous at
     gate scale."""
     return (
-        _docs_with_dup_seeds(spark, sf_dir)
+        _docs_with_seeds(spark, sf_dir, _DUP_SEEDS)
         .groupBy("text")
         .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_members"))
         .filter(F.col("n_members") > 1)
@@ -85,9 +95,7 @@ _FP_SEEDS: tuple[tuple[int, str], ...] = (
     (-14, " fingerprint canary two "),
 )
 
-_FP_SEEDS_SQL = "(VALUES " + ", ".join(
-    f"(CAST({i} AS BIGINT), '{s}')" for i, s in _FP_SEEDS
-) + ") seeds(doc_id, text)"
+_FP_SEEDS_SQL = _seeds_sql(_FP_SEEDS)
 
 
 @query(
@@ -110,9 +118,9 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the normalization path is asserted non-vacuously at gate scale."""
     from dbt_foundation_spark.operators.dedup import duplicate_clusters
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    seeds = spark.createDataFrame(list(_FP_SEEDS), "doc_id bigint, text string")
-    return duplicate_clusters(docs.unionByName(seeds), "doc_id", "text")
+    return duplicate_clusters(
+        _docs_with_seeds(spark, sf_dir, _FP_SEEDS), "doc_id", "text"
+    )
 
 
 @query(

@@ -619,23 +619,20 @@ def _install_batch_output(
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
     fs.delete(tmp_p, True)  # stale residue from a crashed attempt
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    # Writer-side scan of a directory we JUST wrote: select the Spark
-    # part file by name.  The read-listing parity rule
-    # (_hidden_component) is right for probes of arbitrary data but
-    # wrong here — it exempts _metadata/_common_metadata, so with
-    # parquet summary metadata enabled a "first non-hidden file" pick
-    # could install the zero-row footer-only summary as the batch
-    # output and silently drop every row (ADVICE r8).
-    part = None
-    it = fs.listFiles(tmp_p, False)
-    while it.hasNext():
-        f = it.next().getPath()
-        if f.getName().startswith("part-"):
-            part = f
-            break
-    if part is None:  # defensive: no data file produced
-        fs.delete(tmp_p, True)
-        return
+    from dbt_foundation_spark.operators.tombstones import iter_part_files
+
+    part = next(iter_part_files(fs, tmp_p), None)
+    if part is None:
+        # No part-* under a write that just succeeded means a commit
+        # protocol that names data files differently — installing
+        # nothing and marking the batch done would silently drop every
+        # admitted row on every replay.  Loud beats silently wrong
+        # (same contract as the revive fold's survivor check).
+        raise IOError(
+            f"batch write to {tmp} produced no part-* data file — "
+            "unrecognized commit protocol output naming? Refusing to "
+            "mark the batch committed without installing its rows."
+        )
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(out_path))
     if not fs.rename(part, dest) and not fs.exists(dest):
         raise IOError(f"could not install {dest_name} into {out_path}")

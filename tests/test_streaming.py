@@ -1778,6 +1778,16 @@ def test_ingest_installs_part_file_under_summary_metadata(spark, sf_dir, staging
     hc = spark.sparkContext._jsc.hadoopConfiguration()
     hc.set("parquet.summary.metadata.level", "ALL")
     try:
+        # guard against future vacuity: prove the conf still makes this
+        # Spark emit summary footers before exercising the installer
+        import os
+
+        probe = str(root / "meta_footer_probe")
+        spark.range(2).coalesce(1).write.parquet(probe)
+        assert "_metadata" in os.listdir(probe), (
+            "parquet.summary.metadata.level no longer emits footers — "
+            "this test would be vacuous; rework its setup"
+        )
         run_dedup_ingest(
             read_document_stream(spark, str(stream_dir), max_files_per_trigger=1),
             "doc_id", "text", s_index, out, _ckpt(staging),
@@ -1788,5 +1798,5 @@ def test_ingest_installs_part_file_under_summary_metadata(spark, sf_dir, staging
 
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == [1000, 1001]  # rows survived — footer was not installed
-    for p in ("meta_index", "meta_stream", "meta_out"):
+    for p in ("meta_index", "meta_stream", "meta_out", "meta_footer_probe"):
         shutil.rmtree(root / p, ignore_errors=True)

@@ -1233,6 +1233,16 @@ def test_revive_fold_ignores_summary_metadata_files(spark, tmp_path):
     hc = spark.sparkContext._jsc.hadoopConfiguration()
     hc.set("parquet.summary.metadata.level", "ALL")
     try:
+        # guard against future vacuity: prove the conf still makes this
+        # Spark emit summary footers before exercising the fold
+        import os
+
+        probe = str(tmp_path / "footer_probe")
+        spark.range(2).coalesce(1).write.parquet(probe)
+        assert "_metadata" in os.listdir(probe), (
+            "parquet.summary.metadata.level no longer emits footers — "
+            "this test would be vacuous; rework its setup"
+        )
         # partial revive triggers the survivor rewrite through the tmp dir
         assert clear_tombstones(spark, path, [1]) == 1
     finally:
