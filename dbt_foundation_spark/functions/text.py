@@ -72,16 +72,31 @@ def token_ngrams(col: Column | str, n: int = 3) -> Column:
     """Token n-gram shingles (array<string>, space-joined).
 
     try_element_at past the end returns NULL and concat_ws drops NULLs,
-    so short texts yield one shingle of all their tokens."""
+    so short texts yield one shingle of all their tokens.
+
+    NULL text → NULL (not ['']): the SQL-natural propagation every
+    DuckDB oracle already follows (``string_split_regex(NULL)`` is
+    NULL, ``unnest`` then drops the doc), and what simhash's
+    aggregation does implicitly.  Without this guard the
+    sequence/greatest index fabrication turned NULL into the same
+    single empty shingle as the EMPTY text, so a NULL-text doc paired
+    at jaccard 1.0 with every empty doc in minhash/containment while
+    the oracle replay (and simhash) generated no candidates — a latent
+    cross-engine divergence the testdata (no NULL texts) never
+    exercised (r9 edge-case probe)."""
 
     def build(toks: Column) -> Column:
         cnt = F.array_size(toks)
         idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
-        return F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.try_element_at(toks, i + F.lit(j)) for j in range(n)]
-            ),
+        return F.when(
+            toks.isNull(), F.lit(None).cast("array<string>")
+        ).otherwise(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.try_element_at(toks, i + F.lit(j)) for j in range(n)]
+                ),
+            )
         )
 
     return _bind(tokenize(col), build)

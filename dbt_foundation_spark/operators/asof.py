@@ -49,6 +49,17 @@ def asof_join(
     Right rows sharing (key, ts) are nondeterministic under as-of
     semantics everywhere — pre-aggregate to one row per (key, ts) if
     that matters (the catalog query does).
+
+    NULL timestamps follow COMPARISON semantics: a NULL ts on either
+    side never matches (``ts >= NULL`` is NULL), so NULL-ts left rows
+    attach NULL payload and NULL-ts right rows are dropped up front.
+    Deliberate corner divergence from DuckDB's ASOF JOIN, whose
+    sort-based implementation pairs a NULL-ts left row with a NULL-ts
+    right row (both sort NULLS LAST and its binary search treats them
+    as one value class) while still refusing NULL-right for non-NULL
+    left; pandas ``merge_asof`` rejects NaT outright.  Comparison
+    semantics are the principled middle: no fabricated
+    match-at-unknown-time, no hard error on dirty data.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -63,15 +74,26 @@ def asof_join(
     payload["_r__ts"] = F.col(right_ts)
 
     l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
-    r_tagged = right.select(
-        *on, F.col(right_ts).alias("_ts"), *[expr.alias(name) for name, expr in payload.items()]
-    ).withColumn("_side", F.lit(0))
+    # NULL-timestamp right rows can never satisfy the as-of comparison
+    # (SQL: ts >= NULL is NULL) — drop them, matching DuckDB ASOF JOIN
+    # and pandas merge_asof; without this they sorted nulls-first into
+    # every lookback window and could be attached as "matches at
+    # unknown time" (r9 edge-case probe).
+    r_tagged = (
+        right.filter(F.col(right_ts).isNotNull())
+        .select(
+            *on, F.col(right_ts).alias("_ts"), *[expr.alias(name) for name, expr in payload.items()]
+        )
+        .withColumn("_side", F.lit(0))
+    )
     both = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
     # backward: right rows sort before left at equal ts (inclusive match)
-    # and the window looks back; forward: reverse time order.
-    order = [F.col("_ts").asc(), F.col("_side").asc()] if direction == "backward" else [
-        F.col("_ts").desc(),
+    # and the window looks back; forward: reverse time order.  NULL-ts
+    # LEFT rows sort explicitly FIRST in both directions so no right
+    # row precedes them — they attach NULL payload, the SQL no-match.
+    order = [F.col("_ts").asc_nulls_first(), F.col("_side").asc()] if direction == "backward" else [
+        F.col("_ts").desc_nulls_first(),
         F.col("_side").asc(),
     ]
     w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)

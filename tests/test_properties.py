@@ -373,3 +373,90 @@ def test_embedding_banded_lsh_recall(spark):
     planted = {(2 * i, 2 * i + 1) for i in range(n_planted)}
     recall = len(got & planted) / n_planted
     assert recall >= 0.95, f"banded LSH recall {recall:.3f} < 0.95"
+
+
+def test_no_content_docs_degenerate_contract(spark):
+    """Pin the no-content (NULL / empty / whitespace-only) text
+    contract through the dedup stack, found by an r9 edge-case probe
+    (testdata has no such rows, so nothing else exercises it):
+
+    1. NULL text generates NO candidates in ANY detector (minhash,
+       simhash, containment): `token_ngrams(NULL)` is NULL — the
+       SQL-natural propagation every DuckDB oracle already follows.
+       (Before r9, minhash/containment fabricated the same single ['']
+       shingle for NULL as for EMPTY text, pairing them at jaccard 1.0
+       while simhash and every oracle replay dropped the doc — a
+       latent cross-engine divergence.)
+    2. Empty / space-only texts still shingle to [''] (matching the
+       DuckDB replay of string_split_regex on '') and therefore clique
+       with each other at 1.0 — the documented degenerate (exact-dup
+       collapse runs first in the fused pipeline; tab/newline-only
+       trims to nothing Spark-side, so its two empty split-tokens join
+       to [' '] — a separate group).
+    3. `lsh_bucket_profile` — the operator's own pre-flight — surfaces
+       the residual clique as a hot bucket with est_pairs = C(k,2).
+    4. The corpus gate (quality/repetition/lang conjuncts, the exact
+       predicate `q_corpus_pipeline` ships) excludes every no-content
+       doc, so the composition never feeds them to LSH.
+
+    If a shingle-convention or gate change lets no-content docs leak
+    into banding with DIFFERENT behavior, this fails loudly instead of
+    silently changing near-dup semantics."""
+    from pyspark.sql import functions as F
+
+    import dbt_foundation_spark.operators.dedup as D
+    from dbt_foundation_spark.functions import text as X
+    from dbt_foundation_spark.functions.text import token_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "\t\n"),
+         (5, "a real document with plenty of ordinary words in it")],
+        "doc_id bigint, text string",
+    )
+
+    # 1+2: the degenerate shingle sets
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", token_ngrams("text", 3).alias("sh")
+        ).collect()
+    }
+    assert sh[1] is None
+    assert sh[2] == [""] and sh[3] == [""]
+    assert sh[4] == [" "]
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text",
+            num_hashes=16, bands=4, shingle_len=3, jaccard_threshold=0.7,
+        ).collect()
+    }
+    assert pairs == {(2, 3)}  # NULL, tab-only and the real doc pair with nothing
+
+    # cross-detector consistency: NULL text never generates candidates
+    sim = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert not any(1 in p for p in sim)
+    cont = {
+        (r["id_a"], r["id_b"])
+        for r in D.containment_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert not any(1 in p for p in cont)
+    assert (2, 3) in cont  # empty/space-only still mutual near-subsets
+
+    # 3: the pre-flight sees the residual hot bucket: 2 members, 1 pair
+    prof = D.lsh_bucket_profile(
+        docs, "doc_id", "text", num_hashes=16, bands=4, shingle_len=3, top=1
+    ).collect()
+    assert prof and prof[0]["n_members"] == 2 and prof[0]["est_pairs"] == 1
+
+    # 4: the shipped gate drops every no-content doc before LSH
+    gated = docs.filter(
+        (X.quality_score("text") >= 0.5)
+        & (X.dup_ngram_ratio("text", 2) <= 0.30)
+        & (X.lang_id("text") != "und")
+    )
+    assert sorted(r["doc_id"] for r in gated.collect()) == [5]

@@ -1764,3 +1764,35 @@ def test_ivf_sizing_rule_and_advice(spark, tmp_path):
     advice = ivf_sizing_advice(spark, pinned)
     assert advice["recommended_n_lists"] == 16
     assert advice["ratio"] == 8.0 and advice["rebuild_recommended"]
+
+
+def test_asof_join_null_timestamps_never_match(spark):
+    """NULL timestamps follow comparison semantics in BOTH directions
+    (r9 edge-case probe): a NULL-ts left row attaches NULL payload and
+    a NULL-ts right row is never attached to anyone.  Pins the
+    deliberate corner divergence from DuckDB's sort-based ASOF (which
+    pairs NULL-left with NULL-right) documented in the operator."""
+    from dbt_foundation_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10, 1), ("k", None, 2), ("q", 10, 3)],
+        "k string, ts int, lv int",
+    )
+    right = spark.createDataFrame(
+        [("k", 8, 100.0), ("k", None, 900.0), ("q", None, 901.0)],
+        "k string, ts int, rv double",
+    )
+    for direction, want in (
+        # backward: lv1 matches 8; lv2 (NULL ts) no match; lv3's only
+        # right row has NULL ts -> no match (old code attached it)
+        ("backward", {1: (100.0, 8), 2: (None, None), 3: (None, None)}),
+        # forward: nothing at/after 10 for lv1 except NULLs -> no match
+        ("forward", {1: (None, None), 2: (None, None), 3: (None, None)}),
+    ):
+        got = {
+            r["lv"]: (r["rv"], r["ts_right"])
+            for r in asof_join(
+                left, right, on=["k"], left_ts="ts", direction=direction
+            ).collect()
+        }
+        assert got == want, (direction, got)
