@@ -59,11 +59,18 @@ def _bind(value: Column, body) -> Column:
 
 
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Character n-gram shingles of the normalized text (array<string>)."""
+    """Character n-gram shingles of the normalized text (array<string>).
+
+    NULL text → NULL, same contract as :func:`token_ngrams` (without
+    the guard the sequence/greatest index fabrication yields a
+    one-element ``[NULL]`` array, whose explode emits a NULL gram that
+    co-buckets every NULL-text doc under ``xxhash64(NULL)``)."""
 
     def build(s: Column) -> Column:
         idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
-        return F.transform(idx, lambda i: F.substring(s, i, n))
+        return F.when(
+            s.isNull(), F.lit(None).cast("array<string>")
+        ).otherwise(F.transform(idx, lambda i: F.substring(s, i, n)))
 
     return _bind(F.regexp_replace(F.lower(F.trim(_c(col))), _WS, " "), build)
 

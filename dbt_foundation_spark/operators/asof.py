@@ -70,8 +70,17 @@ def asof_join(
     right_cols = list(right_cols)
 
     ts_out = f"{right_ts}{suffix}"
-    payload = {f"_r_{c}": F.col(c) for c in right_cols}
-    payload["_r__ts"] = F.col(right_ts)
+    # The right row travels as ONE struct so the window attaches a row
+    # ATOMICALLY: per-column last(ignorenulls) would skip a legit NULL
+    # in the true as-of row's payload and splice in an OLDER row's
+    # value next to the newer row's timestamp — a row that never
+    # existed (review r9). The struct itself is non-NULL on every
+    # right row (struct of nullable fields), so ignorenulls skips only
+    # the interleaved left rows.
+    payload = F.struct(
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.col(right_ts).alias("_r__ts"),
+    )
 
     l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
     # NULL-timestamp right rows can never satisfy the as-of comparison
@@ -81,9 +90,7 @@ def asof_join(
     # unknown time" (r9 edge-case probe).
     r_tagged = (
         right.filter(F.col(right_ts).isNotNull())
-        .select(
-            *on, F.col(right_ts).alias("_ts"), *[expr.alias(name) for name, expr in payload.items()]
-        )
+        .select(*on, F.col(right_ts).alias("_ts"), payload.alias("_r_payload"))
         .withColumn("_side", F.lit(0))
     )
     both = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
@@ -98,18 +105,18 @@ def asof_join(
     ]
     w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
 
-    matched = both.select(
-        "*",
-        *[
-            F.last(name, ignorenulls=True).over(w).alias(f"_m_{name}")
-            for name in payload
-        ],
-    ).filter(F.col("_side") == 1)
+    matched = (
+        both.withColumn("_m", F.last("_r_payload", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
 
     out = matched.select(
         *[c for c in left.columns],
-        *[F.col(f"_m__r_{c}").alias(c if c not in left.columns else f"{c}{suffix}") for c in right_cols],
-        F.col("_m__r__ts").alias(ts_out),
+        *[
+            F.col("_m")[f"_r_{c}"].alias(c if c not in left.columns else f"{c}{suffix}")
+            for c in right_cols
+        ],
+        F.col("_m")["_r__ts"].alias(ts_out),
     )
     if tolerance is not None:
         gap_ok = (

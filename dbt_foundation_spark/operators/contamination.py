@@ -43,12 +43,16 @@ def ngram_contamination(
 ) -> DataFrame:
     """Score each corpus document's n-gram overlap with the benchmark.
 
-    Returns one row per corpus document: ``(id_col, n_grams,
-    n_contaminated, contamination)`` where ``contamination`` is the
-    fraction of the document's distinct n-grams that appear anywhere in
-    the benchmark set (rounded to 6 — oracle-comparable). Documents
-    shorter than ``n`` tokens contribute a single all-token shingle
-    (``token_ngrams`` semantics), so ``n_grams >= 1`` always.
+    Returns one row per corpus document WITH TOKENIZABLE TEXT:
+    ``(id_col, n_grams, n_contaminated, contamination)`` where
+    ``contamination`` is the fraction of the document's distinct
+    n-grams that appear anywhere in the benchmark set (rounded to 6 —
+    oracle-comparable). Documents shorter than ``n`` tokens contribute
+    a single all-token shingle (``token_ngrams`` semantics), so
+    ``n_grams >= 1`` for every emitted row; NULL-text documents
+    produce no grams and are ABSENT from the output (r9 NULL-shingle
+    contract) — left-join the scores back to the corpus if every doc
+    must appear.
 
     Set ``broadcast_bench=False`` only if the benchmark gram set is too
     big for executor memory — the join then falls back to a keyed

@@ -487,6 +487,8 @@ def repeated_ngram_spans(
     Returns (id, n_spans, n_repeated, repeated_ratio, max_span_docs):
     distinct n-token spans per doc, how many of them appear in ≥
     ``min_docs`` distinct documents, and the widest such spread.
+    NULL-text documents produce no spans and are absent from the
+    output (r9 NULL-shingle contract).
 
     Shape: distinct spans exploded per doc make the span's window
     count(*) EQUAL its distinct-doc frequency (no countDistinct), so the

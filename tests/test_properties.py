@@ -390,9 +390,10 @@ def test_no_content_docs_degenerate_contract(spark):
     2. Empty / space-only texts still shingle to [''] (matching the
        DuckDB replay of string_split_regex on '') and therefore clique
        with each other at 1.0 — the documented degenerate (exact-dup
-       collapse runs first in the fused pipeline; tab/newline-only
-       trims to nothing Spark-side, so its two empty split-tokens join
-       to [' '] — a separate group).
+       collapse runs first in the fused pipeline). Tab/newline-only
+       text SURVIVES Spark's trim (which strips only ASCII spaces), so
+       split('\\t\\n', '\\s+') yields two empty tokens whose 2-token
+       short-text shingle joins to [' '] — a separate group.
     3. `lsh_bucket_profile` — the operator's own pre-flight — surfaces
        the residual clique as a hot bucket with est_pairs = C(k,2).
     4. The corpus gate (quality/repetition/lang conjuncts, the exact

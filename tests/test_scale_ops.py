@@ -1796,3 +1796,31 @@ def test_asof_join_null_timestamps_never_match(spark):
             ).collect()
         }
         assert got == want, (direction, got)
+
+
+def test_asof_join_null_payload_not_torn(spark):
+    """A legit NULL in the true as-of row's payload must come through
+    as NULL — per-column last(ignorenulls) skipped it and spliced an
+    OLDER row's value next to the newer row's timestamp, fabricating a
+    row that never existed (review r9; the payload now travels as one
+    struct so the match is atomic)."""
+    from dbt_foundation_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10, 1)], "k string, ts int, lv int")
+    right = spark.createDataFrame(
+        [("k", 5, 1.0), ("k", 8, None)], "k string, ts int, rv double"
+    )
+    got = {
+        r["lv"]: (r["rv"], r["ts_right"])
+        for r in asof_join(left, right, on=["k"], left_ts="ts").collect()
+    }
+    assert got == {1: (None, 8)}, got
+
+    fwd_left = spark.createDataFrame([("k", 3, 1)], "k string, ts int, lv int")
+    got = {
+        r["lv"]: (r["rv"], r["ts_right"])
+        for r in asof_join(
+            fwd_left, right, on=["k"], left_ts="ts", direction="forward"
+        ).collect()
+    }
+    assert got == {1: (1.0, 5)}, got
