@@ -996,10 +996,20 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 semi-structured: VARIANT path extraction (Spark 4
-    try_parse_json + variant_get — the engine twin of Snowflake's
-    TRY_PARSE_JSON / ``:`` paths, README.md:109-116)."""
+    try_parse_json + try_variant_get — the engine twin of Snowflake's
+    TRY_PARSE_JSON / ``:`` paths, README.md:109-116).
+
+    try_variant_get, not variant_get: the strict form THROWS
+    INVALID_VARIANT_CAST on the first non-castable value — one dirty
+    record in a 100 TB scan kills the whole aggregation (r9 probe:
+    ``{"k": "abc"}`` aborts the job). The try_ form NULLs exactly
+    where the DuckDB oracle's TRY_CAST does on every dirty shape
+    (unparseable JSON, missing path, non-numeric string, null, array
+    root); only non-integer coercion corners differ (5.9: variant
+    truncates, string-cast rounds; true: variant 1, TRY_CAST NULL) —
+    outside this dataset's domain (k is always an integer)."""
     events = t(spark, sf_dir, "events")
-    k = F.variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
     return (
         events.select((k % 10).alias("k_bucket"), k.alias("k"))
         .groupBy("k_bucket")

@@ -269,3 +269,22 @@ def test_ivf_index_degenerate(spark, empty_vecs, one_vec, tmp_path):
         k=1, n_probe=2,
     ).first()
     assert top["vec_id"] == 1 and top["cosine_sim"] > 0.9999
+
+
+def test_variant_extraction_survives_dirty_json(spark):
+    """q_json_props' extraction must NULL, never throw, on dirty JSON:
+    the strict variant_get aborts the whole scan at the first
+    non-castable value (INVALID_VARIANT_CAST on '{"k": "abc"}' — r9
+    probe), which at 100 TB means one bad record kills the job.  Pins
+    the try_variant_get choice and its NULL behavior on every dirty
+    shape the DuckDB oracle's TRY_CAST also NULLs."""
+    dirty = [
+        '{"k": 5}', "{k: 5}", "not json", "", None,
+        '{"k": "abc"}', '{"k": null}', "[1,2]", '{"k": "7"}',
+    ]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(dirty)],
+                               "i int, props string")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    got = {r["i"]: r["k"] for r in df.select("i", k.alias("k")).collect()}
+    assert got == {0: 5, 1: None, 2: None, 3: None, 4: None,
+                   5: None, 6: None, 7: None, 8: 7}
