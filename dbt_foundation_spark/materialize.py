@@ -490,16 +490,31 @@ def _snapshot(project: Project, node: Node, df: DataFrame) -> None:
     open_rows = current.filter(F.col("dbt_valid_to").isNull())
     closed_rows = current.filter(F.col("dbt_valid_to").isNotNull())
 
-    # arriving version per key, only where it differs from the open one
+    # arriving version per key, only where it supersedes the open one
     incoming = new.alias("n").join(
         open_rows.select(*keys, F.col("dbt_scd_id").alias("_cur_scd"),
                          F.col("dbt_valid_from").alias("_cur_from")).alias("c"),
         on=keys,
         how="left",
     )
-    fresh = incoming.filter(
-        F.col("_cur_scd").isNull() | (F.col("n.dbt_scd_id") != F.col("_cur_scd"))
-    ).select("n.*")
+    if strategy == "timestamp":
+        # dbt's timestamp strategy: changed iff updated_at STRICTLY
+        # advanced past the open version's (snapshotted.dbt_valid_from
+        # < source.updated_at). An scd_id-difference test also fired on
+        # an OUT-OF-ORDER older record (late replay), closing the open
+        # row at an older timestamp — a negative validity interval —
+        # and silently rolling the key backwards (r9 probe). Equal
+        # updated_at with a different payload is also NOT a change
+        # under this strategy (dbt trusts updated_at); use the check
+        # strategy when payload drift without a timestamp bump matters.
+        changed = F.col("_cur_scd").isNull() | (
+            F.col("n.dbt_valid_from") > F.col("_cur_from")
+        )
+    else:
+        changed = F.col("_cur_scd").isNull() | (
+            F.col("n.dbt_scd_id") != F.col("_cur_scd")
+        )
+    fresh = incoming.filter(changed).select("n.*")
 
     # close open rows superseded by a fresh version
     superseded = open_rows.alias("o").join(

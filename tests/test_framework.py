@@ -1527,3 +1527,63 @@ def test_lint_scale_gate(project, spark):
     assert any("udf_model" in p for p in allowed)  # others still flagged
     # default lint stays plan-compile-only — no scale findings
     assert not any("BatchEvalPython" in p for p in lint(project))
+
+
+def test_snapshot_timestamp_ignores_out_of_order_arrivals(project, spark):
+    """dbt's timestamp strategy considers a row changed ONLY when its
+    updated_at STRICTLY advances past the open version's.  A late
+    replay carrying an OLDER updated_at (and an equal-timestamp row
+    with drifted payload) must be a no-op — the scd_id-difference test
+    used before r9 closed the open row at the older timestamp, creating
+    a NEGATIVE validity interval and rolling the key backwards."""
+    spark.createDataFrame(
+        [(1, "alice", "2024-02-01 00:00:00")],
+        "id int, name string, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp")).createOrReplaceTempView(
+        "snap_ooo_src"
+    )
+
+    @project.snapshot(unique_key="id", strategy="timestamp", updated_at="updated_at")
+    def dim_ooo(ctx):
+        return spark.table("snap_ooo_src")
+
+    project.run()
+    rel = project.relation_name(project.manifest["dim_ooo"])
+
+    # late replay: OLDER updated_at + different payload -> no-op
+    spark.createDataFrame(
+        [(1, "alice_v0", "2024-01-01 00:00:00")],
+        "id int, name string, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp")).createOrReplaceTempView(
+        "snap_ooo_src"
+    )
+    _reattach(project).run()
+    snap = spark.table(rel).collect()
+    assert len(snap) == 1 and snap[0].name == "alice" and snap[0].dbt_valid_to is None
+
+    # equal updated_at, drifted payload -> ALSO a no-op (dbt trusts
+    # updated_at under this strategy)
+    spark.createDataFrame(
+        [(1, "alice_drift", "2024-02-01 00:00:00")],
+        "id int, name string, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp")).createOrReplaceTempView(
+        "snap_ooo_src"
+    )
+    _reattach(project).run()
+    snap = spark.table(rel).collect()
+    assert len(snap) == 1 and snap[0].name == "alice" and snap[0].dbt_valid_to is None
+
+    # a genuinely advanced updated_at still versions normally
+    spark.createDataFrame(
+        [(1, "alicia", "2024-03-01 00:00:00")],
+        "id int, name string, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp")).createOrReplaceTempView(
+        "snap_ooo_src"
+    )
+    _reattach(project).run()
+    snap = spark.table(rel)
+    assert snap.count() == 2
+    open_row = snap.filter(F.col("dbt_valid_to").isNull()).first()
+    assert open_row.name == "alicia"
+    closed = snap.filter(F.col("dbt_valid_to").isNotNull()).first()
+    assert closed.name == "alice" and closed.dbt_valid_to >= closed.dbt_valid_from
