@@ -34,77 +34,76 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness harness only ingests the first 50 entries of
-# ``queries()``.  Round-9 rotation (VERDICT r8 "Next round" #1; union
-# r1–r8 recomputed at round start: 3×r5, 50×r6, 50×r7, 50×r8 full rows
+# ``queries()``.  Round-10 rotation (VERDICT r9 "Next round" #2; union
+# r1–r9 recomputed at round start: 3×r6, 50×r7, 50×r8, 50×r9 full rows
 # + the 3 rows-only-by-design catalog-state queries):
-# (a) the 3 queries deferred from the r8 window, whose latest full row
-# is r5 — now the oldest evidence in the catalog: q_dedup_exact,
-# q_cosine_topk_lsh, q_window_rank. (b) 47 of the 50 queries whose
-# latest green row is r6.  Three r6 queries are deferred to the r10
-# window — q_dedup_minhash, q_dedup_simhash, q_cosine_topk_ivf —
-# chosen because each one's family carries fresh r7/r8 evidence
-# (q_dedup_minhash_portable r7, q_dedup_simhash_portable r7,
-# q_cosine_topk r8 + q_cosine_topk_quantized r7), so no family's
-# freshest row ages past 1 round.  3 + 47 = 50.
-# r10 plan: those 3 deferred r6 queries + 47 of the 50 r7 rows — the
+# (a) the 3 queries deferred from the r9 window, whose latest full row
+# is r6 — now the oldest evidence in the catalog: q_dedup_minhash,
+# q_dedup_simhash, q_cosine_topk_ivf. (b) 47 of the 50 queries whose
+# latest green row is r7.  Three r7 queries are deferred to the r11
+# window — q_dedup_minhash_portable, q_dedup_simhash_portable,
+# q_cosine_topk_quantized — chosen because each one's base-family
+# query is IN this window (q_dedup_minhash, q_dedup_simhash,
+# q_cosine_topk_ivf) and q_cosine_topk carries r8 evidence, so no
+# family's freshest row ages past 1 round.  3 + 47 = 50.
+# r11 plan: those 3 deferred r7 queries + 47 of the 50 r8 rows — the
 # steady-state cycle is ~3 rounds for 153 oracled queries at 50/round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) oldest evidence first — the 3 rows deferred from r8 (r5 age)
-    "q_dedup_exact",
-    "q_cosine_topk_lsh",
-    "q_window_rank",
-    # (b) r6-stale evidence refresh — dedup/ANN + LLM-text block first
-    # (order mirrors the r6 window's own grouping)
-    "q_dedup_components",
-    "q_containment",
-    "q_ngram_jaccard",
-    "q_embedding_neardup",
-    "q_embedding_quantize",
-    "q_knn_join",
-    "q_contamination",
-    "q_repetition_signals",
-    "q_doc_chunks",
-    "q_vocab_encode",
-    "q_sequence_pack",
-    "q_pii_redact",
-    "q_quality_quantile",
-    "q_multimodal_features",
-    "q_frame_sample",
-    "q_array_ops",
-    # sampling / mixtures
-    "q_stratified_sample",
-    "q_domain_mix",
-    "q_epoch_shuffle",
+    # (a) oldest evidence first — the 3 rows deferred from r9 (r6 age)
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_cosine_topk_ivf",
+    # (b) r7-stale evidence refresh — dedup/ANN + LLM-text block first
+    # (order mirrors the r7 window's own grouping)
+    "q_dedup_corpus",
+    "q_dedup_incremental",
+    "q_corpus_pipeline",
+    "q_fuzzy_match",
+    "q_clone_pointer",
+    "q_bigram_logprob",
+    "q_unigram_logprob",
+    "q_char_entropy",
+    "q_repeated_spans",
+    "q_top_terms",
+    "q_idf_novelty",
+    "q_token_budget_select",
+    "q_histogram_quantiles",
+    "q_train_test_split",
+    "q_two_phase_distinct",
+    "q_salted_join",
+    "q_zorder_layout",
+    "q_winsorize",
+    "q_value_outliers",
+    "q_gap_fill",
+    "q_forecast_revenue",
+    "q_cohort_retention",
+    "q_filter_funnel",
+    "q_temperature_mix",
     # relational / TPC-H-ish block
-    "q_pricing_summary",
-    "q_shipping_priority",
-    "q_join_inner",
-    "q_join_semi",
-    "q_join_range",
-    "q_range_bin_join",
-    "q_asof_join",
-    "q_fk_orphans",
-    "q_except",
-    "q_intersect",
-    "q_literal_union",
-    "q_group_by_all",
-    "q_agg_cube",
-    "q_agg_rollup",
-    "q_star_except",
-    "q_ref_filter",
-    "q_source_scan",
-    "q_notnull_filter",
-    "q_recent_events",
-    "q_json_extract_agg",
-    "q_lateral_json",
-    "q_crossdb_datemath",
-    # framework sinks / time-series
-    "q_table_rebuild",
-    "q_incremental_append",
-    "q_incremental_merge",
-    "q_snapshot_scd2",
-    "q_cdc_snapshot",
-    "q_session_window_native",
+    "q_big_orders",
+    "q_brand_revenue",
+    "q_customer_distribution",
+    "q_excess_shippers",
+    "q_exists_priority",
+    "q_idle_customers",
+    "q_important_nations",
+    "q_local_volume",
+    "q_market_share",
+    "q_min_cost_supplier",
+    "q_model_contract",
+    "q_nation_profit",
+    "q_nation_volume",
+    "q_priority_shipments",
+    "q_promo_revenue",
+    "q_returned_customers",
+    "q_small_qty_revenue",
+    "q_supplier_variety",
+    "q_top_supplier",
+    "q_waiting_suppliers",
+    # window-function block
+    "q_window_cume_dist",
+    "q_window_first_last",
+    "q_window_range_frame",
 )
 
 
