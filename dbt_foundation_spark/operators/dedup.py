@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dbt_foundation_spark.checkpoint import pin
 from dbt_foundation_spark.functions.text import (
     fast_hash64,
     fingerprint,
@@ -336,9 +337,12 @@ def containment_postings(
     plan-build time). Shared with the persisted index — see
     :func:`hashed_shingle_sets`."""
     post = hs.select("id", F.size("hs").alias("n"), F.explode("hs").alias("s"))
-    post = post.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
-    ).localCheckpoint(eager=False)
+    post = pin(
+        post.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+        ),
+        eager=False,
+    )
     prefix_len = F.floor((1.0 - threshold) * F.col("n") + 1e-9) + 1
     rarity = Window.partitionBy("id").orderBy("df", "s")
     pref = (
@@ -425,9 +429,10 @@ def connected_components(
     cluster" at corpus scale.
 
     Iterative min-label propagation: each round is one keyed equi-join +
-    groupBy-min (map-side combined), and ``localCheckpoint`` truncates
-    the lineage so the plan stays O(1) across rounds (on a real cluster
-    use a reliable checkpoint dir instead). Rounds needed = component
+    groupBy-min (map-side combined), and a lineage-truncating pin keeps
+    the plan O(1) across rounds (``checkpoint.pin`` — executor-local by
+    default; set ``spark.dbt_foundation_spark.checkpointDir`` for
+    cluster-durable reliable checkpoints). Rounds needed = component
     diameter; near-dup clusters are small (2-5 docs), so this converges
     in 2-3 rounds — never O(|V|) like a driver-side union-find. The
     convergence probe is the strictly-decreasing exact sum of labels
@@ -437,14 +442,15 @@ def connected_components(
     # checkpoint the edge list too: it usually hangs off an expensive
     # upstream DAG (the whole LSH pipeline) that would otherwise
     # re-execute on every propagation round
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = (
+    edges = pin(
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    labels = pin(
         edges.groupBy("src")
         .agg(F.min("dst").alias("_nbr"))
         .select(F.col("src").alias("id"), F.least("src", "_nbr").alias("comp"))
-        .localCheckpoint()
     )
 
     def _probe(df: DataFrame):
@@ -457,11 +463,10 @@ def connected_components(
             .join(labels.alias("l"), F.col("e.src") == F.col("l.id"))
             .select(F.col("e.dst").alias("id"), F.col("l.comp").alias("comp"))
         )
-        labels = (
+        labels = pin(
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
         )
         cur = _probe(labels)
         if cur == prev:

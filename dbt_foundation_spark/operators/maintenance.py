@@ -16,6 +16,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dbt_foundation_spark.checkpoint import pin
+
 
 def _file_stats(df) -> dict:
     """(n_files, total_bytes) from the ``_metadata`` hidden columns of
@@ -467,12 +469,12 @@ def compact_index(
             "rows are already gone from the rewritten sub-datasets."
         )
     # tombstone fold: compaction is where logical takedowns become
-    # physical. Loaded ONCE and localCheckpointed — the log's own files
+    # physical. Loaded ONCE and pinned — the log's own files
     # must not be re-read mid-loop (clear_tombstones below deletes them
     # while compacted sub-datasets may still be lazily evaluated).
     tomb = read_tombstones(spark, index_path)
     if tomb is not None:
-        tomb = tomb.localCheckpoint(eager=True)
+        tomb = pin(tomb, eager=True)
     out = {}
     for sub, keys in INDEX_LAYOUT[flavor].items():
         sub_path = f"{index_path}/{sub}"

@@ -22,6 +22,7 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dbt_foundation_spark.checkpoint import pin
 from dbt_foundation_spark.functions import vectors as V
 
 
@@ -407,7 +408,7 @@ def embedding_near_pairs(
     banded = hyperplane_banded(df, id_col, vec_col, planes, bands, r, block_col)
     # lazy (non-eager) checkpoint: materialized by the first action, then
     # shared by both self-join sides — the signature dot products run once
-    banded = banded.localCheckpoint(eager=False)
+    banded = pin(banded, eager=False)
     keys = ["band", "bucket"] + ([block_col] if block_col else [])
     left = banded.select(*keys, F.col("_id").alias("id_a"))
     right = banded.select(*keys, F.col("_id").alias("id_b"))
@@ -894,7 +895,7 @@ def knn_join_ivf(
         # plan (sample/limit/rand) cannot produce a filter that
         # excludes lists the join then probes, and (b) the per-query
         # centroid-ranking map stage runs once, not twice
-        probes = probes.localCheckpoint(eager=False)
+        probes = pin(probes, eager=False)
         probe_ids = sorted(
             r["_ivf_list"]
             for r in probes.select("_ivf_list").distinct().collect()

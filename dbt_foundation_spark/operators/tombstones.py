@@ -47,6 +47,8 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dbt_foundation_spark.checkpoint import pin
+
 _UNSET = object()  # sentinel: subtract_tombstones should read the log
 
 
@@ -211,7 +213,7 @@ def subtract_tombstones(
 def _as_id_df(spark: SparkSession, ids: DataFrame | Iterable) -> DataFrame | None:
     """Normalize a DataFrame-or-iterable of ids to a single distinct
     ``id`` column, or None for an empty iterable. A caller DataFrame is
-    pinned with an eager localCheckpoint: the count and the write that
+    pinned eagerly (``checkpoint.pin``): the count and the write that
     follow must see the SAME rows even when the plan is
     nondeterministic (``suspect_docs.sample(...)``) — the hazard
     ``knn_join_ivf`` pins the same way for its prune filter."""
@@ -223,7 +225,7 @@ def _as_id_df(spark: SparkSession, ids: DataFrame | Iterable) -> DataFrame | Non
         # NULL ids can never match a row (NULL equality) — logging them
         # would inflate the reported count and bloat the log for nothing
         norm = ids.toDF("id").where(F.col("id").isNotNull()).distinct()
-        return norm.localCheckpoint(eager=True)
+        return pin(norm, eager=True)
     vals = [v for v in ids if v is not None]
     if not vals:
         return None
@@ -525,11 +527,8 @@ def _clear_impl(spark, index_path, ids, revive, tp, fs, jvm) -> int:
     # pin the listed files' content: the count, the collect and the
     # survivor write below must see the same rows while those files
     # are later deleted out from under the plan
-    snap = (
-        spark.read.parquet(*files)
-        .select("id")
-        .distinct()
-        .localCheckpoint(eager=True)
+    snap = pin(
+        spark.read.parquet(*files).select("id").distinct(), eager=True
     )
     keep = snap.join(F.broadcast(revive), "id", "left_anti")
     kept_rows = keep.collect()  # bounded: takedown-sized log

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dbt_foundation_spark.checkpoint import pin
 from dbt_foundation_spark.functions import redact as R
 from dbt_foundation_spark.functions import text as X
 from dbt_foundation_spark.functions import vectors as V
@@ -1140,8 +1141,8 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumed by the minhash shingling, every connected-components
     # iteration, and the final canonical filter — materialize it once
     # (the in-plan analog of a pipeline persisting stage outputs)
-    survivors = gated.join(keepers.select("doc_id"), "doc_id").localCheckpoint(
-        eager=False
+    survivors = pin(
+        gated.join(keepers.select("doc_id"), "doc_id"), eager=False
     )
     pairs = minhash_lsh_pairs(
         survivors, "doc_id", "text",
@@ -1149,11 +1150,11 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=0.5, portable=True,
     )
     comps = connected_components(pairs, "id_a", "id_b")
-    final = (
+    final = pin(
         survivors.join(comps, survivors["doc_id"] == comps["id"], "left")
         .filter(F.col("id").isNull() | (F.col("id") == F.col("comp")))
-        .select("doc_id", "toks")
-        .localCheckpoint(eager=False)  # read by shard histogram AND rank
+        .select("doc_id", "toks"),
+        eager=False,  # read by shard histogram AND rank
     )
     assigned = serpentine_shards(
         final, id_col="doc_id", cost_col="toks", n_shards=8

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dbt_foundation_spark.checkpoint import pin
 from dbt_foundation_spark.functions import text as X
 from dbt_foundation_spark.functions import vectors as V
 from dbt_foundation_spark.queries import query
@@ -43,7 +44,16 @@ _DUP_SEEDS: tuple[tuple[int, str], ...] = (
 
 def _seeds_sql(seeds: tuple[tuple[int, str], ...]) -> str:
     """The seeds as a DuckDB VALUES relation — the oracle's replay of
-    the Spark-side union (seed texts contain no quotes by contract)."""
+    the Spark-side union.  Seed texts must be plain SQL-literal-safe
+    strings (enforced here, not by comment: a future seed with an
+    apostrophe or backslash would otherwise interpolate into a broken
+    or silently-wrong oracle query)."""
+    for i, s in seeds:
+        if "'" in s or "\\" in s:
+            raise ValueError(
+                f"seed text for doc_id={i} contains a quote/backslash; "
+                "_seeds_sql interpolates raw literals"
+            )
     return "(VALUES " + ", ".join(
         f"(CAST({i} AS BIGINT), '{s}')" for i, s in seeds
     ) + ") seeds(doc_id, text)"
@@ -187,7 +197,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    verified = (
+    verified = pin(
         cand.join(hs.select(F.col("id").alias("id_a"), F.col("hs").alias("ha")), "id_a")
         .join(hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hb")), "id_b")
         .filter(
@@ -197,8 +207,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             >= 0.5
         )
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=False)  # consumed by both aggregates below
+        .select("id_a", "id_b"),
+        eager=False,  # consumed by both aggregates below
     )
     n_true = verified.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     n_found = fast.join(verified, ["id_a", "id_b"]).agg(

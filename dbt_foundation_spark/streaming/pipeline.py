@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from dbt_foundation_spark.checkpoint import pin
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -819,7 +821,7 @@ def run_dedup_ingest(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df = batch_df.localCheckpoint()  # pin: file batches re-list lazily
+        batch_df = pin(batch_df)  # pin: file batches re-list lazily
         corpus_hits = vs_corpus(spark, batch_df).select(
             F.col("new_id").alias("_drop_id")
         )
@@ -834,7 +836,7 @@ def run_dedup_ingest(
         # within-batch pairs) — one gate covers everything this sink
         # executes per trigger
         _gate_first_batch(gate_state, survivors)
-        survivors = survivors.localCheckpoint()  # two consumers below
+        survivors = pin(survivors)  # two consumers below
         # exactly-once OUTPUT across crash replays (see the helper):
         # install-if-absent, keyed by (stream, batch). Crash between
         # install and admit -> replay recomputes the SAME survivors
@@ -1132,7 +1134,7 @@ def run_histogram_ingest(
     huge: the batch is touched once by the map-side-combined binning
     count, and only its aggregate meets the state.
 
-    The merged state is pinned with ``localCheckpoint`` before the
+    The merged state is pinned (``checkpoint.pin``) before the
     overwrite — it is about to replace the very files it was read
     from. foreachBatch bodies run driver-side per trigger, so batch
     N's fold is visible to batch N+1, and the streaming checkpoint
@@ -1151,10 +1153,8 @@ def run_histogram_ingest(
         )
         if os.path.exists(state_path):
             h = h.unionByName(spark.read.parquet(state_path))
-        merged = (
-            h.groupBy(*group_cols, "bin")
-            .agg(F.sum("cnt").alias("cnt"))
-            .localCheckpoint()
+        merged = pin(
+            h.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
         )
         merged.write.mode("overwrite").parquet(state_path)
 
