@@ -14,10 +14,13 @@ explodes to O(|matches per key|²) pairs before aggregation. At 100 TB
 the window shuffle is AQE-skew-splittable and the sort is the same sort
 a SortMergeJoin would do anyway.
 
-Semantics match DuckDB/kdb ASOF JOIN: for each left row, the single
-most recent right row with r.ts <= l.ts (backward; ties at equal ts
-match), or the earliest with r.ts >= l.ts (forward). Unmatched left
-rows survive with NULLs (left-outer flavor).
+Semantics match DuckDB/kdb ASOF JOIN on non-NULL timestamps: for each
+left row, the single most recent right row with r.ts <= l.ts
+(backward; ties at equal ts match), or the earliest with r.ts >= l.ts
+(forward). Unmatched left rows survive with NULLs (left-outer flavor).
+NULL timestamps deliberately DIVERGE from DuckDB: comparison semantics
+(a NULL ts never matches, either side) — see the NULL-timestamps
+paragraph in :func:`asof_join`'s docstring.
 """
 
 from __future__ import annotations
@@ -68,6 +71,19 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != right_ts]
     right_cols = list(right_cols)
+
+    # internal plumbing columns: a left/right input already carrying one
+    # of these would be silently overwritten by withColumn and the
+    # corrupted value re-selected into the output — fail loudly instead
+    reserved = {"_ts", "_side", "_m", "_r_payload"}
+    clash = sorted(
+        reserved & (set(left.columns) | set(on) | set(right_cols) | {right_ts})
+    )
+    if clash:
+        raise ValueError(
+            f"asof_join reserves internal column names {sorted(reserved)}; "
+            f"rename input column(s) {clash} before joining"
+        )
 
     ts_out = f"{right_ts}{suffix}"
     # The right row travels as ONE struct so the window attaches a row

@@ -40,6 +40,7 @@ def ngram_contamination(
     n: int = 8,
     portable: bool = False,
     broadcast_bench: bool = True,
+    include_nulls: bool = False,
 ) -> DataFrame:
     """Score each corpus document's n-gram overlap with the benchmark.
 
@@ -50,9 +51,13 @@ def ngram_contamination(
     oracle-comparable). Documents shorter than ``n`` tokens contribute
     a single all-token shingle (``token_ngrams`` semantics), so
     ``n_grams >= 1`` for every emitted row; NULL-text documents
-    produce no grams and are ABSENT from the output (r9 NULL-shingle
-    contract) — left-join the scores back to the corpus if every doc
-    must appear.
+    produce no grams and are ABSENT from the output by default (r9
+    NULL-shingle contract).  Callers that count or join on the output
+    rowset and need every corpus document present pass
+    ``include_nulls=True``: the scores are left-joined back onto the
+    distinct corpus id set, so no-content docs appear with NULL
+    metrics instead of vanishing — an explicit row, not a fabricated
+    0.0 score (no grams means overlap is undefined, not zero).
 
     Set ``broadcast_bench=False`` only if the benchmark gram set is too
     big for executor memory — the join then falls back to a keyed
@@ -68,10 +73,13 @@ def ngram_contamination(
     joined = grams.join(bgrams, grams["_g"] == bgrams["_g"], "left").select(
         F.col(id_col), hit.alias("_hit")
     )
-    return joined.groupBy(id_col).agg(
+    scores = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.sum("_hit").cast("bigint").alias("n_contaminated"),
         F.round(
             F.sum("_hit").cast("double") / F.count(F.lit(1)), 6
         ).alias("contamination"),
     )
+    if include_nulls:
+        return corpus.select(id_col).distinct().join(scores, id_col, "left")
+    return scores

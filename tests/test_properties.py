@@ -461,3 +461,18 @@ def test_no_content_docs_degenerate_contract(spark):
         & (X.lang_id("text") != "und")
     )
     assert sorted(r["doc_id"] for r in gated.collect()) == [5]
+
+
+def test_seeds_sql_rejects_unsafe_literals():
+    """_seeds_sql interpolates raw SQL literals; the no-quote contract
+    is enforced in code, not comments (ADVICE r9) — a seed with an
+    apostrophe or backslash raises at definition time instead of
+    producing a broken or silently-wrong oracle query."""
+    import pytest as _pytest
+
+    from dbt_foundation_spark.queries.llm import _DUP_SEEDS, _seeds_sql
+
+    assert "VALUES" in _seeds_sql(_DUP_SEEDS)  # shipped seeds stay legal
+    for bad in ("don't", "back\\slash"):
+        with _pytest.raises(ValueError, match="quote/backslash"):
+            _seeds_sql(((-9, bad),))

@@ -209,6 +209,31 @@ def test_asof_join_backward_forward_tolerance(spark):
     assert fwd == {1: (200.0, 15), 2: (None, None), 3: (100.0, 8), 4: (300.0, 9)}
 
 
+def test_asof_join_rejects_reserved_internal_columns(spark):
+    """Inputs carrying the join's internal plumbing names (_ts, _side,
+    _m, _r_payload) would be silently overwritten and the corrupted
+    value re-selected into the output — the guard fails loudly instead
+    (ADVICE r9)."""
+    import pytest as _pytest
+
+    from dbt_foundation_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame([("a", 1, 1.0)], "k string, ts int, rv double")
+    for bad in ("_ts", "_side", "_m", "_r_payload"):
+        left = spark.createDataFrame(
+            [("a", 2, 9)], f"k string, ts int, `{bad}` int"
+        )
+        with _pytest.raises(ValueError, match="reserves internal column"):
+            asof_join(left, right, on=["k"], left_ts="ts")
+    # reserved name on the RIGHT payload side is rejected too
+    left_ok = spark.createDataFrame([("a", 2)], "k string, ts int")
+    right_bad = spark.createDataFrame(
+        [("a", 1, 5)], "k string, ts int, `_m` int"
+    )
+    with _pytest.raises(ValueError, match="reserves internal column"):
+        asof_join(left_ok, right_bad, on=["k"], left_ts="ts")
+
+
 def test_asof_join_tolerance(spark):
     from dbt_foundation_spark.operators.asof import asof_join
 
@@ -554,6 +579,34 @@ def test_ngram_contamination_known_overlap(spark):
         ).collect()
     }
     assert alt == out
+
+
+def test_ngram_contamination_include_nulls(spark):
+    """NULL-text docs are absent by default (r9 contract) but present
+    with NULL metrics under include_nulls=True — the loud-migration
+    path for callers that count or join on the output rowset."""
+    from dbt_foundation_spark.operators.contamination import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, None)], "id bigint, body string"
+    )
+    bench = spark.createDataFrame([(100, "b c d")], "id bigint, body string")
+
+    default_ids = {
+        r["id"] for r in ngram_contamination(corpus, bench, "id", "body", n=3).collect()
+    }
+    assert default_ids == {1}
+
+    full = {
+        r["id"]: (r["n_grams"], r["contamination"])
+        for r in ngram_contamination(
+            corpus, bench, "id", "body", n=3, include_nulls=True
+        ).collect()
+    }
+    assert set(full) == {1, 2, 3}
+    assert full[1] == (2, 0.5)  # grams {abc,bcd}; bench {bcd} -> 1 of 2
+    # undefined, not fabricated-zero: no-content docs carry NULL metrics
+    assert full[2] == (None, None) and full[3] == (None, None)
 
 
 def test_fuzzy_pairs_exact_vs_bruteforce(spark):
