@@ -481,6 +481,34 @@ def _snapshot(project: Project, node: Node, df: DataFrame) -> None:
         "dbt_valid_to", F.lit(None).cast("timestamp")
     )
 
+    # Duplicate-key contract: a dirty upstream emitting two DISTINCT
+    # rows for one key in a SINGLE batch would insert two open versions
+    # and break the one-open-row-per-key invariant every later run
+    # builds on. Keep exactly one, deterministically: the greatest
+    # updated_at (timestamp strategy — the row the next run would win
+    # with anyway), then the greatest full-row md5-of-JSON as the
+    # tiebreak for equal-ts or check-strategy duplicates (dbt_scd_id
+    # hashes only key+updated_at under the timestamp strategy, so it
+    # cannot split equal-ts payload drift; to_json serializes any
+    # column type, engine-portable and rerun-stable). In-plan window,
+    # no extra source scan; warehouse MERGE raises "multiple source
+    # rows" here instead — callers who want the loud failure assert
+    # testing.unique on the batch first.
+    from pyspark.sql import Window as _W
+
+    dup_order = (
+        [F.col("dbt_valid_from").desc_nulls_last()]
+        if strategy == "timestamp"
+        else []
+    ) + [F.md5(F.to_json(F.struct(*df.columns))).desc()]
+    new = (
+        new.withColumn(
+            "_rn", F.row_number().over(_W.partitionBy(*keys).orderBy(*dup_order))
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
     if not spark.catalog.tableExists(rel):
         _clear_stale_location(project, rel)
         new.write.format("parquet").mode("overwrite").saveAsTable(rel)

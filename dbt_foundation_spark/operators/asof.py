@@ -50,8 +50,11 @@ def asof_join(
     SQL interval string (e.g. ``'1 hour'``) bounding the time gap.
 
     Right rows sharing (key, ts) are nondeterministic under as-of
-    semantics everywhere — pre-aggregate to one row per (key, ts) if
-    that matters (the catalog query does).
+    semantics everywhere (DuckDB ASOF picks an arbitrary one too) —
+    pre-aggregate to one row per (key, ts) if that matters (the catalog
+    query does), or fold the right side through
+    :func:`operators.cdc.cdc_snapshot`, whose duplicate-key keeper IS
+    deterministic.
 
     NULL timestamps follow COMPARISON semantics: a NULL ts on either
     side never matches (``ts >= NULL`` is NULL), so NULL-ts left rows

@@ -30,11 +30,19 @@ def cdc_snapshot(
 ) -> DataFrame:
     """Latest non-deleted row per key. Ties on seq resolve to the
     delete-last interpretation (delete wins a tied seq — the safe
-    reading of an ambiguous log)."""
+    reading of an ambiguous log).  Two DISTINCT same-op rows at one
+    (key, seq) — a corrupt or at-least-once log — resolve to a
+    DETERMINISTIC keeper: the final tiebreak is an md5 over the whole
+    row's JSON (portable across engines and rerun-stable; to_json
+    serializes any column type, so the contract holds for array/map
+    payloads too), never partition order.  Exact duplicate rows
+    collapse to the same hash and are interchangeable by definition."""
     keys = list(keys)
     is_delete = (F.col(op_col) == delete_op).cast("int")
     w = Window.partitionBy(*keys).orderBy(
-        F.col(seq_col).desc(), is_delete.desc()
+        F.col(seq_col).desc(),
+        is_delete.desc(),
+        F.md5(F.to_json(F.struct(*changes.columns))).desc(),
     )
     return (
         changes.withColumn("_rn", F.row_number().over(w))

@@ -358,6 +358,37 @@ def test_cdc_apply_merges_batches(spark):
     assert {(r["k"], r["v"]) for r in snap2.collect()} == {(1, "a3"), (3, "c")}
 
 
+def test_cdc_snapshot_same_seq_distinct_rows_deterministic(spark):
+    """Duplicate-(key, seq) contract (r10): two DISTINCT same-op rows
+    at one (key, seq) resolve to the md5(to_json(row))-max keeper —
+    deterministic across reruns and partitionings, never partition
+    order. Delete still wins a tied seq against any update."""
+    from pyspark.sql import functions as F
+
+    from dbt_foundation_spark.operators.cdc import cdc_snapshot
+
+    dirty = spark.createDataFrame(
+        [(1, 5, "U", "pay_a"), (1, 5, "U", "pay_b"), (2, 3, "U", "x"),
+         (2, 3, "D", None)],
+        "k int, seq int, op string, v string",
+    )
+    expected = (
+        dirty.filter((F.col("k") == 1))
+        .withColumn("_h", F.md5(F.to_json(F.struct("k", "seq", "op", "v"))))
+        .orderBy(F.col("_h").desc())
+        .first()["v"]
+    )
+    for parts in (1, 7):
+        got = {
+            r["k"]: r["v"]
+            for r in cdc_snapshot(
+                dirty.repartition(parts), ["k"], "seq"
+            ).collect()
+        }
+        # key 2's tied-seq delete wins -> key absent; key 1 = md5-max row
+        assert got == {1: expected}
+
+
 def test_compact_table_shrinks_file_count(spark, sf_dir):
     import uuid
 
