@@ -78,6 +78,7 @@ def mixture_resample(
     domain_col: str,
     target_weights: dict[str, float],
     salt: str = "mix",
+    allow_missing: bool = False,
 ) -> DataFrame:
     """Resample a multi-domain corpus to a target mixture (e.g. 50% web,
     30% books, 20% code) by downsampling only — the output is the
@@ -86,6 +87,17 @@ def mixture_resample(
     r_d = T * w_d / n_d per domain. Domains not listed are dropped;
     only weight RATIOS matter (the formula is scale-invariant, no
     normalization step to drift cross-engine).
+
+    A LISTED domain ABSENT from the corpus caps the mixture at zero:
+    n_d = 0 ⇒ T = min(0 / w_d) = 0 ⇒ EMPTY output — the formula's own
+    answer, since no non-empty sample can give an absent domain its
+    target share. Empty-out is loud downstream; silently re-mixing the
+    present domains would ship a 71/0/29 split to a caller who asked
+    for 50/30/20 (r10 degenerate probe). Pass ``allow_missing=True``
+    to opt into that re-mix explicitly (absent domains dropped from
+    the cap, present ones mixed among themselves). Both paths stay
+    fully lazy/declarative — the absent check is a left join +
+    coalesce inside the plan, not a driver-side count.
 
     Fully declarative: one tiny groupBy for the domain counts, a 1-row
     min() for the cap, a broadcast join of per-domain rates, then the
@@ -106,7 +118,15 @@ def mixture_resample(
     )
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
     sized = counts.join(F.broadcast(wdf), domain_col)
-    cap = sized.agg(F.min(F.col("_n") / F.col("_wt")).alias("_cap"))
+    if allow_missing:
+        cap_over = sized
+    else:
+        # every REQUESTED domain contributes to the cap; absent ones
+        # count 0 rows, driving the cap (and the whole sample) to zero
+        cap_over = wdf.join(counts, domain_col, "left").select(
+            "_wt", F.coalesce(F.col("_n"), F.lit(0)).alias("_n")
+        )
+    cap = cap_over.agg(F.min(F.col("_n") / F.col("_wt")).alias("_cap"))
     rates = sized.crossJoin(F.broadcast(cap)).select(
         domain_col,
         (F.col("_cap") * F.col("_wt") / F.col("_n")).alias("_rate"),

@@ -1531,10 +1531,14 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)
     ), counts AS (
         SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), cap AS (
+        -- absent requested domain counts 0 -> cap 0 -> empty sample
+        -- (mixture_resample's absent-domain contract; identity here,
+        -- every source is present in testdata)
+        SELECT MIN(COALESCE(n, 0) / wt) AS c
+        FROM w LEFT JOIN counts USING (source)
     ), sized AS (
         SELECT counts.source, n, wt FROM counts JOIN w USING (source)
-    ), cap AS (
-        SELECT MIN(n / wt) AS c FROM sized
     ), rates AS (
         SELECT source,
                CASE WHEN (cap.c * wt / n) >= 1.0 THEN 'ffffffffff'

@@ -1908,3 +1908,36 @@ def test_asof_join_null_payload_not_torn(spark):
         ).collect()
     }
     assert got == {1: (1.0, 5)}, got
+
+
+def test_mixture_resample_absent_domain_contract(spark):
+    """r10 degenerate probe: a LISTED domain with zero corpus rows caps
+    the mixture at T = min(0/w) = 0 -> EMPTY sample (no non-empty
+    sample can give an absent domain its target share); silently
+    re-mixing the present domains would ship the wrong ratios. The
+    re-mix is available only by explicit allow_missing=True."""
+    from dbt_foundation_spark.operators.sampling import mixture_resample
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(400)],
+        "id bigint, dom string",
+    )
+    weights = {"a": 0.5, "b": 0.3, "c": 0.2}  # 'c' absent from corpus
+
+    assert mixture_resample(docs, "id", "dom", weights).count() == 0
+
+    remix = mixture_resample(docs, "id", "dom", weights, allow_missing=True)
+    got = {r["dom"] for r in remix.select("dom").distinct().collect()}
+    assert got == {"a", "b"} and remix.count() > 0
+
+    # all-domains-present behavior is untouched by the new cap path:
+    # b is the binding domain (200 rows / 0.5 weight < 200 / 0.3... both
+    # 200 rows; a/0.5=400 > b... weights {a:.7,b:.3} -> cap=200/.7) and
+    # acceptance stays downsample-only
+    full = mixture_resample(docs, "id", "dom", {"a": 0.7, "b": 0.3})
+    per = {
+        r["dom"]: r["n"]
+        for r in full.groupBy("dom").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(per) == {"a", "b"}
+    assert per["a"] <= 200 and per["b"] <= 200

@@ -1800,3 +1800,68 @@ def test_ingest_installs_part_file_under_summary_metadata(spark, sf_dir, staging
     assert got == [1000, 1001]  # rows survived — footer was not installed
     for p in ("meta_index", "meta_stream", "meta_out", "meta_footer_probe"):
         shutil.rmtree(root / p, ignore_errors=True)
+
+
+def test_dedup_ingest_first_batch_empty(spark, sf_dir, staging):
+    """Day-0 degenerate (r10 probe): the stream's FIRST batch carries
+    ZERO rows (an empty parquet file — a real shape when an upstream
+    emits schema-only files). The sink must survive it end-to-end:
+    the batch-0 fresh-start gate fires harmlessly, the installer
+    installs the empty batch's schema-only part file instead of
+    raising its no-part-file error, the index append is a no-op, and
+    the NEXT batch's admissions flow normally — including rejecting a
+    duplicate of corpus content, proving the index wasn't corrupted by
+    the empty append."""
+    import shutil
+    import time as _time
+
+    from dbt_foundation_spark.operators.dedup_index import build_minhash_index
+    from dbt_foundation_spark.streaming.pipeline import (
+        DOCUMENT_SCHEMA,
+        read_document_stream,
+        run_dedup_ingest,
+    )
+
+    root = staging["root"]
+    texts = [
+        r["text"]
+        for r in t(spark, sf_dir, "documents").orderBy("doc_id").limit(4).collect()
+    ]
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, tx, "en", "src0", len(tx)) for i, tx in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    params = dict(num_hashes=16, bands=4, shingle_len=3)
+    s_index = str(root / "eb_index")
+    build_minhash_index(docs([(0, texts[0])]), "doc_id", "text", s_index, **params)
+
+    stream_dir = root / "eb_stream"
+    # batch 0: a genuinely EMPTY documents file
+    spark.createDataFrame([], DOCUMENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(stream_dir))
+    _time.sleep(1.05)  # distinct mtimes -> deterministic batch order
+    # batch 1: two fresh docs + one duplicate of the pre-indexed corpus
+    docs([(10, texts[1]), (11, texts[2]), (12, texts[0])]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(stream_dir))
+
+    out = str(root / "eb_out")
+    run_dedup_ingest(
+        read_document_stream(spark, str(stream_dir), max_files_per_trigger=1),
+        "doc_id", "text", s_index, out, _ckpt(staging),
+        jaccard_threshold=0.7, **params,
+    )
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [10, 11]  # fresh admitted; corpus duplicate rejected
+    # the index holds exactly corpus + the admitted docs
+    idx_ids = sorted(
+        r["id"] for r in spark.read.parquet(f"{s_index}/shingles").collect()
+    )
+    assert idx_ids == [0, 10, 11]
+    for p in ("eb_index", "eb_stream", "eb_out"):
+        shutil.rmtree(root / p, ignore_errors=True)
