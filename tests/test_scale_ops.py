@@ -1941,3 +1941,94 @@ def test_mixture_resample_absent_domain_contract(spark):
     }
     assert set(per) == {"a", "b"}
     assert per["a"] <= 200 and per["b"] <= 200
+
+
+def test_salted_join_skew_stress(spark):
+    """Skew stress pin (r10): one key holds ~20% of the skewed side.
+    salted_join must (a) return exactly the rows of the plain join,
+    (b) carry _salt in its physical join keys (plan introspection — the
+    shuffle distributes on key+salt, not key alone), and (c) actually
+    split the hot key across reducers: no single hash partition of the
+    salted layout holds the hot key's full candidate set, while the
+    UNSALTED layout provably concentrates it in one."""
+    from dbt_foundation_spark.operators.skew import salted_join
+    from dbt_foundation_spark.plans.inspect import explain_text
+
+    n, hot = 20_000, 4_000
+    skewed = spark.range(n).select(
+        F.when(F.col("id") < hot, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(997)) + 1)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    other = spark.range(1_000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("attr")
+    )
+
+    plain = skewed.join(other, ["k"])
+    salted = salted_join(skewed, other, ["k"], salt=16)
+
+    # (a) result identity
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+    # (b) the join's shuffle keys include the salt
+    txt = explain_text(salted, "formatted")
+    assert "_salt" in txt
+
+    # (c) partition-level distribution: replicate the salted layout's
+    # hash partitioning and count rows per task input
+    def max_part(df, cols, parts=8):
+        sizes = (
+            df.repartition(parts, *[F.col(c) for c in cols])
+            .rdd.mapPartitions(lambda it: [sum(1 for _ in it)])
+            .collect()
+        )
+        return max(sizes)
+
+    with_salt = skewed.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(16)),
+    )
+    assert max_part(skewed, ["k"]) >= hot  # unsalted: hot key = one task
+    assert max_part(with_salt, ["k", "_salt"]) < hot  # salted: split
+
+
+def test_two_phase_topk_skew_stress(spark):
+    """Same pin for the shared ANN ranking path: a hot query holding
+    ~20% of all candidate rows ranks identically under any num_salts,
+    and phase 1's (query, salt) groups each hold a strict fraction of
+    the hot query's candidates — no reducer sees the whole list."""
+    from dbt_foundation_spark.operators.similarity import _two_phase_topk
+
+    n, hot = 20_000, 4_000
+    sims = spark.range(n).select(
+        F.when(F.col("id") < hot, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(97)) + 1)
+        .alias("query_id"),
+        F.col("id").alias("corpus_id"),
+        (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(10_000)) / 10_000.0).alias(
+            "cosine_sim"
+        ),
+    )
+    k = 5
+    base = sorted(
+        tuple(r) for r in _two_phase_topk(sims, k, num_salts=1).collect()
+    )
+    for num_salts in (4, 32):
+        got = sorted(
+            tuple(r)
+            for r in _two_phase_topk(sims, k, num_salts=num_salts).collect()
+        )
+        assert got == base
+
+    # phase-1 group sizes: the hot query's candidates split across salts
+    salt = F.pmod(F.xxhash64(F.col("corpus_id")), F.lit(8))
+    grp = (
+        sims.filter(F.col("query_id") == 0)
+        .groupBy(salt.alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(grp) == 8  # every salt bucket in play
+    assert max(r["n"] for r in grp) < hot / 2  # no bucket near the full set
