@@ -345,3 +345,68 @@ def test_unicode_case_fold_divergence_executable_contract(spark):
                 F.concat_ws("", *scols).rlike("[^\\x00-\\x7F]")
             ).count()
             assert bad == 0, f"non-ASCII text in {sf}/{tbl}: {bad} rows"
+
+
+def test_extreme_timestamp_boundaries_contract(spark):
+    """r10 probe class: garbage/sentinel timestamps (year-9999 'open
+    row' sentinels, year-0001 zero-dates) are everywhere in enterprise
+    data. The contract, probed and pinned:
+
+    * JVM-side (filters, comparisons, INTERVAL arithmetic, joins,
+      windows) the FULL Spark range 0001-01-01..9999-12-31 works —
+      operators never choke on extremes that stay on executors.
+    * Driver-side COLLECTION is the narrow seam: classic pickle
+      collect() fails only on 0001-01-01 itself (datetime.MINYEAR
+      underflow in the deserializer); Arrow toPandas() — the oracle
+      compare path — is bounded by pandas' ns range (1677-09-21 ..
+      2262-04-11) and raises ArrowInvalid outside it.  Render extremes
+      with date_format (string) when they must reach the driver.
+    * This is WHY the SCD2 snapshot uses NULL dbt_valid_to for open
+      rows, never a 9999-12-31 sentinel: the sentinel would crash the
+      toPandas path of every consumer that collects the table.
+    """
+    import pytest as _pytest
+
+    # JVM-side: full-range arithmetic and comparison, strings out
+    row = spark.sql(
+        "SELECT date_format(TIMESTAMP'0001-01-01 00:00:00' + INTERVAL 30 MINUTE,"
+        "                   'yyyy-MM-dd HH:mm:ss') AS lo,"
+        "       date_format(TIMESTAMP'9999-12-31 23:59:59' - INTERVAL 1 DAY,"
+        "                   'yyyy-MM-dd HH:mm:ss') AS hi,"
+        "       TIMESTAMP'9999-12-31 23:59:59' > TIMESTAMP'2024-01-01' AS cmp"
+    ).collect()[0]
+    assert row["lo"] == "0001-01-01 00:30:00"
+    assert row["hi"] == "9999-12-30 23:59:59"
+    assert row["cmp"] is True
+
+    # asof over sentinel right-timestamps stays JVM-correct: the 9999
+    # sentinel row wins a backward lookup only for left rows >= it,
+    # i.e. never — verified via counts, nothing extreme collected
+    from dbt_foundation_spark.operators.asof import asof_join
+    from pyspark.sql import functions as F2
+
+    left = spark.createDataFrame(
+        [("k", "2024-06-01 00:00:00", 1)], "k string, ts string, lv int"
+    ).withColumn("ts", F2.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", 1.0), ("k", "9999-12-31 23:59:59", 99.0)],
+        "k string, ts string, rv double",
+    ).withColumn("ts", F2.col("ts").cast("timestamp"))
+    j = asof_join(left, right, on=["k"], left_ts="ts")
+    assert j.filter(F2.col("rv") == 1.0).count() == 1  # sentinel ignored
+
+    # driver-side seams, pinned so an upgrade changing them is loud:
+    # classic collect survives everything except day one of year one
+    assert spark.sql(
+        "SELECT TIMESTAMP'0001-01-02 00:00:00' AS t"
+    ).collect()[0]["t"].year == 1
+    with _pytest.raises(ValueError):
+        spark.sql("SELECT TIMESTAMP'0001-01-01 00:00:00' AS t").collect()
+    # Arrow/toPandas path is ns-bounded (the oracle-compare transport)
+    import pyarrow as _pa
+
+    with _pytest.raises(Exception) as ei:
+        spark.sql("SELECT TIMESTAMP'9999-12-31 23:59:59' AS t").toPandas()
+    assert "out of bounds" in str(ei.value) or isinstance(
+        ei.value, _pa.lib.ArrowInvalid
+    )
