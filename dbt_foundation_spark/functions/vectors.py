@@ -20,9 +20,38 @@ def to_double_array(col: Column | str) -> Column:
     return _c(col).cast("array<double>")
 
 
+_INF = float("inf")
+
+
+def finite_or_null(c: Column) -> Column:
+    """NULL unless ``c`` is a finite double.
+
+    The dirty-data contract for every vector-derived scalar (cosine,
+    dot, distance): a corrupt input (NaN/±Inf element, NULL element,
+    dimension mismatch) must surface as NULL — which ranking treats as
+    absent (NULLS LAST) and threshold gates fail — never as NaN, which
+    Spark ORDERS ABOVE +Inf and compares GREATER than any threshold.
+    Without this, one corrupt embedding is the top-1 answer of every
+    ANN query and a "near-duplicate" of everything in its candidate
+    bucket (probed r10; pinned in tests/test_degenerate.py)."""
+    return F.when(~F.isnan(c) & (F.abs(c) != F.lit(_INF)), c)
+
+
+def is_finite_vector(col: Column | str) -> Column:
+    """True iff the array is non-NULL and every element is a finite
+    non-NULL double — the admission gate for quantization, index fit,
+    and any path where a corrupt vector would otherwise poison shared
+    state (centroid means, ANSI int casts) rather than just its own
+    row. NULL input → NULL (filters treat it as fail)."""
+    arr = to_double_array(col)
+    return F.forall(
+        arr, lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) != F.lit(_INF))
+    )
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     prods = F.zip_with(to_double_array(a), to_double_array(b), lambda x, y: x * y)
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    return finite_or_null(F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x))
 
 
 def norm(a: Column | str) -> Column:
@@ -35,7 +64,11 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity; NULL when either norm is zero (try_divide).
+    """Cosine similarity; NULL when either norm is zero (try_divide)
+    or when the result is non-finite — NaN/Inf inputs (corrupt
+    embeddings) yield NULL, not NaN, so they can never win a
+    descending top-k or pass a ``>= threshold`` near-dup gate
+    (see :func:`finite_or_null`).
 
     Single fused pass: one zip_with + one aggregate carries (x·y, |a|²,
     |b|²) in a struct accumulator — one array traversal per row instead
@@ -58,27 +91,35 @@ def cosine(a: Column | str, b: Column | str) -> Column:
             (acc["nb"] + p["yy"]).alias("nb"),
         ),
     )
-    return F.try_divide(sums["d"], F.sqrt(sums["na"]) * F.sqrt(sums["nb"]))
+    return finite_or_null(
+        F.try_divide(sums["d"], F.sqrt(sums["na"]) * F.sqrt(sums["nb"]))
+    )
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:
     diffs = F.zip_with(to_double_array(a), to_double_array(b), lambda x, y: (x - y) * (x - y))
-    return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+    return finite_or_null(F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)))
 
 
 def normalize(a: Column | str) -> Column:
-    """Unit-normalize (NULL-safe: zero vector → NULL elements).
+    """Unit-normalize (NULL-safe: zero vector → NULL elements; a
+    non-finite vector → NULL array, per :func:`is_finite_vector` —
+    NaN must not survive into a "normalized" column that downstream
+    math assumes is unit-length and finite).
 
     The norm is bound as a lambda variable (1-element transform) — a
     bare reference inside the per-element lambda would re-run the whole
     norm aggregate per element (O(dim²) per row)."""
     arr = to_double_array(a)
-    return F.get(
-        F.transform(
-            F.array(norm(a)),
-            lambda n: F.transform(arr, lambda x: F.try_divide(x, n)),
+    return F.when(
+        is_finite_vector(arr),
+        F.get(
+            F.transform(
+                F.array(norm(a)),
+                lambda n: F.transform(arr, lambda x: F.try_divide(x, n)),
+            ),
+            0,
         ),
-        0,
     )
 
 
@@ -104,6 +145,12 @@ def int8_quantize(col: Column | str) -> Column:
     expression — lo/scale are bound ONCE through a 1-element transform
     (see :func:`normalize`), so cost is O(dim) per row, and every step
     is plain IEEE double arithmetic any engine reproduces bit-for-bit.
+
+    Non-finite vectors (NaN/Inf/NULL element) quantize to NULL instead
+    of aborting the scan: without the :func:`is_finite_vector` gate,
+    ``hi`` becomes NaN/Inf, the code cast hits Spark 4's ANSI
+    CAST_OVERFLOW, and ONE corrupt row kills the whole job — the same
+    abort-vs-NULL contract the r9 dirty-JSON fix pinned for variants.
     """
     arr = to_double_array(col)
     lo = F.array_min(arr)
@@ -120,7 +167,7 @@ def int8_quantize(col: Column | str) -> Column:
         )
 
     bound = F.array(F.struct(lo.alias("lo"), hi.alias("hi"), scale.alias("s")))
-    return F.get(F.transform(bound, build), 0)
+    return F.when(is_finite_vector(arr), F.get(F.transform(bound, build), 0))
 
 
 def hyperplane_signature(col: Column | str, planes: list[list[float]]) -> Column:

@@ -204,12 +204,30 @@ def ivf_assignments(
         )
     else:
         fit_on = df
-    X = np.array(
+    # Admission gate BEFORE the collect: a NaN/Inf vector in the fit
+    # sample poisons every centroid mean it touches (or crashes the
+    # k-means++ D² draw with NaN probabilities) — one corrupt row must
+    # not bend the quantizer geometry for the whole corpus. Filtered
+    # rows are still ASSIGNED below (to the -1 quarantine list, see
+    # _ivf_assign); they are only excluded from fitting.
+    fit_on = fit_on.filter(V.is_finite_vector(F.col(vec_col)))
+    vals = (
         fit_on.select(F.col(vec_col).cast("array<double>").alias("v"))
         .toPandas()["v"]
-        .tolist(),
-        dtype=np.float64,
+        .tolist()
     )
+    # Ragged corpora (mixed dims — corrupt upstream) would make the
+    # sample matrix inhomogeneous; fit on the MODAL dimensionality
+    # (ties → smaller dim, deterministic), quarantine the rest.
+    if vals:
+        from collections import Counter
+
+        dim_counts = Counter(len(v) for v in vals)
+        modal_dim = min(
+            (d for d in dim_counts if dim_counts[d] == max(dim_counts.values()))
+        )
+        vals = [v for v in vals if len(v) == modal_dim]
+    X = np.array(vals, dtype=np.float64)
     if len(X) < n_lists:
         raise ValueError(f"need >= {n_lists} sample vectors, got {len(X)}")
     # canonicalize the sample ORDER before seeding: toPandas row order
@@ -268,12 +286,24 @@ def _ivf_assign(
     quantizer (centroids fold into the plan as literals; no model
     object, streaming/foreachBatch-safe). Shared by the initial fit
     and :func:`append_to_ivf_index`, which must assign new batches
-    with the INDEX's centroids, never a refit."""
+    with the INDEX's centroids, never a refit.
+
+    Quarantine contract: a vector that is non-finite (NaN/Inf/NULL
+    element) or whose length differs from the quantizer's dim gets
+    ``_ivf_list = -1``. Probes rank real centroids (ids 0..n_lists-1)
+    so list -1 is never scanned by a query; the rows stay in the index
+    dataset so retract/compact/takedown still see them. Without the
+    gate a NaN vector's all-NaN distance row silently lands in list 0
+    (NaN-aware array_position) and a ragged vector gets a NULL list —
+    two different accidental behaviors instead of one deliberate one."""
     v = F.col(vec_col).cast("array<double>")
     dists = F.array(*[_sqdist(v, c) for c in centroids])
+    ok = V.is_finite_vector(v) & (F.size(v) == len(centroids[0]))
     # argmin = position of the min element (ties -> first, like numpy)
+    argmin = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     return df.withColumn(
-        "_ivf_list", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        "_ivf_list",
+        F.when(F.coalesce(ok, F.lit(False)), argmin).otherwise(F.lit(-1)),
     )
 
 

@@ -410,3 +410,153 @@ def test_extreme_timestamp_boundaries_contract(spark):
     assert "out of bounds" in str(ei.value) or isinstance(
         ei.value, _pa.lib.ArrowInvalid
     )
+
+
+# ---------------------------------------------------------------------------
+# Non-finite / malformed vectors (r10 probe class): one corrupt embedding
+# (NaN/Inf element, NULL element, wrong dimensionality) must never poison
+# the CLEAN rows' answers. Pre-fix behavior, probed live: NaN cosine ranked
+# ABOVE 1.0 in every descending top-k (Spark orders NaN > +Inf), NaN passed
+# every `>= threshold` near-dup gate (Spark compares NaN greater than any
+# value), one NaN row aborted the whole int8_quantize scan (ANSI
+# CAST_OVERFLOW), and a ragged vector crashed the IVF centroid fit.
+# ---------------------------------------------------------------------------
+
+_NAN = float("nan")
+_INF = float("inf")
+
+_CLEAN_VECS = [
+    (1, [1.0, 0.0, 0.0]),
+    (2, [0.9, 0.1, 0.0]),
+    (3, [0.0, 1.0, 0.0]),
+    (4, [0.5, 0.5, 0.0]),
+    (5, [0.0, 0.0, 1.0]),
+    (6, [0.7, 0.0, 0.7]),
+    (7, [0.2, 0.9, 0.1]),
+    (8, [0.8, 0.2, 0.1]),
+]
+_CORRUPT_VECS = [
+    (100, [_NAN, 0.5, 0.5]),
+    (101, [_INF, 0.0, 0.0]),
+    (102, [-_INF, 1.0, 0.0]),
+    (103, [1.0, None, 0.0]),
+    (104, [1.0, 0.0]),          # wrong dim (short)
+    (105, [1.0, 0.0, 0.0, 0.0]),  # wrong dim (long)
+    (106, None),                # NULL vector
+]
+
+
+@pytest.fixture(scope="module")
+def clean_vecs(spark):
+    return spark.createDataFrame(_CLEAN_VECS, "vec_id bigint, embedding array<double>")
+
+
+@pytest.fixture(scope="module")
+def dirty_vecs(spark):
+    return spark.createDataFrame(
+        _CLEAN_VECS + _CORRUPT_VECS, "vec_id bigint, embedding array<double>"
+    )
+
+
+def test_nonfinite_scalar_contract(spark, dirty_vecs):
+    """cosine/dot/l2/normalize/int8_quantize: corrupt input -> NULL,
+    clean input -> unchanged. No NaN escapes, no ANSI abort."""
+    from dbt_foundation_spark.functions import vectors as V
+
+    q = F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))
+    out = dirty_vecs.select(
+        "vec_id",
+        V.cosine("embedding", q).alias("cos"),
+        V.dot("embedding", q).alias("dot"),
+        V.l2_distance("embedding", q).alias("l2"),
+        V.normalize("embedding").alias("norm"),
+        V.int8_quantize("embedding").alias("qz"),
+        V.is_finite_vector("embedding").alias("ok"),
+    ).collect()
+    by_id = {r.vec_id: r for r in out}
+    for cid in (100, 101, 102, 103, 106):
+        r = by_id[cid]
+        assert r.cos is None and r.dot is None and r.l2 is None, cid
+        assert r.norm is None and r.qz is None, cid
+        assert r.ok in (False, None), cid
+    # wrong-dim rows: per-pair ops NULL (zip_with pads with NULL);
+    # single-vector ops still work (the vector itself is finite)
+    for cid in (104, 105):
+        r = by_id[cid]
+        assert r.cos is None and r.dot is None, cid
+        assert r.qz is not None and r.ok is True, cid
+    r1 = by_id[1]
+    assert r1.cos == pytest.approx(1.0) and r1.dot == pytest.approx(1.0)
+    assert r1.qz.codes == [255, 0, 0] and r1.ok is True
+    import math
+
+    for r in out:  # the meta-contract: nothing non-finite survives
+        for v in (r.cos, r.dot, r.l2):
+            assert v is None or math.isfinite(v), (r.vec_id, v)
+
+
+def test_nonfinite_rows_do_not_poison_topk(spark, clean_vecs, dirty_vecs):
+    """The invariance that matters in production: adding corrupt rows to
+    the corpus changes NOTHING about the clean rows' top-k answers, for
+    every ANN flavor (brute, LSH, quantized two-stage, IVF)."""
+    from dbt_foundation_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+        cosine_topk_quantized,
+    )
+
+    qv = [1.0, 0.0, 0.0]
+
+    def ranked(fn, df, **kw):
+        return [
+            (r.vec_id, round(r.cosine_sim, 9))
+            for r in fn(df, "vec_id", "embedding", qv, k=5, **kw).collect()
+        ]
+
+    for fn, kw in (
+        (cosine_topk, {}),
+        (cosine_topk_lsh, {"m": 4}),
+        (cosine_topk_quantized, {"shortlist": 6}),
+        (cosine_topk_ivf, {"n_lists": 2, "n_probe": 2}),
+    ):
+        clean = ranked(fn, clean_vecs, **kw)
+        dirty = ranked(fn, dirty_vecs, **kw)
+        assert clean == dirty, fn.__name__
+        assert all(vid < 100 for vid, _ in dirty), fn.__name__
+        assert len(clean) == 5, fn.__name__
+
+
+def test_nonfinite_rows_fail_threshold_gates(spark, dirty_vecs):
+    """A NaN/Inf vector must FAIL `cosine >= t` (NULL comparison), never
+    pass it — pre-fix NaN passed every threshold."""
+    from dbt_foundation_spark.functions import vectors as V
+
+    pairs = dirty_vecs.alias("a").crossJoin(dirty_vecs.alias("b")).filter(
+        F.col("a.vec_id") < F.col("b.vec_id")
+    )
+    survivors = pairs.select(
+        F.col("a.vec_id").alias("ia"),
+        F.col("b.vec_id").alias("ib"),
+        V.cosine("a.embedding", "b.embedding").alias("cos"),
+    ).filter(F.col("cos") >= 0.99)
+    for r in survivors.collect():
+        assert r.ia < 100 and r.ib < 100, (r.ia, r.ib)
+
+
+def test_ivf_fit_and_assign_quarantine(spark, clean_vecs, dirty_vecs):
+    """Centroid fit ignores corrupt vectors (identical geometry with or
+    without them present — pre-fix: ragged sample crashed numpy, NaN
+    poisoned the means); corrupt rows are assigned the -1 quarantine
+    list; clean rows' assignments are unchanged."""
+    from dbt_foundation_spark.operators.similarity import ivf_assignments
+
+    a_clean, c_clean = ivf_assignments(clean_vecs, "embedding", n_lists=2, seed=7)
+    a_dirty, c_dirty = ivf_assignments(dirty_vecs, "embedding", n_lists=2, seed=7)
+    assert c_clean == c_dirty
+    clean_map = {r.vec_id: r._ivf_list for r in a_clean.collect()}
+    dirty_map = {r.vec_id: r._ivf_list for r in a_dirty.collect()}
+    for vid, lst in clean_map.items():
+        assert dirty_map[vid] == lst, vid
+    for vid in (100, 101, 102, 103, 104, 105, 106):
+        assert dirty_map[vid] == -1, vid
