@@ -64,6 +64,19 @@ query threshold may be ≥ the build threshold (stored prefixes are
 then longer than required — extra candidates, never a lost one).
 Indexes created before manifests existed validate nothing and trust
 the caller, as before.
+
+Multi-version contract: ``append_to_*`` does NOT check whether an id
+is already live (an existence probe would anti-join the full index on
+every micro-batch). Re-appending an id with changed content therefore
+leaves SEVERAL live signature/payload rows for that id, all of which
+participate as candidates. Every ``*_against_index`` folds its verify
+output to ONE row per (new_id, corpus_id) carrying the strongest
+evidence across versions — max jaccard / min hamming / column-wise max
+containment / max cosine — so callers see a deterministic "near-dup if
+ANY stored version matches" verdict, never duplicate pairs or an
+arbitrary version's score. The supported content-REPLACE path is
+retract → clear_tombstones → append (or a rebuild); compaction's
+distinct-fold collapses byte-identical re-appends only.
 """
 
 from __future__ import annotations
@@ -308,10 +321,18 @@ def dedup_against_index(
     pairs = cand.join(sh_new, "new_id").join(sh_corpus, "corpus_id")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # One row per (new_id, corpus_id), STRONGEST version wins: an id
+    # appended more than once with different content (or duplicated in
+    # the batch) has several live shingle rows, and the verify join
+    # would emit one row per version — duplicate pairs with different
+    # jaccard values. Fold to max: "near-dup if ANY stored version
+    # matches", deterministic, output-sized agg (see module docstring,
+    # multi-version contract).
     return (
         pairs.withColumn("jaccard", F.try_divide(inter, union))
         .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("new_id", "corpus_id", "jaccard")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.max("jaccard").alias("jaccard"))
     )
 
 
@@ -434,8 +455,14 @@ def dedup_against_simhash_index(
         )
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["new_id", "corpus_id"])
-        .select("new_id", "corpus_id", "hamming")
+        # min per pair, not dropDuplicates: with one live version per id
+        # every surviving row of a pair carries the same hamming and the
+        # two are equivalent — but a multi-version id (re-appended with
+        # changed text) has several signatures, and dropDuplicates would
+        # keep an ARBITRARY version's distance. Closest version wins,
+        # deterministically (module docstring, multi-version contract).
+        .groupBy("new_id", "corpus_id")
+        .agg(F.min("hamming").alias("hamming"))
     )
 
 
@@ -561,7 +588,16 @@ def containment_against_index(
         .filter(
             F.greatest("containment_new", "containment_corpus") >= threshold
         )
-        .select("new_id", "corpus_id", "containment_new", "containment_corpus")
+        # column-wise max per pair: a multi-version id (re-appended with
+        # changed text) yields one verify row per stored version; report
+        # the strongest evidence in EACH direction (the two maxima may
+        # come from different versions — documented in the module
+        # docstring's multi-version contract).
+        .groupBy("new_id", "corpus_id")
+        .agg(
+            F.max("containment_new").alias("containment_new"),
+            F.max("containment_corpus").alias("containment_corpus"),
+        )
     )
 
 
@@ -777,7 +813,11 @@ def dedup_against_embedding_index(
         .join(v_corpus, "corpus_id")
         .withColumn("cosine_sim", V.cosine("_va", "_vb"))
         .filter(F.col("cosine_sim") >= threshold)
-        .select("new_id", "corpus_id", "cosine_sim")
+        # strongest version wins (multi-version contract, module
+        # docstring): a re-appended id has several live vectors and the
+        # verify join would emit duplicate pairs otherwise.
+        .groupBy("new_id", "corpus_id")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
     )
 
 

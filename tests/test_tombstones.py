@@ -1316,3 +1316,85 @@ def test_iter_visible_files_matches_spark_listing(spark, tmp_path):
         spark.read.parquet(d).inputFiles()
     hp, fs = _hadoop(spark, d)
     assert list(_iter_visible_files(fs, hp)) == []
+
+
+def test_multi_version_id_strongest_evidence_per_pair(spark, tmp_path):
+    """Multi-version contract (module docstring): re-appending a live id
+    with CHANGED content leaves several live signature rows; every
+    *_against_index must still return ONE row per (new_id, corpus_id)
+    with the strongest evidence across versions (max jaccard / min
+    hamming / column-wise max containment / max cosine) — pre-fix the
+    verify joins emitted duplicate pairs, and simhash's dropDuplicates
+    kept an arbitrary version's distance."""
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_containment_index,
+        append_to_embedding_index,
+        append_to_index,
+        append_to_simhash_index,
+        build_containment_index,
+        build_embedding_index,
+        build_minhash_index,
+        build_simhash_index,
+        containment_against_index,
+        dedup_against_embedding_index,
+        dedup_against_index,
+        dedup_against_simhash_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    v2 = base + " extra trailing words changing the tail of the doc"
+    far = "completely different content about ships and harbors and tides"
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    corpus_v1 = docs([(1, base), (2, far)])
+    version2 = docs([(1, v2)])
+    batch = docs([(10, base)])
+    kw = dict(num_hashes=16, bands=4, shingle_len=2)
+
+    mh = str(tmp_path / "mh")
+    build_minhash_index(corpus_v1, "doc_id", "text", mh, **kw)
+    append_to_index(version2, "doc_id", "text", mh, **kw)
+    out = dedup_against_index(
+        spark, batch, "doc_id", "text", mh, jaccard_threshold=0.1, **kw
+    ).collect()
+    assert len(out) == len({(r.new_id, r.corpus_id) for r in out})
+    j = {(r.new_id, r.corpus_id): r.jaccard for r in out}
+    assert j[(10, 1)] == pytest.approx(1.0)  # strongest version: v1 exact
+
+    sh = str(tmp_path / "sh")
+    build_simhash_index(corpus_v1, "doc_id", "text", sh, max_hamming=30)
+    append_to_simhash_index(version2, "doc_id", "text", sh, max_hamming=30)
+    out = dedup_against_simhash_index(
+        spark, batch, "doc_id", "text", sh, max_hamming=30
+    ).collect()
+    assert len(out) == len({(r.new_id, r.corpus_id) for r in out})
+    h = {(r.new_id, r.corpus_id): r.hamming for r in out}
+    assert h[(10, 1)] == 0  # closest version wins deterministically
+
+    ct = str(tmp_path / "ct")
+    build_containment_index(corpus_v1, "doc_id", "text", ct, shingle_len=2, threshold=0.5)
+    append_to_containment_index(version2, "doc_id", "text", ct, shingle_len=2, threshold=0.5)
+    out = containment_against_index(
+        spark, batch, "doc_id", "text", ct, shingle_len=2, threshold=0.5
+    ).collect()
+    assert len(out) == len({(r.new_id, r.corpus_id) for r in out})
+    c = {(r.new_id, r.corpus_id): (r.containment_new, r.containment_corpus) for r in out}
+    assert c[(10, 1)][0] == pytest.approx(1.0)
+
+    def vecs(rows):
+        return spark.createDataFrame(rows, "vec_id bigint, emb array<double>")
+
+    emb = str(tmp_path / "emb")
+    ekw = dict(m=8, bands=4, seed=3)
+    build_embedding_index(vecs([(1, [1.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0])]),
+                          "vec_id", "emb", emb, threshold=0.5, **ekw)
+    append_to_embedding_index(vecs([(1, [0.9, 0.4, 0.2])]), "vec_id", "emb", emb, **ekw)
+    out = dedup_against_embedding_index(
+        spark, vecs([(10, [1.0, 0.0, 0.0])]), "vec_id", "emb", emb,
+        threshold=0.5, **ekw
+    ).collect()
+    assert len(out) == len({(r.new_id, r.corpus_id) for r in out})
+    s = {(r.new_id, r.corpus_id): r.cosine_sim for r in out}
+    assert s[(10, 1)] == pytest.approx(1.0)  # v1 identical vector wins
