@@ -36,8 +36,17 @@ def cdc_snapshot(
     row's JSON (portable across engines and rerun-stable; to_json
     serializes any column type, so the contract holds for array/map
     payloads too), never partition order.  Exact duplicate rows
-    collapse to the same hash and are interchangeable by definition."""
+    collapse to the same hash and are interchangeable by definition.
+
+    NULL ``op`` rows (an unparseable log record) are IGNORED up front —
+    comparison semantics, same as NULL timestamps in asof_join. Without
+    the filter a NULL-op row at the key's max seq wins the window rank
+    and then fails ``op != delete_op`` (NULL), silently erasing the
+    key's valid lower-seq history from the snapshot — one corrupt op
+    byte acting as a delete (probed r10). Any NON-NULL op other than
+    ``delete_op`` is an upsert, as before."""
     keys = list(keys)
+    changes = changes.filter(F.col(op_col).isNotNull())
     is_delete = (F.col(op_col) == delete_op).cast("int")
     w = Window.partitionBy(*keys).orderBy(
         F.col(seq_col).desc(),
@@ -62,9 +71,16 @@ def cdc_apply(
     """Merge a new change batch into an existing snapshot: fold the
     batch, then anti-join the old snapshot against every touched key
     (updates AND deletes) and union the fresh rows — the no-MERGE
-    parquet rewrite, one anti-join + one fold."""
+    parquet rewrite, one anti-join + one fold.
+
+    ``touched`` is computed from the NON-NULL-op rows only (the same
+    rows the fold sees): a key whose batch rows are ALL unparseable
+    (NULL op) must leave the old snapshot row in place — counting it
+    as touched would anti-join the row away with nothing to replace
+    it, a delete driven entirely by corrupt records."""
     keys = list(keys)
-    folded = cdc_snapshot(changes, keys, seq_col, op_col, delete_op)
-    touched = changes.select(*keys).distinct()
+    applicable = changes.filter(F.col(op_col).isNotNull())
+    folded = cdc_snapshot(applicable, keys, seq_col, op_col, delete_op)
+    touched = applicable.select(*keys).distinct()
     kept = snapshot.join(touched, keys, "left_anti")
     return kept.unionByName(folded.select(*snapshot.columns))

@@ -80,12 +80,21 @@ def pack_sequences(
     Adds ``seq_id`` (0-based within each packing group) and
     ``seq_offset`` (token offset of this document inside its sequence —
     ``cumsum_before mod budget`` for non-straddling documents).
+
+    Dirty token counts (NULL or negative — an upstream counting stage
+    that failed or overflowed) get NULL seq_id/seq_offset and consume
+    NO budget, identically in this path and the greedy one. NULL was
+    already row-local (sum skips it), but a NEGATIVE count previously
+    entered the cumsum and shifted every LATER document's offsets in
+    the group — corrupt rows poisoning clean rows' packing (probed
+    r10). Route NULL-seq_id rows explicitly before export.
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
     df, group_cols, added = _grouping(df, partition_cols, bucket_by)
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
-    before = (F.sum(tokens_col).over(w) - F.col(tokens_col)).cast("bigint")
+    tok = F.when(F.col(tokens_col) >= 0, F.col(tokens_col))  # NULL if dirty
+    before = (F.sum(tok).over(w) - tok).cast("bigint")
     out = df.withColumn(
         "seq_id", (before / F.lit(budget)).cast("bigint")
     ).withColumn("seq_offset", before - F.col("seq_id") * F.lit(budget))
@@ -96,6 +105,13 @@ def _greedy_pack(pdf: pd.DataFrame, tokens_col: str, budget: int) -> pd.DataFram
     seq_ids, offsets = [], []
     seq_id, fill = 0, 0
     for tok in pdf[tokens_col]:
+        # dirty count (NULL/negative): NULL placement, no budget use —
+        # same contract as pack_sequences (see its docstring); int(tok)
+        # on a NULL crashed the whole Arrow batch before (probed r10)
+        if pd.isna(tok) or tok < 0:
+            seq_ids.append(None)
+            offsets.append(None)
+            continue
         tok = int(tok)
         if fill > 0 and fill + tok > budget:
             seq_id += 1
@@ -107,8 +123,8 @@ def _greedy_pack(pdf: pd.DataFrame, tokens_col: str, budget: int) -> pd.DataFram
             seq_id += 1
             fill = 0
     pdf = pdf.copy()
-    pdf["seq_id"] = pd.Series(seq_ids, index=pdf.index, dtype="int64")
-    pdf["seq_offset"] = pd.Series(offsets, index=pdf.index, dtype="int64")
+    pdf["seq_id"] = pd.array(seq_ids, dtype="Int64")
+    pdf["seq_offset"] = pd.array(offsets, dtype="Int64")
     return pdf
 
 

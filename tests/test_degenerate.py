@@ -560,3 +560,64 @@ def test_ivf_fit_and_assign_quarantine(spark, clean_vecs, dirty_vecs):
         assert dirty_map[vid] == lst, vid
     for vid in (100, 101, 102, 103, 104, 105, 106):
         assert dirty_map[vid] == -1, vid
+
+
+def test_cdc_null_op_never_masks_history(spark):
+    """A NULL op (unparseable log record) is ignored — comparison
+    semantics. Pre-fix it won the window rank at the key's max seq and
+    then failed the delete filter, silently ERASING the key's valid
+    lower-seq history from the snapshot; through cdc_apply the
+    anti-join then deleted the key from the old snapshot outright."""
+    from dbt_foundation_spark.operators.cdc import cdc_apply, cdc_snapshot
+
+    changes = spark.createDataFrame(
+        [(1, 1, "I", "v1"), (1, 2, "U", "v2"), (1, 3, None, "corrupt"),
+         (2, 5, None, "corrupt"), (3, 1, "I", "x1"), (3, 2, "D", None)],
+        "k bigint, seq bigint, op string, val string",
+    )
+    snap = {r.k: r.val for r in cdc_snapshot(changes, ["k"], "seq").collect()}
+    assert snap == {1: "v2"}  # k=1 keeps valid history; k=2 all-corrupt -> absent
+
+    old = spark.createDataFrame(
+        [(1, 0, "I", "old1"), (2, 0, "I", "old2"), (3, 0, "I", "old3"),
+         (4, 0, "I", "old4")],
+        "k bigint, seq bigint, op string, val string",
+    )
+    out = {r.k: r.val for r in cdc_apply(old, changes, ["k"], "seq").collect()}
+    # k=1 updated, k=2 (only corrupt rows) KEEPS the old row, k=3
+    # deleted by a valid D, k=4 untouched
+    assert out == {1: "v2", 2: "old2", 4: "old4"}
+
+
+def test_dirty_token_counts_pack_contract(spark):
+    """NULL/negative token counts (failed upstream counting) pack as
+    NULL seq_id/seq_offset and consume no budget, identically in the
+    window and greedy paths; clean rows' packing is INVARIANT to the
+    corrupt rows' presence. Pre-fix a negative count entered the window
+    cumsum and shifted every later document's offsets, and int(NaN)
+    crashed the greedy path's Arrow batch."""
+    from dbt_foundation_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_greedy,
+    )
+
+    clean_rows = [(1, 10), (3, 5), (5, 8), (7, 12)]
+    dirty_rows = [(2, None), (4, -7), (6, None)]
+    mk = lambda rows: spark.createDataFrame(
+        sorted(rows), "doc_id bigint, n_tokens bigint"
+    )
+    for fn in (pack_sequences, pack_sequences_greedy):
+        clean = {
+            r.doc_id: (r.seq_id, r.seq_offset)
+            for r in fn(mk(clean_rows), "n_tokens", 16, ["doc_id"],
+                        bucket_by=("doc_id", 1)).collect()
+        }
+        dirty = {
+            r.doc_id: (r.seq_id, r.seq_offset)
+            for r in fn(mk(clean_rows + dirty_rows), "n_tokens", 16,
+                        ["doc_id"], bucket_by=("doc_id", 1)).collect()
+        }
+        for did, _ in clean_rows:
+            assert dirty[did] == clean[did], (fn.__name__, did)
+        for did, _ in dirty_rows:
+            assert dirty[did] == (None, None), (fn.__name__, did)
