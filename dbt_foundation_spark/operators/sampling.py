@@ -12,6 +12,15 @@ compared against floor(fraction * 2^32) rendered in hex — lexicographic
 compare of fixed-width lowercase hex equals numeric compare, so the
 whole predicate stays a codegen'd string comparison (no bigint parsing,
 which DuckDB's SQL surface lacks for hex).
+
+NULL-id contract: a row with a NULL id has no stable identity, so it
+can never be a sample MEMBER (its hash is NULL and every membership
+predicate fails — hash_sample / stratified_sample / mixture_resample
+exclude it, and mixture counts only identifiable rows so phantom rows
+don't bias the clean domains' rates). :func:`train_test_split` is the
+exception because its contract is exhaustive: NULL-id rows land in
+TRAIN, deterministically — never silently in neither split, and never
+in the eval set, whose members must be trackable across runs.
 """
 
 from __future__ import annotations
@@ -39,7 +48,8 @@ def _threshold_hex(fraction: float) -> str:
 def hash_sample(
     df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
 ) -> DataFrame:
-    """Keep ~fraction of rows, decided per-row by content hash."""
+    """Keep ~fraction of rows, decided per-row by content hash.
+    NULL-id rows are never members (module docstring)."""
     return df.filter(
         _hash_bucket(F.col(id_col), salt) < F.lit(_threshold_hex(fraction))
     )
@@ -67,8 +77,17 @@ def train_test_split(
     df: DataFrame, id_col: str, test_fraction: float = 0.1, salt: str = "split"
 ) -> tuple[DataFrame, DataFrame]:
     """Disjoint, exhaustive, content-stable split — a row never migrates
-    between train and test across runs or repartitions."""
-    test_pred = _hash_bucket(F.col(id_col), salt) < F.lit(_threshold_hex(test_fraction))
+    between train and test across runs or repartitions.
+
+    NULL ids go to TRAIN (coalesce, not raw negation): the raw NULL
+    hash fails BOTH filters, so NULL-id rows silently vanished from the
+    corpus — an exhaustiveness violation (r10 probe). Train is the safe
+    side: eval-set membership must be trackable across runs, which an
+    id-less row is not (module docstring, NULL-id contract)."""
+    test_pred = F.coalesce(
+        _hash_bucket(F.col(id_col), salt) < F.lit(_threshold_hex(test_fraction)),
+        F.lit(False),
+    )
     return df.filter(~test_pred), df.filter(test_pred)
 
 
@@ -110,13 +129,27 @@ def mixture_resample(
     """
     if not target_weights:
         raise ValueError("target_weights must be non-empty")
+    if any(d is None for d in target_weights):
+        raise ValueError(
+            "target_weights cannot key on None: NULL-domain rows are "
+            "unsampleable (module docstring, NULL-id contract)"
+        )
     if any(w <= 0 for w in target_weights.values()):
         raise ValueError(f"weights must be > 0: {target_weights}")
     spark = df.sparkSession
     wdf = spark.createDataFrame(
         sorted(target_weights.items()), f"{domain_col} string, _wt double"
     )
-    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    # count only MEMBERSHIP-ELIGIBLE rows (non-NULL id): the hash filter
+    # below can never admit a NULL-id row, so counting it would deflate
+    # its domain's acceptance rate and skew the realized mixture of the
+    # clean rows (r10 probe). NULL-domain rows drop out naturally — the
+    # rate join is on the (never-NULL) weight-table domains.
+    counts = (
+        df.filter(F.col(id_col).isNotNull())
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
     sized = counts.join(F.broadcast(wdf), domain_col)
     if allow_missing:
         cap_over = sized
@@ -253,6 +286,17 @@ def temperature_resample(
     broadcast inside mixture_resample."""
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
-    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n")).collect()
+    # non-NULL domain AND id only: a NULL domain key would crash the
+    # weight-table sort in mixture_resample (None < str), and NULL-id
+    # rows can never be members so they must not inflate n_d (r10
+    # probe; module docstring, NULL-id contract)
+    counts = (
+        df.filter(F.col(domain_col).isNotNull() & F.col(id_col).isNotNull())
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
     weights = {r[domain_col]: float(r["_n"]) ** (1.0 / temperature) for r in counts}
+    if not weights:  # empty corpus (or nothing eligible): nothing to mix
+        return df.limit(0)
     return mixture_resample(df, id_col, domain_col, weights, salt=salt)

@@ -621,3 +621,58 @@ def test_dirty_token_counts_pack_contract(spark):
             assert dirty[did] == clean[did], (fn.__name__, did)
         for did, _ in dirty_rows:
             assert dirty[did] == (None, None), (fn.__name__, did)
+
+
+def test_null_id_sampling_contract(spark):
+    """NULL-id / NULL-domain rows through the samplers (module
+    docstring, NULL-id contract). Pre-fix: a NULL id's NULL hash failed
+    BOTH train_test_split filters (rows vanished from the corpus), a
+    NULL domain crashed temperature_resample's weight-table sort
+    (None < str), and mixture counts included phantom never-admittable
+    rows, skewing clean domains' realized rates."""
+    from dbt_foundation_spark.operators.sampling import (
+        hash_sample,
+        mixture_resample,
+        temperature_resample,
+        train_test_split,
+    )
+
+    rows = [(i, "web" if i % 2 else "code") for i in range(1, 101)]
+    dirty = [(None, "web"), (None, "code"), (777, None)]
+    clean_df = spark.createDataFrame(rows, "doc_id bigint, domain string")
+    dirty_df = spark.createDataFrame(rows + dirty, "doc_id bigint, domain string")
+
+    # exhaustive + disjoint, NULL ids in train
+    train, test = train_test_split(dirty_df, "doc_id", 0.2)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == dirty_df.count()
+    assert test.filter(F.col("doc_id").isNull()).count() == 0
+    assert train.filter(F.col("doc_id").isNull()).count() == 2
+
+    # membership samplers exclude NULL ids; clean-row fate unchanged
+    # (777 has a valid id — NULL domain is irrelevant to hash_sample)
+    ids = lambda df: {r.doc_id for r in df.select("doc_id").collect()}
+    assert ids(hash_sample(dirty_df, "doc_id", 0.5)) - {777} == ids(
+        hash_sample(clean_df, "doc_id", 0.5)
+    )
+    assert None not in ids(hash_sample(dirty_df, "doc_id", 0.99))
+
+    # mixture: clean rows' membership invariant to dirty-row presence
+    kw = dict(target_weights={"web": 0.5, "code": 0.5})
+    assert ids(mixture_resample(dirty_df, "doc_id", "domain", **kw)) == ids(
+        mixture_resample(clean_df, "doc_id", "domain", **kw)
+    )
+
+    # temperature path survives NULL domain, same invariance
+    assert ids(temperature_resample(dirty_df, "doc_id", "domain", 2.0)) == ids(
+        temperature_resample(clean_df, "doc_id", "domain", 2.0)
+    )
+    # degenerate: nothing eligible -> empty, not a raise
+    all_null = spark.createDataFrame(
+        [(None, None)], "doc_id bigint, domain string"
+    )
+    assert temperature_resample(all_null, "doc_id", "domain", 2.0).count() == 0
+
+    with pytest.raises(ValueError, match="None"):
+        mixture_resample(dirty_df, "doc_id", "domain",
+                         target_weights={None: 0.5, "web": 0.5})
