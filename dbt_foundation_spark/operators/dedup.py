@@ -40,10 +40,18 @@ _P = (1 << 31) - 1
 def exact_dedup(df: DataFrame, cols: list[str], keep_order: list | None = None) -> DataFrame:
     """D1: exactly one row per value-combination. With keep_order, the
     winner is deterministic (row_number); otherwise dropDuplicates
-    (cheaper: partial dedup map-side before the shuffle)."""
+    (cheaper: partial dedup map-side before the shuffle).
+
+    keep_order TIES (duplicate or NULL order values within a group)
+    fall through to an md5-over-the-whole-row tiebreak — the same
+    rerun-stable, engine-portable keeper cdc_snapshot uses — so the
+    kept row never depends on partition order. Exact full-row
+    duplicates share the hash and are interchangeable by definition."""
     if keep_order is None:
         return df.dropDuplicates(cols)
-    w = Window.partitionBy(*cols).orderBy(*keep_order)
+    w = Window.partitionBy(*cols).orderBy(
+        *keep_order, F.md5(F.to_json(F.struct(*df.columns))).asc()
+    )
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 

@@ -676,3 +676,30 @@ def test_null_id_sampling_contract(spark):
     with pytest.raises(ValueError, match="None"):
         mixture_resample(dirty_df, "doc_id", "domain",
                          target_weights={None: 0.5, "web": 0.5})
+
+
+def test_exact_dedup_tie_keeper_deterministic(spark):
+    """keep_order ties (equal or NULL order values inside one dedup
+    group) resolve via the md5-over-row tiebreak, so the keeper is
+    identical across partition layouts — pre-fix row_number over a tied
+    sort kept whichever row the shuffle happened to deliver first."""
+    from dbt_foundation_spark.operators.dedup import exact_dedup
+
+    rows = [
+        ("dup text", 5, "payload-a"),
+        ("dup text", 5, "payload-b"),      # tied keep_order value
+        ("dup text", None, "payload-c"),   # NULL order value
+        ("other", 1, "payload-d"),
+    ]
+    keepers = set()
+    for n_parts, order in ((1, rows), (4, rows[::-1]), (7, rows[1:] + rows[:1])):
+        df = spark.createDataFrame(
+            order, "text string, prio int, payload string"
+        ).repartition(n_parts)
+        got = {
+            (r.text, r.payload)
+            for r in exact_dedup(df, ["text"], keep_order=[F.desc_nulls_last("prio")])
+            .collect()
+        }
+        keepers.add(frozenset(got))
+    assert len(keepers) == 1, keepers
