@@ -500,7 +500,10 @@ def _snapshot(project: Project, node: Node, df: DataFrame) -> None:
         [F.col("dbt_valid_from").desc_nulls_last()]
         if strategy == "timestamp"
         else []
-    ) + [F.md5(F.to_json(F.struct(*df.columns))).desc()]
+    ) + [
+        # UTC-rendered so the keeper hash is session-timezone stable
+        F.md5(F.to_json(F.struct(*df.columns), {"timeZone": "UTC"})).desc()
+    ]
     new = (
         new.withColumn(
             "_rn", F.row_number().over(_W.partitionBy(*keys).orderBy(*dup_order))

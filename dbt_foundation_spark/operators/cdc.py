@@ -51,7 +51,10 @@ def cdc_snapshot(
     w = Window.partitionBy(*keys).orderBy(
         F.col(seq_col).desc(),
         is_delete.desc(),
-        F.md5(F.to_json(F.struct(*changes.columns))).desc(),
+        # UTC-rendered to_json: the hash of a timestamp column must not
+        # depend on spark.sql.session.timeZone, or the keeper flips
+        # between cluster configs (r10 review)
+        F.md5(F.to_json(F.struct(*changes.columns), {"timeZone": "UTC"})).desc(),
     )
     return (
         changes.withColumn("_rn", F.row_number().over(w))

@@ -50,7 +50,11 @@ def exact_dedup(df: DataFrame, cols: list[str], keep_order: list | None = None) 
     if keep_order is None:
         return df.dropDuplicates(cols)
     w = Window.partitionBy(*cols).orderBy(
-        *keep_order, F.md5(F.to_json(F.struct(*df.columns))).asc()
+        *keep_order,
+        # UTC-rendered to_json: without the option the hash of a
+        # timestamp column depends on spark.sql.session.timeZone and
+        # the "deterministic" keeper flips between cluster configs
+        F.md5(F.to_json(F.struct(*df.columns), {"timeZone": "UTC"})).asc(),
     )
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 

@@ -88,17 +88,34 @@ def pack_sequences(
     entered the cumsum and shifted every LATER document's offsets in
     the group — corrupt rows poisoning clean rows' packing (probed
     r10). Route NULL-seq_id rows explicitly before export.
+
+    TIED order_cols values resolve through the md5-over-row tiebreak
+    (:func:`_pack_tie`) appended to the sort, making the total order
+    unique. Without it the default RANGE window frame counted every
+    tied PEER's tokens into each peer's own cumsum-before (overlapping
+    offsets matching no serial packing), and the greedy path's stable
+    sort kept whatever order the shuffle delivered.
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
     df, group_cols, added = _grouping(df, partition_cols, bucket_by)
-    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols, _pack_tie(df))
     tok = F.when(F.col(tokens_col) >= 0, F.col(tokens_col))  # NULL if dirty
     before = (F.sum(tok).over(w) - tok).cast("bigint")
     out = df.withColumn(
         "seq_id", (before / F.lit(budget)).cast("bigint")
     ).withColumn("seq_offset", before - F.col("seq_id") * F.lit(budget))
     return out.drop(*added) if added else out
+
+
+def _pack_tie(df: DataFrame):
+    """Deterministic tiebreak for packing orders: md5 over the whole
+    row's JSON (UTC-rendered timestamps so the hash is session-tz
+    independent) — same rerun-stable keeper exact_dedup/cdc_snapshot
+    use. Makes any user order_cols a TOTAL order, so the window path's
+    RANGE frame has no peers and the greedy path's sort has no
+    partition-order-dependent ties."""
+    return F.md5(F.to_json(F.struct(*df.columns), {"timeZone": "UTC"}))
 
 
 def _greedy_pack(pdf: pd.DataFrame, tokens_col: str, budget: int) -> pd.DataFrame:
@@ -146,18 +163,22 @@ def pack_sequences_greedy(
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
     df, group_cols, added = _grouping(df, partition_cols, bucket_by)
+    # same md5 tiebreak as the window path: without it, tied order_cols
+    # rows keep whatever order the shuffle delivered into the Arrow
+    # batch (mergesort is stable IN that arbitrary order)
+    df = df.withColumn("_pack_tie", _pack_tie(df))
     from pyspark.sql.types import LongType, StructField, StructType
 
     schema = StructType(
         list(df.schema.fields)
         + [StructField("seq_id", LongType()), StructField("seq_offset", LongType())]
     )
-    order = list(order_cols)
+    order = list(order_cols) + ["_pack_tie"]
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _greedy_pack(pdf.sort_values(order, kind="mergesort"), tokens_col, budget)
 
-    out = df.groupBy(*group_cols).applyInPandas(fn, schema=schema)
+    out = df.groupBy(*group_cols).applyInPandas(fn, schema=schema).drop("_pack_tie")
     return out.drop(*added) if added else out
 
 

@@ -174,7 +174,12 @@ def mixture_resample(
     return (
         df.join(F.broadcast(rates.withColumn("_thr", thr)), domain_col)
         .filter(_hash_bucket(F.col(id_col), salt) < F.col("_thr"))
-        .drop("_rate", "_thr")
+        # restore the INPUT column order: the equi-join hoists the join
+        # key to the front, so without this select the output schema
+        # order would differ from the input's (and from the
+        # empty-corpus path in temperature_resample, which returns
+        # df.limit(0)) — positional consumers would silently misalign
+        .select(*df.columns)
     )
 
 

@@ -226,6 +226,21 @@ def ivf_assignments(
         modal_dim = min(
             (d for d in dim_counts if dim_counts[d] == max(dim_counts.values()))
         )
+        if len(dim_counts) > 1:
+            # no silent caps: a mixed-dim corpus (e.g. mid-migration
+            # between embedding models) fits on the modal dim only and
+            # quarantines the rest to list -1 — say so, with the
+            # sample's per-dim counts, instead of half the corpus
+            # quietly disappearing from ANN answers
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "IVF fit: mixed vector dims in sample %s — fitting on "
+                "modal dim=%d; other dims will be QUARANTINED to list "
+                "-1 (unsearchable). Split the corpus by dim and build "
+                "one index per dim if they are all legitimate.",
+                dict(sorted(dim_counts.items())), modal_dim,
+            )
         vals = [v for v in vals if len(v) == modal_dim]
     X = np.array(vals, dtype=np.float64)
     if len(X) < n_lists:
@@ -659,13 +674,38 @@ def _append_assigned(
 ) -> None:
     """Assignment + append with pre-loaded quantizer state — the core
     :func:`append_to_ivf_index` and the streaming ingest sink share
-    (the sink loads centroids/schema ONCE, not per micro-batch)."""
-    (
-        _assigned_rows(df, id_col, vec_col, path, centroids, dim)
-        .write.mode("append")
-        .partitionBy("_ivf_list")
-        .parquet(f"{path}/lists")
-    )
+    (the sink loads centroids/schema ONCE, not per micro-batch).
+
+    Quarantine accounting (no silent caps): the batch is pinned once
+    (micro-batch-sized), its quarantined-row count measured, and the
+    batch REFUSED if every row quarantined — an all-dirty batch is a
+    systematic error (truncated vectors, wrong embedding model), not
+    dirty data, and appending it would "succeed" while making nothing
+    searchable. A partial quarantine is logged with counts and
+    written — the rows land in list -1 where index_stats and
+    retract/compact still see them."""
+    from dbt_foundation_spark.checkpoint import pin
+
+    assigned = pin(_assigned_rows(df, id_col, vec_col, path, centroids, dim))
+    counts = assigned.groupBy(F.col("_ivf_list") == -1).count().collect()
+    n_quar = sum(r["count"] for r in counts if r[0])
+    n_ok = sum(r["count"] for r in counts if not r[0])
+    if n_quar and not n_ok:
+        raise ValueError(
+            f"IVF index {path}: every row of the {n_quar}-row batch was "
+            f"quarantined (wrong dim={dim}, NULL, or non-finite vectors) "
+            "— refusing an all-dirty append; fix the batch or rebuild "
+            "the index for the new dimensionality"
+        )
+    if n_quar:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "IVF index %s: quarantined %d/%d batch rows to list -1 "
+            "(wrong dim/NULL/non-finite vectors)",
+            path, n_quar, n_quar + n_ok,
+        )
+    assigned.write.mode("append").partitionBy("_ivf_list").parquet(f"{path}/lists")
 
 
 def _assigned_rows(
@@ -678,10 +718,17 @@ def _assigned_rows(
 ) -> DataFrame:
     """The assignment plan of :func:`_append_assigned` WITHOUT the
     write — split out so the streaming ingest can run the pre-execution
-    scale gate on the exact plan it is about to execute."""
-    checked = _dim_guarded(df, vec_col, dim, f"IVF index {path}")
+    scale gate on the exact plan it is about to execute.
+
+    Corrupt rows (wrong dim / NULL / non-finite) quarantine to list -1
+    via :func:`_ivf_assign` — the SAME fate they get at build time, so
+    one dirty row never aborts an ingest batch (pre-r10 this path wore
+    the query-side raise guard and the identical row crashed an append
+    but was quarantined by a rebuild). The loud `_dim_guarded` raise
+    stays on the QUERY side only, where a mis-sized vector is a
+    caller/config error, not dirty data."""
     return (
-        _ivf_assign(checked, vec_col, centroids)
+        _ivf_assign(df, vec_col, centroids)
         .select(id_col, vec_col, "_ivf_list")
         .repartition("_ivf_list")
     )
@@ -702,11 +749,11 @@ def append_to_ivf_index(
     back to target size per list. Appending never moves old rows, so
     :func:`search_ivf_index`'s partition-pruning contract is unchanged.
 
-    Guards: a wrong-length or NULL vector fails the job instead of
-    NULL-padding into the wrong list (:func:`_dim_guarded`, a
-    when/raise_error woven into the vector column), and a batch whose
-    column names/types differ from the stored lists schema is refused
-    before any file lands (:func:`_check_batch_schema`). K-means
+    Guards: a wrong-length / NULL / non-finite vector QUARANTINES to
+    list -1 (:func:`_ivf_assign`) — the same fate as at build time, so
+    one dirty row never aborts an ingest — and a batch whose column
+    names/types differ from the stored lists schema is refused before
+    any file lands (:func:`_check_batch_schema`). K-means
     quality degrades if the data distribution shifts far from the
     build sample; re-run :func:`build_ivf_index` on that signal
     (:func:`ivf_list_profile` skew), not per ingest."""
@@ -882,9 +929,10 @@ def knn_join_ivf(
 
     ``exclude_self`` drops corpus rows whose id equals the query's
     (queries drawn from the indexed corpus itself). Query vectors carry
-    the same wrong-dim/NULL raise guard as the append path — a
-    mis-sized query would otherwise probe meaningless lists and return
-    NULL similarities as "neighbors"."""
+    the wrong-dim/NULL RAISE guard (:func:`_dim_guarded`) — unlike the
+    corpus/append side, where a dirty row quarantines, a mis-sized
+    QUERY is a caller/config error that would probe meaningless lists
+    and return NULL similarities as "neighbors"."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if num_salts < 1:

@@ -703,3 +703,84 @@ def test_exact_dedup_tie_keeper_deterministic(spark):
         }
         keepers.add(frozenset(got))
     assert len(keepers) == 1, keepers
+
+
+def test_ivf_append_quarantines_partial_refuses_all_dirty(spark, clean_vecs, tmp_path):
+    """Append-side quarantine matches build-side (r10 review): a batch
+    with SOME corrupt rows appends — clean rows searchable, corrupt
+    rows in list -1 — while an ALL-dirty batch is refused loudly (a
+    systematic error, e.g. the wrong embedding model, not dirty data)."""
+    from dbt_foundation_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_q")
+    build_ivf_index(clean_vecs, "vec_id", "embedding", path, n_lists=2, seed=7)
+
+    mixed = spark.createDataFrame(
+        [(200, [0.95, 0.05, 0.0]), (201, [float("nan"), 0.0, 0.0]),
+         (202, [1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    append_to_ivf_index(mixed, "vec_id", "embedding", path)
+    lists = spark.read.parquet(f"{path}/lists")
+    quar = {r.vec_id for r in lists.filter(F.col("_ivf_list") == -1).collect()}
+    assert quar == {201, 202}
+    hits = {
+        r.vec_id
+        for r in search_ivf_index(
+            spark, path, "vec_id", "embedding", [1.0, 0.0, 0.0], k=3, n_probe=2
+        ).collect()
+    }
+    assert 200 in hits and not ({201, 202} & hits)
+
+    all_dirty = spark.createDataFrame(
+        [(300, None), (301, [float("inf"), 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="quarantined"):
+        append_to_ivf_index(all_dirty, "vec_id", "embedding", path)
+
+
+def test_pack_tied_order_cols_serial_and_deterministic(spark):
+    """Tied order_cols (r10 review): the window path's default RANGE
+    frame counted every tied peer's tokens into each peer's own
+    cumsum-before (overlapping offsets matching no serial packing), and
+    the greedy path's stable sort kept shuffle arrival order. Both now
+    share the md5-over-row tiebreak: offsets are a serial prefix
+    (disjoint, budget-respecting) and identical across partition
+    layouts."""
+    from dbt_foundation_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_greedy,
+    )
+
+    rows = [(i, "en", 5) for i in range(1, 9)]  # all tied on order col
+    for fn in (pack_sequences, pack_sequences_greedy):
+        results = []
+        for n_parts in (1, 4, 7):
+            df = spark.createDataFrame(
+                rows, "doc_id bigint, lang string, n_tokens bigint"
+            ).repartition(n_parts)
+            out = {
+                r.doc_id: (r.seq_id, r.seq_offset)
+                for r in fn(df, "n_tokens", 16, ["lang"],
+                            bucket_by=("doc_id", 1)).collect()
+            }
+            results.append(out)
+        assert results[0] == results[1] == results[2], fn.__name__
+        placed = sorted(results[0].values())
+        if fn is pack_sequences:
+            # contiguous fill (documents may straddle): before = 0,5,…,35
+            # over the unique total order → (floor(b/16), b mod 16);
+            # pre-fix the RANGE frame gave all 8 peers before=35
+            assert placed == sorted(
+                (b // 16, b % 16) for b in range(0, 40, 5)
+            ), placed
+        else:
+            # greedy never straddles: 3 docs of 5 fit a 16 budget
+            assert placed == sorted(
+                (i // 3, (i % 3) * 5) for i in range(8)
+            ), placed
