@@ -476,3 +476,111 @@ def test_seeds_sql_rejects_unsafe_literals():
     for bad in ("don't", "back\\slash"):
         with _pytest.raises(ValueError, match="quote/backslash"):
             _seeds_sql(((-9, bad),))
+
+
+# ---------- model-based folds: packing and CDC vs pure-Python refs ----------
+
+_pack_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),           # doc_id (may dup order key below)
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=60)),  # tokens incl dirty
+    ),
+    min_size=1,
+    max_size=60,
+).map(lambda xs: [(i, t) for i, (_, t) in enumerate(xs)])  # unique ids, random tokens
+
+
+@given(_pack_rows, st.integers(min_value=1, max_value=40))
+@SET
+def test_pack_sequences_matches_python_model(spark, rows, budget):
+    """Window (contiguous-fill, straddling) and greedy (first-fit,
+    non-straddling) packing both equal an independent python fold over
+    the same (unique) order, with dirty counts (NULL/negative) placed
+    NULL and consuming nothing — for ANY budget and token mix."""
+    from dbt_foundation_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_greedy,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id bigint, toks bigint").repartition(5)
+
+    def clean(t):
+        return t is not None and t >= 0
+
+    # contiguous-fill model: running-before over clean rows in id order
+    want_window, before = {}, 0
+    for did, t in rows:
+        if not clean(t):
+            want_window[did] = (None, None)
+            continue
+        want_window[did] = (before // budget, before % budget)
+        before += t
+    got = {
+        r.doc_id: (r.seq_id, r.seq_offset)
+        for r in pack_sequences(
+            df, "toks", budget, ["doc_id"], bucket_by=("doc_id", 1)
+        ).collect()
+    }
+    assert got == want_window
+
+    # first-fit model: close when the next doc would overflow; a full
+    # (or oversized single) doc closes its sequence
+    want_greedy, seq_id, fill = {}, 0, 0
+    for did, t in rows:
+        if not clean(t):
+            want_greedy[did] = (None, None)
+            continue
+        if fill > 0 and fill + t > budget:
+            seq_id, fill = seq_id + 1, 0
+        want_greedy[did] = (seq_id, fill)
+        fill += t
+        if fill >= budget:
+            seq_id, fill = seq_id + 1, 0
+    got = {
+        r.doc_id: (r.seq_id, r.seq_offset)
+        for r in pack_sequences_greedy(
+            df, "toks", budget, ["doc_id"], bucket_by=("doc_id", 1)
+        ).collect()
+    }
+    assert got == want_greedy
+
+
+_cdc_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),                 # key
+        st.integers(min_value=0, max_value=6),                 # seq (ties likely)
+        st.one_of(st.none(), st.sampled_from(["I", "U", "D"])),  # op incl corrupt
+        st.integers(min_value=0, max_value=9),                 # payload
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(_cdc_ops)
+@SET
+def test_cdc_snapshot_matches_python_model(spark, rows):
+    """cdc_snapshot equals an independent python fold: NULL ops ignored,
+    max seq wins, delete beats upsert on a tied seq, and residual
+    same-op ties resolve by the documented md5-over-row-JSON keeper
+    (replicated here byte-for-byte via Spark's to_json rendering)."""
+    from dbt_foundation_spark.operators.cdc import cdc_snapshot
+
+    df = spark.createDataFrame(
+        rows, "k bigint, seq bigint, op string, val bigint"
+    ).repartition(4)
+
+    def row_md5(r):
+        js = '{"k":%d,"seq":%d,"op":"%s","val":%d}' % (r[0], r[1], r[2], r[3])
+        return hashlib.md5(js.encode()).hexdigest()
+
+    best = {}
+    for r in rows:
+        if r[2] is None:
+            continue
+        rank = (r[1], 1 if r[2] == "D" else 0, row_md5(r))
+        if r[0] not in best or rank > best[r[0]][0]:
+            best[r[0]] = (rank, r)
+    want = {k: r for k, (rank, r) in best.items() if r[2] != "D"}
+    got = {r.k: (r.k, r.seq, r.op, r.val) for r in cdc_snapshot(df, ["k"], "seq").collect()}
+    assert got == {k: tuple(v) for k, v in want.items()}
