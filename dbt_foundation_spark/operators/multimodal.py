@@ -97,6 +97,14 @@ def extract_features(
     spawns an Arrow worker, so tiny inputs should coalesce (worker
     startup dominates) while payload-heavy inputs should repartition up
     until rows_per_partition × avg_payload fits executor memory.
+
+    NULL payloads (missing media) yield NULL n_bytes/sha256/features
+    and ``decode_fn`` is NEVER called on them: a real backend (PIL /
+    ffmpeg) would abort the Arrow batch on None, and the previous
+    ``p or b""`` coalesce silently gave a MISSING payload the same
+    sha256 (and fake features) as a zero-byte file — conflating "we
+    never fetched it" with "it is empty" in any dedup-by-hash
+    downstream. An EMPTY (b"") payload is real data and still decodes.
     """
     if target_partitions is not None:
         df = df.coalesce(target_partitions)
@@ -104,16 +112,22 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode(p) for p in pdf["payload"]]
+            payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "mime_type": pdf["mime_type"],
-                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "n_bytes": pd.array(
+                        [None if p is None else len(p) for p in payloads],
+                        dtype="Int64",
+                    ),
                     "sha256": [
-                        hashlib.sha256(p or b"").hexdigest() for p in pdf["payload"]
+                        None if p is None else hashlib.sha256(p).hexdigest()
+                        for p in payloads
                     ],
-                    "features": feats,
+                    "features": [
+                        None if p is None else decode(p) for p in payloads
+                    ],
                 }
             )
 

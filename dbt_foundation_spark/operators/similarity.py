@@ -836,7 +836,11 @@ def ivf_list_profile(spark: SparkSession, path: str) -> DataFrame:
     for the similarity flavor). With a live tombstone log
     (operators/tombstones.py) the subtraction additionally reads the id
     column, so counts reflect LIVE members; compaction restores the
-    metadata-only scan."""
+    metadata-only scan.
+
+    A ``_ivf_list = -1`` row is the QUARANTINE list (wrong-dim / NULL /
+    non-finite vectors, unsearchable by construction); a non-zero share
+    there is the fix-upstream-or-rebuild signal."""
     lists = _live_lists(spark, path)
     counts = lists.groupBy("_ivf_list").agg(F.count(F.lit(1)).alias("n_members"))
     total = Window.partitionBy()

@@ -784,3 +784,36 @@ def test_pack_tied_order_cols_serial_and_deterministic(spark):
             assert placed == sorted(
                 (i // 3, (i % 3) * 5) for i in range(8)
             ), placed
+
+
+def test_null_media_payload_contract(spark):
+    """A NULL binary payload (missing media) yields NULL
+    n_bytes/sha256/features and the decode callback is never invoked on
+    it — pre-fix the `p or b""` coalesce gave a MISSING payload the
+    same sha256 and features as a zero-byte FILE (false dedup-by-hash
+    matches), and a real PIL/ffmpeg decode_fn would have crashed the
+    Arrow batch on None. An empty b"" payload is real data and still
+    decodes."""
+    from dbt_foundation_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(1, "image/png", bytes([7] * 16)), (2, "image/png", None),
+         (3, "image/png", b"")],
+        "media_id bigint, mime_type string, payload binary",
+    )
+    def strict_decode(p):
+        # a real backend (PIL/ffmpeg) raises on None — so does this spy;
+        # the whole job aborting = extract_features called it on NULL
+        if p is None:
+            raise TypeError("decode_fn called on a NULL payload")
+        return [float(len(p)), 2.0]
+
+    rows = {
+        r.media_id: r
+        for r in extract_features(media, dim=2, decode_fn=strict_decode).collect()
+    }
+    assert rows[2].n_bytes is None and rows[2].sha256 is None
+    assert rows[2].features is None
+    assert rows[1].n_bytes == 16 and rows[3].n_bytes == 0
+    assert rows[1].sha256 != rows[3].sha256 != rows[2].sha256
+    assert rows[3].features == [0.0, 2.0]  # empty payload still decodes
