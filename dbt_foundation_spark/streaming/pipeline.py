@@ -405,7 +405,15 @@ def sessionize_with_state(events: DataFrame, gap_seconds: int = 1800) -> DataFra
     normal shape for log ingestion; the clamped timeout below absorbs
     modest disorder). Arbitrarily out-of-order streams need the
     buffer-in-state formulation (hold events until the watermark passes,
-    as the built-in session_window does) — same wiring, more state."""
+    as the built-in session_window does) — same wiring, more state.
+
+    NULL event-times are filtered at entry (comparison semantics — an
+    event at an unknown time belongs to no session, same contract as
+    asof_join's NULL timestamps). Unfiltered, one NaT poisons the
+    per-key fold: every gap comparison against NaT is False, the whole
+    key collapses into one session with last_ts=NaT, and
+    NaT.timestamp() then kills the streaming query."""
+    events = events.filter(F.col("ts").isNotNull())
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         import datetime as _dt
@@ -470,7 +478,13 @@ def sessionize_buffered(
     docstring defers to (the built-in session_window does the same
     internally); the cost is state linear in the open-session event
     count instead of O(1) per key.
+
+    NULL event-times are filtered at entry (same contract as
+    sessionize_with_state): a NaT's .value is the int64 sentinel, which
+    would otherwise enter the buffer as a year-1677 stamp and emit (or
+    crash on) a session that never happened.
     """
+    events = events.filter(F.col("ts").isNotNull())
     gap_us = gap_seconds * 1_000_000
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):

@@ -1865,3 +1865,57 @@ def test_dedup_ingest_first_batch_empty(spark, sf_dir, staging):
     assert idx_ids == [0, 10, 11]
     for p in ("eb_index", "eb_stream", "eb_out"):
         shutil.rmtree(root / p, ignore_errors=True)
+
+
+def test_sessionizers_ignore_null_event_times(spark, staging):
+    """NULL event-time contract (r10): an event at an unknown time
+    belongs to no session. Pre-fix one NaT collapsed
+    sessionize_with_state's whole key into a single NaT-ended session
+    and crashed on NaT.timestamp(); in sessionize_buffered the NaT's
+    int64 sentinel entered the buffer as a year-1677 stamp. Sessions
+    must equal the clean-rows-only run exactly."""
+    import datetime as dt
+    import uuid as _uuid
+
+    from dbt_foundation_spark.streaming.pipeline import (
+        read_event_stream,
+        run_available_now,
+        sessionize_buffered,
+        sessionize_with_state,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 6, 0, 0)
+    mk = lambda uid, mins: (uid * 100 + mins, t0 + dt.timedelta(minutes=mins), uid,
+                            "click", 1.0, "{}")
+    clean = [mk(1, m) for m in (0, 10, 20, 120, 130)] + [mk(2, m) for m in (5, 15)]
+    dirty = [(9001, None, 1, "click", 1.0, "{}"), (9002, None, 3, "click", 1.0, "{}")]
+
+    def run(rows, fn, name):
+        d = staging["root"] / f"null_ts_{name}_{_uuid.uuid4().hex[:6]}"
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(d))
+        # late dummy batch pushes the watermark far past every session
+        spark.createDataFrame(
+            [mk(99, 6000)],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(str(d))
+        out = f"s_null_ts_{name}_{_uuid.uuid4().hex[:6]}"
+        run_available_now(
+            fn(read_event_stream(spark, str(d), max_files_per_trigger=1),
+               gap_seconds=1800),
+            str(staging["root"] / f"ck_{out}"), out, output_mode="append",
+        )
+        return {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.table(out).collect() if r.user_id != 99
+        }
+
+    for fn, name in ((sessionize_with_state, "state"), (sessionize_buffered, "buf")):
+        got_dirty = run(clean + dirty, fn, f"{name}_d")
+        got_clean = run(clean, fn, f"{name}_c")
+        assert got_clean, name  # sessions actually closed
+        assert got_dirty == got_clean, (name, got_dirty ^ got_clean)
