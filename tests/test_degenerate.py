@@ -817,3 +817,56 @@ def test_null_media_payload_contract(spark):
     assert rows[1].n_bytes == 16 and rows[3].n_bytes == 0
     assert rows[1].sha256 != rows[3].sha256 != rows[2].sha256
     assert rows[3].features == [0.0, 2.0]  # empty payload still decodes
+
+
+def test_nonfinite_aggregate_divergence_executable_contract(spark):
+    """Engine divergence on NON-FINITE doubles through aggregates,
+    pinned executable (the unicode-case-fold precedent): Spark's
+    stddev/avg/max return NaN, while DuckDB's stddev ABORTS with
+    OutOfRangeException — an oracle replaying stddev over data
+    containing ±Inf/NaN crashes instead of mismatching. Approx
+    quantile sketches also place non-finites differently (exact
+    medians agree). Harmless today for two reasons, both asserted
+    here: the analytics queries route dispersion through decimal
+    power sums (never the engine stddev builtin), and the testdata's
+    double columns are verified all-finite at the gate SFs. If either
+    stops holding, non-finite rows must be filtered on BOTH sides of
+    any dispersion oracle."""
+    import duckdb
+
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [(v,) for v in [1.0, 2.0, 3.0, 4.0, nan, inf, None]], "v double"
+    )
+    import math
+
+    r = df.agg(
+        F.stddev("v").alias("sd"), F.avg("v").alias("av"),
+        F.max("v").alias("mx"), F.expr("percentile(v, 0.5)").alias("med"),
+    ).collect()[0]
+    assert math.isnan(r.sd) and math.isnan(r.av) and math.isnan(r.mx)
+    assert r.med == 3.5
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    for v in [1.0, 2.0, 3.0, 4.0, nan, inf, None]:
+        con.execute("INSERT INTO t VALUES (?)", [v])
+    med, av, mx = con.execute("SELECT median(v), avg(v), max(v) FROM t").fetchone()
+    assert med == 3.5 and math.isnan(av) and math.isnan(mx)  # these agree
+    with pytest.raises(Exception, match="[Oo]ut of [Rr]ange"):
+        con.execute("SELECT stddev(v) FROM t").fetchone()  # this DIVERGES
+
+    # the invariant that keeps every oracle safe: gate-SF double
+    # columns are all-finite
+    for sf in ("0.001", "0.01"):
+        ev = spark.read.parquet(f"/root/testdata/sf{sf}/events.parquet")
+        bad = ev.filter(
+            F.isnan(F.col("value")) | (F.abs(F.col("value")) == F.lit(inf))
+        ).count()
+        assert bad == 0, (sf, bad)
+        emb = spark.read.parquet(f"/root/testdata/sf{sf}/embeddings.parquet")
+        from dbt_foundation_spark.functions.vectors import is_finite_vector
+
+        nonfinite = emb.filter(~F.coalesce(
+            is_finite_vector("embedding"), F.lit(False))).count()
+        assert nonfinite == 0, (sf, nonfinite)
