@@ -83,6 +83,48 @@ def _index_lifecycle(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _looks_worse(p: float, c: float, floor: float) -> bool:
+    # ratio + absolute-delta floor: 1.3× of a 0.35 s query is
+    # scheduler jitter, 1.3× of a 2 s query is a real regression.
+    # EITHER side clearing the floor qualifies (round-10 verdict #3):
+    # requiring prev >= floor alone left a blind spot where a query
+    # whose previous sample was sub-floor never got its warm verify no
+    # matter how far its current sample moved — r10's q_idf_novelty
+    # went 0.49 s -> 1.51 s cold and slipped through exactly that way
+    # (the warm re-check later proved it compile noise, but the
+    # detector should have been the one to prove it).
+    return (p >= floor or c >= floor) and c > 1.3 * p and (c - p) >= 0.25
+
+
+def _regression_candidates(
+    timings: dict[str, float],
+    prev_warm: dict[str, float],
+    prev_cold: dict[str, float],
+    speed: float,
+) -> set[str]:
+    """Queries whose single cold sample could flag at judgment time.
+
+    Candidates get three warm samples before any regression verdict —
+    a cold sample folds plan+codegen compile and cries wolf on its own.
+    A query is a candidate iff EITHER basis (scaled prev warm with the
+    0.3 s warm floor, or scaled prev cold with the 0.6 s cold floor)
+    looks worse under :func:`_looks_worse`, which itself accepts a
+    sub-floor PREVIOUS sample when the current one clears the floor.
+    """
+    return {
+        name
+        for name, cur in timings.items()
+        if (
+            name in prev_warm
+            and _looks_worse(prev_warm[name] * speed, cur, 0.3)
+        )
+        or (
+            name in prev_cold
+            and _looks_worse(prev_cold[name] * speed, cur, 0.6)
+        )
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -171,10 +213,6 @@ def main() -> None:
     # cold-basis regression CANDIDATES get verified warm below: a single
     # cold sample folds plan+codegen compile (measured 0.7→3.3 s swings
     # on unchanged queries), so flagging straight off it cries wolf.
-    def _looks_worse(p: float, c: float, floor: float) -> bool:
-        # ratio + absolute-delta floor: 1.3× of a 0.35 s query is
-        # scheduler jitter, 1.3× of a 2 s query is a real regression.
-        return p >= floor and c > 1.3 * p and (c - p) >= 0.25
 
     # machine-drift normalizer, computed BEFORE candidate selection so
     # the candidate and flag checks use the SAME scaled basis (a drift
@@ -199,22 +237,7 @@ def main() -> None:
     drift = ratios[len(ratios) // 2] if len(ratios) >= 20 else cpu
     speed = min(2.0, max(0.5, drift))
 
-    # candidate iff EITHER basis could flag at judgment time: a query
-    # whose prev_warm is tiny (fails the 0.3 floor) but whose prev_cold
-    # could still flag must get its warm verify, or the cold branch
-    # below would cry wolf off the single cold sample.
-    candidates = {
-        name
-        for name, cur in timings.items()
-        if (
-            name in prev_warm
-            and _looks_worse(prev_warm[name] * speed, cur, 0.3)
-        )
-        or (
-            name in prev_cold
-            and _looks_worse(prev_cold[name] * speed, cur, 0.6)
-        )
-    }
+    candidates = _regression_candidates(timings, prev_warm, prev_cold, speed)
     warm: dict[str, float] = {}
     for name in sorted(
         set(sorted(timings, key=lambda q: -timings[q])[:10]) | candidates

@@ -22,12 +22,18 @@ upstream plan is nondeterministic (sampling, file re-listing).
   checkpoint files rather than recomputing the whole lineage — the
   fault-tolerance tier a 1000-executor, hours-long dedup job needs.
 
-The conf is read per-call (runtime-settable, no session restart); the
-first reliable ``pin`` installs the directory on the SparkContext via
+The conf is read per-call (runtime-settable, no session restart); a
+reliable ``pin`` installs the directory on the SparkContext via
 ``setCheckpointDir`` (Spark appends a per-context UUID subdir, so two
-jobs sharing a root never collide).  An explicitly pre-set
+jobs sharing a root never collide) and RE-installs it whenever the
+conf value changes mid-session (round-10 verdict #5: installing only
+when unset silently kept the first directory forever).  Already-written
+checkpoint files under the old root stay valid — Spark resolves each
+checkpointed RDD against the directory captured at its own checkpoint
+time — only NEW pins move.  An explicitly pre-set
 ``SparkContext.setCheckpointDir`` alone does NOT flip the strategy —
-user RDD checkpointing is out of scope; only the engine conf opts in.
+user RDD checkpointing is out of scope; only the engine conf opts in —
+but once the conf IS set, the engine's root wins over a pre-set one.
 
 Operational note: reliable checkpoint files are NOT auto-deleted at
 job end unless ``spark.cleaner.referenceTracking.cleanCheckpoints`` is
@@ -40,6 +46,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 CHECKPOINT_DIR_CONF = "spark.dbt_foundation_spark.checkpointDir"
+
+# applicationId -> the conf root THIS module last installed on that
+# context.  ``SparkContext.getCheckpointDir`` returns the UUID subdir
+# Spark appends, never the root we passed, so equality against the conf
+# can't be checked through the context itself — track it here instead.
+_installed_roots: dict[str, str] = {}
 
 
 def checkpoint_dir(df_or_spark) -> str | None:
@@ -65,6 +77,11 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
         return df.localCheckpoint(eager=eager)
     spark = df.sparkSession
     sc = spark.sparkContext
-    if sc.getCheckpointDir() is None:
+    app = sc.applicationId
+    if sc.getCheckpointDir() is None or _installed_roots.get(app) != root:
+        # install on first reliable pin, and RE-install when the conf
+        # changed mid-session — previously a changed conf silently kept
+        # the first directory (round-10 verdict #5)
         sc.setCheckpointDir(root)
+        _installed_roots[app] = root
     return df.checkpoint(eager=eager)

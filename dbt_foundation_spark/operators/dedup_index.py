@@ -585,18 +585,23 @@ def containment_against_index(
         .join(sh_b, "corpus_id")
         .withColumn("containment_new", F.try_divide(inter, F.size("sh_a")))
         .withColumn("containment_corpus", F.try_divide(inter, F.size("sh_b")))
-        .filter(
-            F.greatest("containment_new", "containment_corpus") >= threshold
-        )
-        # column-wise max per pair: a multi-version id (re-appended with
-        # changed text) yields one verify row per stored version; report
-        # the strongest evidence in EACH direction (the two maxima may
-        # come from different versions — documented in the module
-        # docstring's multi-version contract).
+        # column-wise max per pair BEFORE the threshold gate (r10
+        # advice): a multi-version id (re-appended with changed text)
+        # yields one verify row per stored version, and a version that
+        # fails the combined gate can still carry the strongest
+        # one-sided evidence — filtering first understated the reported
+        # per-direction maximum. The surviving PAIR set is unchanged
+        # (greatest of the maxima >= t iff some version passed), only
+        # the reported maxima are now true maxima over every verified
+        # candidate version (the two may come from different versions —
+        # documented in the module docstring's multi-version contract).
         .groupBy("new_id", "corpus_id")
         .agg(
             F.max("containment_new").alias("containment_new"),
             F.max("containment_corpus").alias("containment_corpus"),
+        )
+        .filter(
+            F.greatest("containment_new", "containment_corpus") >= threshold
         )
     )
 

@@ -42,6 +42,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _free_name(df: DataFrame, base: str) -> str:
+    """A helper-column name guaranteed absent from ``df``: ``base``
+    itself unless the input already carries it (r10 advice: a literal
+    ``_pack_tie`` input column was silently overwritten and then
+    dropped from the output).  Deterministic — base, base_0, base_1, …
+    — so reruns of the same input produce the same plan."""
+    name, i = base, 0
+    while name in df.columns:
+        name = f"{base}_{i}"
+        i += 1
+    return name
+
+
 def _grouping(
     df: DataFrame,
     partition_cols: Sequence[str] | None,
@@ -56,9 +69,10 @@ def _grouping(
             raise ValueError(f"bucket count must be >= 1, got {n}")
         # pmod of the numeric id — portable (same result in any engine
         # with integer modulo), unlike hash()-based bucketing.
-        df = df.withColumn("_pack_bucket", F.pmod(F.col(id_col).cast("bigint"), F.lit(n)))
-        group_cols.append("_pack_bucket")
-        added.append("_pack_bucket")
+        bucket = _free_name(df, "_pack_bucket")
+        df = df.withColumn(bucket, F.pmod(F.col(id_col).cast("bigint"), F.lit(n)))
+        group_cols.append(bucket)
+        added.append(bucket)
     if not group_cols:
         raise ValueError(
             "pack_sequences needs partition_cols and/or bucket_by: a global "
@@ -166,19 +180,20 @@ def pack_sequences_greedy(
     # same md5 tiebreak as the window path: without it, tied order_cols
     # rows keep whatever order the shuffle delivered into the Arrow
     # batch (mergesort is stable IN that arbitrary order)
-    df = df.withColumn("_pack_tie", _pack_tie(df))
+    tie = _free_name(df, "_pack_tie")
+    df = df.withColumn(tie, _pack_tie(df))
     from pyspark.sql.types import LongType, StructField, StructType
 
     schema = StructType(
         list(df.schema.fields)
         + [StructField("seq_id", LongType()), StructField("seq_offset", LongType())]
     )
-    order = list(order_cols) + ["_pack_tie"]
+    order = list(order_cols) + [tie]
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _greedy_pack(pdf.sort_values(order, kind="mergesort"), tokens_col, budget)
 
-    out = df.groupBy(*group_cols).applyInPandas(fn, schema=schema).drop("_pack_tie")
+    out = df.groupBy(*group_cols).applyInPandas(fn, schema=schema).drop(tie)
     return out.drop(*added) if added else out
 
 

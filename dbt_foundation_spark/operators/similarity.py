@@ -608,17 +608,32 @@ def _load_ivf(spark: SparkSession, path: str):
 
 
 def _dim_guarded(df: DataFrame, vec_col: str, dim: int, context: str) -> DataFrame:
-    """Replace ``vec_col`` with a copy that raises on a wrong-length or
-    NULL vector. Without this, ``zip_with`` NULL-pads the short side,
-    every centroid distance goes NULL, and the row is silently
-    mis-assigned / mis-ranked. The guard is woven INSIDE the vector
-    column via when/raise_error — a never-referenced ``assert_true``
-    side column would be column-pruned out of the plan and the check
-    silently skipped."""
+    """Replace ``vec_col`` with a copy that raises on a wrong-length,
+    NULL, or non-finite vector. Without the length check, ``zip_with``
+    NULL-pads the short side, every centroid distance goes NULL, and
+    the row is silently mis-assigned / mis-ranked; without the
+    finiteness check a NaN/Inf QUERY vector ranked every centroid at
+    NaN distance, probed arbitrary lists, and silently returned zero
+    neighbors instead of the promised caller-error raise (r10 advice) —
+    all three shapes get the same loud treatment. The guard is woven
+    INSIDE the vector column via when/raise_error — a never-referenced
+    ``assert_true`` side column would be column-pruned out of the plan
+    and the check silently skipped."""
     v = F.col(vec_col)
     return df.withColumn(
         vec_col,
-        F.when(F.size(v) == F.lit(dim), v).otherwise(
+        F.when((F.size(v) == F.lit(dim)) & V.is_finite_vector(v), v)
+        .when(
+            F.size(v) == F.lit(dim),
+            F.raise_error(
+                F.lit(
+                    f"{context}: query vector contains NaN/Inf — a "
+                    "non-finite query is a caller error (every centroid "
+                    "distance would be NaN and the probe lists arbitrary)"
+                )
+            ),
+        )
+        .otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(f"{context}: index built for dim={dim}, row has "),
@@ -671,19 +686,27 @@ def _append_assigned(
     path: str,
     centroids: list[list[float]],
     dim: int,
+    refuse_all_dirty: bool = True,
 ) -> None:
     """Assignment + append with pre-loaded quantizer state — the core
     :func:`append_to_ivf_index` and the streaming ingest sink share
     (the sink loads centroids/schema ONCE, not per micro-batch).
 
     Quarantine accounting (no silent caps): the batch is pinned once
-    (micro-batch-sized), its quarantined-row count measured, and the
-    batch REFUSED if every row quarantined — an all-dirty batch is a
-    systematic error (truncated vectors, wrong embedding model), not
-    dirty data, and appending it would "succeed" while making nothing
-    searchable. A partial quarantine is logged with counts and
-    written — the rows land in list -1 where index_stats and
-    retract/compact still see them."""
+    (micro-batch-sized), its quarantined-row count measured, and an
+    all-quarantined batch REFUSED when ``refuse_all_dirty`` — in the
+    synchronous :func:`append_to_ivf_index` API an all-dirty batch is a
+    systematic error (truncated vectors, wrong embedding model) the
+    caller can react to, and appending it would "succeed" while making
+    nothing searchable. The STREAMING ingest sink passes
+    ``refuse_all_dirty=False``: there the raise fires before the
+    ``(app_id, batch_id)`` marker is written, so every restart replays
+    the identical batch and crashes again — one corrupt vector arriving
+    alone in a micro-batch would become a permanent poison pill (r10
+    advice). The stream instead logs an ERROR, lands the rows in
+    list -1 (where ``index_stats`` and retract/compact still see them),
+    and lets the marker commit. A partial quarantine is logged with
+    counts and written the same way in both modes."""
     from dbt_foundation_spark.checkpoint import pin
 
     assigned = pin(_assigned_rows(df, id_col, vec_col, path, centroids, dim))
@@ -691,13 +714,24 @@ def _append_assigned(
     n_quar = sum(r["count"] for r in counts if r[0])
     n_ok = sum(r["count"] for r in counts if not r[0])
     if n_quar and not n_ok:
-        raise ValueError(
-            f"IVF index {path}: every row of the {n_quar}-row batch was "
-            f"quarantined (wrong dim={dim}, NULL, or non-finite vectors) "
-            "— refusing an all-dirty append; fix the batch or rebuild "
-            "the index for the new dimensionality"
+        if refuse_all_dirty:
+            raise ValueError(
+                f"IVF index {path}: every row of the {n_quar}-row batch was "
+                f"quarantined (wrong dim={dim}, NULL, or non-finite vectors) "
+                "— refusing an all-dirty append; fix the batch or rebuild "
+                "the index for the new dimensionality"
+            )
+        import logging
+
+        logging.getLogger(__name__).error(
+            "IVF index %s: every row of the %d-row streamed batch was "
+            "quarantined to list -1 (wrong dim=%d/NULL/non-finite vectors) "
+            "— ingested as quarantine so the stream can commit its batch "
+            "marker and advance; an all-dirty stream is a systematic "
+            "upstream error (wrong embedding model?), check the source",
+            path, n_quar, dim,
         )
-    if n_quar:
+    elif n_quar:
         import logging
 
         logging.getLogger(__name__).warning(
@@ -1040,6 +1074,15 @@ def search_ivf_index(
     if len(query_vec) != dim:
         raise ValueError(
             f"IVF index {path} built for dim={dim}, query has {len(query_vec)}"
+        )
+    if not all(math.isfinite(float(x)) for x in query_vec):
+        # same caller-error contract as knn_join_ivf's _dim_guarded: a
+        # NaN/Inf query would rank every centroid at NaN distance and
+        # probe arbitrary lists (and NaN sims sort ABOVE real ones
+        # descending, so garbage would rank first)
+        raise ValueError(
+            f"IVF index {path}: query vector contains NaN/Inf — fix the "
+            "query; a non-finite query cannot rank centroids or neighbors"
         )
 
     def l2(a, b):

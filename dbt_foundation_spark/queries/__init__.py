@@ -34,76 +34,76 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness harness only ingests the first 50 entries of
-# ``queries()``.  Round-10 rotation (VERDICT r9 "Next round" #2; union
-# r1–r9 recomputed at round start: 3×r6, 50×r7, 50×r8, 50×r9 full rows
-# + the 3 rows-only-by-design catalog-state queries):
-# (a) the 3 queries deferred from the r9 window, whose latest full row
-# is r6 — now the oldest evidence in the catalog: q_dedup_minhash,
-# q_dedup_simhash, q_cosine_topk_ivf. (b) 47 of the 50 queries whose
-# latest green row is r7.  Three r7 queries are deferred to the r11
-# window — q_dedup_minhash_portable, q_dedup_simhash_portable,
-# q_cosine_topk_quantized — chosen because each one's base-family
-# query is IN this window (q_dedup_minhash, q_dedup_simhash,
-# q_cosine_topk_ivf) and q_cosine_topk carries r8 evidence, so no
-# family's freshest row ages past 1 round.  3 + 47 = 50.
-# r11 plan: those 3 deferred r7 queries + 47 of the 50 r8 rows — the
-# steady-state cycle is ~3 rounds for 153 oracled queries at 50/round.
+# ``queries()``.  Round-11 rotation (VERDICT r10 "Next round" #1; union
+# r8-r10 recomputed at round start: 3 rows with r7-age evidence, 50 with
+# r8-age, 50 with r9-age, 50 with r10-age + the 3 rows-only-by-design
+# catalog-state queries):
+# (a) the 3 queries deferred from the r10 window, whose latest full row
+# is r7 — now the oldest evidence in the catalog:
+# q_cosine_topk_quantized, q_dedup_minhash_portable,
+# q_dedup_simhash_portable (all three judge-re-verified MATCH in the
+# r10 sweep, but the driver record is what the rotation tracks).
+# (b) 47 of the 50 queries whose latest green row is r8.  Three r8
+# queries defer to lead the r12 window — q_safe_divide, q_slugify,
+# q_width_bucket — chosen because each is a pure scalar-function query
+# with its own pytest coverage and no index/lifecycle state, so a
+# one-round deferral carries the least risk in the catalog.
+# 3 + 47 = 50.  r12 plan: those 3 deferred r8 rows + 47 of the 50 r9
+# rows — steady-state cycle stays ~3 rounds for 153 oracled queries.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) oldest evidence first — the 3 rows deferred from r9 (r6 age)
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_cosine_topk_ivf",
-    # (b) r7-stale evidence refresh — dedup/ANN + LLM-text block first
-    # (order mirrors the r7 window's own grouping)
-    "q_dedup_corpus",
-    "q_dedup_incremental",
-    "q_corpus_pipeline",
-    "q_fuzzy_match",
-    "q_clone_pointer",
-    "q_bigram_logprob",
-    "q_unigram_logprob",
-    "q_char_entropy",
-    "q_repeated_spans",
-    "q_top_terms",
-    "q_idf_novelty",
-    "q_token_budget_select",
-    "q_histogram_quantiles",
-    "q_train_test_split",
-    "q_two_phase_distinct",
-    "q_salted_join",
-    "q_zorder_layout",
-    "q_winsorize",
-    "q_value_outliers",
-    "q_gap_fill",
-    "q_forecast_revenue",
-    "q_cohort_retention",
-    "q_filter_funnel",
-    "q_temperature_mix",
-    # relational / TPC-H-ish block
-    "q_big_orders",
-    "q_brand_revenue",
-    "q_customer_distribution",
-    "q_excess_shippers",
-    "q_exists_priority",
-    "q_idle_customers",
-    "q_important_nations",
-    "q_local_volume",
-    "q_market_share",
-    "q_min_cost_supplier",
-    "q_model_contract",
-    "q_nation_profit",
-    "q_nation_volume",
-    "q_priority_shipments",
-    "q_promo_revenue",
-    "q_returned_customers",
-    "q_small_qty_revenue",
-    "q_supplier_variety",
-    "q_top_supplier",
-    "q_waiting_suppliers",
-    # window-function block
-    "q_window_cume_dist",
-    "q_window_first_last",
-    "q_window_range_frame",
+    # (a) oldest evidence first — the 3 rows deferred from r10 (r7 age)
+    "q_cosine_topk_quantized",
+    "q_dedup_minhash_portable",
+    "q_dedup_simhash_portable",
+    # (b) r8-stale evidence refresh — 47 of 50 (q_safe_divide,
+    # q_slugify, q_width_bucket lead r12)
+    "q_approx_distinct",
+    "q_bpe_token_count",
+    "q_conditional_agg",
+    "q_cosine_topk",
+    "q_crossdb_listagg",
+    "q_date_spine",
+    "q_dedup_fingerprint",
+    "q_dedup_keep_best",
+    "q_dedup_rownum",
+    "q_distinct",
+    "q_doc_quality",
+    "q_embedding_meanpool",
+    "q_generate_series",
+    "q_grouping_sets",
+    "q_haversine",
+    "q_incremental_microbatch",
+    "q_info_schema_views",
+    "q_join_outer",
+    "q_json_props",
+    "q_lang_id",
+    "q_list_agg",
+    "q_metrics_layer",
+    "q_parse_url",
+    "q_percentiles",
+    "q_pivot",
+    "q_quality_filter",
+    "q_rollup_cascade",
+    "q_session_window",
+    "q_shard_plan",
+    "q_sketch_rollup",
+    "q_sliding_window",
+    "q_surrogate_key",
+    "q_test_accepted_values",
+    "q_test_equal_rowcount",
+    "q_test_equality",
+    "q_test_notnull",
+    "q_test_unique",
+    "q_token_counts",
+    "q_topk",
+    "q_tumbling_window",
+    "q_udtf_chunks",
+    "q_union_relations",
+    "q_unpivot",
+    "q_window_lag_lead",
+    "q_window_moving_avg",
+    "q_window_ntile",
+    "q_window_running_sum",
 )
 
 

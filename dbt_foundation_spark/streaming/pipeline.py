@@ -945,9 +945,16 @@ def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str, app_id: str):
                 state["centroids"], state["dim"],
             ),
         )
+        # refuse_all_dirty=False: a hard raise here fires BEFORE the
+        # (app_id, batch_id) marker lands, so every restart would
+        # replay the identical batch and crash again — one corrupt
+        # vector arriving alone in a micro-batch must quarantine to
+        # list -1 (loudly) and let the marker commit, never become a
+        # permanent poison pill (r10 advice)
         _append_assigned(
             batch_df, id_col, vec_col, index_path,
             state["centroids"], state["dim"],
+            refuse_all_dirty=False,
         )
         spark.createDataFrame(
             [(app_id, int(batch_id))], "app_id string, batch_id long"

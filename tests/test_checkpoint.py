@@ -71,6 +71,31 @@ def test_pin_reliable_writes_checkpoint_files(spark, reliable_dir):
     assert lazy.count() == 5
 
 
+def test_pin_follows_mid_session_dir_change(spark, tmp_path):
+    """Changing the conf between pins moves NEW checkpoints to the new
+    root (round-10 verdict #5: install-only-when-unset silently kept
+    the first directory for the life of the session)."""
+    root_a = str(tmp_path / "ckpt_a")
+    root_b = str(tmp_path / "ckpt_b")
+    spark.conf.set(CHECKPOINT_DIR_CONF, root_a)
+    try:
+        assert pin(spark.range(10)).count() == 10
+        assert _files_under(root_a), "first pin wrote nothing under root A"
+        spark.conf.set(CHECKPOINT_DIR_CONF, root_b)
+        before_a = set(_files_under(root_a))
+        assert pin(spark.range(20)).count() == 20
+        assert _files_under(root_b), (
+            "pin after a mid-session conf change still wrote to the old root"
+        )
+        # the old root's files are untouched (existing checkpoints stay
+        # valid); only new pins moved
+        assert set(_files_under(root_a)) == before_a
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+        spark.sparkContext._jsc.sc().setCheckpointDir(None)
+        assert spark.sparkContext.getCheckpointDir() is None
+
+
 def test_connected_components_reliable_matches_local(spark, sf_dir):
     from dbt_foundation_spark.queries import all_queries
 

@@ -786,6 +786,37 @@ def test_pack_tied_order_cols_serial_and_deterministic(spark):
             ), placed
 
 
+def test_pack_preserves_user_columns_named_like_helpers(spark):
+    """r10 advice: pack_sequences_greedy wrote a helper column literally
+    named _pack_tie and dropped it at the end, so an input that already
+    carried a _pack_tie column was silently overwritten and removed
+    from the output (_grouping's _pack_bucket had the same hazard).
+    Helper names are now collision-proof: user columns pass through
+    untouched in both packing paths."""
+    from dbt_foundation_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_greedy,
+    )
+
+    rows = [(i, "en", 5, f"tie{i}", i * 10) for i in range(1, 5)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, lang string, n_tokens bigint, "
+        "_pack_tie string, _pack_bucket bigint",
+    )
+    for fn in (pack_sequences, pack_sequences_greedy):
+        got = {
+            r.doc_id: (r._pack_tie, r._pack_bucket, r.seq_id)
+            for r in fn(
+                df, "n_tokens", 16, ["doc_id"], bucket_by=("doc_id", 1)
+            ).collect()
+        }
+        for i in range(1, 5):
+            tie, bucket, seq = got[i]
+            assert (tie, bucket) == (f"tie{i}", i * 10), fn.__name__
+            assert seq is not None
+
+
 def test_null_media_payload_contract(spark):
     """A NULL binary payload (missing media) yields NULL
     n_bytes/sha256/features and the decode callback is never invoked on

@@ -1440,12 +1440,33 @@ def test_ivf_index_append_ingest(spark, sf_dir, tmp_path):
         append_to_ivf_index(doubled, "vec_id", "embedding", path)
 
     # a wrong-dim QUERY batch raises too (same failure mode on read)
-    from dbt_foundation_spark.operators.similarity import knn_join_ivf
+    from dbt_foundation_spark.operators.similarity import (
+        knn_join_ivf,
+        search_ivf_index,
+    )
 
     with pytest.raises(Exception, match="dim="):
         knn_join_ivf(
             spark, path, short, "vec_id", "embedding", k=2, n_probe=1
         ).collect()
+
+    # a NaN/Inf QUERY raises the same caller-error way (r10 advice:
+    # pre-fix it passed the guard, ranked every centroid at NaN
+    # distance, probed arbitrary lists, and silently returned zero
+    # neighbors) — both the batch join and the single-vector search
+    dim = len(batch.select("embedding").first()[0])
+    nan_q = batch.limit(1).withColumn(
+        "embedding", F.array(*[F.lit(float("nan")).cast("float")] * dim)
+    )
+    with pytest.raises(Exception, match="NaN/Inf"):
+        knn_join_ivf(
+            spark, path, nan_q, "vec_id", "embedding", k=2, n_probe=1
+        ).collect()
+    with pytest.raises(ValueError, match="NaN/Inf"):
+        search_ivf_index(
+            spark, path, "vec_id", "embedding",
+            [float("inf")] * dim, k=2, n_probe=1,
+        )
 
 
 def test_compact_index_ivf_flavor(spark, sf_dir, tmp_path):

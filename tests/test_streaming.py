@@ -1221,6 +1221,94 @@ def test_ivf_ingest_stream_appends_exactly_once(spark, sf_dir, staging):
         shutil.rmtree(root / p, ignore_errors=True)
 
 
+def test_ivf_ingest_all_dirty_batch_is_not_a_poison_pill(spark, sf_dir, staging):
+    """An all-quarantined micro-batch must NOT crash the stream (r10
+    advice, medium): the sink's raise would fire before the
+    (app_id, batch_id) marker lands, so every restart replayed the
+    identical batch and crashed again — one corrupt vector arriving
+    alone in a micro-batch became a permanent poison pill.  Contract:
+    the streamed all-dirty batch lands in quarantine list -1 (loudly),
+    the marker commits, a replay of the same batch id is a no-op, and
+    the next clean batch flows.  The synchronous append_to_ivf_index
+    API keeps the hard raise — there a caller can react."""
+    import shutil
+
+    import pytest as _pytest
+
+    from dbt_foundation_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from dbt_foundation_spark.streaming.pipeline import _ivf_ingest_sink
+
+    root = staging["root"]
+    emb = t(spark, sf_dir, "embeddings").orderBy("vec_id")
+    rows = emb.limit(102).collect()
+    schema = "vec_id long, embedding array<float>"
+
+    def frame(pairs):
+        return spark.createDataFrame(
+            [(i, v if v is None else [float(x) for x in v]) for i, v in pairs],
+            schema,
+        )
+
+    corpus = frame([(r["vec_id"], r["embedding"]) for r in rows[:100]])
+    idx = str(root / "ivf_poison_idx")
+    build_ivf_index(corpus, "vec_id", "embedding", idx, n_lists=4)
+    dim = len(rows[0]["embedding"])
+
+    def quarantined():
+        lists = spark.read.parquet(f"{idx}/lists")
+        return sorted(
+            r["vec_id"]
+            for r in lists.filter(F.col("_ivf_list") == -1).collect()
+        )
+
+    sink = _ivf_ingest_sink(idx, "vec_id", "embedding", app_id="poison")
+    all_dirty = frame(
+        [
+            (20_000, None),                              # NULL vector
+            (20_001, [float("nan")] * dim),              # non-finite
+            (20_002, [1.0] * (dim + 3)),                 # wrong dim
+        ]
+    )
+    # pre-fix this raised; now it must ingest as quarantine + marker
+    sink(all_dirty, 0)
+    assert quarantined() == [20_000, 20_001, 20_002]
+    log = spark.read.parquet(f"{idx}/ingest_log")
+    assert log.filter(
+        (F.col("app_id") == "poison") & (F.col("batch_id") == 0)
+    ).count() == 1
+
+    # replay of the committed batch id is a no-op (no duplicate rows)
+    sink(all_dirty, 0)
+    assert quarantined() == [20_000, 20_001, 20_002]
+
+    # the stream keeps flowing: the next clean batch appends + searches
+    clean = frame([(20_100, rows[100]["embedding"])])
+    sink(clean, 1)
+    got = search_ivf_index(
+        spark, idx, "vec_id", "embedding",
+        [float(x) for x in rows[100]["embedding"]], k=1, n_probe=1,
+    ).collect()
+    assert got[0]["vec_id"] == 20_100
+
+    # quarantined rows never enter search results at any n_probe
+    found = search_ivf_index(
+        spark, idx, "vec_id", "embedding",
+        [float(x) for x in rows[101]["embedding"]], k=200, n_probe=4,
+    ).collect()
+    assert not {20_000, 20_001, 20_002} & {r["vec_id"] for r in found}
+
+    # the synchronous API contract is unchanged: all-dirty still raises
+    with _pytest.raises(ValueError, match="all-dirty"):
+        append_to_ivf_index(
+            frame([(30_000, None)]), "vec_id", "embedding", idx
+        )
+    shutil.rmtree(root / "ivf_poison_idx", ignore_errors=True)
+
+
 def test_dedup_ingest_respects_tombstones(spark, sf_dir, staging):
     """Takedown x streaming admission: a batch doc that duplicates a
     RETRACTED corpus doc must be admitted (the tombstone removes the

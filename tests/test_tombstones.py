@@ -1398,3 +1398,63 @@ def test_multi_version_id_strongest_evidence_per_pair(spark, tmp_path):
     assert len(out) == len({(r.new_id, r.corpus_id) for r in out})
     s = {(r.new_id, r.corpus_id): r.cosine_sim for r in out}
     assert s[(10, 1)] == pytest.approx(1.0)  # v1 identical vector wins
+
+
+def test_containment_direction_max_over_gate_failing_versions(spark, tmp_path):
+    """r10 advice: containment_against_index aggregated the per-direction
+    max only over versions surviving the combined greatest(...) >= t
+    gate, so a version that FAILS the gate but carries the strongest
+    one-sided evidence understated the reported per-direction maximum.
+
+    Construction (word-bigram shingles, threshold 0.8):
+    * batch doc 10 = words b0..b30            -> 30 bigrams (set B)
+    * corpus id 1 v1 = B + 61 filler words    -> 91 bigrams:
+      c_new = 30/30 = 1.0 (passes the gate), c_corpus = 30/91 ~ 0.33
+    * id 1 v2 (re-appended) = b0..b21 + u0..u7 -> 29 bigrams, 21 shared:
+      c_new = 0.7, c_corpus = 21/29 ~ 0.724 — BOTH under 0.8, so v2
+      fails the gate, yet its c_corpus is the true per-direction max.
+    v2's candidacy is deterministic: two filler docs in the SAME
+    appended frame repeat v2's 8 unique bigrams, so within-frame df
+    ranks v2's 21 shared bigrams rarest and its stored prefix (6
+    shingles) is drawn entirely from B — the c2 posting join must
+    propose the pair."""
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_containment_index,
+        build_containment_index,
+        containment_against_index,
+    )
+
+    b = [f"b{i}" for i in range(31)]       # 30 shared-side bigrams
+    u = [f"u{i}" for i in range(8)]        # v2's unique tail
+    x = [f"x{i}" for i in range(61)]       # v1's dilution tail
+
+    def doc(did, words):
+        return (did, " ".join(words))
+
+    docs = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    batch = docs([doc(10, b)])
+    corpus_v1 = docs([doc(1, b + x), doc(2, ["ships", "harbors", "tides", "quays"])])
+    # v2 + two fillers carrying ONLY v2's unique bigrams (b30? no — the
+    # junction bigram is (b21, u0)); fillers make the unique bigrams
+    # df=3 within the appended frame, shared ones df=1 -> rarest
+    v2_words = b[:22] + u
+    appended = docs(
+        [doc(1, v2_words), doc(90, [b[21]] + u), doc(91, [b[21]] + u)]
+    )
+
+    ct = str(tmp_path / "ct_gate")
+    kw = dict(shingle_len=2, threshold=0.8)
+    build_containment_index(corpus_v1, "doc_id", "text", ct, **kw)
+    append_to_containment_index(appended, "doc_id", "text", ct, **kw)
+
+    out = containment_against_index(
+        spark, batch, "doc_id", "text", ct, **kw
+    ).collect()
+    got = {(r.new_id, r.corpus_id): (r.containment_new, r.containment_corpus)
+           for r in out}
+    assert set(got) == {(10, 1)}  # fillers share nothing with the batch
+    c_new, c_corpus = got[(10, 1)]
+    assert c_new == pytest.approx(1.0)          # v1's passing direction
+    # pre-fix this reported v1's 30/91 ~ 0.33; the true per-direction
+    # max over every verified candidate version is v2's 21/29
+    assert c_corpus == pytest.approx(21 / 29)
