@@ -16,6 +16,15 @@ aggregate. Grams travel as fixed-width hashes, not strings, so shuffle
 bytes are bounded per row. With ``portable=True`` the gram hash is md5
 (reproducible in any engine — lets the DuckDB oracle replay the whole
 pipeline); default is xxhash64, the cheap JVM-native path.
+
+Deliberately NOT covered by the dedup paths' giant-document
+``SIGNATURE_MAX_TOKENS`` cap: a benchmark quote deep inside a huge
+document is exactly what decontamination exists to find, so truncation
+here would be a correctness bug. The per-row gram-array
+materialization hazard that implies (one multi-hundred-MB doc builds
+its full gram array in one task) is accepted and documented in
+SCALING.md — run decontamination after the quality/length gates, which
+expose ``n_chars``/token counts to gate pathological documents on.
 """
 
 from __future__ import annotations

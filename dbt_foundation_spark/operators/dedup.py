@@ -36,6 +36,23 @@ from dbt_foundation_spark.functions.text import (
 # (h % P) * a < 2^62 — no int64 overflow under Spark 4 ANSI mode
 _P = (1 << 31) - 1
 
+# Giant-document guard (r10 verdict #2): every signature/shingle path
+# computes over AT MOST this many leading whitespace tokens per
+# document. A single pathological multi-hundred-MB document otherwise
+# materializes its whole distinct-shingle array — and its explode —
+# inside ONE task (a per-row explode cannot be split across tasks), an
+# executor-OOM hazard invisible to the plan-shape scale gate, which
+# checks operator topology, not row size. 100k tokens ≈ 0.5–1 MB of
+# text — three orders of magnitude above the corpus P99 (the testdata
+# documents top out near 100 tokens) — so documents under the cap
+# sign/shingle identically to an uncapped run, and an over-cap doc's
+# signature is "the signature of its first 100k tokens", the standard
+# production truncation for near-dup fingerprinting. Pass
+# ``max_tokens=None`` to any operator to disable; pass a custom value
+# CONSISTENTLY to both sides of any index lifecycle (build vs batch)
+# or capped docs would sign differently per side.
+SIGNATURE_MAX_TOKENS: int | None = 100_000
+
 
 def exact_dedup(df: DataFrame, cols: list[str], keep_order: list | None = None) -> DataFrame:
     """D1: exactly one row per value-combination. With keep_order, the
@@ -77,8 +94,11 @@ def minhash_signature(
     num_hashes: int = 32,
     shingle_len: int = 3,
     portable: bool = False,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> DataFrame:
     """(id, minhash array<bigint> of length num_hashes) per document.
+    Signature input is the doc's first ``max_tokens`` tokens
+    (:data:`SIGNATURE_MAX_TOKENS` — the giant-document guard).
 
     h_i(s) = (a_i * (H(s) mod P) + b_i) mod P over xxhash64-derived H
     with P = 2^31-1 — deterministic (fixed seed), and every intermediate
@@ -100,7 +120,9 @@ def minhash_signature(
     base_hash = md5_hash64 if portable else fast_hash64
     exploded = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(token_ngrams(text_col, shingle_len))).alias("_s"),
+        F.explode(
+            F.array_distinct(token_ngrams(text_col, shingle_len, max_tokens))
+        ).alias("_s"),
     )
     hashed = exploded.select("_id", F.pmod(base_hash("_s"), F.lit(_P)).alias("_h"))
     aggs = [
@@ -163,6 +185,7 @@ def minhash_lsh_pairs(
     shingle_len: int = 3,
     jaccard_threshold: float = 0.7,
     portable: bool = False,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> DataFrame:
     """D2: near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -183,7 +206,8 @@ def minhash_lsh_pairs(
     :func:`lsh_bucket_profile`.
     """
     pairs = _self_candidate_pairs_with_shingles(
-        df, id_col, text_col, num_hashes, bands, shingle_len, portable
+        df, id_col, text_col, num_hashes, bands, shingle_len, portable,
+        max_tokens,
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
@@ -202,11 +226,16 @@ def _self_candidate_pairs_with_shingles(
     bands: int,
     shingle_len: int,
     portable: bool,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> DataFrame:
     """Banding self-join candidates (id_a < id_b) with both shingle sets
-    re-attached — the shared front half of the verify-stage pair ops."""
+    re-attached — the shared front half of the verify-stage pair ops.
+    ``max_tokens`` caps BOTH the signature and the re-attached verify
+    shingle sets, so candidate space and verify space agree."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_len, portable)
+    sig = minhash_signature(
+        df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
+    )
     banded = _band_buckets(sig, bands, rows_per_band, portable)
 
     left = banded.select("band", "bucket", F.col("_id").alias("id_a"))
@@ -219,7 +248,9 @@ def _self_candidate_pairs_with_shingles(
     )
     shingles = df.select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(token_ngrams(text_col, shingle_len)).alias("_shingles"),
+        F.array_distinct(
+            token_ngrams(text_col, shingle_len, max_tokens)
+        ).alias("_shingles"),
     )
     return cand.join(
         shingles.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a")), "id_a"
@@ -233,6 +264,7 @@ def containment_pairs(
     shingle_len: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> DataFrame:
     """Near-subset detection: pairs where either containment direction
     C(A,B) = |A∩B| / |A| (or C(B,A)) reaches ``threshold`` — catches a
@@ -277,7 +309,7 @@ def containment_pairs(
     S²/2⁶⁵ (≈2·10⁻⁹ at S=260 k), so the emitted values are the exact
     string-space values with overwhelming probability, and the DuckDB
     string-space oracle stays green."""
-    hs = hashed_shingle_sets(df, id_col, text_col, shingle_len)
+    hs = hashed_shingle_sets(df, id_col, text_col, shingle_len, max_tokens)
     post, pref = containment_postings(hs, threshold)
     index = post if max_df is None else post.filter(F.col("df") <= max_df)
     cand = (
@@ -308,7 +340,11 @@ def containment_pairs(
 
 
 def hashed_shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, shingle_len: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 3,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> DataFrame:
     """(id, hs array<bigint>) — each document's DISTINCT xxhash64'd
     shingle set, the canonical hash space for containment detection.
@@ -326,7 +362,7 @@ def hashed_shingle_sets(
         F.col(id_col).alias("id"),
         F.array_distinct(
             F.transform(
-                F.array_distinct(token_ngrams(text_col, shingle_len)),
+                F.array_distinct(token_ngrams(text_col, shingle_len, max_tokens)),
                 lambda s: F.xxhash64(s),
             )
         ).alias("hs"),
@@ -375,6 +411,7 @@ def minhash_lsh_join(
     shingle_len: int = 3,
     jaccard_threshold: float = 0.7,
     portable: bool = False,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> DataFrame:
     """Incremental dedup: near-dup pairs between a NEW batch and an
     existing corpus — (new_id, corpus_id, jaccard ≥ threshold) — with
@@ -395,9 +432,11 @@ def minhash_lsh_join(
     self-join's output (the property the DuckDB oracle checks).
     """
     rows_per_band = num_hashes // bands
-    sig_new = minhash_signature(new_df, id_col, text_col, num_hashes, shingle_len, portable)
+    sig_new = minhash_signature(
+        new_df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
+    )
     sig_corpus = minhash_signature(
-        corpus_df, id_col, text_col, num_hashes, shingle_len, portable
+        corpus_df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
     )
     banded_new = _band_buckets(sig_new, bands, rows_per_band, portable)
     banded_corpus = _band_buckets(sig_corpus, bands, rows_per_band, portable)
@@ -414,7 +453,9 @@ def minhash_lsh_join(
     def shingles(df: DataFrame, alias: str, sh_alias: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(alias),
-            F.array_distinct(token_ngrams(text_col, shingle_len)).alias(sh_alias),
+            F.array_distinct(
+                token_ngrams(text_col, shingle_len, max_tokens)
+            ).alias(sh_alias),
         )
 
     pairs = cand.join(shingles(new_df, "new_id", "sh_a"), "new_id").join(
@@ -493,6 +534,7 @@ def repeated_ngram_spans(
     text_col: str,
     n: int = 8,
     min_docs: int = 2,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> DataFrame:
     """Cross-document repeated-span signal: per document, how much of it
     re-occurs VERBATIM elsewhere in the corpus — the memorization /
@@ -514,7 +556,7 @@ def repeated_ngram_spans(
     crossing a shuffle."""
     grams = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(token_ngrams(text_col, n))).alias("_g"),
+        F.explode(F.array_distinct(token_ngrams(text_col, n, max_tokens))).alias("_g"),
     )
     w = Window.partitionBy("_g")
     gdf = grams.withColumn("_span_docs", F.count(F.lit(1)).over(w))
@@ -568,6 +610,7 @@ def simhash(
     text_col: str,
     out_col: str = "simhash",
     portable: bool = False,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> DataFrame:
     """(id, simhash bigint) per document. Bit i of the signature = sign
     of the sum over distinct tokens of ±1 according to bit i of the
@@ -593,9 +636,13 @@ def simhash(
     (see simhash_near_pairs) halved the query's steady-state wall
     (3.3 s → 1.85 s at sf0.1). bench.py reports warm timings for the
     slowest queries so the scaling number stays readable."""
+    toks = tokenize(text_col)
+    if max_tokens is not None:
+        # giant-document guard, same contract as token_ngrams(max_tokens)
+        toks = F.slice(toks, 1, max_tokens)
     exploded = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(tokenize(text_col))).alias("_tok"),
+        F.explode(F.array_distinct(toks)).alias("_tok"),
     )
     if portable:
         md5c = F.md5("_tok")
@@ -677,6 +724,7 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 3,
     portable: bool = False,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> DataFrame:
     """D2 (simhash flavor): pairs with hamming(simhash) ≤ max_hamming.
 
@@ -694,7 +742,7 @@ def simhash_near_pairs(
     (:func:`duplicate_clusters`) — see :func:`lsh_bucket_profile`'s
     docstring for the math.
     """
-    sh = simhash(df, id_col, text_col, portable=portable)
+    sh = simhash(df, id_col, text_col, portable=portable, max_tokens=max_tokens)
     chunks = signature_chunks(sh, max_hamming)
     left = chunks.select("chunk", "ck", F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"))
     right = chunks.select("chunk", "ck", F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"))
@@ -721,6 +769,7 @@ def ngram_jaccard_pairs(
     shingle_len: int = 3,
     threshold: float = 0.5,
     max_df: int = 100_000,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> DataFrame:
     """D2 (exact-Jaccard flavor): within explicit blocks (e.g. language
     + length bucket), all-pairs shingle Jaccard via an inverted index.
@@ -742,7 +791,7 @@ def ngram_jaccard_pairs(
     sh = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("_id"),
-        F.array_distinct(token_ngrams(text_col, shingle_len)).alias("_sh"),
+        F.array_distinct(token_ngrams(text_col, shingle_len, max_tokens)).alias("_sh"),
     )
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     inv = sh.select(*block_cols, "_id", F.explode("_sh").alias("_s"))
@@ -784,6 +833,7 @@ def lsh_bucket_profile(
     shingle_len: int = 3,
     portable: bool = False,
     top: int = 20,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> DataFrame:
     """Pre-flight skew check for the banding self-join: the ``top``
     largest (band, bucket) member counts with their candidate-pair
@@ -798,7 +848,9 @@ def lsh_bucket_profile(
     banding as one representative; this profile is the cheap check that
     the residual bucket sizes are sane before launching the pair join —
     one banding pass plus a top-N aggregate, no self-join."""
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_len, portable)
+    sig = minhash_signature(
+        df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
+    )
     banded = _band_buckets(sig, bands, num_hashes // bands, portable)
     n = F.count(F.lit(1))
     return (

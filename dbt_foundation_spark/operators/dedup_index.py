@@ -221,9 +221,17 @@ def _live(
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_len: int) -> DataFrame:
+    # SIGNATURE_MAX_TOKENS: the stored verify shingles must cover the
+    # SAME token window the signatures were computed over (the
+    # giant-document cap), or a capped doc's banding and its verify
+    # jaccard would disagree between index and batch sides
+    from dbt_foundation_spark.operators.dedup import SIGNATURE_MAX_TOKENS
+
     return df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(token_ngrams(text_col, shingle_len)).alias("shingles"),
+        F.array_distinct(
+            token_ngrams(text_col, shingle_len, SIGNATURE_MAX_TOKENS)
+        ).alias("shingles"),
     )
 
 

@@ -2053,3 +2053,113 @@ def test_two_phase_topk_skew_stress(spark):
     )
     assert len(grp) == 8  # every salt bucket in play
     assert max(r["n"] for r in grp) < hot / 2  # no bucket near the full set
+
+
+def test_giant_document_signature_cap(spark):
+    """Giant-document guard (r10 verdict #2): one pathological document
+    must not materialize an unbounded shingle array/explode inside a
+    single task.  Every signature path shingles only the first
+    SIGNATURE_MAX_TOKENS whitespace tokens, so per-task memory for one
+    row is bounded by the cap, docs under the cap sign identically to
+    an uncapped run, and adding a giant doc changes nothing about clean
+    docs' pairs."""
+    from dbt_foundation_spark.functions.text import token_ngrams
+    from dbt_foundation_spark.operators.dedup import (
+        SIGNATURE_MAX_TOKENS,
+        minhash_lsh_pairs,
+        minhash_signature,
+        repeated_ngram_spans,
+        simhash,
+    )
+
+    cap = SIGNATURE_MAX_TOKENS
+    assert cap is not None and cap >= 100_000  # generous by contract
+
+    # --- column-level semantics on a tiny frame (cap=10 for speed) ---
+    txt20 = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, txt20), (2, "a b c d"), (3, None)], "id bigint, text string"
+    )
+    got = {
+        r["id"]: r["g"]
+        for r in df.select(
+            "id", token_ngrams("text", 3, max_tokens=10).alias("g")
+        ).collect()
+    }
+    # 10 tokens -> 8 trigram shingles == the shingles of the truncated text
+    assert len(got[1]) == 8
+    trunc = " ".join(f"w{i}" for i in range(10))
+    expected = {
+        r[0]
+        for r in spark.createDataFrame([(trunc,)], "t string")
+        .select(F.explode(token_ngrams("t", 3)))
+        .collect()
+    }
+    assert set(got[1]) == expected
+    # under the cap: identical to uncapped; NULL stays NULL
+    uncapped = df.filter("id = 2").select(token_ngrams("text", 3)).first()[0]
+    assert got[2] == uncapped
+    assert got[3] is None
+    with pytest.raises(ValueError, match="max_tokens"):
+        token_ngrams("text", 3, max_tokens=2)
+
+    # --- operator level with a genuinely over-cap document ---
+    n_giant = cap + 50_000
+    giant = " ".join(f"g{i}" for i in range(n_giant))
+    # same first `cap` tokens, divergent tail: the capped signature
+    # window is identical, so the pair MUST come out at jaccard 1.0
+    # (uncapped true jaccard is ~cap/n_giant ~ 0.67 — a 1.0 proves the
+    # cap is applied, not just tolerated)
+    giant_twin = " ".join(
+        f"g{i}" if i < cap else f"x{i}" for i in range(n_giant)
+    )
+    clean = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "totally unrelated content about ships and tides"),
+    ]
+    docs = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    kw = dict(num_hashes=16, bands=8, shingle_len=3, jaccard_threshold=0.5)
+
+    base = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs(clean), "doc_id", "text", **kw).collect()
+    }
+    with_giants = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            docs(clean + [(100, giant), (101, giant_twin)]),
+            "doc_id", "text", **kw,
+        ).collect()
+    }
+    assert {k: v for k, v in with_giants.items() if k[0] < 100} == base
+    assert with_giants[(100, 101)] == pytest.approx(1.0)
+
+    # bounded per-task work: the giant doc's exploded shingle count is
+    # the cap's, not the document's
+    n_sh = (
+        docs([(100, giant)])
+        .select(F.array_size(token_ngrams("text", 3, cap)).alias("n"))
+        .first()["n"]
+    )
+    assert n_sh == cap - 2
+
+    # simhash: the giant doc's signature equals its first-cap-token
+    # truncation's signature (same capped token window)
+    trunc_giant = " ".join(f"g{i}" for i in range(cap))
+    sig_g = simhash(docs([(100, giant)]), "doc_id", "text").first()["simhash"]
+    sig_t = simhash(docs([(100, trunc_giant)]), "doc_id", "text").first()["simhash"]
+    assert sig_g == sig_t
+
+    # minhash signature: same equivalence
+    mh_g = minhash_signature(docs([(100, giant)]), "doc_id", "text", 16, 3).first()["minhash"]
+    mh_t = minhash_signature(docs([(100, trunc_giant)]), "doc_id", "text", 16, 3).first()["minhash"]
+    assert mh_g == mh_t
+
+    # repeated_ngram_spans: span universe bounded by the cap
+    spans = repeated_ngram_spans(
+        docs([(100, giant), (101, giant_twin)]), "doc_id", "text", n=8
+    ).collect()
+    for r in spans:
+        assert r["n_spans"] <= cap - 7
+        assert r["n_repeated"] >= 1  # the shared capped window repeats
