@@ -353,12 +353,24 @@ def append_to_index(
     bands: int = 8,
     shingle_len: int = 3,
     portable: bool = False,
+    owner: str | None = None,
 ) -> None:
     """Admit a (deduped) batch into the index: append its band rows and
     shingle sets. Appends — never rewrites — so the index grows by one
     file set per ingest; fold accumulated micro-batch files back to
     target-sized, key-clustered files with
-    operators.maintenance.compact_index."""
+    operators.maintenance.compact_index.
+
+    Concurrency (r10 verdict #4): the whole write holds the
+    ``__appending`` marker (``tombstones.hold_append_marker``) —
+    concurrent appends to one index and append-during-compaction are
+    both refused loudly; ``owner`` is the streaming ingests' stable
+    reclaim identity. Sub-datasets write VERIFY store first (shingles),
+    discovery rows last (bands): a concurrent reader mid-append either
+    sees the batch fully admitted or not yet discoverable — never a
+    band candidate whose verify shingles are missing."""
+    from dbt_foundation_spark.operators.tombstones import hold_append_marker
+
     _check_manifest(
         df.sparkSession,
         path,
@@ -370,14 +382,15 @@ def append_to_index(
             "portable": portable,
         },
     )
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_len, portable)
-    banded = _band_buckets(sig, bands, num_hashes // bands, portable).withColumnRenamed(
-        "_id", "id"
-    )
-    banded.write.mode("append").parquet(f"{path}/bands")
-    _shingle_sets(df, id_col, text_col, shingle_len).write.mode("append").parquet(
-        f"{path}/shingles"
-    )
+    with hold_append_marker(df.sparkSession, path, owner):
+        _shingle_sets(df, id_col, text_col, shingle_len).write.mode(
+            "append"
+        ).parquet(f"{path}/shingles")
+        sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_len, portable)
+        banded = _band_buckets(
+            sig, bands, num_hashes // bands, portable
+        ).withColumnRenamed("_id", "id")
+        banded.write.mode("append").parquet(f"{path}/bands")
 
 
 # ---------- simhash chunk index ----------
@@ -481,19 +494,25 @@ def append_to_simhash_index(
     path: str,
     max_hamming: int = 3,
     portable: bool = False,
+    owner: str | None = None,
 ) -> None:
     """Admit a (deduped) batch's chunk rows into the index (append-only,
-    same contract as :func:`append_to_index`). Chunking must match the
+    same contract as :func:`append_to_index`, including its
+    ``__appending`` exclusion — single sub-dataset, so the chunk rows
+    carry discovery and verify together). Chunking must match the
     index layout exactly, so ``max_hamming`` must EQUAL the build value
     here (manifest-enforced) — only queries may tighten the radius."""
+    from dbt_foundation_spark.operators.tombstones import hold_append_marker
+
     _check_manifest(
         df.sparkSession,
         path,
         {"flavor": "simhash", "max_hamming": max_hamming, "portable": portable},
     )
-    _simhash_chunks(df, id_col, text_col, max_hamming, portable).write.mode(
-        "append"
-    ).parquet(f"{path}/chunks")
+    with hold_append_marker(df.sparkSession, path, owner):
+        _simhash_chunks(df, id_col, text_col, max_hamming, portable).write.mode(
+            "append"
+        ).parquet(f"{path}/chunks")
 
 
 # ---------- containment prefix-posting index ----------
@@ -621,13 +640,22 @@ def append_to_containment_index(
     path: str,
     shingle_len: int = 3,
     threshold: float = 0.8,
+    owner: str | None = None,
 ) -> None:
     """Admit a (deduped) batch into the containment index: append its
     postings, its prefix postings (ordered by the BATCH's own df —
     any ordering preserves the pigeonhole bound), and its hash sets.
     Appended prefixes must be at least as long as the build threshold
     demands, so ``threshold`` must EQUAL the build value here
-    (manifest-enforced) — only queries may raise it."""
+    (manifest-enforced) — only queries may raise it.
+
+    Concurrency: same ``__appending`` exclusion as
+    :func:`append_to_index`. Write order is verify store first
+    (hashsets), then the discovery postings/prefixes — a reader
+    mid-append can under-discover the in-flight batch but every
+    candidate it does propose has its verify row."""
+    from dbt_foundation_spark.operators.tombstones import hold_append_marker
+
     _check_manifest(
         df.sparkSession,
         path,
@@ -637,11 +665,12 @@ def append_to_containment_index(
             "threshold": threshold,
         },
     )
-    hs = hashed_shingle_sets(df, id_col, text_col, shingle_len)
-    post, pref = containment_postings(hs, threshold)
-    post.select("id", "n", "s").write.mode("append").parquet(f"{path}/postings")
-    pref.write.mode("append").parquet(f"{path}/prefixes")
-    hs.write.mode("append").parquet(f"{path}/hashsets")
+    with hold_append_marker(df.sparkSession, path, owner):
+        hs = hashed_shingle_sets(df, id_col, text_col, shingle_len)
+        post, pref = containment_postings(hs, threshold)
+        hs.write.mode("append").parquet(f"{path}/hashsets")
+        post.select("id", "n", "s").write.mode("append").parquet(f"{path}/postings")
+        pref.write.mode("append").parquet(f"{path}/prefixes")
 
 
 # ---------- embedding (banded hyperplane-LSH) index ----------
@@ -843,10 +872,17 @@ def append_to_embedding_index(
     bands: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    owner: str | None = None,
 ) -> None:
     """Admit a (deduped) batch into the embedding index: append its band
     rows and vectors. The index content is threshold-independent (bands
-    + raw vectors), so only the hash-family parameters are validated."""
+    + raw vectors), so only the hash-family parameters are validated.
+
+    Concurrency: same ``__appending`` exclusion as
+    :func:`append_to_index`; vectors (verify) write before bands
+    (discovery)."""
+    from dbt_foundation_spark.operators.tombstones import hold_append_marker
+
     if m % bands != 0:
         raise ValueError(f"m={m} must be divisible by bands={bands}")
     caller: dict = {"flavor": "embedding", "m": m, "bands": bands, "seed": seed}
@@ -856,10 +892,11 @@ def append_to_embedding_index(
     resolved = _validate_params(path, mft, caller)
     dim = _resolve_dim(resolved, mft, df, vec_col)
     planes = random_hyperplanes(dim, m, seed)
-    banded = hyperplane_banded(
-        df, id_col, vec_col, planes, bands, m // bands
-    ).withColumnRenamed("_id", "id")
-    banded.write.mode("append").parquet(f"{path}/bands")
-    df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).write.mode(
-        "append"
-    ).parquet(f"{path}/vectors")
+    with hold_append_marker(df.sparkSession, path, owner):
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).write.mode(
+            "append"
+        ).parquet(f"{path}/vectors")
+        banded = hyperplane_banded(
+            df, id_col, vec_col, planes, bands, m // bands
+        ).withColumnRenamed("_id", "id")
+        banded.write.mode("append").parquet(f"{path}/bands")

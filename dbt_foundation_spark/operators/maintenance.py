@@ -405,6 +405,7 @@ def compact_index(
         _read_manifest,
     )
     from dbt_foundation_spark.operators.tombstones import (
+        append_marker_path,
         clear_tombstones,
         compaction_marker_path,
         read_tombstones,
@@ -467,6 +468,26 @@ def compact_index(
             "must complete before any compaction folds it — then "
             "compact_index) may report revive success for ids whose "
             "rows are already gone from the rewritten sub-datasets."
+        )
+    # __appending (round-10 verdict #4): the mirror half of the append
+    # exclusion — appends claim their marker then check ours, we create
+    # ours (above) then check theirs, so of two ops starting
+    # concurrently at least one sees the other and raises. Without
+    # this, an append landing files between compact_parquet_path's
+    # read-snapshot and its directory rename-aside is silently
+    # destroyed with the old directory.
+    appending = jvm.org.apache.hadoop.fs.Path(append_marker_path(index_path))
+    if fs.exists(appending):
+        if not stale_marker:
+            fs.delete(marker, True)
+        raise RuntimeError(
+            f"{index_path}: an append is in flight (or a crashed one "
+            "left its claim) — __appending marker present. Compacting "
+            "now would destroy the append's in-flight files in the "
+            "directory swap. Let the append finish; if its process "
+            "died, verify nothing is appending, delete the "
+            "__appending marker, re-run the append (replayed rows fold "
+            "as byte-identical duplicates here), then compact."
         )
     # tombstone fold: compaction is where logical takedowns become
     # physical. Loaded ONCE and pinned — the log's own files
@@ -549,13 +570,16 @@ def index_stats(spark: SparkSession, index_path: str) -> dict:
     absent optional sub-datasets (e.g. the ivf ingest_log) are
     omitted. ``crash_leftovers`` lists any ``__compact_tmp`` /
     ``__compact_old`` / ``__revive_tmp`` / ``__compacting`` /
-    ``__reviving`` directories present — each means a maintenance op
-    died mid-operation; every one is healed by simply RE-RUNNING the
-    op (compaction restores/supersedes its own residue and clears the
+    ``__reviving`` directories and any ``__appending`` marker file
+    present — each means a maintenance op or append died
+    mid-operation; every one is healed by simply RE-RUNNING the op
+    (compaction restores/supersedes its own residue and clears the
     marker that blocks revives; a crashed revive's marker clears when
     the revive re-runs; a revive tmp is superseded scratch the next
-    clear deletes), so a non-empty list is a "re-run maintenance"
-    signal, not damage."""
+    clear deletes; a streaming append reclaims its own marker on
+    restart, a crashed BATCH append's marker is deleted manually per
+    its raise message before the re-run), so a non-empty list is a
+    "re-run maintenance" signal, not damage."""
     from dbt_foundation_spark.operators.dedup_index import (
         INDEX_LAYOUT,
         _read_manifest,
@@ -597,7 +621,9 @@ def index_stats(spark: SparkSession, index_path: str) -> dict:
     leftovers = sorted(
         st.getPath().getName()
         for st in fs.listStatus(root)
-        if st.isDirectory() and st.getPath().getName().endswith(suffixes)
+        if (st.isDirectory() and st.getPath().getName().endswith(suffixes))
+        # the append claim is a FILE (atomic create-exclusive), not a dir
+        or st.getPath().getName() == "__appending"
     )
     return {
         "flavor": flavor,

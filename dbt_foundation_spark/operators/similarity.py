@@ -769,7 +769,7 @@ def _assigned_rows(
 
 
 def append_to_ivf_index(
-    df: DataFrame, id_col: str, vec_col: str, path: str
+    df: DataFrame, id_col: str, vec_col: str, path: str, owner: str | None = None
 ) -> None:
     """Admit a new batch into a persisted IVF index: assign each vector
     to its nearest EXISTING centroid (the index's quantizer — never a
@@ -790,13 +790,21 @@ def append_to_ivf_index(
     any file lands (:func:`_check_batch_schema`). K-means
     quality degrades if the data distribution shifts far from the
     build sample; re-run :func:`build_ivf_index` on that signal
-    (:func:`ivf_list_profile` skew), not per ingest."""
+    (:func:`ivf_list_profile` skew), not per ingest.
+
+    Concurrency (r10 verdict #4): the write holds the ``__appending``
+    marker (``tombstones.hold_append_marker``) — concurrent appends
+    and append-during-compaction are refused loudly; ``owner`` is the
+    streaming ingest's stable reclaim identity."""
+    from dbt_foundation_spark.operators.tombstones import hold_append_marker
+
     spark = df.sparkSession
     centroids, dim, _ = _load_ivf(spark, path)
     _check_batch_schema(
         df, id_col, vec_col, spark.read.parquet(f"{path}/lists").schema
     )
-    _append_assigned(df, id_col, vec_col, path, centroids, dim)
+    with hold_append_marker(spark, path, owner):
+        _append_assigned(df, id_col, vec_col, path, centroids, dim)
 
 
 def ivf_id_col(schema) -> str:

@@ -42,7 +42,9 @@ dedup candidates, so retraction never blocks future admissions.
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Iterable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -384,6 +386,139 @@ def revive_marker_path(index_path: str) -> str:
     drop rows mid-revive. Re-running the revive (the documented crash
     recovery) completes the fold and clears the marker."""
     return f"{index_path.rstrip('/')}/__reviving"
+
+
+def append_marker_path(index_path: str) -> str:
+    """The ``__appending`` marker every index APPEND holds while its
+    sub-dataset writes are in flight (round-10 verdict #4 — the write
+    seam the revive/compact handshake never covered).
+
+    Two hazards force write-side exclusion:
+
+    * **append ∥ append**: two concurrent ``df.write.mode("append")``
+      jobs into the same directory share the FileOutputCommitter
+      staging root (``_temporary/0``); whichever job commits first
+      deletes the staging recursively, destroying the other job's
+      uncommitted task files — lost or failed writes, silently.
+      Vanilla Spark does not support concurrent writers to one path
+      (the problem table formats' transaction logs exist to solve),
+      so appends SERIALIZE on this marker and a contender raises.
+    * **append ∥ compaction**: ``compact_parquet_path`` snapshots the
+      dataset with a read, writes aside, then RENAMES the live
+      directory away and deletes it — an append landing files between
+      the snapshot and the rename is silently destroyed with the old
+      directory.
+
+    Exclusion is the same SYMMETRIC write-then-check the
+    revive/compact pair uses: the appender claims this marker
+    atomically (``FileSystem.create(overwrite=false)``), THEN checks
+    ``__compacting``; ``compact_index`` creates its marker, THEN
+    checks this one — concurrent starts cannot both proceed. Revive
+    (:func:`clear_tombstones`) and appends stay mutually UNORDERED:
+    they touch disjoint files (the log vs the data sub-datasets).
+
+    The marker FILE carries its owner token. Streaming ingests pass a
+    stable per-stream owner (their checkpoint identity), so a restart
+    after a crash mid-append RECLAIMS its own stale marker and re-runs
+    the batch (byte-identical replayed rows fold at compaction —
+    INDEX_DISTINCT_ON_COMPACT); batch appends get a fresh UUID owner,
+    so a crashed batch append's marker must be healed explicitly:
+    verify no append is running, delete the marker, re-run the append.
+    """
+    return f"{index_path.rstrip('/')}/__appending"
+
+
+def _read_marker_owner(fs, jvm, path) -> str:
+    """Best-effort read of a marker file's owner token (may be '' for
+    a marker caught mid-write or written by an older version)."""
+    try:
+        stream = fs.open(path)
+        try:
+            # owner tokens are short single-line strings; readLine
+            # returns a JVM String directly (Py4J-friendly, unlike
+            # byte-array reads, which Py4J passes by copy)
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            line = reader.readLine()
+            return "" if line is None else str(line)
+        finally:
+            stream.close()
+    except Exception:
+        return ""
+
+
+@contextmanager
+def hold_append_marker(
+    spark: SparkSession, index_path: str, owner: str | None = None
+):
+    """Hold ``__appending`` for the duration of an index append — see
+    :func:`append_marker_path` for the full exclusion contract.
+
+    Claim is atomic (``create(overwrite=false)``); on contention the
+    raise names the holding owner and the healing procedure. With a
+    stable ``owner`` (streaming ingests), a marker left by OUR OWN
+    crashed attempt is reclaimed — safe because one stream identity
+    runs at most one active query per checkpoint, so a same-owner
+    marker can only be a dead predecessor. After claiming, the
+    symmetric write-then-check probes ``__compacting``: if a
+    compaction is in flight (or crashed, leaving partially rewritten
+    sub-datasets), the append releases its claim and raises —
+    appending files a compaction's directory swap would silently
+    destroy is the one interleaving this marker exists to prevent.
+
+    On an exception INSIDE the held block the marker is released: the
+    raise itself signals a possibly partial admission, and the healing
+    step for partial admission is simply re-running the append
+    (replayed rows are byte-identical and fold at compaction). Only a
+    PROCESS death leaves the marker behind."""
+    jvm = spark._jvm
+    mpath, fs = _hadoop(spark, append_marker_path(index_path))
+    me = owner or f"batch-{uuid.uuid4().hex}"
+    try:
+        out = fs.create(mpath, False)
+        out.write(bytearray(me.encode("utf-8")))
+        out.close()
+    except Exception:
+        if not fs.exists(mpath):
+            raise  # genuine FS failure, not contention
+        holder = _read_marker_owner(fs, jvm, mpath)
+        if owner is not None and holder == owner:
+            # our own crashed predecessor (stable stream identity):
+            # reclaim and re-run the batch — replay-safe by the
+            # distinct-fold contract
+            out = fs.create(mpath, True)
+            out.write(bytearray(me.encode("utf-8")))
+            out.close()
+        else:
+            raise ValueError(
+                f"index {index_path}: another append is in flight (or a "
+                f"crashed one left its claim) — __appending marker held "
+                f"by {holder or 'unknown'!r}. Concurrent appends to one "
+                "index are unsupported (concurrent parquet writers "
+                "destroy each other's uncommitted task files). If the "
+                "holder crashed: verify no append is running, delete "
+                f"{append_marker_path(index_path)}, and re-run BOTH "
+                "appends — replayed rows are byte-identical and fold at "
+                "the next compact_index."
+            )
+    released = False
+    try:
+        cpath, _ = _hadoop(spark, compaction_marker_path(index_path))
+        if fs.exists(cpath):
+            fs.delete(mpath, False)
+            released = True
+            raise ValueError(
+                f"index {index_path}: compaction in flight (or crashed "
+                "mid-rewrite) — __compacting marker present. An append "
+                "now could land files the compaction's directory swap "
+                "silently destroys. Re-run compact_index to completion "
+                "(it clears the marker), then append."
+            )
+        yield
+    finally:
+        if not released:
+            fs.delete(mpath, False)
 
 
 def clear_tombstones(

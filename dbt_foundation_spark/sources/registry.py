@@ -53,22 +53,70 @@ class Source:
     # undocumented_source_tables / undocumented_sources checks
     description: str | None = None
     source_description: str | None = None
+    # --- schema-drift contract (r10 verdict #6, probed live) --------
+    # A file-backed source's schema comes from its footers, and drift
+    # across file generations has three shapes with three distinct
+    # default behaviors in Spark:
+    #   * ADDED column: the default single-footer sample silently
+    #     DROPS it (and which footer wins can flip with file listing —
+    #     a flapping schema). merge_schema=True opts into
+    #     ``mergeSchema``: union schema, NULL-fill for files lacking
+    #     the column — the adaptive path for additive drift, at the
+    #     cost of a footer-merge per planning (expensive at millions
+    #     of files; prefer declaring read_schema at that scale).
+    #   * MISSING (dropped) column: same mechanics mirrored — merge
+    #     keeps the union and NULL-fills the new files.
+    #   * WIDENED type (int→bigint): LOUD either way by default
+    #     (PARQUET_COLUMN_DATA_TYPE_MISMATCH mid-scan without merge,
+    #     CANNOT_MERGE_SCHEMAS with it). Declaring ``read_schema``
+    #     with the WIDE type reads both generations correctly (Spark 4
+    #     widens int32 files under a declared bigint schema) — the
+    #     adaptive path for widening is an explicit declaration, never
+    #     an inference.
+    # ``expected_columns`` is the loud-by-declaration tier: load()
+    # verifies the RESOLVED schema contains every named column and
+    # raises a drift error naming what vanished — catching silent
+    # column loss at the source boundary instead of as an unresolved
+    # reference ten models downstream. Extra columns are allowed
+    # (additive drift breaks nothing that selects explicitly).
+    merge_schema: bool = False
+    read_schema: str | None = None
+    expected_columns: tuple[str, ...] = ()
 
     def load(self, spark: SparkSession) -> DataFrame:
         if self.catalog_table:
-            return spark.table(self.catalog_table)
+            return self._check_expected(spark.table(self.catalog_table))
         if not self.path:
             raise ValueError(f"source {self.source_name}.{self.table_name} has no path")
         reader = spark.read.options(**self.options)
+        if self.merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        if self.read_schema:
+            reader = reader.schema(self.read_schema)
         if self.fmt == "parquet":
-            return reader.parquet(self.path)
+            return self._check_expected(reader.parquet(self.path))
         if self.fmt == "csv":
-            return reader.option("header", "true").csv(self.path)
+            return self._check_expected(reader.option("header", "true").csv(self.path))
         if self.fmt == "json":
-            return reader.json(self.path)
+            return self._check_expected(reader.json(self.path))
         if self.fmt == "orc":
-            return reader.orc(self.path)
+            return self._check_expected(reader.orc(self.path))
         raise ValueError(f"unsupported source format: {self.fmt}")
+
+    def _check_expected(self, df: DataFrame) -> DataFrame:
+        missing = [c for c in self.expected_columns if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"source {self.source_name}.{self.table_name}: schema "
+                f"drift — declared column(s) {missing} absent from the "
+                f"resolved schema {df.columns}. A column a footer sample "
+                "no longer carries would otherwise fail as an unresolved "
+                "reference downstream (or silently vanish from a "
+                "SELECT *); fix the source files, or set "
+                "merge_schema=True / read_schema=... if the column "
+                "exists only in some file generations."
+            )
+        return df
 
 
 class SourceRegistry:

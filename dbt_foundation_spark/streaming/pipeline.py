@@ -755,7 +755,7 @@ def run_dedup_ingest(
             dedup_index.append_to_index(
                 batch, id_col, text_col, index_path,
                 num_hashes=num_hashes, bands=bands, shingle_len=shingle_len,
-                portable=portable,
+                portable=portable, owner=checkpoint_dir,
             )
     elif detector == "simhash":
         def vs_corpus(spark, batch):
@@ -774,6 +774,7 @@ def run_dedup_ingest(
             dedup_index.append_to_simhash_index(
                 batch, id_col, text_col, index_path,
                 max_hamming=max_hamming, portable=portable,
+                owner=checkpoint_dir,
             )
     elif detector == "containment":
         def vs_corpus(spark, batch):
@@ -792,6 +793,7 @@ def run_dedup_ingest(
             dedup_index.append_to_containment_index(
                 batch, id_col, text_col, index_path,
                 shingle_len=shingle_len, threshold=containment_threshold,
+                owner=checkpoint_dir,
             )
     elif detector == "embedding":
         if vec_col is None:
@@ -824,6 +826,7 @@ def run_dedup_ingest(
             dedup_index.append_to_embedding_index(
                 batch, id_col, vec_col, index_path,
                 m=m, bands=embed_bands, seed=seed, dim=dim,
+                owner=checkpoint_dir,
             )
     else:
         raise ValueError(
@@ -945,20 +948,34 @@ def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str, app_id: str):
                 state["centroids"], state["dim"],
             ),
         )
-        # refuse_all_dirty=False: a hard raise here fires BEFORE the
-        # (app_id, batch_id) marker lands, so every restart would
-        # replay the identical batch and crash again — one corrupt
-        # vector arriving alone in a micro-batch must quarantine to
-        # list -1 (loudly) and let the marker commit, never become a
-        # permanent poison pill (r10 advice)
-        _append_assigned(
-            batch_df, id_col, vec_col, index_path,
-            state["centroids"], state["dim"],
-            refuse_all_dirty=False,
+        # __appending exclusion (r10 verdict #4): the whole
+        # append + batch-marker write holds the index's append claim —
+        # a concurrent batch append or second stream would otherwise
+        # share the FileOutputCommitter staging and destroy this
+        # batch's uncommitted files, and a concurrent compaction's
+        # directory swap would silently drop them. owner=app_id is the
+        # stream's stable identity: a restart after a crash mid-append
+        # RECLAIMS its own stale claim and re-runs the batch (replayed
+        # rows fold at compact_index).
+        from dbt_foundation_spark.operators.tombstones import (
+            hold_append_marker,
         )
-        spark.createDataFrame(
-            [(app_id, int(batch_id))], "app_id string, batch_id long"
-        ).write.mode("append").parquet(log_path)
+
+        with hold_append_marker(spark, index_path, owner=app_id):
+            # refuse_all_dirty=False: a hard raise here fires BEFORE
+            # the (app_id, batch_id) marker lands, so every restart
+            # would replay the identical batch and crash again — one
+            # corrupt vector arriving alone in a micro-batch must
+            # quarantine to list -1 (loudly) and let the marker
+            # commit, never become a permanent poison pill (r10 advice)
+            _append_assigned(
+                batch_df, id_col, vec_col, index_path,
+                state["centroids"], state["dim"],
+                refuse_all_dirty=False,
+            )
+            spark.createDataFrame(
+                [(app_id, int(batch_id))], "app_id string, batch_id long"
+            ).write.mode("append").parquet(log_path)
 
     return sink
 

@@ -1,0 +1,197 @@
+"""Index APPEND concurrency contract (r10 verdict #4).
+
+The revive/compact pair has had a symmetric marker handshake since r7;
+appends had none, leaving two unpinned write interleavings:
+
+* two appends racing each other — concurrent ``mode("append")`` writers
+  into one directory share the FileOutputCommitter staging root
+  (``_temporary/0``); the first job's commit deletes the staging
+  recursively and destroys the other's uncommitted task files;
+* an append racing ``compact_index`` — ``compact_parquet_path``
+  snapshots with a read, then renames the live directory aside and
+  deletes it; files appended between snapshot and rename are silently
+  destroyed.
+
+Contract (``tombstones.hold_append_marker``): every ``append_to_*``
+claims ``__appending`` atomically (create-exclusive) for the duration
+of its writes, then write-then-checks ``__compacting``; compaction
+creates its marker then checks ``__appending`` — of two ops starting
+concurrently at least one sees the other and raises. Streaming ingests
+pass a stable owner and reclaim their own crashed claim on restart;
+batch appends get UUID owners, so a crashed batch append's claim heals
+by the documented manual delete + re-run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_foundation_spark.operators.tombstones import (
+    append_marker_path,
+    compaction_marker_path,
+    hold_append_marker,
+)
+
+
+def _fs(spark, path):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _write_marker(spark, index_path, owner: str):
+    """Simulate a claim left by another process / a crashed one."""
+    p, fs = _fs(spark, append_marker_path(index_path))
+    out = fs.create(p, False)
+    out.write(bytearray(owner.encode()))
+    out.close()
+
+
+def _marker_exists(spark, index_path) -> bool:
+    p, fs = _fs(spark, append_marker_path(index_path))
+    return fs.exists(p)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture()
+def mh_index(spark, tmp_path):
+    from dbt_foundation_spark.operators.dedup_index import build_minhash_index
+
+    corpus = _docs(
+        spark,
+        [(i, f"alpha beta gamma doc {i} delta epsilon zeta") for i in range(8)],
+    )
+    path = str(tmp_path / "mh_excl")
+    build_minhash_index(corpus, "doc_id", "text", path, num_hashes=16, bands=4)
+    return path
+
+
+def test_append_vs_append_mutual_exclusion(spark, mh_index):
+    from dbt_foundation_spark.operators.dedup_index import append_to_index
+
+    batch = _docs(spark, [(100, "totally new content one two three")])
+    # a live claim from "someone else" (another process mid-append)
+    _write_marker(spark, mh_index, "batch-someoneelse")
+    with pytest.raises(ValueError, match="__appending"):
+        append_to_index(batch, "doc_id", "text", mh_index,
+                        num_hashes=16, bands=4)
+    # the loser must NOT have withdrawn the holder's claim
+    assert _marker_exists(spark, mh_index)
+
+    # healing per the raise message: delete the stale claim, re-run
+    p, fs = _fs(spark, append_marker_path(mh_index))
+    fs.delete(p, False)
+    append_to_index(batch, "doc_id", "text", mh_index, num_hashes=16, bands=4)
+    # a successful append releases its claim
+    assert not _marker_exists(spark, mh_index)
+    n = spark.read.parquet(f"{mh_index}/shingles").filter(
+        F.col("id") == 100
+    ).count()
+    assert n == 1
+
+
+def test_append_refuses_during_compaction(spark, mh_index):
+    from dbt_foundation_spark.operators.dedup_index import append_to_index
+
+    cpath, fs = _fs(spark, compaction_marker_path(mh_index))
+    fs.mkdirs(cpath)  # a compaction in flight (or crashed mid-rewrite)
+    try:
+        with pytest.raises(ValueError, match="__compacting"):
+            append_to_index(
+                _docs(spark, [(200, "mid compaction batch")]),
+                "doc_id", "text", mh_index, num_hashes=16, bands=4,
+            )
+        # the refused append released its own claim (write-then-check
+        # conflict must not leave a stale __appending behind)
+        assert not _marker_exists(spark, mh_index)
+    finally:
+        fs.delete(cpath, True)
+
+
+def test_compaction_refuses_during_append(spark, mh_index):
+    from dbt_foundation_spark.operators.maintenance import compact_index
+
+    _write_marker(spark, mh_index, "batch-inflight")
+    try:
+        with pytest.raises(RuntimeError, match="__appending"):
+            compact_index(spark, mh_index)
+        # the refused compaction withdrew its own fresh marker so a
+        # revive is not spuriously blocked afterward
+        cpath, fs = _fs(spark, compaction_marker_path(mh_index))
+        assert not fs.exists(cpath)
+    finally:
+        p, fs = _fs(spark, append_marker_path(mh_index))
+        fs.delete(p, False)
+    # with the claim gone, compaction proceeds
+    stats = compact_index(spark, mh_index)
+    assert set(stats) == {"bands", "shingles"}
+
+
+def test_streaming_owner_reclaims_its_own_crashed_claim(spark, mh_index):
+    # a crashed stream left its claim; the SAME owner (checkpoint
+    # identity) reclaims and proceeds — a DIFFERENT owner refuses
+    _write_marker(spark, mh_index, "ckpt-A")
+    with pytest.raises(ValueError, match="__appending"):
+        with hold_append_marker(spark, mh_index, owner="ckpt-B"):
+            pass
+    assert _marker_exists(spark, mh_index)  # holder's claim untouched
+    with hold_append_marker(spark, mh_index, owner="ckpt-A"):
+        assert _marker_exists(spark, mh_index)
+    assert not _marker_exists(spark, mh_index)  # released on exit
+
+
+def test_exception_inside_hold_releases_claim(spark, mh_index):
+    with pytest.raises(RuntimeError, match="boom"):
+        with hold_append_marker(spark, mh_index):
+            raise RuntimeError("boom")
+    # the raise signals partial admission; the claim must not brick
+    # later appends (re-running the append is the documented healing)
+    assert not _marker_exists(spark, mh_index)
+    with hold_append_marker(spark, mh_index):
+        pass
+
+
+def test_ivf_append_carries_the_same_exclusion(spark, sf_dir, tmp_path):
+    from dbt_foundation_spark.operators.maintenance import compact_index
+    from dbt_foundation_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+    from dbt_foundation_spark.queries._util import t
+
+    emb = t(spark, sf_dir, "embeddings").orderBy("vec_id").limit(60)
+    path = str(tmp_path / "ivf_excl")
+    build_ivf_index(emb, "vec_id", "embedding", path, n_lists=4)
+    batch = emb.limit(3).withColumn("vec_id", F.col("vec_id") + 10_000)
+
+    _write_marker(spark, path, "batch-other")
+    with pytest.raises(ValueError, match="__appending"):
+        append_to_ivf_index(batch, "vec_id", "embedding", path)
+    with pytest.raises(RuntimeError, match="__appending"):
+        compact_index(spark, path)
+    p, fs = _fs(spark, append_marker_path(path))
+    fs.delete(p, False)
+    append_to_ivf_index(batch, "vec_id", "embedding", path)
+    assert not _marker_exists(spark, path)
+    assert (
+        spark.read.parquet(f"{path}/lists")
+        .filter(F.col("vec_id") >= 10_000)
+        .count()
+        == 3
+    )
+
+
+def test_index_stats_reports_stale_append_claim(spark, mh_index):
+    from dbt_foundation_spark.operators.maintenance import index_stats
+
+    assert index_stats(spark, mh_index)["crash_leftovers"] == []
+    _write_marker(spark, mh_index, "batch-crashed")
+    try:
+        assert "__appending" in index_stats(spark, mh_index)["crash_leftovers"]
+    finally:
+        p, fs = _fs(spark, append_marker_path(mh_index))
+        fs.delete(p, False)
