@@ -96,9 +96,25 @@ def minhash_signature(
     portable: bool = False,
     max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> DataFrame:
-    """(id, minhash array<bigint> of length num_hashes) per document.
-    Signature input is the doc's first ``max_tokens`` tokens
-    (:data:`SIGNATURE_MAX_TOKENS` — the giant-document guard).
+    """(id, minhash array<bigint> of length num_hashes) per document
+    VERSION — one row per (id, distinct text). Signature input is the
+    doc's first ``max_tokens`` tokens (:data:`SIGNATURE_MAX_TOKENS` —
+    the giant-document guard).
+
+    Degenerate identities (r11 probe): a duplicated id with DIFFERENT
+    text must not fold both texts into one aggregate — the pre-fix
+    groupBy(id) merged the two shingle streams into one garbage
+    signature that banded like NEITHER version (a probe lost an
+    exact-copy pair at jaccard 1.0), so one corrupt duplicate row
+    could silently change which pairs a CLEAN doc matches. The group
+    key is now (id, xxhash64(text)): unique-id corpora produce the
+    identical one-row-per-id output, exact full-row duplicates still
+    collapse, and a multi-version id yields one signature per version
+    — the same per-version rows the persisted index stores, folded to
+    strongest evidence by every pair consumer. NULL-id rows are
+    excluded up front: with no stable identity there is nothing to
+    pair, retract, or keep (the sampler contract), and pre-fix they
+    fell out SILENTLY through NULL comparisons downstream anyway.
 
     h_i(s) = (a_i * (H(s) mod P) + b_i) mod P over xxhash64-derived H
     with P = 2^31-1 — deterministic (fixed seed), and every intermediate
@@ -118,19 +134,24 @@ def minhash_signature(
     engine-internal choice."""
     coeffs = _hash_coeffs(num_hashes)
     base_hash = md5_hash64 if portable else fast_hash64
-    exploded = df.select(
+    exploded = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
+        # version key: engine-internal grouping only (never replayed by
+        # an oracle — with unique ids it is constant within each group)
+        F.xxhash64(F.col(text_col)).alias("_ver"),
         F.explode(
             F.array_distinct(token_ngrams(text_col, shingle_len, max_tokens))
         ).alias("_s"),
     )
-    hashed = exploded.select("_id", F.pmod(base_hash("_s"), F.lit(_P)).alias("_h"))
+    hashed = exploded.select(
+        "_id", "_ver", F.pmod(base_hash("_s"), F.lit(_P)).alias("_h")
+    )
     aggs = [
         F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"_mh{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     return (
-        hashed.groupBy("_id")
+        hashed.groupBy("_id", "_ver")
         .agg(*aggs)
         .select("_id", F.array(*[f"_mh{i}" for i in range(num_hashes)]).alias("minhash"))
     )
@@ -214,7 +235,12 @@ def minhash_lsh_pairs(
     return (
         pairs.withColumn("jaccard", F.try_divide(inter, union))
         .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
+        # one row per pair, strongest version wins: a duplicated id has
+        # one signature + shingle row per distinct text, so the verify
+        # join emits one row per version pair — fold to max jaccard,
+        # the in-memory twin of dedup_index's multi-version contract
+        .groupBy("id_a", "id_b")
+        .agg(F.max("jaccard").alias("jaccard"))
     )
 
 
@@ -246,7 +272,7 @@ def _self_candidate_pairs_with_shingles(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    shingles = df.select(
+    shingles = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
             token_ngrams(text_col, shingle_len, max_tokens)
@@ -334,8 +360,17 @@ def containment_pairs(
     return (
         pairs.withColumn("containment_a", c_a)
         .withColumn("containment_b", c_b)
+        # column-wise max per pair BEFORE the gate: a duplicated id has
+        # one hash-set row per distinct text, and a version failing the
+        # combined gate can still carry the strongest one-sided
+        # evidence (the same fold containment_against_index uses). The
+        # surviving pair set is unchanged for unique-id corpora.
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max("containment_a").alias("containment_a"),
+            F.max("containment_b").alias("containment_b"),
+        )
         .filter(F.greatest("containment_a", "containment_b") >= threshold)
-        .select("id_a", "id_b", "containment_a", "containment_b")
     )
 
 
@@ -358,7 +393,9 @@ def hashed_shingle_sets(
     (operators/dedup_index.py) — the persisted-vs-recompute equivalence
     contract requires both paths to hash and dedup identically, so
     neither may inline its own copy."""
-    return df.select(
+    # NULL-id rows are excluded: no stable identity, nothing to pair
+    # or retract (see minhash_signature's degenerate-identity contract)
+    return df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             F.transform(
@@ -451,7 +488,7 @@ def minhash_lsh_join(
     )
 
     def shingles(df: DataFrame, alias: str, sh_alias: str) -> DataFrame:
-        return df.select(
+        return df.filter(F.col(id_col).isNotNull()).select(
             F.col(id_col).alias(alias),
             F.array_distinct(
                 token_ngrams(text_col, shingle_len, max_tokens)
@@ -466,7 +503,9 @@ def minhash_lsh_join(
     return (
         pairs.withColumn("jaccard", F.try_divide(inter, union))
         .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("new_id", "corpus_id", "jaccard")
+        # strongest version per cross-side pair (see minhash_lsh_pairs)
+        .groupBy("new_id", "corpus_id")
+        .agg(F.max("jaccard").alias("jaccard"))
     )
 
 
@@ -554,7 +593,13 @@ def repeated_ngram_spans(
     whole thing is one span-keyed window + one doc-keyed aggregate — two
     keyed shuffles, both AQE-skew-splittable, no joins, no arrays
     crossing a shuffle."""
-    grams = df.select(
+    # NULL-id rows are excluded (no stable identity to report under);
+    # per-document metrics otherwise assume UNIQUE ids — run the corpus
+    # gate / exact dedup first (the fused pipeline's ordering). A
+    # duplicated id here counts each of its rows as a document, which
+    # is the honest reading for repetition ("two copies = repeated")
+    # but inflates that id's own n_spans.
+    grams = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(token_ngrams(text_col, n, max_tokens))).alias("_g"),
     )
@@ -640,21 +685,27 @@ def simhash(
     if max_tokens is not None:
         # giant-document guard, same contract as token_ngrams(max_tokens)
         toks = F.slice(toks, 1, max_tokens)
-    exploded = df.select(
+    # one signature per (id, distinct text) and no NULL ids — the same
+    # degenerate-identity contract as minhash_signature (pre-fix the
+    # groupBy(id) summed BOTH versions' ±1 bit votes into one garbage
+    # signature that matched neither text)
+    exploded = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
+        F.xxhash64(F.col(text_col)).alias("_ver"),
         F.explode(F.array_distinct(toks)).alias("_tok"),
     )
     if portable:
         md5c = F.md5("_tok")
         hashed = exploded.select(
             "_id",
+            "_ver",
             F.conv(F.substring(md5c, 1, 15), 16, 10).cast("bigint").alias("_h"),
             F.conv(F.substring(md5c, 16, 15), 16, 10).cast("bigint").alias("_h2"),
         )
         def bit(i: int):
             return F.getbit("_h", F.lit(i)) if i < 60 else F.getbit("_h2", F.lit(i - 60))
     else:
-        hashed = exploded.select("_id", fast_hash64("_tok").alias("_h"))
+        hashed = exploded.select("_id", "_ver", fast_hash64("_tok").alias("_h"))
         def bit(i: int):
             return F.getbit("_h", F.lit(i))
     # ±1 as arithmetic (2*bit − 1), not CaseWhen: 64 fewer branch nodes
@@ -671,7 +722,11 @@ def simhash(
             F.lit(0).cast("bigint")
         )
         packed = term if packed is None else packed.bitwiseOR(term)
-    return hashed.groupBy("_id").agg(*bit_sums).select("_id", packed.alias(out_col))
+    return (
+        hashed.groupBy("_id", "_ver")
+        .agg(*bit_sums)
+        .select("_id", packed.alias(out_col))
+    )
 
 
 def signature_chunks(sh: DataFrame, max_hamming: int) -> DataFrame:
@@ -756,8 +811,12 @@ def simhash_near_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", "hamming")
+        # closest version wins deterministically (a duplicated id has
+        # one signature per distinct text; dropDuplicates kept an
+        # arbitrary version's distance — the same defect r10 fixed in
+        # dedup_against_simhash_index)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
     )
 
 
@@ -788,13 +847,26 @@ def ngram_jaccard_pairs(
     LOWER-BOUND jaccard (dropped shingles count in |A∪B| but not |A∩B|)
     — exact whenever no shingle exceeds the cap, which the default
     guarantees at test scale. ``max_df=None`` disables the guard."""
-    sh = df.select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col).alias("_id"),
-        F.array_distinct(token_ngrams(text_col, shingle_len, max_tokens)).alias("_sh"),
+    # degenerate identities (see minhash_signature): NULL ids are
+    # excluded; each (id, distinct text) VERSION keys the postings, so
+    # a duplicated id cannot merge two texts' co-occurrence counts into
+    # one incoherent sum (full-row duplicates collapse to one version
+    # row first — pre-fix a doubled row doubled its own intersection
+    # counts, pushing "jaccard" past 1.0)
+    sh = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(
+            *[F.col(c) for c in block_cols],
+            F.col(id_col).alias("_id"),
+            F.xxhash64(F.col(text_col)).alias("_ver"),
+            F.array_distinct(
+                token_ngrams(text_col, shingle_len, max_tokens)
+            ).alias("_sh"),
+        )
+        .dropDuplicates([*block_cols, "_id", "_ver"])
     )
-    sizes = sh.select("_id", F.size("_sh").alias("_n"))
-    inv = sh.select(*block_cols, "_id", F.explode("_sh").alias("_s"))
+    sizes = sh.select("_id", "_ver", F.size("_sh").alias("_n"))
+    inv = sh.select(*block_cols, "_id", "_ver", F.explode("_sh").alias("_s"))
     if max_df is not None:
         dfreq = Window.partitionBy(*block_cols, "_s")
         inv = (
@@ -802,24 +874,40 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= max_df)
             .drop("_df")
         )
-    left = inv.select(*block_cols, F.col("_id").alias("id_a"), "_s")
-    right = inv.select(*block_cols, F.col("_id").alias("id_b"), "_s")
+    left = inv.select(
+        *block_cols, F.col("_id").alias("id_a"), F.col("_ver").alias("_va"), "_s"
+    )
+    right = inv.select(
+        *block_cols, F.col("_id").alias("id_b"), F.col("_ver").alias("_vb"), "_s"
+    )
     common = (
         left.join(right, block_cols + ["_s"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "_va", "id_b", "_vb")
         .agg(F.count(F.lit(1)).alias("_common"))
     )
     with_sizes = common.join(
-        sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a"
-    ).join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        sizes.select(
+            F.col("_id").alias("id_a"), F.col("_ver").alias("_va"),
+            F.col("_n").alias("_na"),
+        ),
+        ["id_a", "_va"],
+    ).join(
+        sizes.select(
+            F.col("_id").alias("id_b"), F.col("_ver").alias("_vb"),
+            F.col("_n").alias("_nb"),
+        ),
+        ["id_b", "_vb"],
+    )
     jac = F.try_divide(
         F.col("_common"), F.col("_na") + F.col("_nb") - F.col("_common")
     )
     return (
         with_sizes.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        # strongest version pair wins (multi-version contract)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("jaccard").alias("jaccard"))
     )
 
 

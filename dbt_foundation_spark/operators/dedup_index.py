@@ -227,7 +227,10 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_len: int) -
     # jaccard would disagree between index and batch sides
     from dbt_foundation_spark.operators.dedup import SIGNATURE_MAX_TOKENS
 
-    return df.select(
+    # NULL-id rows never enter the stored verify set — same
+    # degenerate-identity contract as minhash_signature (an id-less
+    # stored row could never be paired, retracted, or folded)
+    return df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             token_ngrams(text_col, shingle_len, SIGNATURE_MAX_TOKENS)

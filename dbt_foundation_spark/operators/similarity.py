@@ -168,6 +168,7 @@ def ivf_assignments(
     fit_fraction: float | None = None,
     max_iter: int = 8,
     target_fit_rows: int = 100_000,
+    id_col: str | None = None,
 ):
     """IVF coarse quantizer: k-means centroids + per-row list assignment.
 
@@ -274,7 +275,7 @@ def ivf_assignments(
                 centers[j] = members.mean(axis=0)
     centroids = [[float(x) for x in c] for c in centers]
 
-    return _ivf_assign(df, vec_col, centroids), centroids
+    return _ivf_assign(df, vec_col, centroids, id_col=id_col), centroids
 
 
 def _sqdist(v, centroid: list[float]):
@@ -294,7 +295,8 @@ def _sqdist(v, centroid: list[float]):
 
 
 def _ivf_assign(
-    df: DataFrame, vec_col: str, centroids: list[list[float]]
+    df: DataFrame, vec_col: str, centroids: list[list[float]],
+    id_col: str | None = None,
 ) -> DataFrame:
     """Tag each row with ``_ivf_list`` = argmin squared distance to the
     given centroids — the distributed, map-only half of the coarse
@@ -305,15 +307,22 @@ def _ivf_assign(
 
     Quarantine contract: a vector that is non-finite (NaN/Inf/NULL
     element) or whose length differs from the quantizer's dim gets
-    ``_ivf_list = -1``. Probes rank real centroids (ids 0..n_lists-1)
-    so list -1 is never scanned by a query; the rows stay in the index
-    dataset so retract/compact/takedown still see them. Without the
-    gate a NaN vector's all-NaN distance row silently lands in list 0
-    (NaN-aware array_position) and a ragged vector gets a NULL list —
-    two different accidental behaviors instead of one deliberate one."""
+    ``_ivf_list = -1`` — and so does a row whose ``id_col`` is NULL
+    when the caller names one (r11 degenerate-identity class: an
+    id-less vector can appear in top-k results but can never be
+    fetched, deduplicated, or retracted — no stable identity means it
+    must not be searchable, same rule as the dedup detectors). Probes
+    rank real centroids (ids 0..n_lists-1) so list -1 is never scanned
+    by a query; the rows stay in the index dataset so
+    retract/compact/takedown still see them. Without the gate a NaN
+    vector's all-NaN distance row silently lands in list 0 (NaN-aware
+    array_position) and a ragged vector gets a NULL list — two
+    different accidental behaviors instead of one deliberate one."""
     v = F.col(vec_col).cast("array<double>")
     dists = F.array(*[_sqdist(v, c) for c in centroids])
     ok = V.is_finite_vector(v) & (F.size(v) == len(centroids[0]))
+    if id_col is not None:
+        ok = ok & F.col(id_col).isNotNull()
     # argmin = position of the min element (ties -> first, like numpy)
     argmin = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     return df.withColumn(
@@ -450,6 +459,11 @@ def embedding_near_pairs(
     if dim is None:
         dim = sniff_dim(df, vec_col)
     planes = random_hyperplanes(dim, m, seed)
+    # NULL-id rows are excluded (no stable identity to pair — the
+    # dedup-family degenerate-identity contract); a duplicated id with
+    # different vectors keeps one banded row per version and the
+    # verify folds to the strongest cosine below
+    df = df.filter(F.col(id_col).isNotNull())
     banded = hyperplane_banded(df, id_col, vec_col, planes, bands, r, block_col)
     # lazy (non-eager) checkpoint: materialized by the first action, then
     # shared by both self-join sides — the signature dot products run once
@@ -469,7 +483,9 @@ def embedding_near_pairs(
         .join(vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb")), "id_b")
         .withColumn("cosine_sim", V.cosine("_va", "_vb"))
         .filter(F.col("cosine_sim") >= threshold)
-        .select("id_a", "id_b", "cosine_sim")
+        # strongest version per pair (multi-version contract)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
     )
 
 
@@ -556,7 +572,8 @@ def build_ivf_index(
     if n_lists is None:
         n_lists = recommended_n_lists(df.count())
     assigned, centroids = ivf_assignments(
-        df, vec_col, n_lists=n_lists, seed=seed, target_fit_rows=target_fit_rows
+        df, vec_col, n_lists=n_lists, seed=seed,
+        target_fit_rows=target_fit_rows, id_col=id_col,
     )
     (
         assigned.select(id_col, vec_col, "_ivf_list")
@@ -762,7 +779,7 @@ def _assigned_rows(
     stays on the QUERY side only, where a mis-sized vector is a
     caller/config error, not dirty data."""
     return (
-        _ivf_assign(df, vec_col, centroids)
+        _ivf_assign(df, vec_col, centroids, id_col=id_col)
         .select(id_col, vec_col, "_ivf_list")
         .repartition("_ivf_list")
     )

@@ -743,6 +743,35 @@ def test_ivf_append_quarantines_partial_refuses_all_dirty(spark, clean_vecs, tmp
     with pytest.raises(ValueError, match="quarantined"):
         append_to_ivf_index(all_dirty, "vec_id", "embedding", path)
 
+    # NULL-id rows quarantine too (r11 degenerate-identity class): an
+    # id-less vector could rank in top-k but never be fetched,
+    # deduplicated, or retracted — no stable identity, not searchable.
+    # Build and append agree on the fate.
+    null_id = spark.createDataFrame(
+        [(None, [1.0, 0.0, 0.0]), (400, [0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    append_to_ivf_index(null_id, "vec_id", "embedding", path)
+    lists = spark.read.parquet(f"{path}/lists")
+    assert lists.filter(
+        F.col("_ivf_list") == -1
+    ).filter(F.col("vec_id").isNull()).count() == 1
+    hits = {
+        r.vec_id
+        for r in search_ivf_index(
+            spark, path, "vec_id", "embedding", [1.0, 0.0, 0.0], k=50, n_probe=2
+        ).collect()
+    }
+    assert None not in hits and 400 in hits
+
+    path2 = str(tmp_path / "ivf_q2")
+    build_ivf_index(
+        clean_vecs.unionByName(null_id), "vec_id", "embedding", path2,
+        n_lists=2, seed=7,
+    )
+    built = spark.read.parquet(f"{path2}/lists")
+    assert built.filter(F.col("vec_id").isNull()).collect()[0]["_ivf_list"] == -1
+
 
 def test_pack_tied_order_cols_serial_and_deterministic(spark):
     """Tied order_cols (r10 review): the window path's default RANGE
@@ -901,3 +930,132 @@ def test_nonfinite_aggregate_divergence_executable_contract(spark):
         nonfinite = emb.filter(~F.coalesce(
             is_finite_vector("embedding"), F.lit(False))).count()
         assert nonfinite == 0, (sf, nonfinite)
+
+
+def test_degenerate_identities_in_pair_detectors(spark):
+    """NULL ids and duplicated ids (same id, different text) through
+    every in-memory pair detector (r11 probe). Pre-fix, minhash/simhash
+    computed ONE signature per id by grouping the exploded streams, so
+    a duplicated id MERGED two texts into a garbage signature that
+    banded like neither — the probe lost an exact-copy pair at jaccard
+    1.0 and simhash lost every pair; ngram_jaccard's count aggregation
+    pushed a doubled identical row's own 'jaccard' past 1.0. Contract
+    now: (a) NULL-id rows are excluded (no stable identity — the
+    sampler rule) and their presence changes NOTHING about clean
+    pairs; (b) each (id, distinct text) version signs separately and
+    pair output folds to the strongest evidence per (id_a, id_b) —
+    the in-memory twin of the index module's multi-version contract."""
+    from dbt_foundation_spark.operators.dedup import (
+        containment_pairs,
+        minhash_lsh_join,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+    from dbt_foundation_spark.operators.similarity import embedding_near_pairs
+
+    docs = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "alpha beta gamma delta epsilon zeta eta iota"
+    t3 = "ships harbors tides quays docks piers moorings anchors"
+    clean = [(1, t1), (2, t2), (3, t3)]
+    kw = dict(num_hashes=16, bands=8, shingle_len=3, jaccard_threshold=0.5)
+
+    base = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs(clean), "doc_id", "text", **kw).collect()
+    }
+    assert base == {(1, 2): pytest.approx(5 / 7)}
+
+    # duplicated id 1 carries an exact copy of doc 3's text: the (1,3)
+    # pair MUST surface at 1.0 (pre-fix the merged signature lost it)
+    # and the clean (1,2) pair must keep its version-1 jaccard
+    dup = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            docs(clean + [(1, t3)]), "doc_id", "text", **kw
+        ).collect()
+    }
+    assert dup[(1, 2)] == base[(1, 2)]
+    assert dup[(1, 3)] == pytest.approx(1.0)
+    assert len(dup) == len({(a, b) for a, b in dup})  # one row per pair
+
+    # simhash: the exact copy is hamming 0 (pre-fix: empty output)
+    sh = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(
+            docs(clean + [(1, t3)]), "doc_id", "text", max_hamming=8
+        ).collect()
+    }
+    assert sh[(1, 3)] == 0
+
+    # containment: column-wise max over versions, one row per pair
+    ct = {
+        (r.id_a, r.id_b): (r.containment_a, r.containment_b)
+        for r in containment_pairs(
+            docs(clean + [(1, t3)]), "doc_id", "text",
+            shingle_len=2, threshold=0.6,
+        ).collect()
+    }
+    assert ct[(1, 3)] == (pytest.approx(1.0), pytest.approx(1.0))
+
+    # ngram jaccard: version-keyed counts — the dup id pairs at 1.0,
+    # and a DOUBLED identical row cannot inflate its own jaccard
+    # (pre-fix the merged co-occurrence counts pushed it past 1.0)
+    lang = lambda d: d.withColumn("lang", F.lit("en"))
+    nj = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            lang(docs(clean + [(1, t3)])), "doc_id", "text", ["lang"],
+            shingle_len=2, threshold=0.5,
+        ).collect()
+    }
+    assert nj[(1, 3)] == pytest.approx(1.0)
+    doubled = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            lang(docs(clean + [(1, t1)])), "doc_id", "text", ["lang"],
+            shingle_len=2, threshold=0.3,
+        ).collect()
+    }
+    assert all(v <= 1.0 for v in doubled.values())
+    assert doubled[(1, 2)] == pytest.approx(0.75)
+
+    # NULL ids: invisible by contract, clean pairs byte-identical —
+    # including a NULL-id exact copy of doc 1 (it must pair with
+    # nothing, not fabricate a (1, NULL) row)
+    withnull = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            docs(clean + [(None, t1), (None, t3)]), "doc_id", "text", **kw
+        ).collect()
+    }
+    assert withnull == base
+
+    # incremental join: a batch id with two versions matches through
+    # EACH version (pre-fix the merged signature lost (10, 3))
+    joined = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in minhash_lsh_join(
+            docs([(10, t1), (10, t3)]), docs(clean), "doc_id", "text", **kw
+        ).collect()
+    }
+    assert joined[(10, 1)] == pytest.approx(1.0)
+    assert joined[(10, 3)] == pytest.approx(1.0)
+
+    # embedding flavor: per-version verify folds to strongest cosine;
+    # NULL-id vectors are excluded
+    vecs = lambda rows: spark.createDataFrame(rows, "vec_id bigint, emb array<double>")
+    ev = vecs([
+        (1, [1.0, 0.0, 0.0]), (2, [0.9, 0.4, 0.2]),
+        (1, [0.0, 0.0, 1.0]), (3, [0.05, 0.0, 1.0]),
+        (None, [1.0, 0.0, 0.0]),
+    ])
+    emb = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_pairs(
+            ev, "vec_id", "emb", threshold=0.8, m=8, bands=4
+        ).collect()
+    }
+    assert set(emb) == {(1, 2), (1, 3)}
+    assert emb[(1, 3)] > 0.99  # version 2 of id 1 carries the match
