@@ -47,11 +47,15 @@ from pyspark.sql import DataFrame
 
 CHECKPOINT_DIR_CONF = "spark.dbt_foundation_spark.checkpointDir"
 
-# applicationId -> the conf root THIS module last installed on that
-# context.  ``SparkContext.getCheckpointDir`` returns the UUID subdir
-# Spark appends, never the root we passed, so equality against the conf
-# can't be checked through the context itself — track it here instead.
-_installed_roots: dict[str, str] = {}
+# applicationId -> (conf root THIS module last installed, the resolved
+# directory SparkContext reported right after).  ``getCheckpointDir``
+# returns the UUID subdir Spark appends, never the root we passed, so
+# equality against the conf can't be checked through the context alone
+# — but remembering the RESOLVED dir lets a later pin detect that user
+# code called ``sc.setCheckpointDir`` behind the engine's back and
+# re-assert the conf root (the documented "once the conf is set, the
+# engine's root wins" contract; r11 review).
+_installed_roots: dict[str, tuple[str, str | None]] = {}
 
 
 def checkpoint_dir(df_or_spark) -> str | None:
@@ -78,10 +82,14 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     spark = df.sparkSession
     sc = spark.sparkContext
     app = sc.applicationId
-    if sc.getCheckpointDir() is None or _installed_roots.get(app) != root:
-        # install on first reliable pin, and RE-install when the conf
-        # changed mid-session — previously a changed conf silently kept
-        # the first directory (round-10 verdict #5)
+    current = sc.getCheckpointDir()
+    installed = _installed_roots.get(app)
+    if (
+        current is None
+        or installed is None
+        or installed[0] != root  # conf changed mid-session (r10 #5)
+        or installed[1] != current  # user setCheckpointDir override
+    ):
         sc.setCheckpointDir(root)
-        _installed_roots[app] = root
+        _installed_roots[app] = (root, sc.getCheckpointDir())
     return df.checkpoint(eager=eager)

@@ -54,6 +54,20 @@ _P = (1 << 31) - 1
 SIGNATURE_MAX_TOKENS: int | None = 100_000
 
 
+def identified(df: DataFrame, id_col: str) -> DataFrame:
+    """The degenerate-identity entry gate shared by every dedup-family
+    signature/shingle/banding path: drop rows whose ``id_col`` is NULL.
+    No stable identity means nothing to pair, retract, or keep (the
+    sampler rule), and pre-contract such rows fell out SILENTLY through
+    NULL comparisons downstream. One helper, one contract — any future
+    refinement (per the no-silent-caps rule, e.g. an excluded-row
+    metric) lands here once instead of at every call site. See
+    :func:`minhash_signature` for the duplicate-id half of the
+    contract (one signature per distinct text, strongest-evidence pair
+    folds)."""
+    return df.filter(F.col(id_col).isNotNull())
+
+
 def exact_dedup(df: DataFrame, cols: list[str], keep_order: list | None = None) -> DataFrame:
     """D1: exactly one row per value-combination. With keep_order, the
     winner is deterministic (row_number); otherwise dropDuplicates
@@ -134,7 +148,7 @@ def minhash_signature(
     engine-internal choice."""
     coeffs = _hash_coeffs(num_hashes)
     base_hash = md5_hash64 if portable else fast_hash64
-    exploded = df.filter(F.col(id_col).isNotNull()).select(
+    exploded = identified(df, id_col).select(
         F.col(id_col).alias("_id"),
         # version key: engine-internal grouping only (never replayed by
         # an oracle — with unique ids it is constant within each group)
@@ -272,7 +286,7 @@ def _self_candidate_pairs_with_shingles(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    shingles = df.filter(F.col(id_col).isNotNull()).select(
+    shingles = identified(df, id_col).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
             token_ngrams(text_col, shingle_len, max_tokens)
@@ -395,7 +409,7 @@ def hashed_shingle_sets(
     neither may inline its own copy."""
     # NULL-id rows are excluded: no stable identity, nothing to pair
     # or retract (see minhash_signature's degenerate-identity contract)
-    return df.filter(F.col(id_col).isNotNull()).select(
+    return identified(df, id_col).select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             F.transform(
@@ -488,7 +502,7 @@ def minhash_lsh_join(
     )
 
     def shingles(df: DataFrame, alias: str, sh_alias: str) -> DataFrame:
-        return df.filter(F.col(id_col).isNotNull()).select(
+        return identified(df, id_col).select(
             F.col(id_col).alias(alias),
             F.array_distinct(
                 token_ngrams(text_col, shingle_len, max_tokens)
@@ -593,20 +607,26 @@ def repeated_ngram_spans(
     whole thing is one span-keyed window + one doc-keyed aggregate — two
     keyed shuffles, both AQE-skew-splittable, no joins, no arrays
     crossing a shuffle."""
-    # NULL-id rows are excluded (no stable identity to report under);
-    # per-document metrics otherwise assume UNIQUE ids — run the corpus
-    # gate / exact dedup first (the fused pipeline's ordering). A
-    # duplicated id here counts each of its rows as a document, which
-    # is the honest reading for repetition ("two copies = repeated")
-    # but inflates that id's own n_spans.
-    grams = df.filter(F.col(id_col).isNotNull()).select(
+    # NULL-id rows get no OUTPUT row (no stable identity to report
+    # under) but their grams STAY in the cross-document window — a
+    # boilerplate copy whose id was corrupted is still repetition
+    # evidence, and filtering it before the window would silently
+    # LOWER clean documents' repeated_ratio/max_span_docs (r11 review:
+    # unlike the pair detectors, where NULL ids contribute nothing
+    # downstream, here they carry signal for OTHER rows). Per-document
+    # metrics otherwise assume UNIQUE ids — run the corpus gate /
+    # exact dedup first (the fused pipeline's ordering); a duplicated
+    # id counts each of its rows as a document, the honest reading for
+    # repetition ("two copies = repeated") though it inflates that
+    # id's own n_spans.
+    grams = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(token_ngrams(text_col, n, max_tokens))).alias("_g"),
     )
     w = Window.partitionBy("_g")
     gdf = grams.withColumn("_span_docs", F.count(F.lit(1)).over(w))
     rep = (F.col("_span_docs") >= min_docs).cast("bigint")
-    return gdf.groupBy("_id").agg(
+    return gdf.filter(F.col("_id").isNotNull()).groupBy("_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(rep).alias("n_repeated"),
         F.round(F.try_divide(F.sum(rep), F.count(F.lit(1))), 6).alias(
@@ -689,7 +709,7 @@ def simhash(
     # degenerate-identity contract as minhash_signature (pre-fix the
     # groupBy(id) summed BOTH versions' ±1 bit votes into one garbage
     # signature that matched neither text)
-    exploded = df.filter(F.col(id_col).isNotNull()).select(
+    exploded = identified(df, id_col).select(
         F.col(id_col).alias("_id"),
         F.xxhash64(F.col(text_col)).alias("_ver"),
         F.explode(F.array_distinct(toks)).alias("_tok"),
@@ -854,7 +874,7 @@ def ngram_jaccard_pairs(
     # row first — pre-fix a doubled row doubled its own intersection
     # counts, pushing "jaccard" past 1.0)
     sh = (
-        df.filter(F.col(id_col).isNotNull())
+        identified(df, id_col)
         .select(
             *[F.col(c) for c in block_cols],
             F.col(id_col).alias("_id"),

@@ -94,6 +94,7 @@ from dbt_foundation_spark.operators.dedup import (
     _band_buckets,
     containment_postings,
     hashed_shingle_sets,
+    identified,
     minhash_signature,
     signature_chunks,
     simhash,
@@ -230,7 +231,7 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_len: int) -
     # NULL-id rows never enter the stored verify set — same
     # degenerate-identity contract as minhash_signature (an id-less
     # stored row could never be paired, retracted, or folded)
-    return df.filter(F.col(id_col).isNotNull()).select(
+    return identified(df, id_col).select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             token_ngrams(text_col, shingle_len, SIGNATURE_MAX_TOKENS)

@@ -571,15 +571,20 @@ def index_stats(spark: SparkSession, index_path: str) -> dict:
     omitted. ``crash_leftovers`` lists any ``__compact_tmp`` /
     ``__compact_old`` / ``__revive_tmp`` / ``__compacting`` /
     ``__reviving`` directories and any ``__appending`` marker file
-    present — each means a maintenance op or append died
-    mid-operation; every one is healed by simply RE-RUNNING the op
-    (compaction restores/supersedes its own residue and clears the
-    marker that blocks revives; a crashed revive's marker clears when
-    the revive re-runs; a revive tmp is superseded scratch the next
-    clear deletes; a streaming append reclaims its own marker on
-    restart, a crashed BATCH append's marker is deleted manually per
-    its raise message before the re-run), so a non-empty list is a
-    "re-run maintenance" signal, not damage."""
+    present — each means a maintenance op or append is IN FLIGHT or
+    died mid-operation (this is a point-in-time listing, not a
+    liveness check: a busy streaming ingest holds ``__appending``
+    during every micro-batch, so that entry appearing transiently on
+    a healthy stream-fed index is NORMAL — alert on it only if it
+    persists across samples with no ingest running). Every leftover
+    heals by simply RE-RUNNING the op (compaction restores/supersedes
+    its own residue and clears the marker that blocks revives; a
+    crashed revive's marker clears when the revive re-runs; a revive
+    tmp is superseded scratch the next clear deletes; a streaming
+    append reclaims its own marker on restart, a crashed BATCH
+    append's marker is deleted manually per its raise message before
+    the re-run), so a persistent entry is a "re-run maintenance"
+    signal, not damage."""
     from dbt_foundation_spark.operators.dedup_index import (
         INDEX_LAYOUT,
         _read_manifest,

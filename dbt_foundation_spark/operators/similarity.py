@@ -463,7 +463,9 @@ def embedding_near_pairs(
     # dedup-family degenerate-identity contract); a duplicated id with
     # different vectors keeps one banded row per version and the
     # verify folds to the strongest cosine below
-    df = df.filter(F.col(id_col).isNotNull())
+    from dbt_foundation_spark.operators.dedup import identified
+
+    df = identified(df, id_col)
     banded = hyperplane_banded(df, id_col, vec_col, planes, bands, r, block_col)
     # lazy (non-eager) checkpoint: materialized by the first action, then
     # shared by both self-join sides — the signature dot products run once
@@ -1100,14 +1102,18 @@ def search_ivf_index(
         raise ValueError(
             f"IVF index {path} built for dim={dim}, query has {len(query_vec)}"
         )
-    if not all(math.isfinite(float(x)) for x in query_vec):
+    if any(x is None or not math.isfinite(float(x)) for x in query_vec):
         # same caller-error contract as knn_join_ivf's _dim_guarded: a
-        # NaN/Inf query would rank every centroid at NaN distance and
-        # probe arbitrary lists (and NaN sims sort ABOVE real ones
-        # descending, so garbage would rank first)
+        # NaN/Inf/NULL-element query would rank every centroid at NaN
+        # distance and probe arbitrary lists (and NaN sims sort ABOVE
+        # real ones descending, so garbage would rank first). The
+        # explicit None check keeps this the documented ValueError —
+        # float(None) would otherwise TypeError out of the guard (r11
+        # review; _ivf_assign classifies NULL elements as non-finite).
         raise ValueError(
-            f"IVF index {path}: query vector contains NaN/Inf — fix the "
-            "query; a non-finite query cannot rank centroids or neighbors"
+            f"IVF index {path}: query vector contains NaN/Inf/NULL — fix "
+            "the query; a non-finite query cannot rank centroids or "
+            "neighbors"
         )
 
     def l2(a, b):

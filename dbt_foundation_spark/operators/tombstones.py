@@ -475,21 +475,36 @@ def hold_append_marker(
     jvm = spark._jvm
     mpath, fs = _hadoop(spark, append_marker_path(index_path))
     me = owner or f"batch-{uuid.uuid4().hex}"
+    created = False
     try:
         out = fs.create(mpath, False)
+        created = True
         out.write(bytearray(me.encode("utf-8")))
         out.close()
     except Exception:
+        if created:
+            # create succeeded but the owner-token write/close failed:
+            # withdraw OUR half-created marker before propagating, or
+            # an empty-owner file would permanently block every later
+            # append and compaction — and, carrying no token, defeat
+            # even the stream's own reclaim (r11 review)
+            fs.delete(mpath, False)
+            raise
         if not fs.exists(mpath):
             raise  # genuine FS failure, not contention
         holder = _read_marker_owner(fs, jvm, mpath)
         if owner is not None and holder == owner:
             # our own crashed predecessor (stable stream identity):
             # reclaim and re-run the batch — replay-safe by the
-            # distinct-fold contract
-            out = fs.create(mpath, True)
-            out.write(bytearray(me.encode("utf-8")))
-            out.close()
+            # distinct-fold contract. Same half-write hygiene as the
+            # fresh claim: a failed token write withdraws the marker.
+            try:
+                out = fs.create(mpath, True)
+                out.write(bytearray(me.encode("utf-8")))
+                out.close()
+            except Exception:
+                fs.delete(mpath, False)
+                raise
         else:
             raise ValueError(
                 f"index {index_path}: another append is in flight (or a "

@@ -85,6 +85,22 @@ class Source:
 
     def load(self, spark: SparkSession) -> DataFrame:
         if self.catalog_table:
+            if self.merge_schema or self.read_schema:
+                # silently ignoring these would give a user who
+                # declared read_schema to survive an int→bigint
+                # widening NO protection and NO signal — the first
+                # symptom would be a mid-scan type-mismatch ten models
+                # downstream, the exact failure the drift tier exists
+                # to prevent (r11 review)
+                raise ValueError(
+                    f"source {self.source_name}.{self.table_name}: "
+                    "merge_schema/read_schema are file-reader options "
+                    "and have no effect on a catalog_table source — "
+                    "the catalog owns that table's schema; declare the "
+                    "widened/merged schema there (ALTER TABLE), or "
+                    "point the source at the files directly. "
+                    "expected_columns IS honored for catalog sources."
+                )
             return self._check_expected(spark.table(self.catalog_table))
         if not self.path:
             raise ValueError(f"source {self.source_name}.{self.table_name} has no path")

@@ -96,6 +96,31 @@ def test_pin_follows_mid_session_dir_change(spark, tmp_path):
         assert spark.sparkContext.getCheckpointDir() is None
 
 
+def test_pin_reasserts_conf_root_over_user_override(spark, tmp_path):
+    """Once the conf is set, the engine's root wins (r11 review): user
+    code calling sc.setCheckpointDir() between pins must not silently
+    redirect reliable checkpoints away from the configured durable
+    root — the next pin detects the override and re-installs."""
+    root = str(tmp_path / "ckpt_conf")
+    rogue = str(tmp_path / "ckpt_rogue")
+    spark.conf.set(CHECKPOINT_DIR_CONF, root)
+    try:
+        assert pin(spark.range(5)).count() == 5
+        before = set(_files_under(root))
+        assert before
+        spark.sparkContext.setCheckpointDir(rogue)  # user override
+        assert pin(spark.range(7)).count() == 7
+        assert set(_files_under(root)) > before, (
+            "pin after a user setCheckpointDir override wrote outside "
+            "the configured reliable root"
+        )
+        assert not _files_under(rogue)
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+        spark.sparkContext._jsc.sc().setCheckpointDir(None)
+        assert spark.sparkContext.getCheckpointDir() is None
+
+
 def test_connected_components_reliable_matches_local(spark, sf_dir):
     from dbt_foundation_spark.queries import all_queries
 

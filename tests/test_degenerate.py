@@ -1059,3 +1059,20 @@ def test_degenerate_identities_in_pair_detectors(spark):
     }
     assert set(emb) == {(1, 2), (1, 3)}
     assert emb[(1, 3)] > 0.99  # version 2 of id 1 carries the match
+
+    # per-document metrics: a NULL-id row gets no OUTPUT row but its
+    # grams remain cross-document EVIDENCE — a boilerplate copy whose
+    # id was corrupted must still mark the clean twin as repeated
+    # (r11 review: filtering before the window silently lowered clean
+    # docs' repetition signal)
+    from dbt_foundation_spark.operators.dedup import repeated_ngram_spans
+
+    spans = {
+        r["_id"]: (r.repeated_ratio, r.max_span_docs)
+        for r in repeated_ngram_spans(
+            docs([(1, t1), (3, t3), (None, t1)]), "doc_id", "text", n=4
+        ).collect()
+    }
+    assert set(spans) == {1, 3}  # no NULL output row
+    assert spans[1] == (pytest.approx(1.0), 2)  # evidence counted
+    assert spans[3][0] == pytest.approx(0.0)

@@ -1467,6 +1467,13 @@ def test_ivf_index_append_ingest(spark, sf_dir, tmp_path):
             spark, path, "vec_id", "embedding",
             [float("inf")] * dim, k=2, n_probe=1,
         )
+    # a NULL element is the same caller error — and must be the
+    # documented ValueError, not a TypeError out of float(None)
+    with pytest.raises(ValueError, match="NaN/Inf"):
+        search_ivf_index(
+            spark, path, "vec_id", "embedding",
+            [1.0] * (dim - 1) + [None], k=2, n_probe=1,
+        )
 
 
 def test_compact_index_ivf_flavor(spark, sf_dir, tmp_path):

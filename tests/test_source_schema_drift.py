@@ -97,6 +97,36 @@ def test_widened_type_loud_default_adaptive_by_declaration(spark, tmp_path):
     assert rows == {(1, "a"), (9_000_000_000, "z")}
 
 
+def test_catalog_source_refuses_file_reader_knobs(spark, tmp_path):
+    """merge_schema/read_schema are file-reader options; silently
+    ignoring them on a catalog_table source would leave a user who
+    declared read_schema for widening with no protection and no signal
+    (r11 review) — the load raises instead. expected_columns IS
+    honored for catalog sources."""
+    spark.createDataFrame([(1, "a")], "id int, v string").createOrReplaceTempView(
+        "drift_cat_src"
+    )
+    with pytest.raises(ValueError, match="catalog_table"):
+        Source(
+            "raw", "t", catalog_table="drift_cat_src",
+            read_schema="id bigint, v string",
+        ).load(spark)
+    with pytest.raises(ValueError, match="catalog_table"):
+        Source(
+            "raw", "t", catalog_table="drift_cat_src", merge_schema=True
+        ).load(spark)
+    ok = Source(
+        "raw", "t", catalog_table="drift_cat_src",
+        expected_columns=("id", "v"),
+    )
+    assert ok.load(spark).count() == 1
+    with pytest.raises(ValueError, match="schema drift"):
+        Source(
+            "raw", "t", catalog_table="drift_cat_src",
+            expected_columns=("id", "gone"),
+        ).load(spark)
+
+
 def test_source_drift_through_incremental_model(spark, tmp_path):
     """The source→model direction of on_schema_change: an added source
     column is INVISIBLE to append_new_columns while the source read
@@ -138,13 +168,17 @@ def test_source_drift_through_incremental_model(spark, tmp_path):
         # the source grows a column in newer files
         _write(spark, path, [(2, "b", "x")], "id int, v string, extra string")
 
-        # run 2, source still sampling one footer: append_new_columns
-        # has nothing to see — the target schema MUST NOT change (the
-        # pinned hazard: drift invisible at the source read is
-        # invisible to schema evolution)
+        # run 2, source still sampling one footer: WHICH footer wins is
+        # listing-order-dependent (the documented flapping hazard), so
+        # schema evolution here is NONDETERMINISTIC — if the sample
+        # lands on the old file, append_new_columns has nothing to see
+        # and the target stays (id, v); if it lands on the new file the
+        # column arrives early. The pin is that neither outcome fails
+        # and the run stays green — determinism requires merge_schema,
+        # which run 3 pins.
         p2 = build(merge=False)
         assert {r.node: r.status for r in p2.run()} == {"inc_from_source": "success"}
-        assert set(spark.table(rel).columns) == {"id", "v"}
+        assert {"id", "v"} <= set(spark.table(rel).columns) <= {"id", "v", "extra"}
 
         # run 3 with the adaptive source: the union schema reaches the
         # incremental batch and append_new_columns evolves the target
