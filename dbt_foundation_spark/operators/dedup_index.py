@@ -91,6 +91,7 @@ from dbt_foundation_spark.operators.similarity import (
     sniff_dim,
 )
 from dbt_foundation_spark.operators.dedup import (
+    SIGNATURE_MAX_TOKENS,
     _band_buckets,
     containment_postings,
     hashed_shingle_sets,
@@ -99,6 +100,20 @@ from dbt_foundation_spark.operators.dedup import (
     signature_chunks,
     simhash,
 )
+
+
+def _cap_params(params: dict, max_tokens: int | None) -> dict:
+    """Record the giant-document cap in the index manifest (r11
+    review): the cap is part of the signature space exactly like
+    num_hashes/shingle_len, so build and batch sides must agree or a
+    capped document would band differently per side and its re-ingest
+    would be silently admitted. ``None`` (uncapped) is simply omitted —
+    the same trust-the-caller migration pre-manifest and pre-cap
+    indexes already get from ``_validate_params`` (a key the stored
+    manifest lacks validates nothing)."""
+    if max_tokens is not None:
+        return {**params, "max_tokens": max_tokens}
+    return dict(params)
 
 
 def _write_manifest(df: DataFrame, path: str, params: dict) -> None:
@@ -221,20 +236,24 @@ def _live(
     )
 
 
-def _shingle_sets(df: DataFrame, id_col: str, text_col: str, shingle_len: int) -> DataFrame:
-    # SIGNATURE_MAX_TOKENS: the stored verify shingles must cover the
-    # SAME token window the signatures were computed over (the
-    # giant-document cap), or a capped doc's banding and its verify
-    # jaccard would disagree between index and batch sides
-    from dbt_foundation_spark.operators.dedup import SIGNATURE_MAX_TOKENS
-
+def _shingle_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
+) -> DataFrame:
+    # max_tokens: the stored verify shingles must cover the SAME token
+    # window the signatures were computed over (the giant-document
+    # cap), or a capped doc's banding and its verify jaccard would
+    # disagree between index and batch sides.
     # NULL-id rows never enter the stored verify set — same
     # degenerate-identity contract as minhash_signature (an id-less
     # stored row could never be paired, retracted, or folded)
     return identified(df, id_col).select(
         F.col(id_col).alias("id"),
         F.array_distinct(
-            token_ngrams(text_col, shingle_len, SIGNATURE_MAX_TOKENS)
+            token_ngrams(text_col, shingle_len, max_tokens)
         ).alias("shingles"),
     )
 
@@ -249,32 +268,41 @@ def build_minhash_index(
     shingle_len: int = 3,
     portable: bool = False,
     index_partitions: int = 32,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> None:
     """Materialize the corpus band index + shingle store at ``path``.
 
     One pass over the corpus (signature → bands), then two writes. The
     bands dataset is repartitioned by (band, bucket) — the join key of
-    every future ingest — so its files are bucket-clustered."""
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_len, portable)
+    every future ingest — so its files are bucket-clustered.
+    ``max_tokens`` (the giant-document cap) is recorded in the manifest
+    and enforced on every append/query: it defines the signature space
+    like num_hashes/shingle_len do."""
+    sig = minhash_signature(
+        df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
+    )
     banded = (
         _band_buckets(sig, bands, num_hashes // bands, portable)
         .withColumnRenamed("_id", "id")
         .repartition(index_partitions, "band", "bucket")
     )
     banded.write.mode("overwrite").parquet(f"{path}/bands")
-    _shingle_sets(df, id_col, text_col, shingle_len).write.mode("overwrite").parquet(
-        f"{path}/shingles"
-    )
+    _shingle_sets(df, id_col, text_col, shingle_len, max_tokens).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/shingles")
     _write_manifest(
         df,
         path,
-        {
-            "flavor": "minhash",
-            "num_hashes": num_hashes,
-            "bands": bands,
-            "shingle_len": shingle_len,
-            "portable": portable,
-        },
+        _cap_params(
+            {
+                "flavor": "minhash",
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_len": shingle_len,
+                "portable": portable,
+            },
+            max_tokens,
+        ),
     )
 
 
@@ -288,6 +316,7 @@ def dedup_against_index(
     bands: int = 8,
     shingle_len: int = 3,
     jaccard_threshold: float = 0.7,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
     portable: bool = False,
 ) -> DataFrame:
     """(new_id, corpus_id, jaccard ≥ threshold) for a new batch vs the
@@ -301,15 +330,20 @@ def dedup_against_index(
     _check_manifest(
         spark,
         path,
-        {
-            "flavor": "minhash",
-            "num_hashes": num_hashes,
-            "bands": bands,
-            "shingle_len": shingle_len,
-            "portable": portable,
-        },
+        _cap_params(
+            {
+                "flavor": "minhash",
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_len": shingle_len,
+                "portable": portable,
+            },
+            max_tokens,
+        ),
     )
-    sig_new = minhash_signature(new_df, id_col, text_col, num_hashes, shingle_len, portable)
+    sig_new = minhash_signature(
+        new_df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
+    )
     banded_new = _band_buckets(sig_new, bands, num_hashes // bands, portable)
     from dbt_foundation_spark.operators.tombstones import read_tombstones
 
@@ -324,7 +358,7 @@ def dedup_against_index(
         .select("new_id", "corpus_id")
         .dropDuplicates(["new_id", "corpus_id"])
     )
-    sh_new = _shingle_sets(new_df, id_col, text_col, shingle_len).select(
+    sh_new = _shingle_sets(new_df, id_col, text_col, shingle_len, max_tokens).select(
         F.col("id").alias("new_id"), F.col("shingles").alias("sh_a")
     )
     sh_corpus = _live(spark, path, "shingles", tomb).select(
@@ -358,6 +392,7 @@ def append_to_index(
     shingle_len: int = 3,
     portable: bool = False,
     owner: str | None = None,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> None:
     """Admit a (deduped) batch into the index: append its band rows and
     shingle sets. Appends — never rewrites — so the index grows by one
@@ -378,19 +413,24 @@ def append_to_index(
     _check_manifest(
         df.sparkSession,
         path,
-        {
-            "flavor": "minhash",
-            "num_hashes": num_hashes,
-            "bands": bands,
-            "shingle_len": shingle_len,
-            "portable": portable,
-        },
+        _cap_params(
+            {
+                "flavor": "minhash",
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_len": shingle_len,
+                "portable": portable,
+            },
+            max_tokens,
+        ),
     )
     with hold_append_marker(df.sparkSession, path, owner):
-        _shingle_sets(df, id_col, text_col, shingle_len).write.mode(
+        _shingle_sets(df, id_col, text_col, shingle_len, max_tokens).write.mode(
             "append"
         ).parquet(f"{path}/shingles")
-        sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_len, portable)
+        sig = minhash_signature(
+            df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
+        )
         banded = _band_buckets(
             sig, bands, num_hashes // bands, portable
         ).withColumnRenamed("_id", "id")
@@ -401,9 +441,14 @@ def append_to_index(
 
 
 def _simhash_chunks(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int, portable: bool
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int,
+    portable: bool,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> DataFrame:
-    sh = simhash(df, id_col, text_col, portable=portable)
+    sh = simhash(df, id_col, text_col, portable=portable, max_tokens=max_tokens)
     return signature_chunks(sh, max_hamming).select(
         "chunk", "ck", F.col("_id").alias("id"), "simhash"
     )
@@ -417,19 +462,25 @@ def build_simhash_index(
     max_hamming: int = 3,
     portable: bool = False,
     index_partitions: int = 32,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> None:
     """Materialize the corpus simhash chunk index at ``path``: one
     signature pass (the expensive tokenize+hash+64-sum aggregate), then
     a chunk explode written clustered on the (chunk, ck) join key.
     ``max_hamming`` fixes the chunking — queries may use the same or a
     TIGHTER radius (the manifest enforces caller ≤ build)."""
-    _simhash_chunks(df, id_col, text_col, max_hamming, portable).repartition(
-        index_partitions, "chunk", "ck"
-    ).write.mode("overwrite").parquet(f"{path}/chunks")
+    _simhash_chunks(
+        df, id_col, text_col, max_hamming, portable, max_tokens
+    ).repartition(index_partitions, "chunk", "ck").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/chunks")
     _write_manifest(
         df,
         path,
-        {"flavor": "simhash", "max_hamming": max_hamming, "portable": portable},
+        _cap_params(
+            {"flavor": "simhash", "max_hamming": max_hamming, "portable": portable},
+            max_tokens,
+        ),
     )
 
 
@@ -441,6 +492,7 @@ def dedup_against_simhash_index(
     path: str,
     max_hamming: int = 3,
     portable: bool = False,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> DataFrame:
     """(new_id, corpus_id, hamming ≤ max_hamming) for a new batch vs the
     stored chunk index — :func:`simhash_near_pairs` semantics restricted
@@ -456,11 +508,14 @@ def dedup_against_simhash_index(
     resolved = _check_manifest(
         spark,
         path,
-        {"flavor": "simhash", "max_hamming": max_hamming, "portable": portable},
+        _cap_params(
+            {"flavor": "simhash", "max_hamming": max_hamming, "portable": portable},
+            max_tokens,
+        ),
         ranges={"max_hamming": "lte"},
     )
     new_chunks = _simhash_chunks(
-        new_df, id_col, text_col, int(resolved["max_hamming"]), portable
+        new_df, id_col, text_col, int(resolved["max_hamming"]), portable, max_tokens
     )
     from dbt_foundation_spark.operators.tombstones import read_tombstones
 
@@ -499,6 +554,7 @@ def append_to_simhash_index(
     max_hamming: int = 3,
     portable: bool = False,
     owner: str | None = None,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> None:
     """Admit a (deduped) batch's chunk rows into the index (append-only,
     same contract as :func:`append_to_index`, including its
@@ -511,12 +567,15 @@ def append_to_simhash_index(
     _check_manifest(
         df.sparkSession,
         path,
-        {"flavor": "simhash", "max_hamming": max_hamming, "portable": portable},
+        _cap_params(
+            {"flavor": "simhash", "max_hamming": max_hamming, "portable": portable},
+            max_tokens,
+        ),
     )
     with hold_append_marker(df.sparkSession, path, owner):
-        _simhash_chunks(df, id_col, text_col, max_hamming, portable).write.mode(
-            "append"
-        ).parquet(f"{path}/chunks")
+        _simhash_chunks(
+            df, id_col, text_col, max_hamming, portable, max_tokens
+        ).write.mode("append").parquet(f"{path}/chunks")
 
 
 # ---------- containment prefix-posting index ----------
@@ -530,13 +589,14 @@ def build_containment_index(
     shingle_len: int = 3,
     threshold: float = 0.8,
     index_partitions: int = 32,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> None:
     """Materialize the corpus containment index at ``path``: full
     inverted postings (clustered on the shingle-hash join key), the
     corpus-side prefix postings at the BUILD threshold (query with the
     same or a higher threshold — a longer prefix than required only adds
     candidates, never loses one), and the hash-set verify payload."""
-    hs = hashed_shingle_sets(df, id_col, text_col, shingle_len)
+    hs = hashed_shingle_sets(df, id_col, text_col, shingle_len, max_tokens)
     post, pref = containment_postings(hs, threshold)
     post.select("id", "n", "s").repartition(index_partitions, "s").write.mode(
         "overwrite"
@@ -546,11 +606,14 @@ def build_containment_index(
     _write_manifest(
         df,
         path,
-        {
-            "flavor": "containment",
-            "shingle_len": shingle_len,
-            "threshold": threshold,
-        },
+        _cap_params(
+            {
+                "flavor": "containment",
+                "shingle_len": shingle_len,
+                "threshold": threshold,
+            },
+            max_tokens,
+        ),
     )
 
 
@@ -562,6 +625,7 @@ def containment_against_index(
     path: str,
     shingle_len: int = 3,
     threshold: float = 0.8,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> DataFrame:
     """(new_id, corpus_id, containment_new, containment_corpus) for
     pairs where EITHER direction reaches ``threshold`` —
@@ -581,14 +645,17 @@ def containment_against_index(
     _check_manifest(
         spark,
         path,
-        {
-            "flavor": "containment",
-            "shingle_len": shingle_len,
-            "threshold": threshold,
-        },
+        _cap_params(
+            {
+                "flavor": "containment",
+                "shingle_len": shingle_len,
+                "threshold": threshold,
+            },
+            max_tokens,
+        ),
         ranges={"threshold": "gte"},
     )
-    hs_new = hashed_shingle_sets(new_df, id_col, text_col, shingle_len)
+    hs_new = hashed_shingle_sets(new_df, id_col, text_col, shingle_len, max_tokens)
     post_new, pref_new = containment_postings(hs_new, threshold)
     from dbt_foundation_spark.operators.tombstones import read_tombstones
 
@@ -645,6 +712,7 @@ def append_to_containment_index(
     shingle_len: int = 3,
     threshold: float = 0.8,
     owner: str | None = None,
+    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
 ) -> None:
     """Admit a (deduped) batch into the containment index: append its
     postings, its prefix postings (ordered by the BATCH's own df —
@@ -663,14 +731,17 @@ def append_to_containment_index(
     _check_manifest(
         df.sparkSession,
         path,
-        {
-            "flavor": "containment",
-            "shingle_len": shingle_len,
-            "threshold": threshold,
-        },
+        _cap_params(
+            {
+                "flavor": "containment",
+                "shingle_len": shingle_len,
+                "threshold": threshold,
+            },
+            max_tokens,
+        ),
     )
     with hold_append_marker(df.sparkSession, path, owner):
-        hs = hashed_shingle_sets(df, id_col, text_col, shingle_len)
+        hs = hashed_shingle_sets(df, id_col, text_col, shingle_len, max_tokens)
         post, pref = containment_postings(hs, threshold)
         hs.write.mode("append").parquet(f"{path}/hashsets")
         post.select("id", "n", "s").write.mode("append").parquet(f"{path}/postings")
@@ -777,6 +848,9 @@ def build_embedding_index(
     if dim is None:
         dim = sniff_dim(df, vec_col)
     planes = random_hyperplanes(dim, m, seed)
+    # degenerate-identity gate: same contract as every other flavor —
+    # an id-less stored row could never be paired, retracted, or folded
+    df = identified(df, id_col)
     banded = (
         hyperplane_banded(df, id_col, vec_col, planes, bands, m // bands)
         .withColumnRenamed("_id", "id")
@@ -896,6 +970,10 @@ def append_to_embedding_index(
     resolved = _validate_params(path, mft, caller)
     dim = _resolve_dim(resolved, mft, df, vec_col)
     planes = random_hyperplanes(dim, m, seed)
+    # degenerate-identity gate (r11 review pass 2): an id-less stored
+    # row could never be paired, retracted, or folded — same contract
+    # as every other flavor's identified() entry
+    df = identified(df, id_col)
     with hold_append_marker(df.sparkSession, path, owner):
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).write.mode(
             "append"

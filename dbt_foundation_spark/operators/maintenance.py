@@ -397,7 +397,19 @@ def compact_index(
     (operators/tombstones.py: ``retract_from_index``) are PHYSICALLY
     removed: each doc-keyed sub-dataset's rewrite anti-joins the log,
     and the log is cleared once every sub-dataset holds live rows
-    only."""
+    only.
+
+    Concurrency matrix: compaction excludes revives (__reviving) and
+    appends (__appending) via the symmetric marker handshakes; it does
+    NOT exclude a second concurrent compact_index — the __compacting
+    marker is deliberately restorable (mkdirs is idempotent and a
+    pre-existing marker means "finish the crashed fold", the
+    heal-by-rerun contract), so two LIVE compactions would both
+    proceed and could interleave their directory swaps destructively.
+    Run index maintenance from ONE scheduler; this is the same
+    single-maintainer assumption every lease-less marker scheme
+    carries (a create-exclusive run-claim would brick the crashed-fold
+    re-run path, the more common event by far)."""
     from dbt_foundation_spark.operators.dedup_index import (
         INDEX_DISTINCT_ON_COMPACT,
         INDEX_LAYOUT,

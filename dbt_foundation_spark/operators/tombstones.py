@@ -455,17 +455,37 @@ def hold_append_marker(
     """Hold ``__appending`` for the duration of an index append — see
     :func:`append_marker_path` for the full exclusion contract.
 
-    Claim is atomic (``create(overwrite=false)``); on contention the
-    raise names the holding owner and the healing procedure. With a
-    stable ``owner`` (streaming ingests), a marker left by OUR OWN
-    crashed attempt is reclaimed — safe because one stream identity
-    runs at most one active query per checkpoint, so a same-owner
-    marker can only be a dead predecessor. After claiming, the
-    symmetric write-then-check probes ``__compacting``: if a
-    compaction is in flight (or crashed, leaving partially rewritten
-    sub-datasets), the append releases its claim and raises —
-    appending files a compaction's directory swap would silently
-    destroy is the one interleaving this marker exists to prevent.
+    Claim atomicity is the underlying store's ``create(overwrite=
+    false)``: namenode-atomic on HDFS-like filesystems, CHECK-THEN-ACT
+    on the local filesystem and on object stores whose objects only
+    manifest at close — there the exclusion is best-effort (two claims
+    in the same few milliseconds can both succeed) and the durable
+    safety nets are the ones that already bound the damage: replayed
+    or doubled rows are byte-identical and fold at compaction, and
+    maintenance ops should share one scheduler window. On contention
+    the raise names the holding owner and the healing procedure.
+
+    With a stable ``owner`` (streaming ingests), a marker left by OUR
+    OWN crashed attempt — including one whose owner token never got
+    written because the process died between create and close — is
+    reclaimed. Safe under the same operational rule Spark Structured
+    Streaming itself requires: AT MOST ONE live instance per
+    checkpoint identity (two drivers sharing a checkpoint corrupt
+    Spark's own offset log before they ever reach this marker; a
+    zombie predecessor paused mid-append while its replacement
+    reclaims is therefore out of scope here exactly as it is for
+    Spark's checkpoint). The empty-owner reclaim closes the
+    create→close crash window that would otherwise poison-pill every
+    restart; the residual race — reading "" from a LIVE claimant
+    caught inside that same microsecond window — trades a permanent
+    crash-loop for an already-documented best-effort boundary.
+
+    After claiming, the symmetric write-then-check probes
+    ``__compacting``: if a compaction is in flight (or crashed,
+    leaving partially rewritten sub-datasets), the append releases its
+    claim and raises — appending files a compaction's directory swap
+    would silently destroy is the one interleaving this marker exists
+    to prevent.
 
     On an exception INSIDE the held block the marker is released: the
     raise itself signals a possibly partial admission, and the healing
@@ -475,29 +495,45 @@ def hold_append_marker(
     jvm = spark._jvm
     mpath, fs = _hadoop(spark, append_marker_path(index_path))
     me = owner or f"batch-{uuid.uuid4().hex}"
-    created = False
-    try:
-        out = fs.create(mpath, False)
-        created = True
-        out.write(bytearray(me.encode("utf-8")))
-        out.close()
-    except Exception:
-        if created:
-            # create succeeded but the owner-token write/close failed:
-            # withdraw OUR half-created marker before propagating, or
-            # an empty-owner file would permanently block every later
-            # append and compaction — and, carrying no token, defeat
-            # even the stream's own reclaim (r11 review)
-            fs.delete(mpath, False)
-            raise
-        if not fs.exists(mpath):
-            raise  # genuine FS failure, not contention
+
+    def _claim_exclusive() -> bool:
+        created = False
+        try:
+            out = fs.create(mpath, False)
+            created = True
+            out.write(bytearray(me.encode("utf-8")))
+            out.close()
+            return True
+        except Exception:
+            if created:
+                # create succeeded but the owner-token write/close
+                # failed IN-PROCESS: withdraw our half-created marker
+                # before propagating, or an empty-owner file would
+                # block later appends and compactions (r11 review)
+                fs.delete(mpath, False)
+                raise
+            return False
+
+    claimed = _claim_exclusive()
+    if not claimed and not fs.exists(mpath):
+        # the holder released between our failed create and this probe
+        # — plain contention that resolved itself; retry once rather
+        # than surfacing the raw FS exception as a fake store failure
+        # (r11 review pass 2)
+        claimed = _claim_exclusive()
+        if not claimed and not fs.exists(mpath):
+            raise IOError(
+                f"index {index_path}: could not create the __appending "
+                "marker and it does not exist — filesystem failure, "
+                "not contention"
+            )
+    if not claimed:
         holder = _read_marker_owner(fs, jvm, mpath)
-        if owner is not None and holder == owner:
-            # our own crashed predecessor (stable stream identity):
-            # reclaim and re-run the batch — replay-safe by the
-            # distinct-fold contract. Same half-write hygiene as the
-            # fresh claim: a failed token write withdraws the marker.
+        if owner is not None and holder in (owner, ""):
+            # our own crashed predecessor (stable stream identity) —
+            # "" is the create→close crash window, reclaimable only by
+            # a stable owner (see docstring). Same half-write hygiene
+            # as the fresh claim: a failed token write withdraws.
             try:
                 out = fs.create(mpath, True)
                 out.write(bytearray(me.encode("utf-8")))

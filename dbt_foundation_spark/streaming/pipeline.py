@@ -906,62 +906,67 @@ def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str, app_id: str):
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if not state:
-            centroids, dim, _ = _load_ivf(spark, index_path)
-            state["centroids"], state["dim"] = centroids, dim
-            state["schema"] = spark.read.parquet(
-                f"{index_path}/lists"
-            ).schema
-        # first-ever streamed batch: no log yet — a data-FILE probe,
-        # not a caught AnalysisException (Spark logs the JVM stack of
-        # even caught exceptions into the driver tail; r6 verdict #4)
-        # and not bare fs.exists (a crashed first append can leave an
-        # empty log dir whose read would raise and pin the stream down)
-        from dbt_foundation_spark.operators.tombstones import _has_data_file
-
-        if not _has_data_file(spark, log_path):
-            seen = False
-        else:
-            # membership probe, not a whole-log collect: the predicate
-            # pushes to the parquet footers, so a year of batch markers
-            # costs a row-group-stat check per batch, not O(batches)
-            # driver transfer
-            seen = (
-                spark.read.parquet(log_path)
-                .filter(
-                    (F.col("app_id") == app_id)
-                    & (F.col("batch_id") == int(batch_id))
-                )
-                .limit(1)
-                .count()
-                > 0
-            )
-        if seen:
-            return
-        _check_batch_schema(batch_df, id_col, vec_col, state["schema"])
-        # gate the exact assignment plan the append executes (state
-        # doubles as the once-per-run latch, like the quantizer cache)
-        _gate_first_batch(
-            state,
-            _assigned_rows(
-                batch_df, id_col, vec_col, index_path,
-                state["centroids"], state["dim"],
-            ),
-        )
-        # __appending exclusion (r10 verdict #4): the whole
-        # append + batch-marker write holds the index's append claim —
-        # a concurrent batch append or second stream would otherwise
-        # share the FileOutputCommitter staging and destroy this
-        # batch's uncommitted files, and a concurrent compaction's
-        # directory swap would silently drop them. owner=app_id is the
-        # stream's stable identity: a restart after a crash mid-append
-        # RECLAIMS its own stale claim and re-runs the batch (replayed
-        # rows fold at compact_index).
+        # __appending exclusion (r10 verdict #4; widened r11 review):
+        # the claim covers the WHOLE trigger body — not just the
+        # append + batch-marker write but also the ingest_log
+        # seen-probe and the first-batch quantizer/lists-schema loads,
+        # which otherwise race a concurrent compact_index's
+        # rename-aside swap of those very datasets (a read landing in
+        # the swap window kills the query, or a momentarily-missing
+        # log replays a committed batch). A concurrent batch append or
+        # second stream would likewise share the FileOutputCommitter
+        # staging and destroy this batch's uncommitted files.
+        # owner=app_id is the stream's stable identity: a restart
+        # after a crash mid-append RECLAIMS its own stale claim and
+        # re-runs the batch (replayed rows fold at compact_index).
         from dbt_foundation_spark.operators.tombstones import (
+            _has_data_file,
             hold_append_marker,
         )
 
         with hold_append_marker(spark, index_path, owner=app_id):
+            if not state:
+                centroids, dim, _ = _load_ivf(spark, index_path)
+                state["centroids"], state["dim"] = centroids, dim
+                state["schema"] = spark.read.parquet(
+                    f"{index_path}/lists"
+                ).schema
+            # first-ever streamed batch: no log yet — a data-FILE
+            # probe, not a caught AnalysisException (Spark logs the
+            # JVM stack of even caught exceptions into the driver
+            # tail; r6 verdict #4) and not bare fs.exists (a crashed
+            # first append can leave an empty log dir whose read would
+            # raise and pin the stream down)
+            if not _has_data_file(spark, log_path):
+                seen = False
+            else:
+                # membership probe, not a whole-log collect: the
+                # predicate pushes to the parquet footers, so a year
+                # of batch markers costs a row-group-stat check per
+                # batch, not O(batches) driver transfer
+                seen = (
+                    spark.read.parquet(log_path)
+                    .filter(
+                        (F.col("app_id") == app_id)
+                        & (F.col("batch_id") == int(batch_id))
+                    )
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+            if seen:
+                return
+            _check_batch_schema(batch_df, id_col, vec_col, state["schema"])
+            # gate the exact assignment plan the append executes (state
+            # doubles as the once-per-run latch, like the quantizer
+            # cache)
+            _gate_first_batch(
+                state,
+                _assigned_rows(
+                    batch_df, id_col, vec_col, index_path,
+                    state["centroids"], state["dim"],
+                ),
+            )
             # refuse_all_dirty=False: a hard raise here fires BEFORE
             # the (app_id, batch_id) marker lands, so every restart
             # would replay the identical batch and crash again — one

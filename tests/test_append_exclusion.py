@@ -195,3 +195,119 @@ def test_index_stats_reports_stale_append_claim(spark, mh_index):
     finally:
         p, fs = _fs(spark, append_marker_path(mh_index))
         fs.delete(p, False)
+
+
+def test_empty_owner_marker_reclaimable_by_stream_only(spark, mh_index):
+    """A process killed between marker create and token close leaves an
+    EMPTY-owner claim (r11 review pass 2). A stable stream identity
+    reclaims it on restart — the alternative was a permanent
+    crash-loop; a batch append (no stable identity) still refuses and
+    heals via the documented manual delete."""
+    p, fs = _fs(spark, append_marker_path(mh_index))
+    fs.create(p, False).close()  # token never written: the crash shape
+    with pytest.raises(ValueError, match="__appending"):
+        with hold_append_marker(spark, mh_index):  # batch: refuse
+            pass
+    assert _marker_exists(spark, mh_index)
+    with hold_append_marker(spark, mh_index, owner="ckpt-X"):  # stream
+        assert _marker_exists(spark, mh_index)
+    assert not _marker_exists(spark, mh_index)
+
+
+def test_max_tokens_is_manifest_enforced(spark, tmp_path):
+    """The giant-document cap defines the signature space like
+    num_hashes/shingle_len do (r11 review pass 2): a batch computed
+    under a DIFFERENT cap than the stored corpus would band capped
+    documents differently per side and silently admit their
+    re-ingests. Build records it; append/query validate it; a build
+    with max_tokens=None (or a pre-cap manifest) records nothing and
+    trusts the caller — the documented migration."""
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_index,
+        build_containment_index,
+        build_minhash_index,
+        build_simhash_index,
+        containment_against_index,
+        dedup_against_index,
+        dedup_against_simhash_index,
+    )
+
+    docs = _docs(
+        spark, [(i, f"alpha beta gamma doc {i} delta epsilon") for i in range(6)]
+    )
+    batch = _docs(spark, [(100, "alpha beta gamma doc 0 delta epsilon")])
+
+    mh = str(tmp_path / "mh_cap")
+    build_minhash_index(docs, "doc_id", "text", mh,
+                        num_hashes=16, bands=4, max_tokens=64)
+    with pytest.raises(ValueError, match="max_tokens"):
+        dedup_against_index(spark, batch, "doc_id", "text", mh,
+                            num_hashes=16, bands=4)  # default 100k != 64
+    with pytest.raises(ValueError, match="max_tokens"):
+        append_to_index(batch, "doc_id", "text", mh,
+                        num_hashes=16, bands=4, max_tokens=32)
+    got = dedup_against_index(
+        spark, batch, "doc_id", "text", mh,
+        num_hashes=16, bands=4, max_tokens=64, jaccard_threshold=0.9,
+    ).collect()
+    assert {(r.new_id, r.corpus_id) for r in got} == {(100, 0)}
+
+    sh = str(tmp_path / "sh_cap")
+    build_simhash_index(docs, "doc_id", "text", sh, max_hamming=3, max_tokens=64)
+    with pytest.raises(ValueError, match="max_tokens"):
+        dedup_against_simhash_index(spark, batch, "doc_id", "text", sh,
+                                    max_hamming=3)
+    assert dedup_against_simhash_index(
+        spark, batch, "doc_id", "text", sh, max_hamming=3, max_tokens=64
+    ).count() >= 1
+
+    ct = str(tmp_path / "ct_cap")
+    build_containment_index(docs, "doc_id", "text", ct,
+                            shingle_len=2, threshold=0.6, max_tokens=64)
+    with pytest.raises(ValueError, match="max_tokens"):
+        containment_against_index(spark, batch, "doc_id", "text", ct,
+                                  shingle_len=2, threshold=0.6)
+    assert containment_against_index(
+        spark, batch, "doc_id", "text", ct,
+        shingle_len=2, threshold=0.6, max_tokens=64,
+    ).count() >= 1
+
+    # uncapped build records nothing: any caller value is trusted
+    # (pre-cap manifest migration shape)
+    mh2 = str(tmp_path / "mh_uncapped")
+    build_minhash_index(docs, "doc_id", "text", mh2,
+                        num_hashes=16, bands=4, max_tokens=None)
+    assert dedup_against_index(
+        spark, batch, "doc_id", "text", mh2,
+        num_hashes=16, bands=4, jaccard_threshold=0.9,
+    ).count() == 1
+
+
+def test_embedding_index_excludes_null_ids(spark, tmp_path):
+    """The embedding flavor carries the same degenerate-identity gate
+    as every other index writer (r11 review pass 2): NULL-id rows never
+    land in vectors or bands — an id-less stored row could never be
+    paired, retracted, or folded."""
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_embedding_index,
+        build_embedding_index,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (None, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "vec_id bigint, emb array<double>",
+    )
+    em = str(tmp_path / "em_nullid")
+    build_embedding_index(vecs, "vec_id", "emb", em, m=8, bands=4, threshold=0.5)
+    append_to_embedding_index(
+        spark.createDataFrame(
+            [(None, [1.0, 1.0, 0.0]), (3, [1.0, 0.0, 1.0])],
+            "vec_id bigint, emb array<double>",
+        ),
+        "vec_id", "emb", em, m=8, bands=4,
+    )
+    stored = spark.read.parquet(f"{em}/vectors")
+    assert stored.filter(F.col("id").isNull()).count() == 0
+    assert {r.id for r in stored.collect()} == {1, 2, 3}
+    bands = spark.read.parquet(f"{em}/bands")
+    assert bands.filter(F.col("id").isNull()).count() == 0
