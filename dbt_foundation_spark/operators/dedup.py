@@ -885,8 +885,19 @@ def ngram_jaccard_pairs(
         )
         .dropDuplicates([*block_cols, "_id", "_ver"])
     )
-    sizes = sh.select("_id", "_ver", F.size("_sh").alias("_n"))
-    inv = sh.select(*block_cols, "_id", "_ver", F.explode("_sh").alias("_s"))
+    # set size RIDES the posting rows (one long per row) and folds into
+    # the pair group key — _n is functionally determined by (_id, _ver),
+    # so grouping on it adds no groups. The alternative (a separate
+    # sizes frame joined back per side) costs two keyed join exchanges
+    # that dominated this operator's shuffle budget (r11: the
+    # version-keyed rewrite briefly did exactly that).
+    inv = sh.select(
+        *block_cols,
+        "_id",
+        "_ver",
+        F.size("_sh").alias("_n"),
+        F.explode("_sh").alias("_s"),
+    )
     if max_df is not None:
         dfreq = Window.partitionBy(*block_cols, "_s")
         inv = (
@@ -895,35 +906,24 @@ def ngram_jaccard_pairs(
             .drop("_df")
         )
     left = inv.select(
-        *block_cols, F.col("_id").alias("id_a"), F.col("_ver").alias("_va"), "_s"
+        *block_cols, F.col("_id").alias("id_a"), F.col("_ver").alias("_va"),
+        F.col("_n").alias("_na"), "_s",
     )
     right = inv.select(
-        *block_cols, F.col("_id").alias("id_b"), F.col("_ver").alias("_vb"), "_s"
+        *block_cols, F.col("_id").alias("id_b"), F.col("_ver").alias("_vb"),
+        F.col("_n").alias("_nb"), "_s",
     )
     common = (
         left.join(right, block_cols + ["_s"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "_va", "id_b", "_vb")
+        .groupBy("id_a", "_va", "_na", "id_b", "_vb", "_nb")
         .agg(F.count(F.lit(1)).alias("_common"))
-    )
-    with_sizes = common.join(
-        sizes.select(
-            F.col("_id").alias("id_a"), F.col("_ver").alias("_va"),
-            F.col("_n").alias("_na"),
-        ),
-        ["id_a", "_va"],
-    ).join(
-        sizes.select(
-            F.col("_id").alias("id_b"), F.col("_ver").alias("_vb"),
-            F.col("_n").alias("_nb"),
-        ),
-        ["id_b", "_vb"],
     )
     jac = F.try_divide(
         F.col("_common"), F.col("_na") + F.col("_nb") - F.col("_common")
     )
     return (
-        with_sizes.withColumn("jaccard", jac)
+        common.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         # strongest version pair wins (multi-version contract)
         .groupBy("id_a", "id_b")

@@ -623,17 +623,23 @@ def test_heavy_query_plan_shapes_pinned(spark, sf_dir):
                                 # PLUS the in-query ground-truth flank
                                 # (r5): inverted-index posting self-join
                                 # + verify re-attach + found/true scalars
-        "q_dedup_simhash": 10,  # sig agg + chunk join + pair dedup over
+        "q_dedup_simhash": 11,  # sig agg + chunk join + pair dedup over
                                 # the corpus ∪ planted-copies union (r5
                                 # canary: union defeats exchange reuse
-                                # locally; found/planted scalar aggs)
-        "q_dedup_simhash_portable": 4,  # same shape, md5-half hashes
+                                # locally; found/planted scalar aggs);
+                                # +1 r11: the min-hamming strongest-
+                                # version fold (degenerate-identity
+                                # contract) is one pair-sized exchange
+        "q_dedup_simhash_portable": 5,  # same shape, md5-half hashes
         "q_embedding_neardup": 3,  # band join + pair dedup + 2 re-attach joins
-        "q_ngram_jaccard": 7,   # inverted-index join + pair agg + size
-                                # joins; fan_out repartition is re-planned
-                                # per scan branch (different pruned columns
-                                # defeat exchange reuse) — local-only, the
-                                # guard no-ops it at scale
+        "q_ngram_jaccard": 8,   # inverted-index join + per-version pair
+                                # agg (set sizes RIDE the posting rows —
+                                # no sizes joins); fan_out repartition is
+                                # re-planned per scan branch (different
+                                # pruned columns defeat exchange reuse) —
+                                # local-only, the guard no-ops it at
+                                # scale; +1 r11: version dedup + the
+                                # strongest-pair fold (degenerate ids)
         "q_asof_join": 3,       # union window + pre-agg
         "q_rollup_cascade": 3,  # hour agg + day re-agg + union alignment
         "q_doc_chunks": 0,      # chunking must not shuffle at all
@@ -643,7 +649,8 @@ def test_heavy_query_plan_shapes_pinned(spark, sf_dir):
         "q_embedding_quantize": 0,  # per-row quantization, no shuffle
         "q_quality_quantile": 1,    # the per-lang window shuffle only
         "q_filter_funnel": 2,       # reason-count agg + 4-row result sort
-        "q_dedup_incremental": 6,   # 2 sig aggs + band join + pair dedup
+        "q_dedup_incremental": 7,   # 2 sig aggs + band join + pair dedup;
+                                    # +1 r11: strongest-version fold
         "q_promo_revenue": 1,       # broadcast part join + 1-group agg
         "q_nation_volume": 3,       # orderkey shuffle + agg + sort
         "q_window_range_frame": 1,  # the user_id window shuffle only
