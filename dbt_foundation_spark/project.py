@@ -483,7 +483,21 @@ class Project:
     def build_frame(self, node: Node) -> DataFrame:
         """Compile one node to a DataFrame (records edges as a side effect)."""
         if node.resource_type == "seed":
-            reader = self.spark.read.option("header", "true")
+            # mode=FAILFAST (r11 dirty-seed probe): seeds are small,
+            # checked-in configuration tables that drive joins and
+            # tests, and Spark's default PERMISSIVE parse silently
+            # NULLs every malformed cell — a ragged line lost its
+            # amount, "three" in an int id column became a NULL key,
+            # and nothing failed until some downstream relationship
+            # test (or nothing at all). A malformed seed LINE is a
+            # source-control error and must fail the run naming the
+            # record, matching dbt's own seed-parse behavior. (This is
+            # a deliberate divergence from external SOURCES, where
+            # dirty rows are expected at scale and Source.options lets
+            # the declaration choose its mode.)
+            reader = self.spark.read.option("header", "true").option(
+                "mode", "FAILFAST"
+            )
             overrides = node.config.extra.get("column_types") or {}
             if not overrides:
                 return reader.option("inferSchema", "true").csv(node.path)

@@ -437,6 +437,42 @@ def test_seed_column_types_override(project, spark, tmp_path):
         p2.build_frame(p2.manifest["oops"])
 
 
+def test_seed_malformed_rows_fail_loudly(project, spark, tmp_path):
+    """Dirty-seed contract (r11 probe): Spark's default PERMISSIVE CSV
+    parse silently NULLed every malformed cell — a ragged line lost its
+    amount, 'three' in an int id column became a NULL key — and the
+    damage surfaced (if ever) as a mystifying downstream test failure.
+    Seeds are checked-in configuration: a malformed LINE is a
+    source-control error and the run must fail naming the record
+    (mode=FAILFAST), in both the inferred and column_types branches.
+    External SOURCES keep their own choice via Source.options."""
+    ragged = tmp_path / "ragged.csv"
+    ragged.write_text("id,zip,amount\n1,02134,10.5\n2,99999\n4,00042,7.0\n")
+    project.seed("ragged_seed", str(ragged))
+    res = {r.node: r for r in project.run(select={"ragged_seed"})}
+    assert res["ragged_seed"].status == "error"
+    assert "MALFORMED" in (res["ragged_seed"].message or "").upper()
+
+    badtype = tmp_path / "badtype.csv"
+    badtype.write_text("id,zip,amount\n1,02134,10.5\nthree,11111,2.0\n")
+    p2 = _reattach(project)
+    p2.seed("badtype_seed", str(badtype), column_types={"id": "int"})
+    res2 = {r.node: r for r in p2.run(select={"badtype_seed"})}
+    assert res2["badtype_seed"].status == "error"
+    assert "MALFORMED" in (res2["badtype_seed"].message or "").upper()
+
+    # clean seeds are untouched: leading zeros survive under the
+    # declared type, and the load succeeds
+    clean = tmp_path / "clean.csv"
+    clean.write_text("id,zip,amount\n1,02134,10.5\n2,00042,7.0\n")
+    p3 = _reattach(project)
+    p3.seed("clean_seed", str(clean), column_types={"zip": "string"})
+    res3 = {r.node: r for r in p3.run(select={"clean_seed"})}
+    assert res3["clean_seed"].status == "success"
+    rel = p3.relation_name(p3.manifest["clean_seed"])
+    assert {r.zip for r in spark.table(rel).collect()} == {"02134", "00042"}
+
+
 def test_table_create_over_stale_warehouse_dir(project, spark):
     """A managed-table CTAS must succeed even when a previous process
     left an orphan directory at the table's warehouse location (fresh
