@@ -543,8 +543,19 @@ def connected_components(
     in 2-3 rounds — never O(|V|) like a driver-side union-find. The
     convergence probe is the strictly-decreasing exact sum of labels
     (decimal — no bigint overflow at any corpus size), one scalar per
-    round."""
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    round.
+
+    Degenerate edges (r11 probe): a pair with a NULL endpoint is
+    dropped at entry — an edge to an unknown document is no evidence
+    (the detectors never emit one post-r11, but a user-supplied pair
+    list can). Pre-fix the NULL endpoints fabricated a (NULL,
+    component) output row, since all NULL "nodes" collapse into one
+    groupBy key while the propagation join (NULL equality) never
+    reaches them. Self-loops (id_a == id_b) are harmless — the node
+    labels itself — and pass through."""
+    fwd = pairs.filter(
+        F.col(id_a).isNotNull() & F.col(id_b).isNotNull()
+    ).select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # checkpoint the edge list too: it usually hangs off an expensive
     # upstream DAG (the whole LSH pipeline) that would otherwise
     # re-execute on every propagation round

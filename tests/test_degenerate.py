@@ -1060,6 +1060,23 @@ def test_degenerate_identities_in_pair_detectors(spark):
     assert set(emb) == {(1, 2), (1, 3)}
     assert emb[(1, 3)] > 0.99  # version 2 of id 1 carries the match
 
+    # connected_components: a pair with a NULL endpoint is no evidence
+    # — dropped at entry, clean components byte-identical (pre-fix a
+    # (NULL, component) output row was fabricated); self-loops pass
+    from dbt_foundation_spark.operators.dedup import connected_components
+
+    clean_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a bigint, id_b bigint"
+    )
+    dirty_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (None, 5), (6, None), (None, None), (7, 7)],
+        "id_a bigint, id_b bigint",
+    )
+    base_cc = {(r.id, r.comp) for r in connected_components(clean_pairs).collect()}
+    dirty_cc = {(r.id, r.comp) for r in connected_components(dirty_pairs).collect()}
+    assert base_cc == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+    assert dirty_cc == base_cc
+
     # per-document metrics: a NULL-id row gets no OUTPUT row but its
     # grams remain cross-document EVIDENCE — a boilerplate copy whose
     # id was corrupted must still mark the clean twin as repeated
