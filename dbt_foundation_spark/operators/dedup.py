@@ -660,10 +660,19 @@ def keep_best_per_cluster(
     — the "keep the best copy, not the first" policy a quality-aware
     corpus dedup wants.
 
-    Returns (comp, keeper_id, n_members, best_score). The ranking
-    window and the size aggregate both key on comp, so the second
-    shuffle reuses the first exchange's partitioning."""
-    joined = labels.join(scores, id_col)
+    Returns (comp, keeper_id, n_members, best_score) — one row per
+    cluster, ALWAYS. Eligibility contract (r11 probe): a member whose
+    score is NULL (the scoring stage failed for it) is as ineligible
+    as one missing from ``scores`` entirely — pre-fix a NULL-scored
+    member could "win" purely because it had a row while a better
+    member's row was absent, emitting a keeper with best_score NULL as
+    if chosen on merit. A cluster with NO eligible member keeps its
+    row with NULL keeper_id/best_score (an explicit
+    nothing-safe-to-keep signal, not a silent vanish) — route those to
+    re-scoring, do not drop their members on a keeper that does not
+    exist. n_members counts ALL labeled members, eligible or not."""
+    eligible = scores.where(F.col(score_col).isNotNull())
+    joined = labels.join(eligible, id_col)
     w = Window.partitionBy(comp_col).orderBy(F.desc(score_col), F.col(id_col))
     keepers = (
         joined.withColumn("_rn", F.row_number().over(w))
@@ -675,7 +684,7 @@ def keep_best_per_cluster(
         )
     )
     sizes = labels.groupBy(comp_col).agg(F.count(F.lit(1)).alias("n_members"))
-    return keepers.join(sizes, comp_col).select(
+    return sizes.join(keepers, comp_col, "left").select(
         comp_col, "keeper_id", "n_members", "best_score"
     )
 

@@ -1093,3 +1093,40 @@ def test_degenerate_identities_in_pair_detectors(spark):
     assert set(spans) == {1, 3}  # no NULL output row
     assert spans[1] == (pytest.approx(1.0), 2)  # evidence counted
     assert spans[3][0] == pytest.approx(0.0)
+
+
+def test_keep_best_eligibility_and_keeperless_clusters(spark):
+    """keep_best_per_cluster (r11 probe): a NULL score means the
+    scoring stage failed for that member — it is as ineligible as a
+    member missing from the scores frame (pre-fix a NULL-scored member
+    could 'win' purely because it HAD a row, emitting a keeper with
+    best_score NULL as if chosen on merit), and a cluster with no
+    eligible member keeps its row with NULL keeper_id instead of
+    silently vanishing."""
+    from dbt_foundation_spark.operators.dedup import keep_best_per_cluster
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "id bigint, comp bigint"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, None), (8, None)], "id bigint, score double"
+    )
+    got = {
+        r.comp: (r.keeper_id, r.n_members, r.best_score)
+        for r in keep_best_per_cluster(labels, scores).collect()
+    }
+    # cluster 1: id 2's NULL score is ineligible, id 3 unscored —
+    # keeper is the best ELIGIBLE member; n_members counts everyone
+    assert got[1] == (1, 3, 0.5)
+    # cluster 7: no eligible member — explicit keeper-less row
+    assert got[7] == (None, 2, None)
+    # fully-scored input is unchanged
+    full = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.1), (8, 0.2)],
+        "id bigint, score double",
+    )
+    got2 = {
+        r.comp: (r.keeper_id, r.best_score)
+        for r in keep_best_per_cluster(labels, full).collect()
+    }
+    assert got2 == {1: (2, 0.9), 7: (8, 0.2)}  # tie -> lower id wins
