@@ -258,6 +258,16 @@ def _microbatch(project: Project, node: Node, df: DataFrame) -> None:
     lookback = int(cfg.get("lookback", 1))
     start_ovr, end_ovr = getattr(project, "_event_time_window", (None, None))
     ts = F.col(event_time).cast("timestamp")
+    # NULL event-times: a row at an unknown time belongs to NO batch —
+    # the same contract the stateful sessionizers pin (r10). Without
+    # this explicit gate the fate was begin-dependent and inconsistent:
+    # with `begin` set the NULL-batch rows silently vanished through
+    # the >= filter, without it they landed once in the
+    # __HIVE_DEFAULT_PARTITION__ at the initial build and no later
+    # window could ever rebuild or clear them (NULL fails every
+    # window-boundary comparison). Route them explicitly upstream if
+    # they must be kept.
+    df = df.filter(ts.isNotNull())
     batch_of = F.date_format(F.date_trunc(unit, ts), _BATCH_FMT[unit])
     part_cols = (*node.config.partition_by, BATCH_COL)
 

@@ -1037,6 +1037,57 @@ def test_incremental_microbatch(project, spark):
     assert rows["2024-01-04"] == (4, 40.0)
 
 
+def test_microbatch_null_event_times_belong_to_no_batch(project, spark):
+    """NULL event-times through microbatch (r11 probe): the fate used
+    to be begin-dependent — with `begin` the NULL-batch rows silently
+    vanished through the window filter, without it they landed once in
+    __HIVE_DEFAULT_PARTITION__ at the initial build and no later
+    window could rebuild or clear them. Contract now (mirrors the
+    sessionizers' r10 rule): a row at an unknown time belongs to NO
+    batch, on the initial build and every incremental run, with or
+    without begin — and never duplicates or resurrects."""
+    state = {}
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "id bigint, ts string, v double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    for tag, begin in (("anchored", "2024-01-01"), ("unanchored", None)):
+        state["batch"] = mk(
+            [(1, "2024-01-01 10:00:00", 10.0), (2, None, 20.0)]
+        )
+        kwargs = dict(
+            materialized="incremental",
+            incremental_strategy="microbatch",
+            event_time="ts", batch_size="day", lookback=1,
+            name=f"mb_null_{tag}",
+        )
+        if begin:
+            kwargs["begin"] = begin
+        p = _reattach(project)
+
+        @p.model(**kwargs)
+        def mb_null(ctx):
+            return state["batch"]
+
+        assert all(r.status == "success" for r in p.run())
+        rel = p.relation_name(p.manifest[f"mb_null_{tag}"])
+        assert {r.id for r in spark.table(rel).collect()} == {1}, tag
+
+        # incremental run restating day 1 plus another NULL-ts row:
+        # clean restatement applies, NULL rows still land nowhere
+        state["batch"] = mk(
+            [(1, "2024-01-01 10:00:00", 11.0), (3, None, 30.0)]
+        )
+        p2 = _reattach(p, models=(f"mb_null_{tag}",))
+        assert all(
+            r.status == "success" for r in p2.run(select={f"mb_null_{tag}"})
+        )
+        got = {(r.id, r.v) for r in spark.table(rel).collect()}
+        assert got == {(1, 11.0)}, tag
+
+
 def test_incremental_microbatch_with_partition_by(project, spark):
     """Regression (r4 ADVICE high): combining partition_by with the
     microbatch strategy made the period DROP a partial partition spec —
