@@ -370,6 +370,14 @@ def _incremental(project: Project, node: Node, df: DataFrame) -> None:
     if node.config.incremental_strategy == "microbatch":
         _microbatch(project, node, df)
         return
+    if node.config.incremental_strategy in ("merge", "delete+insert"):
+        # NULL-key exclusion must ALSO cover the initial build, or the
+        # corrupt row lands once at bootstrap and every later run's
+        # filter merely stops the growth without removing it — see
+        # _merged_rows for the full contract
+        keys = node.config.unique_key
+        for k in [keys] if isinstance(keys, str) else list(keys or ()):
+            df = df.filter(F.col(k).isNotNull())
     if not spark.catalog.tableExists(rel):
         _clear_stale_location(project, rel)
         _writer(node, df).mode("overwrite").saveAsTable(rel)
@@ -437,6 +445,16 @@ def _merged_rows(project: Project, node: Node, df: DataFrame, target) -> DataFra
             "requires unique_key"
         )
     keys = [keys] if isinstance(keys, str) else list(keys)
+    # NULL-key rows are excluded (r11 probe): NULL never equals NULL,
+    # so SQL MERGE semantics re-INSERT such a row on EVERY scheduled
+    # run — one corrupt key grew the table without bound ((None, x)
+    # appended per run, forever) while looking "successful". A row
+    # with no stable identity cannot be idempotently merged; the
+    # family rule applies (samplers, dedup, microbatch event-times) —
+    # route NULL-key rows explicitly upstream if they must be kept
+    # (e.g. an append-strategy dead-letter model).
+    for k in keys:
+        df = df.filter(F.col(k).isNotNull())
     existing = _align(spark.table(rel), target)
     preds = node.config.incremental_predicates
     if preds:
@@ -473,6 +491,14 @@ def _snapshot(project: Project, node: Node, df: DataFrame) -> None:
     updated_at = cfg.get("updated_at")
     if strategy == "timestamp" and not updated_at:
         raise ValueError(f"{node.name}: timestamp snapshots need updated_at=")
+    # NULL-key rows are excluded (r11 probe): with NULL never matching
+    # the change-detection join, each run inserted ANOTHER open version
+    # for the same unknown entity — three runs, three concurrent open
+    # rows, breaking the one-open-row-per-key invariant every later run
+    # builds on. No stable identity means no history to track (the
+    # merge/microbatch/sampler family rule).
+    for k in keys:
+        df = df.filter(F.col(k).isNotNull())
 
     if strategy == "timestamp":
         valid_from = F.col(updated_at).cast("timestamp")

@@ -1804,3 +1804,57 @@ def test_incremental_empty_delta_is_noop(project, spark):
     _reattach(project).run()
     assert {(r.id, r.v) for r in spark.table(rel_m).collect()} == {(1, "a"), (2, "b")}
     assert {(r.id, r.v) for r in spark.table(rel_a).collect()} == {(1, "a"), (2, "b")}
+
+
+def test_null_unique_key_rows_excluded_from_merge_and_snapshot(project, spark):
+    """NULL unique_key through merge and SCD2 (r11 probe): NULL never
+    equals NULL, so SQL MERGE semantics re-INSERTED a corrupt NULL-key
+    row on EVERY run (unbounded growth that looked 'successful'), and
+    each snapshot run opened ANOTHER version for the same unknown
+    entity — three runs, three concurrent open rows. Family rule: no
+    stable identity, no key-tracked fate — NULL-key rows are excluded
+    from both, reruns are idempotent, clean keys unaffected."""
+    state = {}
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "id int, v string, updated_at string"
+        ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+
+    def build(p):
+        @p.model(
+            name="nk_merge", materialized="incremental",
+            incremental_strategy="merge", unique_key="id",
+        )
+        def nk_merge(ctx):
+            return state["b"]
+
+        @p.snapshot(
+            name="nk_snap", unique_key="id", strategy="timestamp",
+            updated_at="updated_at",
+        )
+        def nk_snap(ctx):
+            return state["b"]
+
+        return p
+
+    state["b"] = mk([(1, "a", "2024-01-01 00:00:00"),
+                     (None, "x", "2024-01-01 00:00:00")])
+    p = build(_reattach(project))
+    assert all(r.status == "success" for r in p.run())
+    mrel = p.relation_name(p.manifest["nk_merge"])
+    srel = p.relation_name(p.manifest["nk_snap"])
+
+    # two more runs with the same corrupt row: no accumulation, clean
+    # key updates apply
+    for v, ts in (("a2", "2024-01-02 00:00:00"), ("a3", "2024-01-03 00:00:00")):
+        state["b"] = mk([(1, v, ts), (None, "x", "2024-01-01 00:00:00")])
+        p2 = build(_reattach(project))
+        assert all(r.status == "success" for r in p2.run())
+
+    assert {(r.id, r.v) for r in spark.table(mrel).collect()} == {(1, "a3")}
+    snap = spark.table(srel).collect()
+    assert all(r.id is not None for r in snap)
+    open_rows = [r for r in snap if r.dbt_valid_to is None]
+    assert [(r.id, r.v) for r in open_rows] == [(1, "a3")]  # one open row
+    assert len(snap) == 3  # a -> a2 -> a3 history, nothing else
