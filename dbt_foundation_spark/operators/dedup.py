@@ -670,8 +670,14 @@ def keep_best_per_cluster(
     row with NULL keeper_id/best_score (an explicit
     nothing-safe-to-keep signal, not a silent vanish) — route those to
     re-scoring, do not drop their members on a keeper that does not
-    exist. n_members counts ALL labeled members, eligible or not."""
-    eligible = scores.where(F.col(score_col).isNotNull())
+    exist. n_members counts ALL labeled members, eligible or not.
+    NaN scores are as ineligible as NULL ones (r11 review pass 3):
+    Spark orders NaN ABOVE every finite double, so a failed-scoring
+    member with score=NaN would otherwise beat every legitimately
+    scored member — the same non-finite hazard the ANN family gates
+    (r10)."""
+    sc = F.col(score_col).cast("double")
+    eligible = scores.where(sc.isNotNull() & ~F.isnan(sc))
     joined = labels.join(eligible, id_col)
     w = Window.partitionBy(comp_col).orderBy(F.desc(score_col), F.col(id_col))
     keepers = (

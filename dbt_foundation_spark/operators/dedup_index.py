@@ -102,18 +102,24 @@ from dbt_foundation_spark.operators.dedup import (
 )
 
 
-def _cap_params(params: dict, max_tokens: int | None) -> dict:
-    """Record the giant-document cap in the index manifest (r11
-    review): the cap is part of the signature space exactly like
+def _cap_params(params: dict, max_tokens: int | None, record: bool = False) -> dict:
+    """Thread the giant-document cap through manifests (r11 review):
+    the cap is part of the signature space exactly like
     num_hashes/shingle_len, so build and batch sides must agree or a
     capped document would band differently per side and its re-ingest
-    would be silently admitted. ``None`` (uncapped) is simply omitted —
-    the same trust-the-caller migration pre-manifest and pre-cap
-    indexes already get from ``_validate_params`` (a key the stored
-    manifest lacks validates nothing)."""
-    if max_tokens is not None:
-        return {**params, "max_tokens": max_tokens}
-    return dict(params)
+    would be silently admitted.
+
+    ``record=True`` (the ``_write_manifest`` side) omits a ``None``
+    cap — an uncapped build records nothing, giving pre-cap manifests
+    and deliberately-uncapped indexes the same trust-the-caller
+    migration. The VALIDATION side always includes the key, None
+    included: an explicitly-uncapped query against an index whose
+    manifest records a cap must RAISE (None == 64 fails the eq rule),
+    not silently compute full-document signatures against a
+    64-token-window corpus (r11 review pass 3)."""
+    if max_tokens is None and record:
+        return dict(params)
+    return {**params, "max_tokens": max_tokens}
 
 
 def _write_manifest(df: DataFrame, path: str, params: dict) -> None:
@@ -302,6 +308,7 @@ def build_minhash_index(
                 "portable": portable,
             },
             max_tokens,
+            record=True,
         ),
     )
 
@@ -480,6 +487,7 @@ def build_simhash_index(
         _cap_params(
             {"flavor": "simhash", "max_hamming": max_hamming, "portable": portable},
             max_tokens,
+            record=True,
         ),
     )
 
@@ -613,6 +621,7 @@ def build_containment_index(
                 "threshold": threshold,
             },
             max_tokens,
+            record=True,
         ),
     )
 
@@ -845,12 +854,15 @@ def build_embedding_index(
     queries and appends never need to re-sniff."""
     if m % bands != 0:
         raise ValueError(f"m={m} must be divisible by bands={bands}")
+    # degenerate-identity gate BEFORE the dim sniff: same contract as
+    # every other flavor (an id-less stored row could never be paired,
+    # retracted, or folded), and sniffing first could fix the index's
+    # dim from a corrupt NULL-id row's vector — or raise the misleading
+    # empty-frame error when that row's vector is NULL (r11 review)
+    df = identified(df, id_col)
     if dim is None:
         dim = sniff_dim(df, vec_col)
     planes = random_hyperplanes(dim, m, seed)
-    # degenerate-identity gate: same contract as every other flavor —
-    # an id-less stored row could never be paired, retracted, or folded
-    df = identified(df, id_col)
     banded = (
         hyperplane_banded(df, id_col, vec_col, planes, bands, m // bands)
         .withColumnRenamed("_id", "id")
@@ -968,12 +980,11 @@ def append_to_embedding_index(
         caller["dim"] = dim
     mft = _read_manifest(df.sparkSession, path)  # read ONCE: validation + dim
     resolved = _validate_params(path, mft, caller)
+    # identity gate before any dim resolution sniffs the frame (see
+    # build_embedding_index)
+    df = identified(df, id_col)
     dim = _resolve_dim(resolved, mft, df, vec_col)
     planes = random_hyperplanes(dim, m, seed)
-    # degenerate-identity gate (r11 review pass 2): an id-less stored
-    # row could never be paired, retracted, or folded — same contract
-    # as every other flavor's identified() entry
-    df = identified(df, id_col)
     with hold_append_marker(df.sparkSession, path, owner):
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).write.mode(
             "append"

@@ -428,9 +428,14 @@ def append_marker_path(index_path: str) -> str:
     return f"{index_path.rstrip('/')}/__appending"
 
 
-def _read_marker_owner(fs, jvm, path) -> str:
-    """Best-effort read of a marker file's owner token (may be '' for
-    a marker caught mid-write or written by an older version)."""
+def _read_marker_owner(fs, jvm, path) -> str | None:
+    """Read a marker file's owner token. Returns ``''`` only when the
+    file was READ successfully and is genuinely empty (the
+    create→close crash window); returns ``None`` when the read itself
+    failed (open error, transient store fault, marker deleted between
+    probe and open) — the two must not be conflated, or a transient
+    read error would let a stream's empty-owner reclaim steal a LIVE
+    foreign claim (r11 review pass 3)."""
     try:
         stream = fs.open(path)
         try:
@@ -445,7 +450,7 @@ def _read_marker_owner(fs, jvm, path) -> str:
         finally:
             stream.close()
     except Exception:
-        return ""
+        return None
 
 
 @contextmanager
@@ -496,6 +501,8 @@ def hold_append_marker(
     mpath, fs = _hadoop(spark, append_marker_path(index_path))
     me = owner or f"batch-{uuid.uuid4().hex}"
 
+    last_err: list[Exception] = []
+
     def _claim_exclusive() -> bool:
         created = False
         try:
@@ -504,7 +511,7 @@ def hold_append_marker(
             out.write(bytearray(me.encode("utf-8")))
             out.close()
             return True
-        except Exception:
+        except Exception as e:
             if created:
                 # create succeeded but the owner-token write/close
                 # failed IN-PROCESS: withdraw our half-created marker
@@ -512,6 +519,7 @@ def hold_append_marker(
                 # block later appends and compactions (r11 review)
                 fs.delete(mpath, False)
                 raise
+            last_err.append(e)
             return False
 
     claimed = _claim_exclusive()
@@ -526,9 +534,13 @@ def hold_append_marker(
                 f"index {index_path}: could not create the __appending "
                 "marker and it does not exist — filesystem failure, "
                 "not contention"
-            )
+            ) from (last_err[-1] if last_err else None)
     if not claimed:
         holder = _read_marker_owner(fs, jvm, mpath)
+        # holder is None when the READ failed — never reclaimable (it
+        # could be a live foreign claim behind a transient store error);
+        # '' means the file read successfully but carries no token, the
+        # create→close crash window only a stable owner may reclaim
         if owner is not None and holder in (owner, ""):
             # our own crashed predecessor (stable stream identity) —
             # "" is the create→close crash window, reclaimable only by

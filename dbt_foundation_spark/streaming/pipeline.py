@@ -678,6 +678,7 @@ def run_dedup_ingest(
     embed_bands: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    max_tokens: int | None = None,
 ) -> None:
     """Continuous corpus ingestion with near-dup admission control: each
     micro-batch is deduplicated (a) against the PERSISTED index — the
@@ -736,12 +737,20 @@ def run_dedup_ingest(
     fold away at the next ``compact_index``."""
     from dbt_foundation_spark.operators import dedup, dedup_index
 
+    # the giant-document cap is manifest-enforced: an index built with
+    # a non-default max_tokens would otherwise make every trigger raise
+    # with no workaround (r11 review pass 3) — resolve the stream-level
+    # knob once and pass it to every index/batch operator so corpus and
+    # batch sides always sign in the same token window
+    cap = dedup.SIGNATURE_MAX_TOKENS if max_tokens is None else max_tokens
+
     if detector == "minhash":
         def vs_corpus(spark, batch):
             return dedup_index.dedup_against_index(
                 spark, batch, id_col, text_col, index_path,
                 num_hashes=num_hashes, bands=bands, shingle_len=shingle_len,
                 jaccard_threshold=jaccard_threshold, portable=portable,
+                max_tokens=cap,
             )
 
         def within(batch):
@@ -749,51 +758,54 @@ def run_dedup_ingest(
                 batch, id_col, text_col,
                 num_hashes=num_hashes, bands=bands, shingle_len=shingle_len,
                 jaccard_threshold=jaccard_threshold, portable=portable,
+                max_tokens=cap,
             )
 
         def admit(batch):
             dedup_index.append_to_index(
                 batch, id_col, text_col, index_path,
                 num_hashes=num_hashes, bands=bands, shingle_len=shingle_len,
-                portable=portable, owner=checkpoint_dir,
+                portable=portable, owner=checkpoint_dir, max_tokens=cap,
             )
     elif detector == "simhash":
         def vs_corpus(spark, batch):
             return dedup_index.dedup_against_simhash_index(
                 spark, batch, id_col, text_col, index_path,
-                max_hamming=max_hamming, portable=portable,
+                max_hamming=max_hamming, portable=portable, max_tokens=cap,
             )
 
         def within(batch):
             return dedup.simhash_near_pairs(
                 batch, id_col, text_col,
-                max_hamming=max_hamming, portable=portable,
+                max_hamming=max_hamming, portable=portable, max_tokens=cap,
             )
 
         def admit(batch):
             dedup_index.append_to_simhash_index(
                 batch, id_col, text_col, index_path,
                 max_hamming=max_hamming, portable=portable,
-                owner=checkpoint_dir,
+                owner=checkpoint_dir, max_tokens=cap,
             )
     elif detector == "containment":
         def vs_corpus(spark, batch):
             return dedup_index.containment_against_index(
                 spark, batch, id_col, text_col, index_path,
                 shingle_len=shingle_len, threshold=containment_threshold,
+                max_tokens=cap,
             )
 
         def within(batch):
             return dedup.containment_pairs(
                 batch, id_col, text_col,
                 shingle_len=shingle_len, threshold=containment_threshold,
+                max_tokens=cap,
             )
 
         def admit(batch):
             dedup_index.append_to_containment_index(
                 batch, id_col, text_col, index_path,
                 shingle_len=shingle_len, threshold=containment_threshold,
-                owner=checkpoint_dir,
+                owner=checkpoint_dir, max_tokens=cap,
             )
     elif detector == "embedding":
         if vec_col is None:

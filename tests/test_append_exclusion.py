@@ -272,6 +272,13 @@ def test_max_tokens_is_manifest_enforced(spark, tmp_path):
         shingle_len=2, threshold=0.6, max_tokens=64,
     ).count() >= 1
 
+    # an EXPLICITLY-uncapped query against a cap-recording manifest
+    # raises too — None would compute full-document signatures against
+    # a 64-token-window corpus (r11 review pass 3)
+    with pytest.raises(ValueError, match="max_tokens"):
+        dedup_against_index(spark, batch, "doc_id", "text", mh,
+                            num_hashes=16, bands=4, max_tokens=None)
+
     # uncapped build records nothing: any caller value is trusted
     # (pre-cap manifest migration shape)
     mh2 = str(tmp_path / "mh_uncapped")
@@ -281,6 +288,59 @@ def test_max_tokens_is_manifest_enforced(spark, tmp_path):
         spark, batch, "doc_id", "text", mh2,
         num_hashes=16, bands=4, jaccard_threshold=0.9,
     ).count() == 1
+
+
+def test_streaming_ingest_honors_index_token_cap(spark, tmp_path):
+    """run_dedup_ingest threads max_tokens to every index/batch
+    operator (r11 review pass 3): an index built with a non-default cap
+    previously made the first micro-batch raise a manifest mismatch —
+    and every restart replayed the same batch and raised again, a
+    permanent poison pill with no workaround."""
+    import time as _time
+
+    from dbt_foundation_spark.operators.dedup_index import build_minhash_index
+    from dbt_foundation_spark.streaming.pipeline import (
+        read_document_stream,
+        run_dedup_ingest,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i} delta epsilon", "en", "s", 40)
+         for i in range(6)],
+        "doc_id bigint, text string, lang string, source string, n_chars long",
+    )
+    idx = str(tmp_path / "mh_stream_cap")
+    build_minhash_index(corpus.select("doc_id", "text"), "doc_id", "text",
+                        idx, num_hashes=16, bands=4, max_tokens=64)
+
+    stream_dir = tmp_path / "cap_stream"
+    out_dir = str(tmp_path / "cap_out")
+    ckpt = str(tmp_path / "cap_ckpt")
+    batch = spark.createDataFrame(
+        [(100, "totally novel content one two three four", "en", "s", 40),
+         (101, "alpha beta gamma doc 0 delta epsilon", "en", "s", 40)],
+        "doc_id bigint, text string, lang string, source string, n_chars long",
+    )
+    batch.coalesce(1).write.mode("append").parquet(str(stream_dir))
+    _time.sleep(0.2)
+    run_dedup_ingest(
+        read_document_stream(spark, str(stream_dir)),
+        "doc_id", "text", idx, out_dir, ckpt,
+        num_hashes=16, bands=4, jaccard_threshold=0.6,
+        max_tokens=64,
+    )
+    admitted = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert admitted == {100}  # 101 deduped against the capped corpus
+
+    # the pre-fix poison pill: the stream-level default diverging from
+    # the index cap raises the manifest mismatch loudly (first trigger)
+    with pytest.raises(Exception, match="max_tokens"):
+        run_dedup_ingest(
+            read_document_stream(spark, str(stream_dir)),
+            "doc_id", "text", idx, str(tmp_path / "cap_out2"),
+            str(tmp_path / "cap_ckpt2"),
+            num_hashes=16, bands=4, jaccard_threshold=0.6,
+        )
 
 
 def test_embedding_index_excludes_null_ids(spark, tmp_path):

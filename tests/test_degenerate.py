@@ -1120,6 +1120,20 @@ def test_keep_best_eligibility_and_keeperless_clusters(spark):
     assert got[1] == (1, 3, 0.5)
     # cluster 7: no eligible member — explicit keeper-less row
     assert got[7] == (None, 2, None)
+
+    # NaN scores are as ineligible as NULL (Spark orders NaN above
+    # every finite double — a failed-scoring member would beat every
+    # legitimately scored one)
+    nan_scores = spark.createDataFrame(
+        [(1, float("nan")), (2, 0.9), (8, float("nan"))],
+        "id bigint, score double",
+    )
+    got_nan = {
+        r.comp: (r.keeper_id, r.best_score)
+        for r in keep_best_per_cluster(labels, nan_scores).collect()
+    }
+    assert got_nan[1] == (2, 0.9)
+    assert got_nan[7] == (None, None)
     # fully-scored input is unchanged
     full = spark.createDataFrame(
         [(1, 0.5), (2, 0.9), (3, 0.9), (7, 0.1), (8, 0.2)],
