@@ -34,76 +34,76 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness harness only ingests the first 50 entries of
-# ``queries()``.  Round-11 rotation (VERDICT r10 "Next round" #1; union
-# r8-r10 recomputed at round start: 3 rows with r7-age evidence, 50 with
-# r8-age, 50 with r9-age, 50 with r10-age + the 3 rows-only-by-design
-# catalog-state queries):
-# (a) the 3 queries deferred from the r10 window, whose latest full row
-# is r7 — now the oldest evidence in the catalog:
-# q_cosine_topk_quantized, q_dedup_minhash_portable,
-# q_dedup_simhash_portable (all three judge-re-verified MATCH in the
-# r10 sweep, but the driver record is what the rotation tracks).
-# (b) 47 of the 50 queries whose latest green row is r8.  Three r8
-# queries defer to lead the r12 window — q_safe_divide, q_slugify,
-# q_width_bucket — chosen because each is a pure scalar-function query
-# with its own pytest coverage and no index/lifecycle state, so a
-# one-round deferral carries the least risk in the catalog.
-# 3 + 47 = 50.  r12 plan: those 3 deferred r8 rows + 47 of the 50 r9
-# rows — steady-state cycle stays ~3 rounds for 153 oracled queries.
+# ``queries()``.  Round-12 rotation (VERDICT r11 "Next round" #1;
+# evidence ages recomputed from CORRECTNESS_r01..r11 at round start:
+# 3 rows with r8-age evidence, 50 with r9-age, 50 with r10-age, 50 with
+# r11-age + the 3 rows-only-by-design catalog-state queries):
+# (a) the 3 queries deferred from the r11 window, whose latest full row
+# is r8 — now the oldest evidence in the catalog: q_safe_divide,
+# q_slugify, q_width_bucket (all three judge-re-verified MATCH in the
+# r11 sweep, but the driver record is what the rotation tracks).
+# (b) 47 of the 50 queries whose latest green row is r9.  Three r9
+# queries defer to lead the r13 window — q_literal_union,
+# q_notnull_filter, q_star_except — chosen because each is a pure
+# scan/projection reference query with its own pytest coverage and no
+# index/lifecycle state, so a one-round deferral carries the least risk.
+# 3 + 47 = 50.  r13 plan: those 3 deferred r9 rows + 47 of the 50
+# r10-age rows — steady-state cycle stays ~3 rounds for 153 oracled
+# queries.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) oldest evidence first — the 3 rows deferred from r10 (r7 age)
-    "q_cosine_topk_quantized",
-    "q_dedup_minhash_portable",
-    "q_dedup_simhash_portable",
-    # (b) r8-stale evidence refresh — 47 of 50 (q_safe_divide,
-    # q_slugify, q_width_bucket lead r12)
-    "q_approx_distinct",
-    "q_bpe_token_count",
-    "q_conditional_agg",
-    "q_cosine_topk",
-    "q_crossdb_listagg",
-    "q_date_spine",
-    "q_dedup_fingerprint",
-    "q_dedup_keep_best",
-    "q_dedup_rownum",
-    "q_distinct",
-    "q_doc_quality",
-    "q_embedding_meanpool",
-    "q_generate_series",
-    "q_grouping_sets",
-    "q_haversine",
-    "q_incremental_microbatch",
-    "q_info_schema_views",
-    "q_join_outer",
-    "q_json_props",
-    "q_lang_id",
-    "q_list_agg",
-    "q_metrics_layer",
-    "q_parse_url",
-    "q_percentiles",
-    "q_pivot",
-    "q_quality_filter",
-    "q_rollup_cascade",
-    "q_session_window",
-    "q_shard_plan",
-    "q_sketch_rollup",
-    "q_sliding_window",
-    "q_surrogate_key",
-    "q_test_accepted_values",
-    "q_test_equal_rowcount",
-    "q_test_equality",
-    "q_test_notnull",
-    "q_test_unique",
-    "q_token_counts",
-    "q_topk",
-    "q_tumbling_window",
-    "q_udtf_chunks",
-    "q_union_relations",
-    "q_unpivot",
-    "q_window_lag_lead",
-    "q_window_moving_avg",
-    "q_window_ntile",
-    "q_window_running_sum",
+    # (a) oldest evidence first — the 3 rows deferred from r11 (r8 age)
+    "q_safe_divide",
+    "q_slugify",
+    "q_width_bucket",
+    # (b) r9-stale evidence refresh — 47 of 50 (q_literal_union,
+    # q_notnull_filter, q_star_except lead r13)
+    "q_agg_cube",
+    "q_agg_rollup",
+    "q_array_ops",
+    "q_asof_join",
+    "q_cdc_snapshot",
+    "q_containment",
+    "q_contamination",
+    "q_cosine_topk_lsh",
+    "q_crossdb_datemath",
+    "q_dedup_components",
+    "q_dedup_exact",
+    "q_doc_chunks",
+    "q_domain_mix",
+    "q_embedding_neardup",
+    "q_embedding_quantize",
+    "q_epoch_shuffle",
+    "q_except",
+    "q_fk_orphans",
+    "q_frame_sample",
+    "q_group_by_all",
+    "q_incremental_append",
+    "q_incremental_merge",
+    "q_intersect",
+    "q_join_inner",
+    "q_join_range",
+    "q_join_semi",
+    "q_json_extract_agg",
+    "q_knn_join",
+    "q_lateral_json",
+    "q_multimodal_features",
+    "q_ngram_jaccard",
+    "q_pii_redact",
+    "q_pricing_summary",
+    "q_quality_quantile",
+    "q_range_bin_join",
+    "q_recent_events",
+    "q_ref_filter",
+    "q_repetition_signals",
+    "q_sequence_pack",
+    "q_session_window_native",
+    "q_shipping_priority",
+    "q_snapshot_scd2",
+    "q_source_scan",
+    "q_stratified_sample",
+    "q_table_rebuild",
+    "q_vocab_encode",
+    "q_window_rank",
 )
 
 
