@@ -102,6 +102,15 @@ from dbt_foundation_spark.operators.dedup import (
 )
 
 
+#: Manifest encoding of an EXPLICITLY-uncapped build (``max_tokens=None``).
+#: Spark's JSON writer drops null fields and its JSON reader drops
+#: all-null columns, so ``null`` can't carry the fact through the
+#: manifest — a JSON-safe integer sentinel does. ``-1`` is outside the
+#: valid cap domain (token_ngrams requires >= shingle_len), so it can
+#: never collide with a real cap.
+UNCAPPED_TOKENS = -1
+
+
 def _cap_params(params: dict, max_tokens: int | None, record: bool = False) -> dict:
     """Thread the giant-document cap through manifests (r11 review):
     the cap is part of the signature space exactly like
@@ -109,16 +118,23 @@ def _cap_params(params: dict, max_tokens: int | None, record: bool = False) -> d
     capped document would band differently per side and its re-ingest
     would be silently admitted.
 
-    ``record=True`` (the ``_write_manifest`` side) omits a ``None``
-    cap — an uncapped build records nothing, giving pre-cap manifests
-    and deliberately-uncapped indexes the same trust-the-caller
-    migration. The VALIDATION side always includes the key, None
-    included: an explicitly-uncapped query against an index whose
-    manifest records a cap must RAISE (None == 64 fails the eq rule),
-    not silently compute full-document signatures against a
-    64-token-window corpus (r11 review pass 3)."""
+    ``record=True`` (the ``_write_manifest`` side) ALWAYS includes the
+    key, encoding ``None`` as :data:`UNCAPPED_TOKENS` (r12, from the
+    r11 advice): a deliberately-uncapped index must be distinguishable
+    from a pre-cap legacy manifest, or a later query/append using the
+    DEFAULT cap would slip through the trust-the-caller migration path
+    and sign a 100k-token window against full-document corpus
+    signatures — the exact silent drift the manifest exists to prevent.
+    Trust-the-caller is reserved for manifests that lack the key
+    entirely (built before the cap existed).
+
+    The VALIDATION side passes ``None`` through as-is (decoded against
+    the sentinel in :func:`_validate_params`): an explicitly-uncapped
+    query against an index whose manifest records a cap must RAISE
+    (None vs 64 fails the eq rule), not silently compute full-document
+    signatures against a 64-token-window corpus (r11 review pass 3)."""
     if max_tokens is None and record:
-        return dict(params)
+        return {**params, "max_tokens": UNCAPPED_TOKENS}
     return {**params, "max_tokens": max_tokens}
 
 
@@ -144,9 +160,12 @@ def _write_manifest(df: DataFrame, path: str, params: dict) -> None:
     # that no longer exists, and raising here would leave the new index
     # with a stale log and no manifest (the worse failure)
     clear_tombstones(spark, path, _rebuild_reset=True)
-    spark.createDataFrame([params]).coalesce(1).write.mode(
-        "overwrite"
-    ).json(f"{path}/manifest")
+    # manifest_version 2 = the cap key is always present (UNCAPPED_TOKENS
+    # for cap-less builds); version 1 / absent = pre-cap legacy, the only
+    # manifests allowed the trust-the-caller path for max_tokens
+    spark.createDataFrame(
+        [{**params, "manifest_version": 2}]
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/manifest")
 
 
 def _read_manifest(spark: SparkSession, path: str) -> dict | None:
@@ -209,11 +228,24 @@ def _validate_params(
     for k, v in caller.items():
         b = m.get(k)
         if b is None:
+            # key absent (or null — Spark's JSON reader drops all-null
+            # columns, so absent and null are indistinguishable here):
+            # a manifest from before this key existed — trust the
+            # caller, the documented legacy migration. Deliberately
+            # cap-less indexes are NOT on this path: they record the
+            # UNCAPPED_TOKENS sentinel (r12).
             resolved[k] = v
             continue
+        if k == "max_tokens" and b == UNCAPPED_TOKENS:
+            b = None  # decode: the index was built explicitly uncapped
         rule = (ranges or {}).get(k, "eq")
         ok = (
-            v <= b if rule == "lte" else v >= b if rule == "gte" else v == b
+            v == b
+            if rule == "eq"
+            # range rules never apply to None-able keys; guard anyway so
+            # a future None doesn't TypeError inside the comparison
+            else (v is not None and b is not None)
+            and (v <= b if rule == "lte" else v >= b)
         )
         if not ok:
             op = {"lte": "<=", "gte": ">=", "eq": "=="}[rule]
@@ -234,11 +266,17 @@ def _live(
     Every stored dataset in the dedup flavors keys documents by ``id``,
     so the subtraction is uniform; ``tomb`` is the log read ONCE per
     query via ``read_tombstones`` (several sub-datasets share it), and
-    ``None`` gets the bare scan back (no join in the plan)."""
-    from dbt_foundation_spark.operators.tombstones import subtract_tombstones
+    ``None`` gets the bare scan back (no join in the plan). The read
+    itself routes through the compaction rename-window guard
+    (tombstones.guarded_sub_read, r12): a sub-dataset missing mid-swap
+    raises naming the compaction, never PATH_NOT_FOUND or a subset."""
+    from dbt_foundation_spark.operators.tombstones import (
+        guarded_sub_read,
+        subtract_tombstones,
+    )
 
     return subtract_tombstones(
-        spark, path, spark.read.parquet(f"{path}/{sub}"), "id", tomb=tomb
+        spark, path, guarded_sub_read(spark, path, sub), "id", tomb=tomb
     )
 
 

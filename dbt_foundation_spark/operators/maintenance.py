@@ -307,6 +307,28 @@ def compact_parquet_path(
         raise ValueError(
             "pass at most one of cluster_by / zorder_by / partition_by"
         )
+    # torn-file accounting (r12 probe): Spark reads a ZERO-BYTE part
+    # file as silently empty, so this rewrite would fold it away with
+    # no signal — compaction IS the documented heal for torn residue,
+    # but the fold must be loud (the no-silent-caps rule): the operator
+    # has to be able to notice data may have been lost. Non-empty torn
+    # files are not detectable from metadata; they fail the read below
+    # with parquet's magic-number error naming the file.
+    from dbt_foundation_spark.operators.tombstones import zero_byte_files
+
+    torn = zero_byte_files(spark, base)
+    if torn:
+        import logging
+
+        logging.getLogger("dbt_foundation_spark").warning(
+            "%s: folding away %d zero-byte torn part file(s) during "
+            "compaction: %s — verify these were crash residue, not data "
+            "that should exist (a torn file's rows are unrecoverable "
+            "from here)",
+            base,
+            len(torn),
+            ", ".join(torn),
+        )
     before = parquet_path_stats(spark, path)
     n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
     df = spark.read.parquet(path)
@@ -492,6 +514,22 @@ def compact_index(
     if fs.exists(appending):
         if not stale_marker:
             fs.delete(marker, True)
+        # when OUR marker was also a crash leftover (stale_marker), the
+        # two messages would otherwise point at each other (r11 advice:
+        # "let the append finish" here vs "re-run compact_index" on the
+        # append side) — name the manual-heal order explicitly
+        both_stale = (
+            " BOTH __appending and __compacting are present and this "
+            "run created neither, so both are crash leftovers and the "
+            "re-run directions are circular; manual heal, in order: "
+            "verify nothing is running against the index, delete the "
+            "__appending marker directory, re-run the append to "
+            "completion (replayed rows fold as byte-identical "
+            "duplicates), then re-run compact_index (which clears the "
+            "stale __compacting marker when it completes)."
+            if stale_marker
+            else ""
+        )
         raise RuntimeError(
             f"{index_path}: an append is in flight (or a crashed one "
             "left its claim) — __appending marker present. Compacting "
@@ -500,6 +538,7 @@ def compact_index(
             "died, verify nothing is appending, delete the "
             "__appending marker, re-run the append (replayed rows fold "
             "as byte-identical duplicates here), then compact."
+            + both_stale
         )
     # tombstone fold: compaction is where logical takedowns become
     # physical. Loaded ONCE and pinned — the log's own files
@@ -512,8 +551,15 @@ def compact_index(
     for sub, keys in INDEX_LAYOUT[flavor].items():
         sub_path = f"{index_path}/{sub}"
         # optional sub-datasets (the ivf ingest_log exists only for
-        # stream-maintained indexes) are skipped, not errors
-        if not fs.exists(jvm.org.apache.hadoop.fs.Path(sub_path)):
+        # stream-maintained indexes) are skipped, not errors — but a
+        # sub-dataset PARKED at __compact_old by a crashed swap is NOT
+        # absent (r12, found by the reader-seam test): skipping it here
+        # would leave the index permanently half-missing while this
+        # re-run "succeeds"; falling through lets compact_parquet_path's
+        # restore-on-entry heal it, the documented re-run contract
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(sub_path)) and not fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{sub_path}__compact_old")
+        ):
             continue
         # the id column only matters when there is a log to fold — and
         # deriving it for the IVF lists costs a schema-inference read,
@@ -578,9 +624,16 @@ def index_stats(spark: SparkSession, index_path: str) -> dict:
     one-row manifest and the takedown-sized log — no corpus scan.
 
     Returns ``{"flavor", "params", "datasets": {sub: {"n_files",
-    "total_bytes"}}, "tombstones": n, "crash_leftovers": [...]}``;
-    absent optional sub-datasets (e.g. the ivf ingest_log) are
-    omitted. ``crash_leftovers`` lists any ``__compact_tmp`` /
+    "total_bytes"}}, "missing_datasets": [...], "tombstones": n,
+    "crash_leftovers": [...]}``; absent sub-datasets are omitted from
+    ``datasets`` AND named in ``missing_datasets`` (r12: never a
+    silent subset) — for the ivf ingest_log that is the normal
+    batch-built shape, for any other sub it means mid-swap/crashed
+    compaction (check ``crash_leftovers`` for ``__compacting`` or the
+    sub's ``__compact_old``) or a damaged store. Zero-byte torn data
+    files are reported per file in ``crash_leftovers`` (r12 probe),
+    and a torn TOMBSTONE-LOG file also sets ``tombstones`` to None —
+    the retraction count is unknowable, never a silent 0. ``crash_leftovers`` lists any ``__compact_tmp`` /
     ``__compact_old`` / ``__revive_tmp`` / ``__compacting`` /
     ``__reviving`` directories and any ``__appending`` marker file
     present — each means a maintenance op or append is IN FLIGHT or
@@ -625,7 +678,32 @@ def index_stats(spark: SparkSession, index_path: str) -> dict:
         if not _has_data_files(spark, f"{index_path}/{sub}"):
             continue  # optional sub-dataset not present (or empty husk)
         datasets[sub] = parquet_path_stats(spark, f"{index_path}/{sub}")
-    tomb = read_tombstones(spark, index_path)
+    # torn-file report (r12 probe): zero-byte data files are tears a
+    # read treats as silently empty — the query paths REFUSE on them
+    # (guarded_sub_read / read_tombstones name the file and the heal);
+    # the describe tool reports them without raising. Torn files with
+    # leftover bytes are not metadata-detectable and surface as loud
+    # parquet magic-number errors at read time instead.
+    from dbt_foundation_spark.operators.tombstones import zero_byte_files
+
+    torn_entries: list[str] = []
+    tomb_torn = zero_byte_files(spark, f"{index_path}/tombstones")
+    for sub in INDEX_LAYOUT[flavor]:
+        for f in zero_byte_files(spark, f"{index_path}/{sub}"):
+            torn_entries.append(
+                f"{sub}/{f.rsplit('/', 1)[-1]} (0-byte torn file)"
+            )
+    torn_entries.extend(
+        f"tombstones/{f.rsplit('/', 1)[-1]} (0-byte torn file)"
+        for f in tomb_torn
+    )
+    if tomb_torn:
+        # the log is damaged: its id count is unknowable (the torn
+        # file's retractions may be lost) — None, never a silent 0
+        tomb_count: int | None = None
+    else:
+        tomb = read_tombstones(spark, index_path)
+        tomb_count = 0 if tomb is None else tomb.count()
     # crash-leftover scan: one directory listing of the index root —
     # swap residue is always a SIBLING of the dataset it was swapping
     suffixes = (
@@ -646,6 +724,11 @@ def index_stats(spark: SparkSession, index_path: str) -> dict:
         "flavor": flavor,
         "params": {k: v for k, v in mft.items() if k != "flavor"},
         "datasets": datasets,
-        "tombstones": 0 if tomb is None else tomb.count(),
-        "crash_leftovers": leftovers,
+        "missing_datasets": [
+            sub for sub in INDEX_LAYOUT[flavor] if sub not in datasets
+        ],
+        # None (not 0) when the log itself holds torn files — the
+        # retraction count is unknowable, see torn_entries
+        "tombstones": tomb_count,
+        "crash_leftovers": leftovers + sorted(torn_entries),
     }

@@ -614,11 +614,12 @@ def _load_ivf(spark: SparkSession, path: str):
         _read_manifest,
         _validate_params,
     )
+    from dbt_foundation_spark.operators.tombstones import guarded_sub_read
 
     mft = _read_manifest(spark, path)
     _validate_params(path, mft, {"flavor": "ivf"})
     cents = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
+        guarded_sub_read(spark, path, "centroids").collect(),
         key=lambda r: r["list_id"],
     )
     centroids = [[float(x) for x in r["centroid"]] for r in cents]
@@ -815,12 +816,15 @@ def append_to_ivf_index(
     marker (``tombstones.hold_append_marker``) — concurrent appends
     and append-during-compaction are refused loudly; ``owner`` is the
     streaming ingest's stable reclaim identity."""
-    from dbt_foundation_spark.operators.tombstones import hold_append_marker
+    from dbt_foundation_spark.operators.tombstones import (
+        guarded_sub_read,
+        hold_append_marker,
+    )
 
     spark = df.sparkSession
     centroids, dim, _ = _load_ivf(spark, path)
     _check_batch_schema(
-        df, id_col, vec_col, spark.read.parquet(f"{path}/lists").schema
+        df, id_col, vec_col, guarded_sub_read(spark, path, "lists").schema
     )
     with hold_append_marker(spark, path, owner):
         _append_assigned(df, id_col, vec_col, path, centroids, dim)
@@ -871,10 +875,15 @@ def ivf_vec_col(schema) -> str:
 def _live_lists(spark: SparkSession, path: str) -> DataFrame:
     """The IVF lists dataset restricted to LIVE vectors — stored rows
     minus the tombstone log (operators/tombstones.py). No log -> the
-    bare partition-pruned scan, unchanged plan."""
-    from dbt_foundation_spark.operators.tombstones import subtract_tombstones
+    bare partition-pruned scan, unchanged plan. Routed through the
+    compaction rename-window guard (r12): lists missing mid-swap
+    raises naming the compaction, never PATH_NOT_FOUND."""
+    from dbt_foundation_spark.operators.tombstones import (
+        guarded_sub_read,
+        subtract_tombstones,
+    )
 
-    lists = spark.read.parquet(f"{path}/lists")
+    lists = guarded_sub_read(spark, path, "lists")
     return subtract_tombstones(spark, path, lists, ivf_id_col(lists.schema))
 
 

@@ -105,13 +105,23 @@ def _iter_visible_files(fs, p):
     reintroduce the scratch-counts-as-data bug, and skipping would
     silently hide real data (tombstones ignored = retracted docs
     reappearing). Loud beats silently wrong in either direction."""
+    for st in _iter_visible_statuses(fs, p):
+        yield st.getPath()
+
+
+def _iter_visible_statuses(fs, p):
+    """:func:`_iter_visible_files` yielding the full LocatedFileStatus —
+    size-aware callers (the torn-file probes) read ``getLen()`` from the
+    listing the walk already made instead of one getFileStatus RPC per
+    file. Same visibility contract, one implementation."""
     base = fs.makeQualified(p).toUri().getPath().rstrip("/")
     it = fs.listFiles(p, True)
     while it.hasNext():
-        f = it.next().getPath()
+        st = it.next()
+        f = st.getPath()
         fpath = f.toUri().getPath()
         if fpath == base:  # probed path IS the file: visible by definition
-            yield f
+            yield st
             continue
         if not fpath.startswith(base + "/"):
             raise ValueError(
@@ -122,7 +132,30 @@ def _iter_visible_files(fs, p):
         rel = fpath[len(base) + 1 :]
         if any(_hidden_component(seg) for seg in rel.split("/")):
             continue
-        yield f
+        yield st
+
+
+def zero_byte_files(spark: SparkSession, path: str) -> list[str]:
+    """Visible ZERO-LENGTH data files under ``path`` (recursive) — the
+    cheaply-detectable torn-write residue (disk full, killed external
+    copy, filesystem damage). A committed Spark part file is never
+    empty — even a 0-row parquet write carries its footer and magic —
+    so a 0-byte visible data file always means a tear, and Spark READS
+    it as silently empty (probed r12): without this probe a torn
+    tombstone-log file silently resurrected retracted docs and a torn
+    index file silently shrank the corpus. Lengths come from the
+    listing the visibility walk already makes — no per-file I/O.
+    (A torn file with leftover bytes is NOT detectable from metadata;
+    it fails loudly at read time with parquet's magic-number error
+    naming the file — the documented complementary fate.)"""
+    p, fs = _hadoop(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        st.getPath().toString()
+        for st in _iter_visible_statuses(fs, p)
+        if st.getLen() == 0
+    )
 
 
 def iter_part_files(fs, p):
@@ -181,9 +214,30 @@ def read_tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
     even when Python catches it, which buried every bench / driver
     tail under a harmless py4j trace (round-6 verdict #4). Listing
     data FILES (not just the directory) also covers the empty-dir
-    state the file-level clears leave behind."""
-    if not _log_files(spark, index_path):
+    state the file-level clears leave behind.
+
+    Torn-file contract (r12 probe): a ZERO-BYTE log file reads as
+    silently empty in Spark, so retractions it carried would silently
+    resurface — takedown non-compliance with no signal. The log read
+    therefore refuses loudly naming the file; the heal is manual by
+    design (delete the torn file, then RE-ISSUE the retraction batch —
+    retract_from_index is idempotent, ids re-append and the subtract
+    is distinct), because takedown data may genuinely be lost and no
+    automatic path should paper over that. index_stats reports the
+    same state without raising (describe tools describe damage)."""
+    files = _log_files(spark, index_path)
+    if not files:
         return None
+    torn = zero_byte_files(spark, _tomb_path(index_path))
+    if torn:
+        raise RuntimeError(
+            f"{_tomb_path(index_path)}: tombstone log holds {len(torn)} "
+            f"zero-byte torn file(s) ({', '.join(torn[:3])}"
+            f"{', …' if len(torn) > 3 else ''}) — retraction ids it "
+            "carried may be LOST and would silently resurface if read "
+            "as empty. Heal: delete the torn file(s), then re-issue the "
+            "retraction batch (retract_from_index is idempotent)."
+        )
     return spark.read.parquet(_tomb_path(index_path)).select("id").distinct()
 
 
@@ -358,6 +412,85 @@ def retract_from_index(
     # file count never accumulates past compaction cadence.
     tomb.coalesce(1).write.mode("append").parquet(_tomb_path(base))
     return n
+
+
+def guarded_sub_read(spark: SparkSession, index_path: str, sub: str) -> DataFrame:
+    """Read one index sub-dataset with the compaction rename-window
+    guard (r12 verdict #3 — the reader∥maintenance seam).
+
+    ``maintenance.compact_parquet_path`` installs a compacted
+    sub-dataset via rename-aside → install, so an UNCOORDINATED reader
+    (writers are excluded by the marker handshakes; plain reads are
+    not) can catch the directory MISSING mid-swap, or parked at
+    ``{sub}__compact_old`` after a crash between the two renames.
+    Pre-guard that surfaced as Spark's generic PATH_NOT_FOUND — or, on
+    listing-based paths, as a silently incomplete answer. Contract:
+
+    - directory present → plain read (one fs.exists probe on the hot
+      path, metadata-speed);
+    - directory missing + compaction evidence (the index-level
+      ``__compacting`` marker, or this sub-dataset's ``__compact_old``
+      parked copy / ``__compact_tmp`` scratch) → loud error NAMING the
+      compaction and the heal: re-run ``compact_index`` to completion
+      (it restores a parked dataset before doing anything else), then
+      retry the read;
+    - directory missing otherwise → loud error naming the dataset (a
+      damaged store or not an index of this flavor) — never a silent
+      empty/partial result.
+
+    Readers remain NOT snapshot-isolated against maintenance: a read
+    that planned before the swap can still fail at task time when the
+    superseded files are deleted after install (a loud executor
+    FileNotFound, never a silent subset). Schedule compaction in a
+    maintenance window — the same single-maintainer assumption the
+    write-side markers carry (maintenance.compact_index docstring).
+
+    Torn-file contract (r12 probe): a ZERO-BYTE part file reads as
+    silently empty (a silent subset of the index), so it raises here
+    naming the file and the heal; a torn file with leftover bytes
+    already fails loudly inside Spark with parquet's magic-number
+    error naming the file — heal for both: verify the file is crash
+    residue (not lost data), then delete it or let compact_index's
+    rewrite fold it away (it warns per torn file)."""
+    base = f"{index_path.rstrip('/')}/{sub}"
+    p, fs = _hadoop(spark, base)
+    if fs.exists(p):
+        torn = zero_byte_files(spark, base)
+        if torn:
+            raise RuntimeError(
+                f"{base}: {len(torn)} zero-byte torn part file(s) present "
+                f"({', '.join(torn[:3])}{', …' if len(torn) > 3 else ''}) "
+                "— reading would silently treat them as empty and return "
+                "a subset of the index. Heal: verify the file is torn "
+                "crash residue (not data that should exist), then delete "
+                "it or re-run compact_index (the rewrite folds it away "
+                "with a warning)."
+            )
+        return spark.read.parquet(base)
+    jvm = spark._jvm
+    evidence = [
+        name
+        for name, path in (
+            ("__compacting marker", compaction_marker_path(index_path)),
+            (f"{sub}__compact_old parked copy", f"{base}__compact_old"),
+            (f"{sub}__compact_tmp scratch", f"{base}__compact_tmp"),
+        )
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+    ]
+    if evidence:
+        raise RuntimeError(
+            f"{base}: sub-dataset directory is missing while compaction "
+            f"evidence is present ({', '.join(evidence)}) — a "
+            "compact_index/compact_parquet_path is mid-swap or crashed "
+            "between its rename-aside and install. Re-run compaction to "
+            "completion (it restores a parked dataset on entry), then "
+            "retry this read; refusing to return a partial index."
+        )
+    raise ValueError(
+        f"{base}: sub-dataset directory is missing and no compaction is "
+        f"in evidence — {index_path} is not a complete index of this "
+        "flavor (wrong path, wrong build_* flavor, or a damaged store)"
+    )
 
 
 def compaction_marker_path(index_path: str) -> str:

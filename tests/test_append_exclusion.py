@@ -220,8 +220,10 @@ def test_max_tokens_is_manifest_enforced(spark, tmp_path):
     under a DIFFERENT cap than the stored corpus would band capped
     documents differently per side and silently admit their
     re-ingests. Build records it; append/query validate it; a build
-    with max_tokens=None (or a pre-cap manifest) records nothing and
-    trusts the caller — the documented migration."""
+    with max_tokens=None records the UNCAPPED sentinel (r12: a
+    deliberately-uncapped index must be distinguishable from a pre-cap
+    legacy manifest); only a manifest LACKING the key entirely trusts
+    the caller — the documented migration."""
     from dbt_foundation_spark.operators.dedup_index import (
         append_to_index,
         build_containment_index,
@@ -279,15 +281,32 @@ def test_max_tokens_is_manifest_enforced(spark, tmp_path):
         dedup_against_index(spark, batch, "doc_id", "text", mh,
                             num_hashes=16, bands=4, max_tokens=None)
 
-    # uncapped build records nothing: any caller value is trusted
-    # (pre-cap manifest migration shape)
+    # uncapped build RECORDS uncapped (r12): the default 100k-token
+    # query must raise — it would sign a capped window against
+    # full-document corpus signatures — and an explicit None matches
     mh2 = str(tmp_path / "mh_uncapped")
     build_minhash_index(docs, "doc_id", "text", mh2,
                         num_hashes=16, bands=4, max_tokens=None)
+    with pytest.raises(ValueError, match="max_tokens"):
+        dedup_against_index(spark, batch, "doc_id", "text", mh2,
+                            num_hashes=16, bands=4)  # default 100k cap
     assert dedup_against_index(
         spark, batch, "doc_id", "text", mh2,
-        num_hashes=16, bands=4, jaccard_threshold=0.9,
+        num_hashes=16, bands=4, jaccard_threshold=0.9, max_tokens=None,
     ).count() == 1
+
+    # trust-the-caller survives ONLY for manifests that lack the key
+    # entirely (built before the cap existed) — unit-level, since every
+    # build now records the key
+    from dbt_foundation_spark.operators.dedup_index import _validate_params
+
+    legacy = {"flavor": "minhash", "num_hashes": 16}
+    resolved = _validate_params("p", legacy, {"num_hashes": 16,
+                                              "max_tokens": 64})
+    assert resolved["max_tokens"] == 64  # caller value trusted
+    resolved = _validate_params("p", legacy, {"num_hashes": 16,
+                                              "max_tokens": None})
+    assert resolved["max_tokens"] is None
 
 
 def test_streaming_ingest_honors_index_token_cap(spark, tmp_path):
@@ -341,6 +360,58 @@ def test_streaming_ingest_honors_index_token_cap(spark, tmp_path):
             str(tmp_path / "cap_ckpt2"),
             num_hashes=16, bands=4, jaccard_threshold=0.6,
         )
+
+
+def test_streaming_ingest_against_uncapped_index(spark, tmp_path):
+    """max_tokens=None means UNCAPPED at the stream level too (r12,
+    from the r11 advice): pre-fix, the stream mapped None to the
+    default cap, so a stream could never run against an index built
+    uncapped — it raised the manifest mismatch on every trigger."""
+    import time as _time
+
+    from dbt_foundation_spark.operators.dedup_index import build_minhash_index
+    from dbt_foundation_spark.streaming.pipeline import (
+        read_document_stream,
+        run_dedup_ingest,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i} delta epsilon", "en", "s", 40)
+         for i in range(6)],
+        "doc_id bigint, text string, lang string, source string, n_chars long",
+    )
+    idx = str(tmp_path / "mh_uncapped_stream")
+    build_minhash_index(corpus.select("doc_id", "text"), "doc_id", "text",
+                        idx, num_hashes=16, bands=4, max_tokens=None)
+
+    stream_dir = tmp_path / "uncapped_stream"
+    batch = spark.createDataFrame(
+        [(100, "totally novel content one two three four", "en", "s", 40),
+         (101, "alpha beta gamma doc 0 delta epsilon", "en", "s", 40)],
+        "doc_id bigint, text string, lang string, source string, n_chars long",
+    )
+    batch.coalesce(1).write.mode("append").parquet(str(stream_dir))
+    _time.sleep(0.2)
+
+    # stream-level DEFAULT (omitted max_tokens) still raises against an
+    # uncapped index — the sides would sign in different token windows
+    with pytest.raises(Exception, match="max_tokens"):
+        run_dedup_ingest(
+            read_document_stream(spark, str(stream_dir)),
+            "doc_id", "text", idx, str(tmp_path / "unc_out0"),
+            str(tmp_path / "unc_ckpt0"),
+            num_hashes=16, bands=4, jaccard_threshold=0.6,
+        )
+
+    out_dir = str(tmp_path / "unc_out")
+    run_dedup_ingest(
+        read_document_stream(spark, str(stream_dir)),
+        "doc_id", "text", idx, out_dir, str(tmp_path / "unc_ckpt"),
+        num_hashes=16, bands=4, jaccard_threshold=0.6,
+        max_tokens=None,
+    )
+    admitted = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert admitted == {100}  # 101 deduped against the uncapped corpus
 
 
 def test_embedding_index_excludes_null_ids(spark, tmp_path):

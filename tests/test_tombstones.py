@@ -331,6 +331,7 @@ def test_index_stats_summary(spark, tmp_path):
     assert all(d["n_files"] >= 1 for d in s["datasets"].values())
     assert s["tombstones"] == 2
     assert s["crash_leftovers"] == []
+    assert s["missing_datasets"] == []  # complete index: nothing missing
 
     # a parked swap dir shows up as a re-run-maintenance signal
     spark.createDataFrame([(9,)], "id: bigint").write.parquet(
@@ -351,9 +352,221 @@ def test_index_stats_summary(spark, tmp_path):
     s2 = index_stats(spark, ivf)
     assert s2["flavor"] == "ivf" and s2["tombstones"] == 0
     assert "lists" in s2["datasets"] and "ingest_log" not in s2["datasets"]
+    # batch-built ivf has no ingest_log — named, not silently omitted
+    assert s2["missing_datasets"] == ["ingest_log"]
 
     with pytest.raises(ValueError, match="no manifest"):
         index_stats(spark, str(tmp_path / "not_an_index"))
+
+
+def test_reader_racing_compaction_rename_window(spark, tmp_path):
+    """The reader∥compaction seam (r12 verdict #3): writers are
+    excluded by the marker handshakes, but a plain READ racing
+    compact_parquet_path's rename-aside→install window could see a
+    half-missing directory — pre-guard that surfaced as Spark's
+    generic PATH_NOT_FOUND (or a silently incomplete listing).
+    Contract pinned here: a missing sub-dataset next to compaction
+    evidence raises LOUDLY naming the compaction and the heal
+    (re-run compact_index); index_stats REPORTS (describe tools never
+    raise on damage) via missing_datasets; re-running compaction
+    restores the parked dataset and the read returns the exact
+    pre-compaction answer; a missing sub-dataset with NO compaction
+    evidence raises naming the incomplete index."""
+    from dbt_foundation_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+    from dbt_foundation_spark.operators.maintenance import (
+        compact_index,
+        index_stats,
+    )
+    from dbt_foundation_spark.operators.similarity import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from dbt_foundation_spark.operators.tombstones import (
+        _hadoop,
+        compaction_marker_path,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i} delta epsilon") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "mh_seam")
+    build_minhash_index(corpus, "doc_id", "text", path, num_hashes=16, bands=4)
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma doc 3 delta epsilon")], ["doc_id", "text"]
+    )
+
+    def hits():
+        return sorted(
+            (r.new_id, r.corpus_id)
+            for r in dedup_against_index(
+                spark, batch, "doc_id", "text", path,
+                num_hashes=16, bands=4, jaccard_threshold=0.9,
+            ).collect()
+        )
+
+    baseline = hits()
+    assert baseline == [(100, 3)]
+
+    # freeze the mid-swap instant: bands renamed aside, marker held
+    jvm = spark._jvm
+    bands_p, fs = _hadoop(spark, f"{path}/bands")
+    old_p = jvm.org.apache.hadoop.fs.Path(f"{path}/bands__compact_old")
+    assert fs.rename(bands_p, old_p)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(compaction_marker_path(path)))
+
+    # query reads raise naming the compaction + heal, never a subset
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        dedup_against_index(
+            spark, batch, "doc_id", "text", path, num_hashes=16, bands=4
+        )
+
+    # the describe tool reports instead of raising
+    s = index_stats(spark, path)
+    assert "bands" in s["missing_datasets"]
+    assert "__compacting" in s["crash_leftovers"]
+    assert "bands__compact_old" in s["crash_leftovers"]
+
+    # heal by the documented re-run: restores the parked dataset first,
+    # completes the fold, clears the marker — answers unchanged
+    compact_index(spark, path)
+    assert hits() == baseline
+    s = index_stats(spark, path)
+    assert s["missing_datasets"] == [] and s["crash_leftovers"] == []
+
+    # same guard on the IVF read paths (centroids via _load_ivf)
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5]) for i in range(9)], ["vec_id", "vec"]
+    )
+    ivf = str(tmp_path / "ivf_seam")
+    build_ivf_index(emb, "vec_id", "vec", ivf, n_lists=2)
+    cent_p, _ = _hadoop(spark, f"{ivf}/centroids")
+    assert fs.rename(
+        cent_p, jvm.org.apache.hadoop.fs.Path(f"{ivf}/centroids__compact_old")
+    )
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        search_ivf_index(spark, ivf, "vec_id", "vec", [1.0, 1.0, 0.5], k=2)
+    assert fs.rename(
+        jvm.org.apache.hadoop.fs.Path(f"{ivf}/centroids__compact_old"), cent_p
+    )
+    assert search_ivf_index(
+        spark, ivf, "vec_id", "vec", [1.0, 1.0, 0.5], k=2
+    ).count() == 2
+
+    # a missing sub-dataset with NO compaction evidence is an
+    # incomplete/damaged index — named as such, not a compaction hint
+    sh_p, _ = _hadoop(spark, f"{path}/shingles")
+    away = jvm.org.apache.hadoop.fs.Path(str(tmp_path / "shingles_away"))
+    assert fs.rename(sh_p, away)
+    with pytest.raises(ValueError, match="not a complete index"):
+        dedup_against_index(
+            spark, batch, "doc_id", "text", path, num_hashes=16, bands=4
+        )
+    assert fs.rename(away, sh_p)
+    assert hits() == baseline
+
+
+def test_torn_file_contract(spark, tmp_path, caplog):
+    """Torn/corrupt part files in persisted indexes (r12 probe): a
+    ZERO-BYTE part file reads as silently empty in vanilla Spark —
+    pre-contract, dedup_against_index silently returned a subset, a
+    torn tombstone-log file silently resurrected retracted docs, and
+    compact_index silently folded the tear away. Pinned fates:
+    query reads REFUSE naming the file and the heal; index_stats
+    REPORTS (per-file crash_leftovers entry; tombstones=None on a torn
+    log); compact_index is the documented heal for sub-dataset tears
+    and WARNS per fold; a torn log heals manually (delete +
+    re-retract) because takedown data may be lost. Non-empty torn
+    files fail loudly inside Spark with the magic-number error naming
+    the file — pinned for the read path."""
+    import logging as _logging
+
+    from dbt_foundation_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+    from dbt_foundation_spark.operators.maintenance import (
+        compact_index,
+        index_stats,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i} delta epsilon") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "mh_torn")
+    build_minhash_index(corpus, "doc_id", "text", path, num_hashes=16, bands=4)
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma doc 3 delta epsilon")], ["doc_id", "text"]
+    )
+
+    def hits():
+        return sorted(
+            (r.new_id, r.corpus_id)
+            for r in dedup_against_index(
+                spark, batch, "doc_id", "text", path,
+                num_hashes=16, bands=4, jaccard_threshold=0.9,
+            ).collect()
+        )
+
+    baseline = hits()
+    assert baseline == [(100, 3)]
+
+    # --- zero-byte tear in a sub-dataset ---
+    torn = f"{path}/bands/part-99999-torn.c000.snappy.parquet"
+    open(torn, "wb").close()
+    with pytest.raises(RuntimeError, match="zero-byte torn"):
+        dedup_against_index(
+            spark, batch, "doc_id", "text", path, num_hashes=16, bands=4
+        )
+    s = index_stats(spark, path)  # describe tool reports, never raises
+    assert any(
+        "part-99999-torn" in e and "0-byte" in e for e in s["crash_leftovers"]
+    )
+    assert s["tombstones"] == 0  # the LOG is intact — count stays real
+    # compact_index is the heal: folds the tear away, loudly
+    with caplog.at_level(_logging.WARNING, logger="dbt_foundation_spark"):
+        compact_index(spark, path)
+    assert any(
+        "zero-byte torn" in r.getMessage() and "part-99999-torn" in r.getMessage()
+        for r in caplog.records
+    )
+    assert hits() == baseline
+    assert index_stats(spark, path)["crash_leftovers"] == []
+
+    # --- zero-byte tear in the tombstone log: manual heal only ---
+    retract_from_index(spark, path, [3])
+    assert hits() == []  # doc 3 retracted; its pair is gone
+    log_torn = f"{path}/tombstones/part-99998-torn.c000.snappy.parquet"
+    open(log_torn, "wb").close()
+    with pytest.raises(RuntimeError, match="tombstone log"):
+        hits()  # silently resurfacing retractions is the worst fate
+    s = index_stats(spark, path)
+    assert s["tombstones"] is None  # count unknowable, never a silent 0
+    assert any(
+        "tombstones/part-99998-torn" in e for e in s["crash_leftovers"]
+    )
+    # heal: delete the torn file, re-issue the retraction (idempotent)
+    import os
+
+    os.remove(log_torn)
+    retract_from_index(spark, path, [3])
+    assert hits() == []
+    clear_tombstones(spark, path)
+    assert hits() == baseline
+
+    # --- non-empty tear: Spark's own loud magic-number error, naming
+    # the file (metadata can't see it; the fate is pinned, not wrapped)
+    bad = f"{path}/bands/part-99997-trunc.c000.snappy.parquet"
+    with open(bad, "wb") as f:
+        f.write(b"PAR1 these bytes are not a parquet footer")
+    with pytest.raises(Exception, match="[Pp]arquet"):
+        hits()
+    os.remove(bad)
+    assert hits() == baseline
 
 
 def test_retract_ignores_null_ids(spark, tmp_path):
