@@ -29,6 +29,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from dbt_foundation_spark.checkpoint import pin
 
+#: Sentinel default for ``run_dedup_ingest(max_tokens=...)`` so that an
+#: explicit ``None`` keeps its batch-operator meaning (UNCAPPED) while an
+#: omitted argument resolves to the engine default cap. A plain ``None``
+#: default conflated the two: a stream could never run against an index
+#: built uncapped (r11 advice).
+_DEFAULT_CAP = object()
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -548,6 +555,52 @@ def sessionize_buffered(
     )
 
 
+def _checkpoint_generation(spark: SparkSession, checkpoint_dir: str) -> str:
+    """The streaming query id Spark persists at ``{checkpoint}/metadata``
+    when the query first starts — the identity of this checkpoint
+    GENERATION: stable across every restart that keeps the checkpoint,
+    NEW when the checkpoint was deleted or relocated.
+
+    The exactly-once batch markers must be namespaced by THIS, not by
+    the checkpoint PATH (r12 probe, verdict #6): batch ids restart at 0
+    under a wiped checkpoint, so path-keyed markers from the previous
+    generation matched the new run's (app, 0..N) keys and every
+    replayed batch was SILENTLY SKIPPED — survivors admitted to the
+    index but never installed to the output (dedup ingest), or new
+    vectors never appended at all (IVF ingest). Read lazily inside the
+    sink (the file exists once the query has started); a checkpoint
+    without readable metadata fails loudly — guessing a namespace
+    would resurrect the silent skip."""
+    import json as _json
+
+    from dbt_foundation_spark.operators.tombstones import _hadoop
+
+    jvm = spark._jvm
+    p, fs = _hadoop(spark, f"{checkpoint_dir.rstrip('/')}/metadata")
+    line = None
+    if fs.exists(p):
+        stream = fs.open(p)
+        try:
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            line = reader.readLine()
+        finally:
+            stream.close()
+    try:
+        qid = _json.loads(line)["id"] if line else None
+    except (ValueError, KeyError, TypeError):
+        qid = None
+    if not qid:
+        raise RuntimeError(
+            f"{checkpoint_dir}/metadata holds no readable streaming query "
+            "id — cannot derive the exactly-once marker namespace for "
+            "this checkpoint generation; refusing to guess (a wrong "
+            "namespace silently skips or duplicates batches)"
+        )
+    return str(qid)
+
+
 def _install_batch_output(
     df: DataFrame, out_path: str, app_id: str, batch_id: int
 ) -> None:
@@ -559,7 +612,11 @@ def _install_batch_output(
     installed — a plain ``mode("append")`` would duplicate every
     survivor row on replay instead. ``app_id`` namespaces the file per
     stream (batch ids are per-checkpoint, the run_ivf_ingest marker
-    lesson). One file per micro-batch is the normal streaming-sink
+    lesson); callers pass the checkpoint GENERATION id
+    (:func:`_checkpoint_generation`), not the checkpoint path — a
+    wiped checkpoint restarts batch ids at 0 and path-keyed markers
+    silently skipped every replayed install (r12 probe).
+    One file per micro-batch is the normal streaming-sink
     shape — micro-batches are trigger-bounded — and
     ``compact_parquet_path(out_path)`` folds them like any other
     append-grown dataset.
@@ -678,7 +735,7 @@ def run_dedup_ingest(
     embed_bands: int = 4,
     seed: int = 42,
     dim: int | None = None,
-    max_tokens: int | None = None,
+    max_tokens: int | None | object = _DEFAULT_CAP,
 ) -> None:
     """Continuous corpus ingestion with near-dup admission control: each
     micro-batch is deduplicated (a) against the PERSISTED index — the
@@ -734,15 +791,32 @@ def run_dedup_ingest(
     between its two steps. The index side self-cleans: a replay after
     a completed admit recomputes an empty survivor set (the batch now
     matches the corpus), and byte-identical rows from a partial admit
-    fold away at the next ``compact_index``."""
+    fold away at the next ``compact_index``.
+
+    Checkpoint LOSS (r12 probe, verdict #6): if the checkpoint dir is
+    deleted but the index/output/markers survive, a restart at the
+    same path replays the whole source with batch ids starting at 0.
+    The install markers are keyed by the checkpoint GENERATION (the
+    persisted query id — new per wipe, :func:`_checkpoint_generation`),
+    so replayed batches install fresh while previously-admitted docs
+    fold away through the admission gate — exactly-once output either
+    way (pre-fix, the dead generation's path-keyed markers silently
+    swallowed the new survivors). A stale ``__appending`` claim from
+    the SAME checkpoint path is reclaimed (the owner is the path,
+    stable across generations); one from a FOREIGN checkpoint fails
+    the first trigger loudly naming the holder and the manual heal."""
     from dbt_foundation_spark.operators import dedup, dedup_index
 
     # the giant-document cap is manifest-enforced: an index built with
     # a non-default max_tokens would otherwise make every trigger raise
     # with no workaround (r11 review pass 3) — resolve the stream-level
     # knob once and pass it to every index/batch operator so corpus and
-    # batch sides always sign in the same token window
-    cap = dedup.SIGNATURE_MAX_TOKENS if max_tokens is None else max_tokens
+    # batch sides always sign in the same token window. The sentinel
+    # default (not None) keeps max_tokens=None meaning UNCAPPED, the
+    # batch operators' convention — a stream CAN run against an index
+    # built uncapped (r11 advice: conflating default with uncapped
+    # either raised every trigger or silently signed capped).
+    cap = dedup.SIGNATURE_MAX_TOKENS if max_tokens is _DEFAULT_CAP else max_tokens
 
     if detector == "minhash":
         def vs_corpus(spark, batch):
@@ -850,6 +924,16 @@ def run_dedup_ingest(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # the install-marker namespace is the checkpoint GENERATION
+        # (query id), not the checkpoint path: a wiped checkpoint
+        # restarts batch ids at 0, and path-keyed markers made every
+        # replayed batch silently skip its install while still
+        # admitting to the index (r12 probe, verdict #6)
+        gen = gate_state.get("generation")
+        if gen is None:
+            gen = gate_state["generation"] = _checkpoint_generation(
+                spark, checkpoint_dir
+            )
         batch_df = pin(batch_df)  # pin: file batches re-list lazily
         corpus_hits = vs_corpus(spark, batch_df).select(
             F.col("new_id").alias("_drop_id")
@@ -879,7 +963,7 @@ def run_dedup_ingest(
         # dedup dataset); the single-dataset simhash flavor can
         # instead keep a partially-chunked doc until the next rebuild
         # — bounded to the one crashed batch.
-        _install_batch_output(survivors, out_path, checkpoint_dir, int(batch_id))
+        _install_batch_output(survivors, out_path, gen, int(batch_id))
         admit(survivors)
 
     writer = stream_docs.writeStream.foreachBatch(sink).option(
@@ -891,7 +975,13 @@ def run_dedup_ingest(
     q.awaitTermination()
 
 
-def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str, app_id: str):
+def _ivf_ingest_sink(
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    app_id: str | None,
+    checkpoint_dir: str | None = None,
+):
     """foreachBatch body for :func:`run_ivf_ingest`, module-level so the
     replay-idempotence contract is directly testable: called twice with
     the SAME (app_id, batch id), the second call is a no-op (the first
@@ -899,13 +989,24 @@ def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str, app_id: str):
 
     The marker key is ``(app_id, batch_id)``, not the bare batch id —
     Structured Streaming numbers batches PER CHECKPOINT from 0, so a
-    second stream feeding the same index (or a relocated checkpoint)
-    would otherwise collide with old markers and silently drop its
-    batches (the Delta ``txnAppId``/``txnVersion`` pattern). The
-    quantizer state (centroids, dim, lists schema) is loaded ONCE on
-    the first batch — immutable under the no-refit contract — so the
-    steady-state per-batch cost is one pushed-down marker probe + a
-    map-only assignment."""
+    second stream feeding the same index would otherwise collide with
+    old markers and silently drop its batches (the Delta
+    ``txnAppId``/``txnVersion`` pattern). When ``app_id`` is None the
+    namespace is the checkpoint GENERATION (the persisted query id,
+    :func:`_checkpoint_generation`) — NOT the checkpoint path: a wiped
+    checkpoint restarts batch ids at 0, and a path-keyed namespace
+    matched the dead generation's markers so every replayed batch was
+    silently dropped from the index (r12 probe, verdict #6). Under a
+    fresh generation the whole source replays INTO the index once;
+    previously-appended rows land byte-identical and fold away at the
+    next ``compact_index`` (the same fold that heals the append∥marker
+    crash window), so the steady state stays exactly-once. The
+    ``__appending`` owner stays the checkpoint PATH — stable across
+    generations, so a restart after a wipe still reclaims its own
+    stale claim. The quantizer state (centroids, dim, lists schema) is
+    loaded ONCE on the first batch — immutable under the no-refit
+    contract — so the steady-state per-batch cost is one pushed-down
+    marker probe + a map-only assignment."""
     from dbt_foundation_spark.operators.similarity import (
         _append_assigned,
         _assigned_rows,
@@ -918,6 +1019,11 @@ def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str, app_id: str):
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        ns = app_id or state.get("generation")
+        if ns is None:
+            ns = state["generation"] = _checkpoint_generation(
+                spark, checkpoint_dir
+            )
         # __appending exclusion (r10 verdict #4; widened r11 review):
         # the claim covers the WHOLE trigger body — not just the
         # append + batch-marker write but also the ingest_log
@@ -928,16 +1034,22 @@ def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str, app_id: str):
         # log replays a committed batch). A concurrent batch append or
         # second stream would likewise share the FileOutputCommitter
         # staging and destroy this batch's uncommitted files.
-        # owner=app_id is the stream's stable identity: a restart
-        # after a crash mid-append RECLAIMS its own stale claim and
-        # re-runs the batch (replayed rows fold at compact_index).
+        # the marker owner is the stream's PATH-stable identity (the
+        # explicit app_id, else the checkpoint path — deliberately not
+        # the generation id): a restart after a crash mid-append
+        # RECLAIMS its own stale claim even across a checkpoint wipe
+        # and re-runs the batch (replayed rows fold at compact_index).
         from dbt_foundation_spark.operators.tombstones import (
             _has_data_file,
             hold_append_marker,
         )
 
-        with hold_append_marker(spark, index_path, owner=app_id):
-            if not state:
+        with hold_append_marker(
+            spark, index_path, owner=app_id or checkpoint_dir
+        ):
+            # keyed latch, not `not state` — the generation cache above
+            # also lives in state and must not suppress this load
+            if "centroids" not in state:
                 centroids, dim, _ = _load_ivf(spark, index_path)
                 state["centroids"], state["dim"] = centroids, dim
                 state["schema"] = spark.read.parquet(
@@ -959,7 +1071,7 @@ def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str, app_id: str):
                 seen = (
                     spark.read.parquet(log_path)
                     .filter(
-                        (F.col("app_id") == app_id)
+                        (F.col("app_id") == ns)
                         & (F.col("batch_id") == int(batch_id))
                     )
                     .limit(1)
@@ -991,7 +1103,7 @@ def _ivf_ingest_sink(index_path: str, id_col: str, vec_col: str, app_id: str):
                 refuse_all_dirty=False,
             )
             spark.createDataFrame(
-                [(app_id, int(batch_id))], "app_id string, batch_id long"
+                [(ns, int(batch_id))], "app_id string, batch_id long"
             ).write.mode("append").parquet(log_path)
 
     return sink
@@ -1021,10 +1133,14 @@ def run_ivf_ingest(
     a bare IVF append is not self-cleaning, so the sink records each
     appended batch under ``{index_path}/ingest_log`` keyed by
     ``(app_id, batch_id)`` — ``app_id`` defaults to the checkpoint
-    path, giving each stream its own marker namespace (batch ids are
-    per-checkpoint, so a bare-id key would make a SECOND stream into
-    the same index collide with old markers and silently drop its
-    batches). The remaining window is a crash BETWEEN append and
+    GENERATION (the persisted query id; r12: the checkpoint PATH was
+    the old default, and a wiped checkpoint restarting batch ids at 0
+    silently dropped every replayed batch against the dead
+    generation's markers), giving each stream its own marker namespace
+    (batch ids are per-checkpoint, so a bare-id key would make a
+    SECOND stream into the same index collide with old markers and
+    silently drop its batches). The remaining window is a crash
+    BETWEEN append and
     marker write: a replay there appends byte-identical (id, vector)
     rows again, which inflates those lists' candidate counts but
     cannot change which vectors exist or their assignments;
@@ -1036,8 +1152,7 @@ def run_ivf_ingest(
     loads once) — the corpus lists are never read."""
     writer = stream_vecs.writeStream.foreachBatch(
         _ivf_ingest_sink(
-            index_path, id_col, vec_col,
-            checkpoint_dir if app_id is None else app_id,
+            index_path, id_col, vec_col, app_id, checkpoint_dir
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

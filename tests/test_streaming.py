@@ -2007,3 +2007,203 @@ def test_sessionizers_ignore_null_event_times(spark, staging):
         got_clean = run(clean, fn, f"{name}_c")
         assert got_clean, name  # sessions actually closed
         assert got_dirty == got_clean, (name, got_dirty ^ got_clean)
+
+
+def test_checkpoint_loss_recovery_dedup_ingest(spark, sf_dir, staging):
+    """Checkpoint-loss recovery (r12 verdict #6, probed live): delete
+    the checkpoint but keep the index, output and install markers, then
+    restart run_dedup_ingest at the SAME checkpoint path. Batch ids
+    restart at 0 — pre-fix the dead generation's (path, 0) install
+    marker matched the new run's key, so the replayed batch's NEW
+    survivors were admitted to the index but silently never installed
+    to the output (permanent silent loss: every later replay saw them
+    as corpus). The install namespace is now the checkpoint GENERATION
+    (the persisted query id, new per wipe): new docs land in BOTH the
+    output and the index, previously-admitted docs fold exactly-once
+    through the admission gate (no double-install), and a quiet rerun
+    is stable."""
+    import shutil
+    import time as _time
+
+    from dbt_foundation_spark.operators.dedup_index import build_minhash_index
+    from dbt_foundation_spark.streaming.pipeline import (
+        read_document_stream,
+        run_dedup_ingest,
+    )
+
+    root = staging["root"]
+    texts = [
+        r["text"]
+        for r in t(spark, sf_dir, "documents").orderBy("doc_id").limit(24).collect()
+    ]
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, tx, "en", "src0", len(tx)) for i, tx in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    corpus = docs(list(enumerate(texts[:20])))
+    params = dict(num_hashes=16, bands=4, shingle_len=3)
+    idx = str(root / "ckl_idx")
+    stream_dir = root / "ckl_stream"
+    out = str(root / "ckl_out")
+    ckpt = _ckpt(staging)
+    build_minhash_index(corpus, "doc_id", "text", idx, **params)
+
+    def ingest():
+        run_dedup_ingest(
+            read_document_stream(spark, str(stream_dir), max_files_per_trigger=1),
+            "doc_id", "text", idx, out, ckpt,
+            jaccard_threshold=0.7, **params,
+        )
+        rows = spark.read.parquet(out).collect()
+        ids = sorted(r["doc_id"] for r in rows)
+        assert len(ids) == len(set(ids))  # never a double-install
+        return ids
+
+    docs([(1000, texts[20])]).coalesce(1).write.mode("append").parquet(
+        str(stream_dir)
+    )
+    assert ingest() == [1000]
+
+    # the loss shape: checkpoint wiped, everything else kept; a new
+    # novel doc AND a duplicate of an admitted one arrive
+    shutil.rmtree(ckpt)
+    _time.sleep(1.05)
+    docs([(2000, texts[21]), (2001, texts[20])]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(stream_dir))
+    got = ingest()
+    assert 2000 in got        # pre-fix: silently lost from the output
+    assert got == [1000, 2000]  # 2001 deduped; 1000 not re-installed
+
+    # stable under a further quiet rerun (same checkpoint, kept)
+    assert ingest() == [1000, 2000]
+    for p in ("ckl_idx", "ckl_stream", "ckl_out"):
+        shutil.rmtree(root / p, ignore_errors=True)
+
+
+def test_checkpoint_loss_recovery_ivf_ingest(spark, staging):
+    """IVF flank of the r12 checkpoint-loss contract: the ingest_log
+    rows are keyed by the checkpoint GENERATION, so after a wipe the
+    replayed source appends again under the new generation — new
+    vectors are never silently dropped (the pre-fix fate: the dead
+    generation's (path, 0) log row short-circuited the new batch 0) —
+    and the re-appended old rows are byte-identical duplicates that
+    compact_index folds away, restoring exactly-once state."""
+    import shutil
+    import time as _time
+
+    from dbt_foundation_spark.operators.maintenance import compact_index
+    from dbt_foundation_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_id_col,
+    )
+    from dbt_foundation_spark.streaming.pipeline import run_ivf_ingest
+
+    root = staging["root"]
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, 0.5]) for i in range(12)],
+        ["vec_id", "embedding"],
+    )
+    idx = str(root / "ckl_ivf")
+    build_ivf_index(corpus, "vec_id", "embedding", idx, n_lists=2)
+    stream_dir = root / "ckl_ivf_stream"
+    ckpt = _ckpt(staging)
+
+    def vecs(rows):
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def stream():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .parquet(str(stream_dir))
+        )
+
+    def live_ids():
+        lists = spark.read.parquet(f"{idx}/lists")
+        return [r[0] for r in lists.select(ivf_id_col(lists.schema)).collect()]
+
+    vecs([(100, [9.0, 9.0, 9.0])]).coalesce(1).write.mode("append").parquet(
+        str(stream_dir)
+    )
+    run_ivf_ingest(stream(), "vec_id", "embedding", idx, ckpt)
+    assert 100 in set(live_ids())
+
+    shutil.rmtree(ckpt)
+    _time.sleep(1.05)
+    vecs([(200, [8.0, 8.0, 8.0])]).coalesce(1).write.mode("append").parquet(
+        str(stream_dir)
+    )
+    run_ivf_ingest(stream(), "vec_id", "embedding", idx, ckpt)
+    ids = live_ids()
+    assert 200 in set(ids)  # pre-fix: silently never appended
+    assert 100 in set(ids)
+    # the replayed batch re-appended v100 byte-identically — the fold
+    # restores exactly-once state
+    compact_index(spark, idx)
+    ids = live_ids()
+    assert sorted(ids) == sorted(set(ids))
+    assert {100, 200} <= set(ids)
+    for p in ("ckl_ivf", "ckl_ivf_stream"):
+        shutil.rmtree(root / p, ignore_errors=True)
+
+
+def test_stale_foreign_append_claim_fails_loud(spark, sf_dir, staging):
+    """A restart under a FRESH checkpoint path cannot reclaim another
+    (dead) stream's __appending claim — the first trigger must fail
+    loudly naming the holding owner and the manual heal, never steal
+    the claim or silently skip (r12 verdict #6)."""
+    import shutil
+    import time as _time
+
+    import pytest
+
+    from dbt_foundation_spark.operators.dedup_index import build_minhash_index
+    from dbt_foundation_spark.operators.tombstones import (
+        _hadoop,
+        append_marker_path,
+    )
+    from dbt_foundation_spark.streaming.pipeline import (
+        read_document_stream,
+        run_dedup_ingest,
+    )
+
+    root = staging["root"]
+    texts = [
+        r["text"]
+        for r in t(spark, sf_dir, "documents").orderBy("doc_id").limit(22).collect()
+    ]
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, tx, "en", "src0", len(tx)) for i, tx in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    params = dict(num_hashes=16, bands=4, shingle_len=3)
+    idx = str(root / "stale_idx")
+    build_minhash_index(
+        docs(list(enumerate(texts[:20]))), "doc_id", "text", idx, **params
+    )
+    # a dead stream's claim: marker file carrying a foreign owner token
+    mpath, fs = _hadoop(spark, append_marker_path(idx))
+    out_stream = fs.create(mpath, False)
+    out_stream.write(bytearray(b"dead-checkpoint-owner"))
+    out_stream.close()
+
+    stream_dir = root / "stale_stream"
+    docs([(1000, texts[20])]).coalesce(1).write.mode("append").parquet(
+        str(stream_dir)
+    )
+    _time.sleep(0.2)
+    with pytest.raises(Exception, match="dead-checkpoint-owner"):
+        run_dedup_ingest(
+            read_document_stream(spark, str(stream_dir), max_files_per_trigger=1),
+            "doc_id", "text", idx, str(root / "stale_out"), _ckpt(staging),
+            jaccard_threshold=0.7, **params,
+        )
+    fs.delete(mpath, False)
+    for p in ("stale_idx", "stale_stream", "stale_out"):
+        shutil.rmtree(root / p, ignore_errors=True)
