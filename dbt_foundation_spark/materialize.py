@@ -27,6 +27,43 @@ if TYPE_CHECKING:  # pragma: no cover
 SNAPSHOT_META = ("dbt_scd_id", "dbt_valid_from", "dbt_valid_to")
 
 
+def _drop_rows_loudly(
+    df: DataFrame, cond, node_name: str, what: str
+) -> DataFrame:
+    """Exclude contract-violating rows (NULL unique keys, NULL event
+    times) with ACCOUNTING: the excluded count is measured and logged
+    as a warning when non-zero, mirroring the IVF quarantine
+    accounting — the repo's no-silent-caps rule (r12, from the r11
+    advice). Pre-fix these filters shrank the model silently: an
+    upstream bug emitting many NULL keys looked like a successful run.
+
+    Cost: one count job over the EXCLUDED slice only — the IsNull
+    predicate pushes to the scan on source-backed frames, and the
+    streaming bridge hands in a checkpoint-pinned micro-batch, so the
+    pass is batch-sized, not corpus-sized."""
+    import logging
+
+    dropped = df.filter(cond).count()
+    if dropped:
+        logging.getLogger("dbt_foundation_spark").warning(
+            "%s: excluded %d %s row(s) — no stable identity/time means "
+            "no idempotent merge or batch membership (documented "
+            "contract); route such rows explicitly upstream if they "
+            "must be kept",
+            node_name,
+            dropped,
+            what,
+        )
+    return df.filter(~cond)
+
+
+def _any_null(keys: list[str]):
+    cond = F.lit(False)
+    for k in keys:
+        cond = cond | F.col(k).isNull()
+    return cond
+
+
 def materialize(project: Project, node: Node, df: DataFrame) -> tuple[int | None, bool]:
     """Execute one node's materialization. Returns (rows, persisted)."""
     mat = node.config.materialized
@@ -266,8 +303,10 @@ def _microbatch(project: Project, node: Node, df: DataFrame) -> None:
     # __HIVE_DEFAULT_PARTITION__ at the initial build and no later
     # window could ever rebuild or clear them (NULL fails every
     # window-boundary comparison). Route them explicitly upstream if
-    # they must be kept.
-    df = df.filter(ts.isNotNull())
+    # they must be kept. Counted + warned, never silent (r12 advice).
+    df = _drop_rows_loudly(
+        df, ts.isNull(), node.name, f"NULL/uncastable {event_time} event-time"
+    )
     batch_of = F.date_format(F.date_trunc(unit, ts), _BATCH_FMT[unit])
     part_cols = (*node.config.partition_by, BATCH_COL)
 
@@ -376,8 +415,14 @@ def _incremental(project: Project, node: Node, df: DataFrame) -> None:
         # filter merely stops the growth without removing it — see
         # _merged_rows for the full contract
         keys = node.config.unique_key
-        for k in [keys] if isinstance(keys, str) else list(keys or ()):
-            df = df.filter(F.col(k).isNotNull())
+        keys = [keys] if isinstance(keys, str) else list(keys or ())
+        if keys and not spark.catalog.tableExists(rel):
+            # the incremental runs route through _merged_rows, which
+            # does its own loud exclusion — only the bootstrap CTAS
+            # needs the gate (and its accounting) here
+            df = _drop_rows_loudly(
+                df, _any_null(keys), node.name, "NULL unique-key"
+            )
     if not spark.catalog.tableExists(rel):
         _clear_stale_location(project, rel)
         _writer(node, df).mode("overwrite").saveAsTable(rel)
@@ -452,9 +497,9 @@ def _merged_rows(project: Project, node: Node, df: DataFrame, target) -> DataFra
     # with no stable identity cannot be idempotently merged; the
     # family rule applies (samplers, dedup, microbatch event-times) —
     # route NULL-key rows explicitly upstream if they must be kept
-    # (e.g. an append-strategy dead-letter model).
-    for k in keys:
-        df = df.filter(F.col(k).isNotNull())
+    # (e.g. an append-strategy dead-letter model). Counted + warned,
+    # never silent (r12 advice).
+    df = _drop_rows_loudly(df, _any_null(keys), node.name, "NULL unique-key")
     existing = _align(spark.table(rel), target)
     preds = node.config.incremental_predicates
     if preds:
@@ -496,9 +541,9 @@ def _snapshot(project: Project, node: Node, df: DataFrame) -> None:
     # for the same unknown entity — three runs, three concurrent open
     # rows, breaking the one-open-row-per-key invariant every later run
     # builds on. No stable identity means no history to track (the
-    # merge/microbatch/sampler family rule).
-    for k in keys:
-        df = df.filter(F.col(k).isNotNull())
+    # merge/microbatch/sampler family rule). Counted + warned, never
+    # silent (r12 advice).
+    df = _drop_rows_loudly(df, _any_null(keys), node.name, "NULL unique-key")
 
     if strategy == "timestamp":
         valid_from = F.col(updated_at).cast("timestamp")

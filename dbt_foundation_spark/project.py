@@ -487,14 +487,19 @@ class Project:
             # checked-in configuration tables that drive joins and
             # tests, and Spark's default PERMISSIVE parse silently
             # NULLs every malformed cell — a ragged line lost its
-            # amount, "three" in an int id column became a NULL key,
-            # and nothing failed until some downstream relationship
-            # test (or nothing at all). A malformed seed LINE is a
-            # source-control error and must fail the run naming the
-            # record, matching dbt's own seed-parse behavior. (This is
-            # a deliberate divergence from external SOURCES, where
-            # dirty rows are expected at scale and Source.options lets
-            # the declaration choose its mode.)
+            # amount and nothing failed until some downstream
+            # relationship test (or nothing at all). A malformed seed
+            # LINE is a source-control error and must fail the run
+            # naming the record, matching dbt's own seed-parse
+            # behavior. Scope (r12 advice): on the no-column_types path
+            # FAILFAST catches RAGGED lines only — inferSchema runs
+            # first and WIDENS a mixed column ("three" in an int id
+            # column) to string, so type errors there load silently as
+            # strings; declare column_types for typed seeds and the
+            # merged explicit schema below makes FAILFAST catch the bad
+            # cell too. (This is a deliberate divergence from external
+            # SOURCES, where dirty rows are expected at scale and
+            # Source.options lets the declaration choose its mode.)
             reader = self.spark.read.option("header", "true").option(
                 "mode", "FAILFAST"
             )

@@ -1858,3 +1858,61 @@ def test_null_unique_key_rows_excluded_from_merge_and_snapshot(project, spark):
     open_rows = [r for r in snap if r.dbt_valid_to is None]
     assert [(r.id, r.v) for r in open_rows] == [(1, "a3")]  # one open row
     assert len(snap) == 3  # a -> a2 -> a3 history, nothing else
+
+
+def test_null_key_and_event_time_exclusions_are_accounted(
+    project, spark, caplog
+):
+    """The NULL-key / NULL-event-time exclusions are LOUD (r12, from
+    the r11 advice): each run that drops contract-violating rows logs a
+    warning with the excluded count — a model shrinking after an
+    upstream bug must leave a signal (the no-silent-caps rule the dedup
+    operators honor with quarantine metrics). Clean runs log nothing."""
+    import logging as _logging
+
+    state = {}
+
+    def build(p, rows):
+        state["b"] = spark.createDataFrame(
+            rows, "id int, v string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+        @p.model(
+            name="loud_merge", materialized="incremental",
+            incremental_strategy="merge", unique_key="id",
+        )
+        def loud_merge(ctx):
+            return state["b"]
+
+        @p.model(
+            name="loud_micro", materialized="incremental",
+            incremental_strategy="microbatch", event_time="ts",
+            batch_size="day",
+        )
+        def loud_micro(ctx):
+            return state["b"]
+
+        return p
+
+    dirty = [(1, "a", "2024-01-01 00:00:00"), (None, "x", None),
+             (None, "y", None)]
+    p = build(_reattach(project), dirty)
+    with caplog.at_level(_logging.WARNING, logger="dbt_foundation_spark"):
+        assert all(r.status == "success" for r in p.run())
+    merge_warns = [r for r in caplog.records
+                   if "loud_merge" in r.getMessage()
+                   and "NULL unique-key" in r.getMessage()]
+    micro_warns = [r for r in caplog.records
+                   if "loud_micro" in r.getMessage()
+                   and "event-time" in r.getMessage()]
+    assert len(merge_warns) == 1 and "2" in merge_warns[0].getMessage()
+    assert len(micro_warns) == 1 and "2" in micro_warns[0].getMessage()
+
+    # clean rerun: rows all keyed/timed — no exclusion warning at all
+    caplog.clear()
+    p2 = build(_reattach(project, models=("loud_merge", "loud_micro")),
+               [(2, "b", "2024-01-02 00:00:00")])
+    with caplog.at_level(_logging.WARNING, logger="dbt_foundation_spark"):
+        assert all(r.status == "success" for r in p2.run())
+    assert not [r for r in caplog.records
+                if "excluded" in r.getMessage()]
