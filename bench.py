@@ -125,6 +125,92 @@ def _regression_candidates(
     }
 
 
+def _top_movers(
+    timings: dict[str, float],
+    prev_cold: dict[str, float],
+    speed: float,
+    k: int = 5,
+) -> list[str]:
+    """The k queries that MOVED most vs the drift-adjusted previous
+    cold sample — in EITHER direction, regression flag or not (r11
+    verdict #5: three rounds running, the biggest adjudication sink
+    was contention wobble on queries that never flagged; the bench now
+    warm-verifies its own movers so the artifact carries the verdict).
+    Sub-floor pairs (both sides < 0.3 s) are scheduler jitter, not
+    movers. Ranked by |log ratio| so 0.5× and 2.0× tie."""
+    import math
+
+    scored = []
+    for name, cur in timings.items():
+        p = prev_cold.get(name)
+        if not p:
+            continue
+        p_adj = p * speed
+        if max(p_adj, cur) < 0.3 or min(p_adj, cur) <= 0:
+            continue
+        scored.append((abs(math.log(cur / p_adj)), name))
+    return [name for _, name in sorted(scored, reverse=True)[:k]]
+
+
+def _warm_verify(
+    movers: list[str],
+    timings: dict[str, float],
+    warm: dict[str, float],
+    prev_warm: dict[str, float],
+    prev_cold: dict[str, float],
+    speed: float,
+    warm_speed: float,
+) -> list[dict]:
+    """Adjudicate each mover from its WARM minimum (the statistic that
+    is stable across contention — see the warm-pass comment): verdict
+    "flat" when the warm sample sits within ±15% of the drift-adjusted
+    previous warm basis (the cold move was compile/contention noise),
+    "slower"/"faster" when the warm numbers themselves moved. With no
+    previous warm sample the basis is the previous COLD one — a warm
+    run matching or beating it is "flat" (compile noise); "faster" is
+    never claimed against a cold basis (warm beats cold by
+    construction)."""
+    out = []
+    for name in movers:
+        cold_prev = prev_cold.get(name)
+        entry: dict = {
+            "query": name,
+            "cold_prev_adj": round(cold_prev * speed, 4) if cold_prev else None,
+            "cold_cur": timings.get(name),
+        }
+        w = warm.get(name)
+        if w is None:
+            entry.update({"basis": "none", "verdict": "unverified"})
+            out.append(entry)
+            continue
+        if name in prev_warm:
+            basis, p = "warm", prev_warm[name] * warm_speed
+        elif cold_prev:
+            basis, p = "warm-vs-cold", cold_prev * speed
+        else:
+            entry.update({"basis": "none", "verdict": "unverified"})
+            out.append(entry)
+            continue
+        r = w / p
+        if basis == "warm":
+            verdict = "flat" if 0.85 <= r <= 1.15 else (
+                "slower" if r > 1.15 else "faster"
+            )
+        else:
+            verdict = "flat" if r <= 1.15 else "slower"
+        entry.update(
+            {
+                "basis": basis,
+                "warm_prev_adj": round(p, 4),
+                "warm_cur": w,
+                "warm_ratio": round(r, 3),
+                "verdict": verdict,
+            }
+        )
+        out.append(entry)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -238,9 +324,12 @@ def main() -> None:
     speed = min(2.0, max(0.5, drift))
 
     candidates = _regression_candidates(timings, prev_warm, prev_cold, speed)
+    movers = _top_movers(timings, prev_cold, speed)
     warm: dict[str, float] = {}
     for name in sorted(
-        set(sorted(timings, key=lambda q: -timings[q])[:10]) | candidates
+        set(sorted(timings, key=lambda q: -timings[q])[:10])
+        | candidates
+        | set(movers)
     ):
         samples = []
         for _ in range(3):
@@ -317,6 +406,9 @@ def main() -> None:
                     }
                 )
     regressions.sort(key=lambda r: -r["ratio"])
+    warm_verify = _warm_verify(
+        movers, timings, warm, prev_warm, prev_cold, speed, warm_speed
+    )
     # Full per-query timings go to a sidecar file; stdout gets one COMPACT
     # line (top-5 slowest only) so the driver's bounded capture never
     # truncates the JSON (round-1 BENCH had parsed:null from a ~2.5 KB line).
@@ -326,6 +418,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "warm_top10": warm,
+        "warm_verify": warm_verify,
         "index_lifecycle": lifecycle,
         "regressions": regressions,
         "overhead_floor_sec": overhead_floor,
@@ -347,6 +440,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": top5,
                 "warm_top10": warm,
+                "warm_verify": warm_verify,
                 "regressions": regressions[:5],
                 "index_lifecycle": lifecycle,
                 "n_queries": len(timings),

@@ -80,3 +80,93 @@ def test_looks_worse_is_pure_ratio_and_delta():
     assert not bench._looks_worse(0.49, 0.55, 0.6)
     assert bench._looks_worse(1.0, 2.0, 0.6)
     assert not bench._looks_worse(2.0, 2.2, 0.6)
+
+
+def test_top_movers_both_directions_ranked_by_log_ratio():
+    # r11 verdict #5: movers are adjudication targets in EITHER
+    # direction; 0.5x and 2.0x tie on |log ratio| and both outrank a
+    # 1.3x wobble. Sub-floor pairs never qualify.
+    timings = {
+        "q_up2x": 2.0, "q_down2x": 1.0, "q_wobble": 1.3,
+        "q_tiny": 0.05, "q_flat": 1.0,
+    }
+    prev_cold = {
+        "q_up2x": 1.0, "q_down2x": 2.0, "q_wobble": 1.0,
+        "q_tiny": 0.2, "q_flat": 1.0,
+    }
+    got = bench._top_movers(timings, prev_cold, speed=1.0, k=3)
+    assert set(got[:2]) == {"q_up2x", "q_down2x"}
+    assert got[2] == "q_wobble"
+    assert "q_tiny" not in got
+
+
+def test_top_movers_respects_drift_adjustment():
+    # a uniform 1.5x machine-drift move is absorbed by speed=1.5 —
+    # nothing ranks above a genuinely moved query
+    timings = {"q_a": 1.5, "q_b": 3.1}
+    prev_cold = {"q_a": 1.0, "q_b": 1.0}
+    got = bench._top_movers(timings, prev_cold, speed=1.5, k=1)
+    assert got == ["q_b"]
+
+
+def test_warm_verify_flat_verdict_on_contention_wobble():
+    # the r9/r10/r11 adjudication shape: cold moved 1.3x but the warm
+    # minimum sits on the previous warm basis -> the artifact itself
+    # says "flat" and no human re-litigates contention.
+    verdicts = bench._warm_verify(
+        ["q_ngram"],
+        timings={"q_ngram": 2.51},
+        warm={"q_ngram": 1.97},
+        prev_warm={"q_ngram": 1.96},
+        prev_cold={"q_ngram": 1.95},
+        speed=1.0,
+        warm_speed=1.0,
+    )
+    assert len(verdicts) == 1
+    v = verdicts[0]
+    assert v["verdict"] == "flat" and v["basis"] == "warm"
+    assert v["warm_ratio"] == round(1.97 / 1.96, 3)
+
+
+def test_warm_verify_slower_and_faster_verdicts():
+    verdicts = bench._warm_verify(
+        ["q_slow", "q_fast"],
+        timings={"q_slow": 3.0, "q_fast": 0.9},
+        warm={"q_slow": 2.8, "q_fast": 0.8},
+        prev_warm={"q_slow": 2.0, "q_fast": 1.2},
+        prev_cold={"q_slow": 2.1, "q_fast": 1.3},
+        speed=1.0,
+        warm_speed=1.0,
+    )
+    by = {v["query"]: v for v in verdicts}
+    assert by["q_slow"]["verdict"] == "slower"
+    assert by["q_fast"]["verdict"] == "faster"
+
+
+def test_warm_verify_cold_basis_never_claims_faster():
+    # no previous warm sample: a warm run beating the previous COLD one
+    # is compile noise ("flat"), never a "faster" claim
+    verdicts = bench._warm_verify(
+        ["q_new"],
+        timings={"q_new": 1.4},
+        warm={"q_new": 0.7},
+        prev_warm={},
+        prev_cold={"q_new": 1.5},
+        speed=1.0,
+        warm_speed=1.0,
+    )
+    assert verdicts[0]["verdict"] == "flat"
+    assert verdicts[0]["basis"] == "warm-vs-cold"
+
+
+def test_warm_verify_unverified_without_samples():
+    verdicts = bench._warm_verify(
+        ["q_gone"],
+        timings={"q_gone": 1.0},
+        warm={},
+        prev_warm={},
+        prev_cold={"q_gone": 1.0},
+        speed=1.0,
+        warm_speed=1.0,
+    )
+    assert verdicts[0]["verdict"] == "unverified"
