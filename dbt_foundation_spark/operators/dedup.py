@@ -898,18 +898,29 @@ def ngram_jaccard_pairs(
     # a duplicated id cannot merge two texts' co-occurrence counts into
     # one incoherent sum (full-row duplicates collapse to one version
     # row first — pre-fix a doubled row doubled its own intersection
-    # counts, pushing "jaccard" past 1.0)
-    sh = (
+    # counts, pushing "jaccard" past 1.0). The collapse runs on the RAW
+    # text BEFORE shingling (r12 mover adjudication): collapsing after
+    # shingling shuffled the _sh arrays (~shingle_len× the text bytes)
+    # and computed n-grams once per duplicate row; collapsing first
+    # keeps the "no arrays cross a shuffle" property and shingles once
+    # per distinct version.
+    base = (
         identified(df, id_col)
         .select(
             *[F.col(c) for c in block_cols],
             F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_txt"),
             F.xxhash64(F.col(text_col)).alias("_ver"),
-            F.array_distinct(
-                token_ngrams(text_col, shingle_len, max_tokens)
-            ).alias("_sh"),
         )
         .dropDuplicates([*block_cols, "_id", "_ver"])
+    )
+    sh = base.select(
+        *[F.col(c) for c in block_cols],
+        "_id",
+        "_ver",
+        F.array_distinct(
+            token_ngrams("_txt", shingle_len, max_tokens)
+        ).alias("_sh"),
     )
     # set size RIDES the posting rows (one long per row) and folds into
     # the pair group key — _n is functionally determined by (_id, _ver),
