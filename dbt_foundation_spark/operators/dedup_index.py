@@ -138,6 +138,98 @@ def _cap_params(params: dict, max_tokens: int | None, record: bool = False) -> d
     return {**params, "max_tokens": max_tokens}
 
 
+def _conform_batch_id(
+    df: DataFrame, id_col: str, path: str, flavor: str | None = None
+) -> DataFrame:
+    """Pin a batch's document-id type to the index's stored id type
+    (r12 probe — the id-type-drift dirty shape). Parquet happily
+    appends a string-id batch into a bigint-id index, leaving MIXED
+    schemas across one sub-dataset's files: the default read samples
+    ONE footer nondeterministically, so the index's id type flips per
+    read and a later legitimate query dies inside the scan (probed
+    live: a single string-id append poisoned every later bigint
+    query). Same contract as the tombstone log's ``_conform_id_type``:
+    identical type passes untouched (zero plan change); same-category
+    mismatches CAST, with cast loss raising loudly per-row inside the
+    plan (a lost id would otherwise become NULL and fall out silently
+    through the identity gate); cross-category mismatches raise at
+    call time naming both types. Query batches conform too, so
+    reported pair ids carry one coherent type instead of Spark's
+    silent join coercion."""
+    spark = df.sparkSession
+    from dbt_foundation_spark.operators.tombstones import (
+        _index_id_type,
+        _type_category,
+    )
+
+    target = _index_id_type(spark, path, flavor)
+    got = df.schema[id_col].dataType.simpleString()
+    if target is None or got == target:
+        return df
+    if _type_category(got) != _type_category(target):
+        raise ValueError(
+            f"{path}: batch {id_col} is {got} but the index keys "
+            f"documents by {target} — appending would write mixed-schema "
+            "files (reads then flip type per sampled parquet footer) and "
+            "a query would coerce silently. Cast the id explicitly "
+            "upstream, or rebuild the index with the new type."
+        )
+    orig = F.col(id_col)
+    conformed = orig.try_cast(target)
+    return df.withColumn(
+        id_col,
+        F.when(
+            orig.isNotNull() & conformed.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{path}: {id_col} value "),
+                    orig.cast("string"),
+                    F.lit(
+                        f" does not fit the index id type {target} "
+                        f"(cast from {got}) — fix the batch or rebuild "
+                        "the index with the wider type"
+                    ),
+                )
+            ),
+        ).otherwise(conformed),
+    )
+
+
+def _conform_batch_vec(df: DataFrame, vec_col: str, path: str) -> DataFrame:
+    """The vector half of :func:`_conform_batch_id` for the embedding
+    flavor: an ``array<float>`` batch appended into an
+    ``array<double>`` vectors store (or vice versa) mixes parquet
+    schemas exactly like a drifted id. Numeric element drift CASTS to
+    the stored type; non-numeric drift raises."""
+    from dbt_foundation_spark.operators.tombstones import (
+        _has_data_file,
+        _type_category,
+    )
+
+    spark = df.sparkSession
+    vp = f"{path}/vectors"
+    if not _has_data_file(spark, vp):
+        return df
+    stored = spark.read.parquet(vp).schema["vec"].dataType.simpleString()
+    got = df.schema[vec_col].dataType.simpleString()
+    if got == stored:
+        return df
+    inner_got = got.removeprefix("array<").removesuffix(">")
+    inner_stored = stored.removeprefix("array<").removesuffix(">")
+    if (
+        not got.startswith("array<")
+        or not stored.startswith("array<")
+        or _type_category(inner_got) != "numeric"
+        or _type_category(inner_stored) != "numeric"
+    ):
+        raise ValueError(
+            f"{path}: batch {vec_col} is {got} but the index stores "
+            f"{stored} — appending would write mixed-schema files; cast "
+            "the vectors upstream or rebuild the index"
+        )
+    return df.withColumn(vec_col, F.col(vec_col).cast(stored))
+
+
 def _write_manifest(df: DataFrame, path: str, params: dict) -> None:
     """Record the index's build parameters as a one-row JSON dataset —
     written through Spark so it lands next to the index on any store.
@@ -386,6 +478,7 @@ def dedup_against_index(
             max_tokens,
         ),
     )
+    new_df = _conform_batch_id(new_df, id_col, path, "minhash")
     sig_new = minhash_signature(
         new_df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
     )
@@ -469,6 +562,7 @@ def append_to_index(
             max_tokens,
         ),
     )
+    df = _conform_batch_id(df, id_col, path, "minhash")
     with hold_append_marker(df.sparkSession, path, owner):
         _shingle_sets(df, id_col, text_col, shingle_len, max_tokens).write.mode(
             "append"
@@ -560,6 +654,7 @@ def dedup_against_simhash_index(
         ),
         ranges={"max_hamming": "lte"},
     )
+    new_df = _conform_batch_id(new_df, id_col, path, "simhash")
     new_chunks = _simhash_chunks(
         new_df, id_col, text_col, int(resolved["max_hamming"]), portable, max_tokens
     )
@@ -618,6 +713,7 @@ def append_to_simhash_index(
             max_tokens,
         ),
     )
+    df = _conform_batch_id(df, id_col, path, "simhash")
     with hold_append_marker(df.sparkSession, path, owner):
         _simhash_chunks(
             df, id_col, text_col, max_hamming, portable, max_tokens
@@ -702,6 +798,7 @@ def containment_against_index(
         ),
         ranges={"threshold": "gte"},
     )
+    new_df = _conform_batch_id(new_df, id_col, path, "containment")
     hs_new = hashed_shingle_sets(new_df, id_col, text_col, shingle_len, max_tokens)
     post_new, pref_new = containment_postings(hs_new, threshold)
     from dbt_foundation_spark.operators.tombstones import read_tombstones
@@ -787,6 +884,7 @@ def append_to_containment_index(
             max_tokens,
         ),
     )
+    df = _conform_batch_id(df, id_col, path, "containment")
     with hold_append_marker(df.sparkSession, path, owner):
         hs = hashed_shingle_sets(df, id_col, text_col, shingle_len, max_tokens)
         post, pref = containment_postings(hs, threshold)
@@ -960,6 +1058,8 @@ def dedup_against_embedding_index(
     from dbt_foundation_spark.functions import vectors as V
 
     planes = random_hyperplanes(dim, m, seed)
+    new_df = _conform_batch_id(new_df, id_col, path, "embedding")
+    new_df = _conform_batch_vec(new_df, vec_col, path)
     banded_new = hyperplane_banded(new_df, id_col, vec_col, planes, bands, m // bands)
     from dbt_foundation_spark.operators.tombstones import read_tombstones
 
@@ -1023,6 +1123,8 @@ def append_to_embedding_index(
     df = identified(df, id_col)
     dim = _resolve_dim(resolved, mft, df, vec_col)
     planes = random_hyperplanes(dim, m, seed)
+    df = _conform_batch_id(df, id_col, path, "embedding")
+    df = _conform_batch_vec(df, vec_col, path)
     with hold_append_marker(df.sparkSession, path, owner):
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).write.mode(
             "append"

@@ -299,18 +299,23 @@ def _type_category(t: str) -> str:
     return t
 
 
-def _index_id_type(spark: SparkSession, index_path: str) -> str | None:
+def _index_id_type(
+    spark: SparkSession, index_path: str, flavor: str | None = None
+) -> str | None:
     """The index's document-id type, derived from its stored datasets
-    (flavor via manifest; dedup flavors key by ``id``, the IVF lists
-    keep the builder's names). None when underivable (pre-manifest
-    index, or datasets not yet written)."""
+    (flavor via manifest unless the caller already knows it — the
+    batch-conform callers do, which skips a manifest read job per
+    append/query; dedup flavors key by ``id``, the IVF lists keep the
+    builder's names). None when underivable (pre-manifest index, or
+    datasets not yet written)."""
     from dbt_foundation_spark.operators.dedup_index import (
         INDEX_LAYOUT,
         _read_manifest,
     )
 
-    mft = _read_manifest(spark, index_path)
-    flavor = (mft or {}).get("flavor")
+    if flavor is None:
+        mft = _read_manifest(spark, index_path)
+        flavor = (mft or {}).get("flavor")
     if flavor not in INDEX_LAYOUT:
         return None
     for sub in INDEX_LAYOUT[flavor]:

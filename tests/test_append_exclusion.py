@@ -442,3 +442,94 @@ def test_embedding_index_excludes_null_ids(spark, tmp_path):
     assert {r.id for r in stored.collect()} == {1, 2, 3}
     bands = spark.read.parquet(f"{em}/bands")
     assert bands.filter(F.col("id").isNull()).count() == 0
+
+
+def test_batch_id_type_drift_is_conformed_or_refused(spark, tmp_path):
+    """Id-type drift across index appends (r12 probe): parquet happily
+    appended a string-id batch into a bigint-id index, leaving MIXED
+    schemas across one sub-dataset's files — the default read samples
+    ONE footer nondeterministically, so the index's id type flipped per
+    read and a later legitimate bigint query died inside the scan.
+    Contract (the tombstone _conform_id_type family rule): identical
+    type passes; same-category drift (int batch, bigint index) CASTS —
+    with cast loss raising loudly naming the value; cross-category
+    drift (string vs bigint) raises at call time naming both types, on
+    appends AND queries, for every flavor. Vector element drift on the
+    embedding flavor casts numerically and refuses otherwise."""
+    from dbt_foundation_spark.operators.dedup_index import (
+        append_to_containment_index,
+        append_to_embedding_index,
+        append_to_index,
+        append_to_simhash_index,
+        build_containment_index,
+        build_embedding_index,
+        build_minhash_index,
+        build_simhash_index,
+        dedup_against_index,
+    )
+
+    docs = _docs(
+        spark, [(i, f"alpha beta gamma doc {i} delta epsilon") for i in range(6)]
+    )
+    mh = str(tmp_path / "mh_drift")
+    build_minhash_index(docs, "doc_id", "text", mh, num_hashes=16, bands=4)
+
+    # cross-category: string ids refused on append AND query
+    sbatch = spark.createDataFrame(
+        [("77", "totally novel content one two three")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(ValueError, match="string.*bigint|bigint.*string"):
+        append_to_index(sbatch, "doc_id", "text", mh, num_hashes=16, bands=4)
+    with pytest.raises(ValueError, match="string.*bigint|bigint.*string"):
+        dedup_against_index(spark, sbatch, "doc_id", "text", mh,
+                            num_hashes=16, bands=4)
+
+    # same-category: int batch casts to the bigint store; the stored
+    # schema stays single-typed and later bigint queries keep working
+    ibatch = spark.createDataFrame(
+        [(88, "some fresh words seven eight nine")], "doc_id int, text string"
+    )
+    append_to_index(ibatch, "doc_id", "text", mh, num_hashes=16, bands=4)
+    for sub in ("bands", "shingles"):
+        got = spark.read.parquet(f"{mh}/{sub}").schema["id"].dataType
+        assert got.simpleString() == "bigint", (sub, got)
+    q = spark.createDataFrame(
+        [(100, "some fresh words seven eight nine")], "doc_id bigint, text string"
+    )
+    hits = dedup_against_index(
+        spark, q, "doc_id", "text", mh, num_hashes=16, bands=4,
+        jaccard_threshold=0.9,
+    ).collect()
+    assert {(r.new_id, r.corpus_id) for r in hits} == {(100, 88)}
+
+    # the other flavors enforce the same contract
+    sh = str(tmp_path / "sh_drift")
+    build_simhash_index(docs, "doc_id", "text", sh, max_hamming=3)
+    with pytest.raises(ValueError, match="string"):
+        append_to_simhash_index(sbatch, "doc_id", "text", sh, max_hamming=3)
+    ct = str(tmp_path / "ct_drift")
+    build_containment_index(docs, "doc_id", "text", ct,
+                            shingle_len=2, threshold=0.6)
+    with pytest.raises(ValueError, match="string"):
+        append_to_containment_index(sbatch, "doc_id", "text", ct,
+                                    shingle_len=2, threshold=0.6)
+
+    # embedding: id conform + vector element-type conform
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5]) for i in range(8)], ["vec_id", "vec"]
+    )
+    ep = str(tmp_path / "emb_drift")
+    build_embedding_index(emb, "vec_id", "vec", ep, m=8, bands=2)
+    fbatch = spark.createDataFrame(
+        [(50, [1.0, 1.0, 0.5])], "vec_id int, vec array<float>"
+    )
+    append_to_embedding_index(fbatch, "vec_id", "vec", ep, m=8, bands=2)
+    vecs = spark.read.parquet(f"{ep}/vectors")
+    assert vecs.schema["id"].dataType.simpleString() == "bigint"
+    assert vecs.schema["vec"].dataType.simpleString() == "array<double>"
+    bad_vec = spark.createDataFrame(
+        [(51, ["a", "b", "c"])], "vec_id bigint, vec array<string>"
+    )
+    with pytest.raises(Exception, match="array<string>|mixed-schema|dim"):
+        append_to_embedding_index(bad_vec, "vec_id", "vec", ep, m=8, bands=2)
