@@ -440,7 +440,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": top5,
                 "warm_top10": warm,
-                "warm_verify": warm_verify,
+                # stdout stays bounded (a ~2.5 KB line once parsed as
+                # null in the driver's capture): verdicts only; the
+                # sidecar carries the full per-mover evidence
+                "warm_verify": {
+                    v["query"]: v.get("verdict", "unverified")
+                    for v in warm_verify
+                },
                 "regressions": regressions[:5],
                 "index_lifecycle": lifecycle,
                 "n_queries": len(timings),

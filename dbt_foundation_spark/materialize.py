@@ -28,7 +28,8 @@ SNAPSHOT_META = ("dbt_scd_id", "dbt_valid_from", "dbt_valid_to")
 
 
 def _drop_rows_loudly(
-    df: DataFrame, cond, node_name: str, what: str
+    df: DataFrame, cond, node_name: str, what: str,
+    probe_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exclude contract-violating rows (NULL unique keys, NULL event
     times) with ACCOUNTING: the excluded count is measured and logged
@@ -37,13 +38,21 @@ def _drop_rows_loudly(
     advice). Pre-fix these filters shrank the model silently: an
     upstream bug emitting many NULL keys looked like a successful run.
 
-    Cost: one count job over the EXCLUDED slice only — the IsNull
-    predicate pushes to the scan on source-backed frames, and the
-    streaming bridge hands in a checkpoint-pinned micro-batch, so the
-    pass is batch-sized, not corpus-sized."""
+    Cost (honest version, r12 review): the count RE-EXECUTES the
+    upstream model plan once — IsNull pushdown prunes the final scan,
+    not upstream joins/aggregations. ``probe_cols`` prunes that second
+    execution to the condition's columns (Catalyst column pruning
+    trims every upstream projection to what the keys need). The write
+    path already executes the model 2-3× (the merge plan reads the
+    batch twice); the alternatives each fail worse: ``observe()``
+    metrics double-count when the batch subtree appears twice in one
+    plan (exactly the merge shape), and pinning the batch materializes
+    day-scale data per run. Streaming-bridge batches arrive pinned, so
+    there the pass is batch-sized regardless."""
     import logging
 
-    dropped = df.filter(cond).count()
+    probe = df.select(*probe_cols) if probe_cols else df
+    dropped = probe.filter(cond).count()
     if dropped:
         logging.getLogger("dbt_foundation_spark").warning(
             "%s: excluded %d %s row(s) — no stable identity/time means "
@@ -305,7 +314,9 @@ def _microbatch(project: Project, node: Node, df: DataFrame) -> None:
     # window-boundary comparison). Route them explicitly upstream if
     # they must be kept. Counted + warned, never silent (r12 advice).
     df = _drop_rows_loudly(
-        df, ts.isNull(), node.name, f"NULL/uncastable {event_time} event-time"
+        df, ts.isNull(), node.name,
+        f"NULL/uncastable {event_time} event-time",
+        probe_cols=[event_time],
     )
     batch_of = F.date_format(F.date_trunc(unit, ts), _BATCH_FMT[unit])
     part_cols = (*node.config.partition_by, BATCH_COL)
@@ -421,7 +432,8 @@ def _incremental(project: Project, node: Node, df: DataFrame) -> None:
             # does its own loud exclusion — only the bootstrap CTAS
             # needs the gate (and its accounting) here
             df = _drop_rows_loudly(
-                df, _any_null(keys), node.name, "NULL unique-key"
+                df, _any_null(keys), node.name, "NULL unique-key",
+                probe_cols=keys,
             )
     if not spark.catalog.tableExists(rel):
         _clear_stale_location(project, rel)
@@ -499,7 +511,8 @@ def _merged_rows(project: Project, node: Node, df: DataFrame, target) -> DataFra
     # route NULL-key rows explicitly upstream if they must be kept
     # (e.g. an append-strategy dead-letter model). Counted + warned,
     # never silent (r12 advice).
-    df = _drop_rows_loudly(df, _any_null(keys), node.name, "NULL unique-key")
+    df = _drop_rows_loudly(df, _any_null(keys), node.name,
+                            "NULL unique-key", probe_cols=keys)
     existing = _align(spark.table(rel), target)
     preds = node.config.incremental_predicates
     if preds:
@@ -543,7 +556,8 @@ def _snapshot(project: Project, node: Node, df: DataFrame) -> None:
     # builds on. No stable identity means no history to track (the
     # merge/microbatch/sampler family rule). Counted + warned, never
     # silent (r12 advice).
-    df = _drop_rows_loudly(df, _any_null(keys), node.name, "NULL unique-key")
+    df = _drop_rows_loudly(df, _any_null(keys), node.name,
+                            "NULL unique-key", probe_cols=keys)
 
     if strategy == "timestamp":
         valid_from = F.col(updated_at).cast("timestamp")

@@ -284,13 +284,29 @@ def _read_manifest(spark: SparkSession, path: str) -> dict | None:
             "crashed mid-overwrite; re-run the build (which rewrites "
             "the manifest) rather than operating unvalidated"
         )
+    # torn-manifest gate (r12 review): a ZERO-BYTE manifest part file
+    # reads as an empty JSON dataset (first() -> None), which the
+    # pre-manifest migration below would treat as "validate nothing,
+    # trust the caller" — silently disabling every flavor/param check
+    # the manifest exists for. Same fate as the torn tombstone log:
+    # refuse loudly naming the heal.
+    from dbt_foundation_spark.operators.tombstones import zero_byte_files
+
+    torn = zero_byte_files(spark, mpath)
+    if torn:
+        raise ValueError(
+            f"{mpath}: manifest holds zero-byte torn file(s) "
+            f"({', '.join(torn)}) — reading it as absent would silently "
+            "disable parameter validation; re-run the build (which "
+            "rewrites the manifest) or restore the file"
+        )
     row = spark.read.json(mpath).first()
     m = row.asDict() if row else None
-    if m is not None and "flavor" not in m:
+    if m is None or "flavor" not in m:
         raise ValueError(
-            f"{path}/manifest exists but is corrupt (no 'flavor' field) — "
-            "rebuild the index or restore the manifest; refusing to "
-            "validate queries against a half-written manifest"
+            f"{path}/manifest exists but is corrupt (empty or no 'flavor' "
+            "field) — rebuild the index or restore the manifest; refusing "
+            "to validate queries against a half-written manifest"
         )
     return m
 

@@ -257,6 +257,27 @@ def _has_data_files(spark: SparkSession, path: str) -> bool:
     return _has_data_file(spark, path)
 
 
+def _has_healthy_data_file(
+    spark: SparkSession, path: str, torn: set[str]
+) -> bool:
+    """True if ``path`` holds at least one visible data file NOT in the
+    ``torn`` set — the all-torn guard for index_stats' per-dataset
+    stats read (a directory whose only footers are 0-byte tears dies
+    at schema inference)."""
+    from dbt_foundation_spark.operators.tombstones import (
+        _hadoop,
+        _iter_visible_statuses,
+    )
+
+    p, fs = _hadoop(spark, path)
+    if not fs.exists(p):
+        return False
+    return any(
+        st.getPath().toString() not in torn
+        for st in _iter_visible_statuses(fs, p)
+    )
+
+
 def compact_parquet_path(
     spark: SparkSession,
     path: str,
@@ -544,7 +565,18 @@ def compact_index(
     # physical. Loaded ONCE and pinned — the log's own files
     # must not be re-read mid-loop (clear_tombstones below deletes them
     # while compacted sub-datasets may still be lazily evaluated).
-    tomb = read_tombstones(spark, index_path)
+    # A raise here (e.g. the torn-log refusal) happens before anything
+    # was rewritten, so OUR fresh marker is withdrawn like the sibling
+    # conflict paths above — else a torn log would orphan a
+    # __compacting marker that blocks every append with a misleading
+    # "compaction in flight" (r12 review); a stale marker stays, it
+    # guards an earlier crash's half-rewritten state.
+    try:
+        tomb = read_tombstones(spark, index_path)
+    except Exception:
+        if not stale_marker:
+            fs.delete(marker, True)
+        raise
     if tomb is not None:
         tomb = pin(tomb, eager=True)
     out = {}
@@ -555,12 +587,21 @@ def compact_index(
         # sub-dataset PARKED at __compact_old by a crashed swap is NOT
         # absent (r12, found by the reader-seam test): skipping it here
         # would leave the index permanently half-missing while this
-        # re-run "succeeds"; falling through lets compact_parquet_path's
-        # restore-on-entry heal it, the documented re-run contract
-        if not fs.exists(jvm.org.apache.hadoop.fs.Path(sub_path)) and not fs.exists(
-            jvm.org.apache.hadoop.fs.Path(f"{sub_path}__compact_old")
-        ):
-            continue
+        # re-run "succeeds". The restore runs HERE, before anything
+        # reads sub_path (r12 review: _doc_id_col's schema read below
+        # otherwise hits the still-missing directory on a tombstone-
+        # holding index and the documented heal loops forever);
+        # compact_parquet_path's own restore-on-entry then no-ops.
+        sub_p = jvm.org.apache.hadoop.fs.Path(sub_path)
+        old_p = jvm.org.apache.hadoop.fs.Path(f"{sub_path}__compact_old")
+        if not fs.exists(sub_p):
+            if not fs.exists(old_p):
+                continue
+            if not fs.rename(old_p, sub_p):
+                raise IOError(
+                    f"could not restore parked {sub_path}__compact_old "
+                    f"to {sub_path}"
+                )
         # the id column only matters when there is a log to fold — and
         # deriving it for the IVF lists costs a schema-inference read,
         # so skip it entirely on the common no-takedown compaction
@@ -667,6 +708,31 @@ def index_stats(spark: SparkSession, index_path: str) -> dict:
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(index_path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    # torn-file report (r12 probe): zero-byte data files are tears a
+    # read treats as silently empty — the query paths REFUSE on them
+    # (guarded_sub_read / read_tombstones name the file and the heal);
+    # the describe tool reports them without raising. Computed BEFORE
+    # the stats reads: a sub-dataset whose ONLY files are torn would
+    # make parquet_path_stats die at schema inference (r12 review) —
+    # such a sub is reported torn + missing, never read. Torn files
+    # with leftover bytes are not metadata-detectable and surface as
+    # loud parquet magic-number errors at read time instead.
+    from dbt_foundation_spark.operators.tombstones import zero_byte_files
+
+    torn_entries: list[str] = []
+    sub_torn: dict[str, list[str]] = {}
+    for sub in INDEX_LAYOUT[flavor]:
+        sub_torn[sub] = zero_byte_files(spark, f"{index_path}/{sub}")
+        torn_entries.extend(
+            f"{sub}/{f.rsplit('/', 1)[-1]} (0-byte torn file)"
+            for f in sub_torn[sub]
+        )
+    tomb_torn = zero_byte_files(spark, f"{index_path}/tombstones")
+    torn_entries.extend(
+        f"tombstones/{f.rsplit('/', 1)[-1]} (0-byte torn file)"
+        for f in tomb_torn
+    )
+
     datasets: dict[str, dict] = {}
     for sub in INDEX_LAYOUT[flavor]:
         # data-FILE probe, not a read + caught AnalysisException (Spark
@@ -677,26 +743,14 @@ def index_stats(spark: SparkSession, index_path: str) -> dict:
         # indexes)
         if not _has_data_files(spark, f"{index_path}/{sub}"):
             continue  # optional sub-dataset not present (or empty husk)
+        if sub_torn[sub] and not _has_healthy_data_file(
+            spark, f"{index_path}/{sub}", set(sub_torn[sub])
+        ):
+            # every visible file is a 0-byte tear: a stats read would
+            # die at schema inference — report via torn_entries +
+            # missing_datasets instead
+            continue
         datasets[sub] = parquet_path_stats(spark, f"{index_path}/{sub}")
-    # torn-file report (r12 probe): zero-byte data files are tears a
-    # read treats as silently empty — the query paths REFUSE on them
-    # (guarded_sub_read / read_tombstones name the file and the heal);
-    # the describe tool reports them without raising. Torn files with
-    # leftover bytes are not metadata-detectable and surface as loud
-    # parquet magic-number errors at read time instead.
-    from dbt_foundation_spark.operators.tombstones import zero_byte_files
-
-    torn_entries: list[str] = []
-    tomb_torn = zero_byte_files(spark, f"{index_path}/tombstones")
-    for sub in INDEX_LAYOUT[flavor]:
-        for f in zero_byte_files(spark, f"{index_path}/{sub}"):
-            torn_entries.append(
-                f"{sub}/{f.rsplit('/', 1)[-1]} (0-byte torn file)"
-            )
-    torn_entries.extend(
-        f"tombstones/{f.rsplit('/', 1)[-1]} (0-byte torn file)"
-        for f in tomb_torn
-    )
     if tomb_torn:
         # the log is damaged: its id count is unknowable (the torn
         # file's retractions may be lost) — None, never a silent 0

@@ -225,10 +225,18 @@ def read_tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
     is distinct), because takedown data may genuinely be lost and no
     automatic path should paper over that. index_stats reports the
     same state without raising (describe tools describe damage)."""
-    files = _log_files(spark, index_path)
+    # ONE directory walk serves both the file list and the torn probe
+    # (r12 review: a second recursive listing per query-path call is
+    # wasted LIST RPCs on object stores)
+    tp = _tomb_path(index_path)
+    p, fs = _hadoop(spark, tp)
+    statuses = list(_iter_visible_statuses(fs, p)) if fs.exists(p) else []
+    files = [st.getPath().toString() for st in statuses]
     if not files:
         return None
-    torn = zero_byte_files(spark, _tomb_path(index_path))
+    torn = sorted(
+        st.getPath().toString() for st in statuses if st.getLen() == 0
+    )
     if torn:
         raise RuntimeError(
             f"{_tomb_path(index_path)}: tombstone log holds {len(torn)} "
@@ -431,8 +439,9 @@ def guarded_sub_read(spark: SparkSession, index_path: str, sub: str) -> DataFram
     Pre-guard that surfaced as Spark's generic PATH_NOT_FOUND — or, on
     listing-based paths, as a silently incomplete answer. Contract:
 
-    - directory present → plain read (one fs.exists probe on the hot
-      path, metadata-speed);
+    - directory present → plain read after the torn-file probe (one
+      fs.exists plus one recursive listing — the same class of LIST
+      call Spark's own scan planning makes per uncached read);
     - directory missing + compaction evidence (the index-level
       ``__compacting`` marker, or this sub-dataset's ``__compact_old``
       parked copy / ``__compact_tmp`` scratch) → loud error NAMING the

@@ -570,7 +570,18 @@ def _checkpoint_generation(spark: SparkSession, checkpoint_dir: str) -> str:
     vectors never appended at all (IVF ingest). Read lazily inside the
     sink (the file exists once the query has started); a checkpoint
     without readable metadata fails loudly — guessing a namespace
-    would resurrect the silent skip."""
+    would resurrect the silent skip.
+
+    One-time migration caveat (r12 review): markers written by the
+    pre-generation code are keyed by the checkpoint PATH and are
+    orphaned by this change — harmless except for a batch that crashed
+    BETWEEN its install and its checkpoint commit exactly at the
+    upgrade boundary, whose replay re-installs under the new name
+    (duplicated survivors for that one batch). Consulting the legacy
+    path-keyed markers instead would resurrect the wipe bug (same
+    name for a wiped and a kept checkpoint), so the narrow
+    upgrade-straddle window is the accepted trade; heal, if hit, is
+    exact dedup over the output."""
     import json as _json
 
     from dbt_foundation_spark.operators.tombstones import _hadoop

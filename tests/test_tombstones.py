@@ -456,6 +456,25 @@ def test_reader_racing_compaction_rename_window(spark, tmp_path):
         spark, ivf, "vec_id", "vec", [1.0, 1.0, 0.5], k=2
     ).count() == 2
 
+    # parked LISTS with a PENDING retraction: the heal re-run must
+    # restore the parked dataset BEFORE the tombstone fold derives the
+    # id column (r12 review: _doc_id_col read the missing directory
+    # first, so the documented re-run crashed forever on exactly the
+    # index state it exists to heal)
+    retract_from_index(spark, ivf, [0])
+    lists_p, _ = _hadoop(spark, f"{ivf}/lists")
+    assert fs.rename(
+        lists_p, jvm.org.apache.hadoop.fs.Path(f"{ivf}/lists__compact_old")
+    )
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(compaction_marker_path(ivf)))
+    compact_index(spark, ivf)  # restores, folds the retraction, clears
+    from dbt_foundation_spark.operators.similarity import ivf_id_col
+
+    lists = spark.read.parquet(f"{ivf}/lists")
+    live = {r[0] for r in lists.select(ivf_id_col(lists.schema)).collect()}
+    assert 0 not in live and len(live) == 8  # folded, rest intact
+    assert index_stats(spark, ivf)["crash_leftovers"] == []
+
     # a missing sub-dataset with NO compaction evidence is an
     # incomplete/damaged index — named as such, not a compaction hint
     sh_p, _ = _hadoop(spark, f"{path}/shingles")
@@ -537,6 +556,38 @@ def test_torn_file_contract(spark, tmp_path, caplog):
     assert hits() == baseline
     assert index_stats(spark, path)["crash_leftovers"] == []
 
+    # --- all files of one sub-dataset torn: stats still reports ---
+    import glob as _glob
+    import os as _os
+
+    saved = {}
+    for fp in _glob.glob(f"{path}/shingles/*.parquet"):
+        saved[fp] = open(fp, "rb").read()
+        _os.truncate(fp, 0)
+    s = index_stats(spark, path)  # must not die at schema inference
+    assert "shingles" in s["missing_datasets"]
+    assert any("shingles/" in e and "0-byte" in e for e in s["crash_leftovers"])
+    with pytest.raises(RuntimeError, match="zero-byte torn"):
+        hits()
+    for fp, data in saved.items():
+        open(fp, "wb").write(data)
+    assert hits() == baseline
+
+    # --- zero-byte tear in the MANIFEST: refuses loudly, never the
+    # trust-the-caller migration (silently disabling validation)
+    mparts = _glob.glob(f"{path}/manifest/*.json") or _glob.glob(
+        f"{path}/manifest/part-*"
+    )
+    assert mparts, "manifest part file expected"
+    msaved = open(mparts[0], "rb").read()
+    _os.truncate(mparts[0], 0)
+    with pytest.raises(ValueError, match="manifest"):
+        dedup_against_index(
+            spark, batch, "doc_id", "text", path, num_hashes=16, bands=4
+        )
+    open(mparts[0], "wb").write(msaved)
+    assert hits() == baseline
+
     # --- zero-byte tear in the tombstone log: manual heal only ---
     retract_from_index(spark, path, [3])
     assert hits() == []  # doc 3 retracted; its pair is gone
@@ -544,6 +595,18 @@ def test_torn_file_contract(spark, tmp_path, caplog):
     open(log_torn, "wb").close()
     with pytest.raises(RuntimeError, match="tombstone log"):
         hits()  # silently resurfacing retractions is the worst fate
+    # compact_index refuses on the torn log too — and withdraws its own
+    # fresh __compacting marker (r12 review: an orphaned marker would
+    # block every later append with a misleading "compaction in flight")
+    from dbt_foundation_spark.operators.tombstones import _hadoop
+    from dbt_foundation_spark.operators.tombstones import (
+        compaction_marker_path as _cmp,
+    )
+
+    with pytest.raises(RuntimeError, match="tombstone log"):
+        compact_index(spark, path)
+    _p, _fs = _hadoop(spark, _cmp(path))
+    assert not _fs.exists(_p)
     s = index_stats(spark, path)
     assert s["tombstones"] is None  # count unknowable, never a silent 0
     assert any(
