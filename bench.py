@@ -392,19 +392,41 @@ def main() -> None:
     # build IS cold in production), so the cold floor applies.
     lifecycle = _index_lifecycle(spark, sf_dir)
     prev_life = (prev or {}).get("index_lifecycle", {})
-    for name, cur in lifecycle.items():
-        if name in prev_life:
-            p = round(prev_life[name] * speed, 4)
-            if _looks_worse(p, cur, 0.6):
-                regressions.append(
-                    {
-                        "query": f"lifecycle:{name}",
-                        "prev": p,
-                        "cur": cur,
-                        "ratio": round(cur / p, 2),
-                        "basis": "lifecycle",
-                    }
-                )
+
+    def _life_regs(life: dict[str, float]) -> list[dict]:
+        regs = []
+        for name, cur in life.items():
+            if name in prev_life:
+                p = round(prev_life[name] * speed, 4)
+                if _looks_worse(p, cur, 0.6):
+                    regs.append(
+                        {
+                            "query": f"lifecycle:{name}",
+                            "prev": p,
+                            "cur": cur,
+                            "ratio": round(cur / p, 2),
+                            "basis": "lifecycle",
+                        }
+                    )
+        return regs
+
+    life_regs = _life_regs(lifecycle)
+    lifecycle_retried = False
+    if life_regs:
+        # one-shot contention adjudication (r12: leftover test JVMs
+        # shutting down faked 1.5-2x flags on every lifecycle op in the
+        # same run): the query movers get a warm pass, but maintenance
+        # ops are stateful sequences — so a flagged run gets ONE full
+        # fresh-scratch re-run and each op keeps its minimum, the same
+        # min statistic the warm pass uses. Recorded in the artifact
+        # (lifecycle_retried), never silent.
+        second = _index_lifecycle(spark, sf_dir)
+        lifecycle = {
+            k: min(v, second.get(k, v)) for k, v in lifecycle.items()
+        }
+        life_regs = _life_regs(lifecycle)
+        lifecycle_retried = True
+    regressions.extend(life_regs)
     regressions.sort(key=lambda r: -r["ratio"])
     warm_verify = _warm_verify(
         movers, timings, warm, prev_warm, prev_cold, speed, warm_speed
@@ -420,6 +442,7 @@ def main() -> None:
         "warm_top10": warm,
         "warm_verify": warm_verify,
         "index_lifecycle": lifecycle,
+        "lifecycle_retried": lifecycle_retried,
         "regressions": regressions,
         "overhead_floor_sec": overhead_floor,
         "overhead_floor_total": round(overhead_floor * len(timings), 2),
