@@ -118,6 +118,12 @@ def token_ngrams(
             )
         )
 
+    if n < 1:
+        raise ValueError(
+            f"n={n}: shingle length must be >= 1 — 0-token shingles are "
+            "all empty strings, silently matching EVERY document to "
+            "every other (r12 param-domain probe)"
+        )
     toks = tokenize(col)
     if max_tokens is not None:
         if max_tokens < n:

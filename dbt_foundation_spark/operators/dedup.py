@@ -146,6 +146,11 @@ def minhash_signature(
     identical signature math can be replayed in any engine with md5
     (the cross-engine-oracle path); default xxhash64 stays the fast
     engine-internal choice."""
+    if num_hashes < 1:
+        raise ValueError(
+            f"num_hashes={num_hashes}: a minhash signature needs >= 1 "
+            "hash (0 surfaced as an opaque empty-aggregate assertion)"
+        )
     coeffs = _hash_coeffs(num_hashes)
     base_hash = md5_hash64 if portable else fast_hash64
     exploded = identified(df, id_col).select(
@@ -182,6 +187,50 @@ def _hash_coeffs(k: int) -> list[tuple[int, int]]:
         b = x % _P
         coeffs.append((a, b))
     return coeffs
+
+
+def banding_geometry(num_hashes: int, bands: int, what: str = "num_hashes") -> int:
+    """Validated rows-per-band for minhash / hyperplane banding (r12
+    param-domain probe): ``bands < 1`` died in an integer division,
+    ``num_hashes < bands`` produced empty buckets that surfaced as an
+    xxhash64-arity error deep inside codegen, and a non-dividing
+    ``bands`` SILENTLY ignored the trailing ``num_hashes % bands``
+    hashes — narrower banding than the caller designed, with no
+    signal. All three get one named error at the operator boundary."""
+    if num_hashes < 1 or bands < 1:
+        raise ValueError(
+            f"{what}={num_hashes} and bands={bands} must both be >= 1"
+        )
+    if num_hashes < bands:
+        raise ValueError(
+            f"bands={bands} exceeds {what}={num_hashes} — every band "
+            "needs at least one hash"
+        )
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} does not divide {what}={num_hashes} — the "
+            f"last {num_hashes % bands} hash(es) would be silently "
+            "ignored; pick a dividing band count"
+        )
+    return num_hashes // bands
+
+
+def similarity_threshold(threshold: float, name: str) -> float:
+    """Validated similarity threshold for the set-overlap detectors
+    (r12 param-domain probe): jaccard/containment live in [0, 1], and
+    the inverted-index candidate generation only materializes pairs
+    sharing at least one shingle — so a threshold <= 0, instead of
+    meaning "all pairs", SILENTLY under-reports (zero-overlap pairs
+    never surface). Out-of-domain thresholds raise at the operator
+    boundary; cosine thresholds are NOT routed here (cosine is
+    legitimately negative)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            f"{name}={threshold}: must be in (0, 1] — a threshold <= 0 "
+            "would silently under-report (the inverted index never "
+            "materializes zero-overlap pairs) and > 1 can never match"
+        )
+    return threshold
 
 
 def _band_buckets(
@@ -240,6 +289,7 @@ def minhash_lsh_pairs(
     this ordering) and pre-flight residual bucket sizes with
     :func:`lsh_bucket_profile`.
     """
+    similarity_threshold(jaccard_threshold, "jaccard_threshold")
     pairs = _self_candidate_pairs_with_shingles(
         df, id_col, text_col, num_hashes, bands, shingle_len, portable,
         max_tokens,
@@ -272,7 +322,7 @@ def _self_candidate_pairs_with_shingles(
     re-attached — the shared front half of the verify-stage pair ops.
     ``max_tokens`` caps BOTH the signature and the re-attached verify
     shingle sets, so candidate space and verify space agree."""
-    rows_per_band = num_hashes // bands
+    rows_per_band = banding_geometry(num_hashes, bands)
     sig = minhash_signature(
         df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
     )
@@ -349,6 +399,7 @@ def containment_pairs(
     S²/2⁶⁵ (≈2·10⁻⁹ at S=260 k), so the emitted values are the exact
     string-space values with overwhelming probability, and the DuckDB
     string-space oracle stays green."""
+    similarity_threshold(threshold, "threshold")
     hs = hashed_shingle_sets(df, id_col, text_col, shingle_len, max_tokens)
     post, pref = containment_postings(hs, threshold)
     index = post if max_df is None else post.filter(F.col("df") <= max_df)
@@ -482,7 +533,8 @@ def minhash_lsh_join(
     the incremental result equals the cross-side subset of the full
     self-join's output (the property the DuckDB oracle checks).
     """
-    rows_per_band = num_hashes // bands
+    similarity_threshold(jaccard_threshold, "jaccard_threshold")
+    rows_per_band = banding_geometry(num_hashes, bands)
     sig_new = minhash_signature(
         new_df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
     )
@@ -893,6 +945,13 @@ def ngram_jaccard_pairs(
     LOWER-BOUND jaccard (dropped shingles count in |A∪B| but not |A∩B|)
     — exact whenever no shingle exceeds the cap, which the default
     guarantees at test scale. ``max_df=None`` disables the guard."""
+    similarity_threshold(threshold, "threshold")
+    if max_df is not None and max_df < 1:
+        raise ValueError(
+            f"max_df={max_df}: the document-frequency cap must be >= 1 "
+            "(0 drops EVERY posting and silently reports zero pairs); "
+            "pass None to disable"
+        )
     # degenerate identities (see minhash_signature): NULL ids are
     # excluded; each (id, distinct text) VERSION keys the postings, so
     # a duplicated id cannot merge two texts' co-occurrence counts into
@@ -996,7 +1055,7 @@ def lsh_bucket_profile(
     sig = minhash_signature(
         df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
     )
-    banded = _band_buckets(sig, bands, num_hashes // bands, portable)
+    banded = _band_buckets(sig, bands, banding_geometry(num_hashes, bands), portable)
     n = F.count(F.lit(1))
     return (
         banded.groupBy("band", "bucket")

@@ -93,6 +93,7 @@ from dbt_foundation_spark.operators.similarity import (
 from dbt_foundation_spark.operators.dedup import (
     SIGNATURE_MAX_TOKENS,
     _band_buckets,
+    banding_geometry,
     containment_postings,
     hashed_shingle_sets,
     identified,
@@ -434,7 +435,7 @@ def build_minhash_index(
         df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
     )
     banded = (
-        _band_buckets(sig, bands, num_hashes // bands, portable)
+        _band_buckets(sig, bands, banding_geometry(num_hashes, bands), portable)
         .withColumnRenamed("_id", "id")
         .repartition(index_partitions, "band", "bucket")
     )
@@ -494,11 +495,14 @@ def dedup_against_index(
             max_tokens,
         ),
     )
+    from dbt_foundation_spark.operators.dedup import similarity_threshold
+
+    similarity_threshold(jaccard_threshold, "jaccard_threshold")
     new_df = _conform_batch_id(new_df, id_col, path, "minhash")
     sig_new = minhash_signature(
         new_df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
     )
-    banded_new = _band_buckets(sig_new, bands, num_hashes // bands, portable)
+    banded_new = _band_buckets(sig_new, bands, banding_geometry(num_hashes, bands), portable)
     from dbt_foundation_spark.operators.tombstones import read_tombstones
 
     tomb = read_tombstones(spark, path)
@@ -587,7 +591,7 @@ def append_to_index(
             df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
         )
         banded = _band_buckets(
-            sig, bands, num_hashes // bands, portable
+            sig, bands, banding_geometry(num_hashes, bands), portable
         ).withColumnRenamed("_id", "id")
         banded.write.mode("append").parquet(f"{path}/bands")
 
@@ -814,6 +818,9 @@ def containment_against_index(
         ),
         ranges={"threshold": "gte"},
     )
+    from dbt_foundation_spark.operators.dedup import similarity_threshold
+
+    similarity_threshold(threshold, "threshold")
     new_df = _conform_batch_id(new_df, id_col, path, "containment")
     hs_new = hashed_shingle_sets(new_df, id_col, text_col, shingle_len, max_tokens)
     post_new, pref_new = containment_postings(hs_new, threshold)
@@ -1004,8 +1011,7 @@ def build_embedding_index(
     threshold is at least the designed recall), never a lower one.
     ``dim`` is sniffed from the first row when omitted and recorded, so
     queries and appends never need to re-sniff."""
-    if m % bands != 0:
-        raise ValueError(f"m={m} must be divisible by bands={bands}")
+    banding_geometry(m, bands, "m")
     # degenerate-identity gate BEFORE the dim sniff: same contract as
     # every other flavor (an id-less stored row could never be paired,
     # retracted, or folded), and sniffing first could fix the index's
@@ -1016,7 +1022,7 @@ def build_embedding_index(
         dim = sniff_dim(df, vec_col)
     planes = random_hyperplanes(dim, m, seed)
     banded = (
-        hyperplane_banded(df, id_col, vec_col, planes, bands, m // bands)
+        hyperplane_banded(df, id_col, vec_col, planes, bands, banding_geometry(m, bands, "m"))
         .withColumnRenamed("_id", "id")
         .repartition(index_partitions, "band", "bucket")
     )
@@ -1057,8 +1063,7 @@ def dedup_against_embedding_index(
     candidate set). (m, bands, seed, dim) define the hash family and
     must equal the build values (manifest-enforced); ``threshold`` may
     be ≥ the build design point."""
-    if m % bands != 0:
-        raise ValueError(f"m={m} must be divisible by bands={bands}")
+    banding_geometry(m, bands, "m")
     caller: dict = {
         "flavor": "embedding",
         "m": m,
@@ -1076,7 +1081,7 @@ def dedup_against_embedding_index(
     planes = random_hyperplanes(dim, m, seed)
     new_df = _conform_batch_id(new_df, id_col, path, "embedding")
     new_df = _conform_batch_vec(new_df, vec_col, path)
-    banded_new = hyperplane_banded(new_df, id_col, vec_col, planes, bands, m // bands)
+    banded_new = hyperplane_banded(new_df, id_col, vec_col, planes, bands, banding_geometry(m, bands, "m"))
     from dbt_foundation_spark.operators.tombstones import read_tombstones
 
     tomb = read_tombstones(spark, path)
@@ -1127,8 +1132,7 @@ def append_to_embedding_index(
     (discovery)."""
     from dbt_foundation_spark.operators.tombstones import hold_append_marker
 
-    if m % bands != 0:
-        raise ValueError(f"m={m} must be divisible by bands={bands}")
+    banding_geometry(m, bands, "m")
     caller: dict = {"flavor": "embedding", "m": m, "bands": bands, "seed": seed}
     if dim is not None:
         caller["dim"] = dim
@@ -1146,6 +1150,6 @@ def append_to_embedding_index(
             "append"
         ).parquet(f"{path}/vectors")
         banded = hyperplane_banded(
-            df, id_col, vec_col, planes, bands, m // bands
+            df, id_col, vec_col, planes, bands, banding_geometry(m, bands, "m")
         ).withColumnRenamed("_id", "id")
         banded.write.mode("append").parquet(f"{path}/bands")

@@ -453,8 +453,9 @@ def embedding_near_pairs(
     job at plan-BUILD time — pass it explicitly in streaming /
     foreachBatch contexts or when the upstream plan is expensive.
     """
-    if m % bands != 0:
-        raise ValueError(f"m={m} must be divisible by bands={bands}")
+    from dbt_foundation_spark.operators.dedup import banding_geometry
+
+    banding_geometry(m, bands, "m")
     r = m // bands
     if dim is None:
         dim = sniff_dim(df, vec_col)
@@ -1160,8 +1161,9 @@ def embedding_bucket_profile(
     exact-duplicate vectors first and check the residual bucket sizes
     before launching the pair join. One banding pass + a top-N
     aggregate, no self-join."""
-    if m % bands != 0:
-        raise ValueError(f"m={m} must be divisible by bands={bands}")
+    from dbt_foundation_spark.operators.dedup import banding_geometry
+
+    banding_geometry(m, bands, "m")
     if dim is None:
         dim = sniff_dim(df, vec_col)
     planes = random_hyperplanes(dim, m, seed)

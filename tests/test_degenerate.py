@@ -1144,3 +1144,62 @@ def test_keep_best_eligibility_and_keeperless_clusters(spark):
         for r in keep_best_per_cluster(labels, full).collect()
     }
     assert got2 == {1: (2, 0.9), 7: (8, 0.2)}  # tie -> lower id wins
+
+
+def test_param_domain_guards_are_named(spark):
+    """Degenerate operator parameters (r12 probe): pre-guard,
+    num_hashes=0 died as an opaque empty-aggregate assertion, bands=0
+    as a ZeroDivisionError, bands>num_hashes as an xxhash64-arity error
+    deep inside codegen, a non-dividing bands SILENTLY ignored trailing
+    hashes, shingle_len=0 silently matched EVERY document to every
+    other (all 0-gram shingles are ''), and a threshold <= 0 silently
+    UNDER-reported (the inverted index never materializes zero-overlap
+    pairs, so 'all pairs' was never what it returned). Each gets one
+    named error at the operator boundary."""
+    import pytest as _pytest
+
+    from dbt_foundation_spark.functions.text import token_ngrams
+    from dbt_foundation_spark.operators.dedup import (
+        banding_geometry,
+        containment_pairs,
+        minhash_lsh_pairs,
+        minhash_signature,
+        ngram_jaccard_pairs,
+        similarity_threshold,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta")],
+        ["doc_id", "text"],
+    )
+    with _pytest.raises(ValueError, match="must both be >= 1"):
+        banding_geometry(0, 1)
+    with _pytest.raises(ValueError, match="must both be >= 1"):
+        banding_geometry(16, 0)
+    with _pytest.raises(ValueError, match="exceeds"):
+        banding_geometry(4, 8)
+    with _pytest.raises(ValueError, match="does not divide"):
+        banding_geometry(16, 5)
+    assert banding_geometry(16, 4) == 4
+    with _pytest.raises(ValueError, match="num_hashes=0"):
+        minhash_signature(docs, "doc_id", "text", num_hashes=0)
+    with _pytest.raises(ValueError, match="shingle length"):
+        token_ngrams("text", 0)
+    for bad in (0.0, -1.0, 1.5):
+        with _pytest.raises(ValueError, match=r"\(0, 1\]"):
+            similarity_threshold(bad, "t")
+    assert similarity_threshold(1.0, "t") == 1.0  # exact-dup threshold ok
+    with _pytest.raises(ValueError, match=r"\(0, 1\]"):
+        minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.0)
+    with _pytest.raises(ValueError, match=r"\(0, 1\]"):
+        containment_pairs(docs, "doc_id", "text", threshold=-0.5)
+    with _pytest.raises(ValueError, match="max_df"):
+        ngram_jaccard_pairs(
+            docs.withColumn("lang", F.lit("en")), "doc_id", "text",
+            ["lang"], max_df=0,
+        )
+    # the guarded domains still compute: a legitimate call is unchanged
+    assert minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4,
+        jaccard_threshold=0.1,
+    ).count() >= 0
