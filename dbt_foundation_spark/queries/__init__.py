@@ -34,76 +34,76 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness harness only ingests the first 50 entries of
-# ``queries()``.  Round-12 rotation (VERDICT r11 "Next round" #1;
-# evidence ages recomputed from CORRECTNESS_r01..r11 at round start:
-# 3 rows with r8-age evidence, 50 with r9-age, 50 with r10-age, 50 with
-# r11-age + the 3 rows-only-by-design catalog-state queries):
-# (a) the 3 queries deferred from the r11 window, whose latest full row
-# is r8 — now the oldest evidence in the catalog: q_safe_divide,
-# q_slugify, q_width_bucket (all three judge-re-verified MATCH in the
-# r11 sweep, but the driver record is what the rotation tracks).
-# (b) 47 of the 50 queries whose latest green row is r9.  Three r9
-# queries defer to lead the r13 window — q_literal_union,
-# q_notnull_filter, q_star_except — chosen because each is a pure
-# scan/projection reference query with its own pytest coverage and no
+# ``queries()``.  Round-13 rotation (VERDICT r12 "Next round" #1;
+# evidence ages recomputed from CORRECTNESS_r01..r12 at round start:
+# 3 rows with r9-age evidence, 50 with r10-age, 50 with r11-age, 50
+# with r12-age + the 3 rows-only-by-design catalog-state queries):
+# (a) the 3 queries deferred from the r12 window, whose latest full row
+# is r9 — now the oldest evidence in the catalog: q_literal_union,
+# q_notnull_filter, q_star_except (exactly the trio the r12 comment
+# committed to lead r13).
+# (b) 47 of the 50 queries whose latest green row is r10.  Three r10
+# queries defer to lead the r14 window — q_big_orders, q_promo_revenue,
+# q_small_qty_revenue — chosen because each is a stateless TPC-H-style
+# relational query (scan→agg→join) with its own pytest coverage and no
 # index/lifecycle state, so a one-round deferral carries the least risk.
-# 3 + 47 = 50.  r13 plan: those 3 deferred r9 rows + 47 of the 50
-# r10-age rows — steady-state cycle stays ~3 rounds for 153 oracled
+# 3 + 47 = 50.  r14 plan: those 3 deferred r10 rows + 47 of the 50
+# r11-age rows — steady-state cycle stays ~3 rounds for 153 oracled
 # queries.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) oldest evidence first — the 3 rows deferred from r11 (r8 age)
-    "q_safe_divide",
-    "q_slugify",
-    "q_width_bucket",
-    # (b) r9-stale evidence refresh — 47 of 50 (q_literal_union,
-    # q_notnull_filter, q_star_except lead r13)
-    "q_agg_cube",
-    "q_agg_rollup",
-    "q_array_ops",
-    "q_asof_join",
-    "q_cdc_snapshot",
-    "q_containment",
-    "q_contamination",
-    "q_cosine_topk_lsh",
-    "q_crossdb_datemath",
-    "q_dedup_components",
-    "q_dedup_exact",
-    "q_doc_chunks",
-    "q_domain_mix",
-    "q_embedding_neardup",
-    "q_embedding_quantize",
-    "q_epoch_shuffle",
-    "q_except",
-    "q_fk_orphans",
-    "q_frame_sample",
-    "q_group_by_all",
-    "q_incremental_append",
-    "q_incremental_merge",
-    "q_intersect",
-    "q_join_inner",
-    "q_join_range",
-    "q_join_semi",
-    "q_json_extract_agg",
-    "q_knn_join",
-    "q_lateral_json",
-    "q_multimodal_features",
-    "q_ngram_jaccard",
-    "q_pii_redact",
-    "q_pricing_summary",
-    "q_quality_quantile",
-    "q_range_bin_join",
-    "q_recent_events",
-    "q_ref_filter",
-    "q_repetition_signals",
-    "q_sequence_pack",
-    "q_session_window_native",
-    "q_shipping_priority",
-    "q_snapshot_scd2",
-    "q_source_scan",
-    "q_stratified_sample",
-    "q_table_rebuild",
-    "q_vocab_encode",
-    "q_window_rank",
+    # (a) oldest evidence first — the 3 rows deferred from r12 (r9 age)
+    "q_literal_union",
+    "q_notnull_filter",
+    "q_star_except",
+    # (b) r10-stale evidence refresh — 47 of 50 (q_big_orders,
+    # q_promo_revenue, q_small_qty_revenue lead r14)
+    "q_bigram_logprob",
+    "q_brand_revenue",
+    "q_char_entropy",
+    "q_clone_pointer",
+    "q_cohort_retention",
+    "q_corpus_pipeline",
+    "q_cosine_topk_ivf",
+    "q_customer_distribution",
+    "q_dedup_corpus",
+    "q_dedup_incremental",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_excess_shippers",
+    "q_exists_priority",
+    "q_filter_funnel",
+    "q_forecast_revenue",
+    "q_fuzzy_match",
+    "q_gap_fill",
+    "q_histogram_quantiles",
+    "q_idf_novelty",
+    "q_idle_customers",
+    "q_important_nations",
+    "q_local_volume",
+    "q_market_share",
+    "q_min_cost_supplier",
+    "q_model_contract",
+    "q_nation_profit",
+    "q_nation_volume",
+    "q_priority_shipments",
+    "q_repeated_spans",
+    "q_returned_customers",
+    "q_salted_join",
+    "q_supplier_variety",
+    "q_temperature_mix",
+    "q_token_budget_select",
+    "q_top_supplier",
+    "q_top_terms",
+    "q_train_test_split",
+    "q_two_phase_distinct",
+    "q_unigram_logprob",
+    "q_value_outliers",
+    "q_waiting_suppliers",
+    "q_window_cume_dist",
+    "q_window_first_last",
+    "q_window_range_frame",
+    "q_winsorize",
+    "q_zorder_layout",
 )
 
 
