@@ -210,7 +210,11 @@ def banding_geometry(num_hashes: int, bands: int, what: str = "num_hashes") -> i
         raise ValueError(
             f"bands={bands} does not divide {what}={num_hashes} — the "
             f"last {num_hashes % bands} hash(es) would be silently "
-            "ignored; pick a dividing band count"
+            "ignored; pick a dividing band count. If these values come "
+            "from an existing index's manifest (built before this check, "
+            "when the trailing hashes were silently dropped), the index "
+            "signatures were narrower than designed all along and the "
+            "only heal is a rebuild with a dividing geometry"
         )
     return num_hashes // bands
 

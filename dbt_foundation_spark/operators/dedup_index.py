@@ -201,17 +201,26 @@ def _conform_batch_vec(df: DataFrame, vec_col: str, path: str) -> DataFrame:
     flavor: an ``array<float>`` batch appended into an
     ``array<double>`` vectors store (or vice versa) mixes parquet
     schemas exactly like a drifted id. Numeric element drift CASTS to
-    the stored type; non-numeric drift raises."""
+    the stored type; non-numeric drift raises. The schema probe goes
+    through :func:`tombstones.guarded_sub_read` (r12 advice), not a
+    bare ``spark.read.parquet``: an all-torn (only zero-byte files) or
+    mid-compaction-parked ``vectors`` dir gets the named torn-file /
+    rename-window error and heal like every other sub-dataset read,
+    instead of a generic schema-inference PATH_NOT_FOUND."""
     from dbt_foundation_spark.operators.tombstones import (
         _has_data_file,
         _type_category,
+        guarded_sub_read,
     )
 
     spark = df.sparkSession
     vp = f"{path}/vectors"
     if not _has_data_file(spark, vp):
         return df
-    stored = spark.read.parquet(vp).schema["vec"].dataType.simpleString()
+    stored = (
+        guarded_sub_read(spark, path, "vectors")
+        .schema["vec"].dataType.simpleString()
+    )
     got = df.schema[vec_col].dataType.simpleString()
     if got == stored:
         return df

@@ -649,10 +649,15 @@ def _install_batch_output(
     stayed empty. The wipe is evidence-gated, not a bare existence
     probe (round-7 advice): it fires only on THIS STREAM'S FIRST batch
     (``batch_id == 0`` — a fresh checkpoint, exactly the rebuild
-    state) with ``out_path`` absent, and deletes only markers bearing
-    this stream's own ``ingest-<app-hash>-`` prefix. A second stream
-    sharing ``out_path`` can therefore never destroy the first's
-    markers, and a momentary ``out_path`` absence mid-life (e.g. a
+    state) with ``out_path`` absent, and sweeps EVERY ``ingest-*``
+    marker, not just this stream's app-hash prefix (r12 advice: the
+    app_id is the checkpoint generation, new per wipe, so an
+    own-prefix sweep could never reclaim a dead generation's markers
+    and they grew without bound). The wider sweep is still safe for
+    sibling streams: markers are written only after their data file
+    installs and installing creates ``out_path``, so a sibling with
+    any committed batch implies ``out_path`` exists and the heal never
+    fires; a momentary ``out_path`` absence mid-life (e.g. a
     contract-violating compaction swap under a running sink) wipes
     nothing at batch N>0. Both mechanisms still assume the standard
     maintenance-window discipline: compact ``out_path`` only while its
@@ -677,17 +682,23 @@ def _install_batch_output(
 
     # fresh-start self-heal — evidence-gated (see docstring): only on
     # this stream's FIRST batch (fresh checkpoint == the rebuild state)
-    # with out_path gone, and only OUR app-hash's markers. A sibling
-    # stream's markers and any batch-N>0 momentary absence are
-    # untouchable by construction.
+    # with out_path gone. The sweep covers ALL ingest-* markers, not
+    # just this stream's app-hash prefix (r12 advice): the app_id here
+    # is the checkpoint GENERATION, new per wipe, so an own-prefix
+    # sweep could never match the dead generation's markers and every
+    # wipe permanently orphaned them — unbounded growth nothing could
+    # reclaim. Any marker is definitionally stale when out_path is
+    # absent (markers are written only AFTER their data file installs,
+    # and installing creates out_path), so the wider sweep cannot
+    # destroy a live sibling stream's state: a sibling with any
+    # committed batch implies out_path exists and the heal never fires.
     if int(batch_id) == 0 and not fs.exists(
         jvm.org.apache.hadoop.fs.Path(out_path)
     ):
-        own_prefix = dest_name.rsplit("-", 1)[0] + "-"  # ingest-<hash>-
         mdir_p = jvm.org.apache.hadoop.fs.Path(marker_dir)
         if fs.exists(mdir_p):
             for st in fs.listStatus(mdir_p):
-                if st.getPath().getName().startswith(own_prefix):
+                if st.getPath().getName().startswith("ingest-"):
                     fs.delete(st.getPath(), False)
 
     if fs.exists(marker):
@@ -998,17 +1009,21 @@ def _ivf_ingest_sink(
     the SAME (app_id, batch id), the second call is a no-op (the first
     call's marker under ``{index_path}/ingest_log`` short-circuits it).
 
-    The marker key is ``(app_id, batch_id)``, not the bare batch id —
+    The marker key is ``(namespace, batch_id)``, not the bare batch id —
     Structured Streaming numbers batches PER CHECKPOINT from 0, so a
     second stream feeding the same index would otherwise collide with
     old markers and silently drop its batches (the Delta
-    ``txnAppId``/``txnVersion`` pattern). When ``app_id`` is None the
-    namespace is the checkpoint GENERATION (the persisted query id,
-    :func:`_checkpoint_generation`) — NOT the checkpoint path: a wiped
-    checkpoint restarts batch ids at 0, and a path-keyed namespace
-    matched the dead generation's markers so every replayed batch was
-    silently dropped from the index (r12 probe, verdict #6). Under a
-    fresh generation the whole source replays INTO the index once;
+    ``txnAppId``/``txnVersion`` pattern). The namespace ALWAYS embeds
+    the checkpoint GENERATION (the persisted query id,
+    :func:`_checkpoint_generation`): bare (``app_id`` None) it IS the
+    generation id; with an explicit ``app_id`` it is
+    ``<app_id>@<generation>`` — NOT the bare app_id and NOT the
+    checkpoint path, because any wipe-stable namespace resurrects the
+    r12 silent-skip: a wiped checkpoint restarts batch ids at 0, and a
+    stable namespace matched the dead generation's markers so every
+    replayed batch was silently dropped from the index (r12 probe,
+    verdict #6; r12 advice extended the fix to explicit app_ids). Under
+    a fresh generation the whole source replays INTO the index once;
     previously-appended rows land byte-identical and fold away at the
     next ``compact_index`` (the same fold that heals the append∥marker
     crash window), so the steady state stays exactly-once. The
@@ -1030,11 +1045,40 @@ def _ivf_ingest_sink(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        ns = app_id or state.get("generation")
-        if ns is None:
-            ns = state["generation"] = _checkpoint_generation(
-                spark, checkpoint_dir
-            )
+        # The marker namespace ALWAYS carries the checkpoint generation
+        # (r12 advice): with a bare explicit app_id the namespace was
+        # stable across checkpoint wipes, so a wiped checkpoint
+        # restarting batch ids at 0 matched the dead run's
+        # (app_id, 0..N) markers and silently skipped every replayed
+        # batch — the exact bug verdict r12 #6 fixed for the default
+        # path. An explicit app_id now namespaces WITHIN a generation
+        # (multi-stream separation) as `<app_id>@<generation>`; the
+        # generation id provides wipe-freshness for both forms.
+        # Migration caveat (same shape as the r12 path→generation
+        # move): markers written by pre-fix explicit-app_id runs are
+        # orphaned; a kept checkpoint never replays committed batches
+        # anyway (the checkpoint itself is the first line of
+        # exactly-once), so the orphan only matters on the one crashed
+        # batch straddling the upgrade — replay appends byte-identical
+        # rows that fold at the next compact_index.
+        if checkpoint_dir is None:
+            # direct-call mode (no streaming checkpoint): there is no
+            # generation to key by AND no wipe hazard — replays only
+            # come from checkpoints — so the bare app_id namespace is
+            # exactly right. Both None would mean no identity at all.
+            if app_id is None:
+                raise ValueError(
+                    "_ivf_ingest_sink needs app_id when called without "
+                    "a checkpoint_dir — markers must carry an identity"
+                )
+            ns = app_id
+        else:
+            gen = state.get("generation")
+            if gen is None:
+                gen = state["generation"] = _checkpoint_generation(
+                    spark, checkpoint_dir
+                )
+            ns = f"{app_id}@{gen}" if app_id else gen
         # __appending exclusion (r10 verdict #4; widened r11 review):
         # the claim covers the WHOLE trigger body — not just the
         # append + batch-marker write but also the ingest_log
@@ -1143,10 +1187,12 @@ def run_ivf_ingest(
     where a replayed batch is rejected by the admission gate itself —
     a bare IVF append is not self-cleaning, so the sink records each
     appended batch under ``{index_path}/ingest_log`` keyed by
-    ``(app_id, batch_id)`` — ``app_id`` defaults to the checkpoint
-    GENERATION (the persisted query id; r12: the checkpoint PATH was
-    the old default, and a wiped checkpoint restarting batch ids at 0
-    silently dropped every replayed batch against the dead
+    ``(namespace, batch_id)`` where the namespace is the checkpoint
+    GENERATION (the persisted query id), prefixed ``<app_id>@`` when an
+    explicit ``app_id`` is given (r12: the checkpoint PATH was the old
+    default and a bare explicit app_id kept the same hazard — any
+    wipe-stable namespace means a wiped checkpoint restarting batch ids
+    at 0 silently drops every replayed batch against the dead
     generation's markers), giving each stream its own marker namespace
     (batch ids are per-checkpoint, so a bare-id key would make a
     SECOND stream into the same index collide with old markers and

@@ -1660,14 +1660,18 @@ def test_ingest_markers_heal_on_fresh_start(spark, staging):
 
 
 def test_ingest_marker_wipe_scoped_and_first_batch_only(spark, staging):
-    """The fresh-start marker wipe is evidence-gated (r7 advice): it
-    fires only on the stream's FIRST batch (batch_id 0 — a fresh
-    checkpoint, the rebuild state) with out_path absent, and deletes
-    only THIS stream's ``ingest-<app-hash>-`` markers. A second stream
-    sharing out_path can never destroy the first's markers, and a
-    momentary out_path absence mid-life (a contract-violating
-    compaction swap under a running sink) wipes nothing — the surviving
-    marker keeps the replay exactly-once."""
+    """The fresh-start marker wipe is evidence-gated (r7 advice) and
+    generation-complete (r12 advice): it fires only on the stream's
+    FIRST batch (batch_id 0 — a fresh checkpoint, the rebuild state)
+    with out_path absent, and sweeps EVERY ``ingest-*`` marker — the
+    app-hash is the checkpoint GENERATION, new per wipe, so an
+    own-prefix sweep could never reclaim a dead generation's markers
+    and they grew without bound. Any marker is definitionally stale
+    when out_path is absent (markers land only AFTER their data file
+    installs, which creates out_path), so the wide sweep cannot hit a
+    live sibling. A momentary out_path absence mid-life (a
+    contract-violating compaction swap under a running sink) wipes
+    nothing — the surviving marker keeps the replay exactly-once."""
     import hashlib
 
     from dbt_foundation_spark.streaming.pipeline import _install_batch_output
@@ -1680,29 +1684,31 @@ def test_ingest_marker_wipe_scoped_and_first_batch_only(spark, staging):
 
     df = spark.createDataFrame([(1, "t")], ["doc_id", "text"])
 
-    # rebuild state: out_path absent, stale own marker + a sibling
-    # stream's marker present
+    # rebuild state: out_path absent, stale own marker + a dead
+    # generation's marker present (pre-wipe app-hash — unreachable by
+    # an own-prefix sweep, the r12-advice orphan)
     mdir.mkdir(parents=True)
     stale_own = mdir / f"ingest-{own}-0.parquet.done"
-    foreign = mdir / "ingest-feedfacecafe-0.parquet.done"
+    dead_gen = mdir / "ingest-feedfacecafe-0.parquet.done"
     stale_own.touch()
-    foreign.touch()
+    dead_gen.touch()
     _install_batch_output(df, out, app, 0)
-    # own stale marker was wiped, so batch 0 INSTALLED (not skipped)...
+    # both stale markers were wiped, so batch 0 INSTALLED (not skipped)...
     assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [1]
-    assert stale_own.exists()  # ...and re-written after the install
-    assert foreign.exists()    # the sibling stream's marker survived
+    assert stale_own.exists()      # ...and re-written after the install
+    assert not dead_gen.exists()   # the dead generation's orphan reclaimed
 
     # mid-life momentary absence: batch 1 committed, then out_path
     # vanishes (swap window). The batch-1 replay must SKIP (marker
-    # honored — wiping it would duplicate the batch), and no marker
-    # of either stream is deleted.
+    # honored — wiping it would duplicate the batch), and NO marker is
+    # deleted at batch N>0, however stale-looking.
     _install_batch_output(df, out, app, 1)
     marker_1 = mdir / f"ingest-{own}-1.parquet.done"
     assert marker_1.exists()
+    dead_gen.touch()  # reappear a foreign-generation marker mid-life
     shutil.rmtree(out)
     _install_batch_output(df, out, app, 1)  # replay during the window
-    assert marker_1.exists() and foreign.exists() and stale_own.exists()
+    assert marker_1.exists() and dead_gen.exists() and stale_own.exists()
     assert not Path(out).exists()  # skipped: no reinstall, no duplicate
     shutil.rmtree(mdir, ignore_errors=True)
 
@@ -2147,6 +2153,90 @@ def test_checkpoint_loss_recovery_ivf_ingest(spark, staging):
     assert sorted(ids) == sorted(set(ids))
     assert {100, 200} <= set(ids)
     for p in ("ckl_ivf", "ckl_ivf_stream"):
+        shutil.rmtree(root / p, ignore_errors=True)
+
+
+def test_checkpoint_loss_recovery_ivf_ingest_explicit_app_id(spark, staging):
+    """The explicit-app_id flank of the checkpoint-loss contract (r12
+    advice, medium): a bare explicit app_id was stable across
+    checkpoint wipes, so a wiped checkpoint restarting batch ids at 0
+    matched the dead run's (app_id, 0..N) ingest_log markers and every
+    replayed batch was silently skipped — the exact bug the r12 fix
+    closed for the default namespace. The namespace is now
+    ``<app_id>@<generation>``: after a wipe the new generation's keys
+    can never match the dead run's, so new vectors append (and the
+    replayed old rows fold at compact_index, same as the default
+    path). Direct-call mode (no checkpoint) keeps the bare-app_id
+    namespace — no checkpoint means no replay hazard — and refuses
+    to run with neither identity."""
+    import shutil
+    import time as _time
+
+    import pytest
+
+    from dbt_foundation_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_id_col,
+    )
+    from dbt_foundation_spark.streaming.pipeline import (
+        _ivf_ingest_sink,
+        run_ivf_ingest,
+    )
+
+    root = staging["root"]
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, 0.5]) for i in range(12)],
+        ["vec_id", "embedding"],
+    )
+    idx = str(root / "ckl_ivf_app")
+    build_ivf_index(corpus, "vec_id", "embedding", idx, n_lists=2)
+    stream_dir = root / "ckl_ivf_app_stream"
+    ckpt = _ckpt(staging)
+
+    def vecs(rows):
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def stream():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .parquet(str(stream_dir))
+        )
+
+    def live_ids():
+        lists = spark.read.parquet(f"{idx}/lists")
+        return [r[0] for r in lists.select(ivf_id_col(lists.schema)).collect()]
+
+    vecs([(100, [9.0, 9.0, 9.0])]).coalesce(1).write.mode("append").parquet(
+        str(stream_dir)
+    )
+    run_ivf_ingest(stream(), "vec_id", "embedding", idx, ckpt, app_id="etl-a")
+    assert 100 in set(live_ids())
+    # the marker namespace embeds the generation, not the bare app_id
+    logged = {
+        r["app_id"]
+        for r in spark.read.parquet(f"{idx}/ingest_log").collect()
+    }
+    assert all(ns.startswith("etl-a@") for ns in logged), logged
+
+    shutil.rmtree(ckpt)
+    _time.sleep(1.05)
+    vecs([(200, [8.0, 8.0, 8.0])]).coalesce(1).write.mode("append").parquet(
+        str(stream_dir)
+    )
+    run_ivf_ingest(stream(), "vec_id", "embedding", idx, ckpt, app_id="etl-a")
+    ids = live_ids()
+    assert 200 in set(ids)  # pre-fix: silently never appended
+    assert 100 in set(ids)
+
+    # direct-call mode: no checkpoint → bare app_id namespace works,
+    # no identity at all refuses loudly
+    sink = _ivf_ingest_sink(idx, "vec_id", "embedding", "manual-b")
+    sink(vecs([(300, [7.0, 7.0, 7.0])]), 0)
+    assert 300 in set(live_ids())
+    none_sink = _ivf_ingest_sink(idx, "vec_id", "embedding", None)
+    with pytest.raises(ValueError, match="app_id"):
+        none_sink(vecs([(301, [6.0, 6.0, 6.0])]), 0)
+    for p in ("ckl_ivf_app", "ckl_ivf_app_stream"):
         shutil.rmtree(root / p, ignore_errors=True)
 
 
