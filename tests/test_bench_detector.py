@@ -170,3 +170,102 @@ def test_warm_verify_unverified_without_samples():
         warm_speed=1.0,
     )
     assert verdicts[0]["verdict"] == "unverified"
+
+
+def test_warm_verify_slower_downgrades_to_contended_when_sentinel_moved():
+    # r12 verdict #3: the r12 driver run labeled the untouched
+    # q_pricing_summary "slower" while the whole warm phase ran 1.0-1.8x
+    # hot (a load spike AFTER the run-start calibration). With the
+    # per-query sentinel also >15% over the run-start calib, the verdict
+    # must read "contended", keep the ratio, and carry the evidence.
+    verdicts = bench._warm_verify(
+        ["q_pricing"],
+        timings={"q_pricing": 2.33},
+        warm={"q_pricing": 2.1},
+        prev_warm={"q_pricing": 1.45},
+        prev_cold={"q_pricing": 1.58},
+        speed=1.0,
+        warm_speed=1.0,
+        sentinel={"q_pricing": 1.4},
+        probe_ref=1.0,
+    )
+    v = verdicts[0]
+    assert v["verdict"] == "contended"
+    assert v["sentinel_ratio"] == 1.4
+    assert v["warm_ratio"] == round(2.1 / 1.45, 3)
+
+
+def test_warm_verify_slower_stands_when_sentinel_flat():
+    # a genuinely slower query on a quiet machine: the sentinel sat on
+    # the run-start calibration, so "slower" must NOT be discounted
+    verdicts = bench._warm_verify(
+        ["q_real"],
+        timings={"q_real": 3.0},
+        warm={"q_real": 2.8},
+        prev_warm={"q_real": 2.0},
+        prev_cold={"q_real": 2.1},
+        speed=1.0,
+        warm_speed=1.0,
+        sentinel={"q_real": 1.02},
+        probe_ref=1.0,
+    )
+    v = verdicts[0]
+    assert v["verdict"] == "slower"
+    assert v["sentinel_ratio"] == 1.02
+
+
+def test_warm_verify_faster_and_flat_never_downgrade():
+    # a moved sentinel cannot fake "faster" or "flat" — those verdicts
+    # pass through untouched (with the evidence still attached)
+    verdicts = bench._warm_verify(
+        ["q_fast", "q_flat"],
+        timings={"q_fast": 0.9, "q_flat": 2.0},
+        warm={"q_fast": 0.8, "q_flat": 1.98},
+        prev_warm={"q_fast": 1.2, "q_flat": 1.96},
+        prev_cold={"q_fast": 1.3, "q_flat": 1.95},
+        speed=1.0,
+        warm_speed=1.0,
+        sentinel={"q_fast": 1.5, "q_flat": 1.5},
+        probe_ref=1.0,
+    )
+    by = {v["query"]: v for v in verdicts}
+    assert by["q_fast"]["verdict"] == "faster"
+    assert by["q_flat"]["verdict"] == "flat"
+    assert by["q_fast"]["sentinel_ratio"] == 1.5
+
+
+def test_warm_verify_no_sentinel_keeps_old_contract():
+    # sentinel-less calls (older artifacts, unit fixtures) behave
+    # exactly as before: "slower" stands, no sentinel_ratio key
+    verdicts = bench._warm_verify(
+        ["q_slow"],
+        timings={"q_slow": 3.0},
+        warm={"q_slow": 2.8},
+        prev_warm={"q_slow": 2.0},
+        prev_cold={"q_slow": 2.1},
+        speed=1.0,
+        warm_speed=1.0,
+    )
+    v = verdicts[0]
+    assert v["verdict"] == "slower"
+    assert "sentinel_ratio" not in v
+
+
+def test_warm_verify_sentinel_threshold_clears_scheduler_jitter():
+    # min-of-2 probes right after query activity still read up to
+    # ~1.3x the run's converged reference on an IDLE machine (JIT +
+    # scheduler settle, measured r13) — a 1.28 sentinel must NOT
+    # discount a real slower verdict; only >1.3 does.
+    verdicts = bench._warm_verify(
+        ["q_edge"],
+        timings={"q_edge": 3.0},
+        warm={"q_edge": 2.8},
+        prev_warm={"q_edge": 2.0},
+        prev_cold={"q_edge": 2.1},
+        speed=1.0,
+        warm_speed=1.0,
+        sentinel={"q_edge": 1.28},
+        probe_ref=1.0,
+    )
+    assert verdicts[0]["verdict"] == "slower"
+    assert verdicts[0]["sentinel_ratio"] == 1.28
