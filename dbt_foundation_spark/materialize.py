@@ -30,6 +30,7 @@ SNAPSHOT_META = ("dbt_scd_id", "dbt_valid_from", "dbt_valid_to")
 def _drop_rows_loudly(
     df: DataFrame, cond, node_name: str, what: str,
     probe_cols: list[str] | None = None,
+    accounted: bool = True,
 ) -> DataFrame:
     """Exclude contract-violating rows (NULL unique keys, NULL event
     times) with ACCOUNTING: the excluded count is measured and logged
@@ -38,19 +39,38 @@ def _drop_rows_loudly(
     advice). Pre-fix these filters shrank the model silently: an
     upstream bug emitting many NULL keys looked like a successful run.
 
-    Cost (honest version, r12 review): the count RE-EXECUTES the
-    upstream model plan once — IsNull pushdown prunes the final scan,
-    not upstream joins/aggregations. ``probe_cols`` prunes that second
-    execution to the condition's columns (Catalyst column pruning
-    trims every upstream projection to what the keys need). The write
-    path already executes the model 2-3× (the merge plan reads the
-    batch twice); the alternatives each fail worse: ``observe()``
-    metrics double-count when the batch subtree appears twice in one
-    plan (exactly the merge shape), and pinning the batch materializes
-    day-scale data per run. Streaming-bridge batches arrive pinned, so
-    there the pass is batch-sized regardless."""
+    Cost (honest version, r12 review; measured r13): the count
+    RE-EXECUTES the upstream model plan once — IsNull pushdown prunes
+    the final scan, not upstream joins/aggregations. ``probe_cols``
+    prunes that second execution to the condition's columns (Catalyst
+    column pruning trims every upstream projection to what the keys
+    need). Measured on idle at sf0.1 (r13 adjudication, SCALING.md):
+    ~9% of q_snapshot_scd2's warm wall, unmeasurable on
+    q_incremental_microbatch — the accepted price of never shrinking a
+    model silently. The write path already executes the model 2-3×
+    (the merge plan reads the batch twice); the alternatives each fail
+    worse: ``observe()`` metrics double-count when the batch subtree
+    appears twice in one plan (exactly the merge shape), and pinning
+    the batch materializes day-scale data per run. Streaming-bridge
+    batches arrive pinned, so there the pass is batch-sized regardless.
+
+    ``accounted=False`` (node config ``count_excluded_rows: false``,
+    r12 advice) skips the count for hot incremental models whose
+    upstream plan is an expensive join/agg: the contract filter still
+    applies, but exclusions are no longer counted — the node opts back
+    into silent shrinkage knowingly, and the opt-out itself is logged
+    once per run so a reader of the logs knows counting was off, not
+    zero."""
     import logging
 
+    if not accounted:
+        logging.getLogger("dbt_foundation_spark").info(
+            "%s: count_excluded_rows=false — %s row(s) are excluded "
+            "WITHOUT accounting on this node",
+            node_name,
+            what,
+        )
+        return df.filter(~cond)
     probe = df.select(*probe_cols) if probe_cols else df
     dropped = probe.filter(cond).count()
     if dropped:
@@ -317,6 +337,7 @@ def _microbatch(project: Project, node: Node, df: DataFrame) -> None:
         df, ts.isNull(), node.name,
         f"NULL/uncastable {event_time} event-time",
         probe_cols=[event_time],
+        accounted=cfg.get("count_excluded_rows", True),
     )
     batch_of = F.date_format(F.date_trunc(unit, ts), _BATCH_FMT[unit])
     part_cols = (*node.config.partition_by, BATCH_COL)
@@ -434,6 +455,7 @@ def _incremental(project: Project, node: Node, df: DataFrame) -> None:
             df = _drop_rows_loudly(
                 df, _any_null(keys), node.name, "NULL unique-key",
                 probe_cols=keys,
+                accounted=node.config.extra.get("count_excluded_rows", True),
             )
     if not spark.catalog.tableExists(rel):
         _clear_stale_location(project, rel)
@@ -511,8 +533,10 @@ def _merged_rows(project: Project, node: Node, df: DataFrame, target) -> DataFra
     # route NULL-key rows explicitly upstream if they must be kept
     # (e.g. an append-strategy dead-letter model). Counted + warned,
     # never silent (r12 advice).
-    df = _drop_rows_loudly(df, _any_null(keys), node.name,
-                            "NULL unique-key", probe_cols=keys)
+    df = _drop_rows_loudly(
+        df, _any_null(keys), node.name, "NULL unique-key", probe_cols=keys,
+        accounted=node.config.extra.get("count_excluded_rows", True),
+    )
     existing = _align(spark.table(rel), target)
     preds = node.config.incremental_predicates
     if preds:
@@ -556,8 +580,10 @@ def _snapshot(project: Project, node: Node, df: DataFrame) -> None:
     # builds on. No stable identity means no history to track (the
     # merge/microbatch/sampler family rule). Counted + warned, never
     # silent (r12 advice).
-    df = _drop_rows_loudly(df, _any_null(keys), node.name,
-                            "NULL unique-key", probe_cols=keys)
+    df = _drop_rows_loudly(
+        df, _any_null(keys), node.name, "NULL unique-key", probe_cols=keys,
+        accounted=cfg.get("count_excluded_rows", True),
+    )
 
     if strategy == "timestamp":
         valid_from = F.col(updated_at).cast("timestamp")

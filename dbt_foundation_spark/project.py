@@ -258,6 +258,7 @@ class Project:
         package: str | None = None,
         version: int | None = None,
         latest_version: bool = False,
+        count_excluded_rows: bool = True,
     ):
         """Register a model: ``@project.model`` on ``(ctx) -> DataFrame``,
         or ``project.model(sql_text, name=...)`` for a SQL-string model.
@@ -309,6 +310,13 @@ class Project:
                 cfg.extra["description"] = description
             if zorder_by:
                 cfg.extra["zorder_by"] = tuple(zorder_by)
+            if not count_excluded_rows:
+                # r12 advice: node-level opt-out of the exclusion
+                # accounting pass for hot incremental models whose
+                # upstream plan is an expensive join/agg
+                # (materialize._drop_rows_loudly) — the contract
+                # filter still applies, only the count job is skipped
+                cfg.extra["count_excluded_rows"] = False
             if event_time is not None:
                 # dbt 1.9 microbatch configs (materialize._microbatch)
                 cfg.extra.update(
@@ -370,6 +378,7 @@ class Project:
         check_cols: tuple[str, ...] | str = (),
         schema: str | None = None,
         invalidate_hard_deletes: bool = False,
+        count_excluded_rows: bool = True,
     ):
         """SCD2 snapshot (snapshots/ scaffolding, dbt_project.yml:19)."""
 
@@ -383,6 +392,8 @@ class Project:
                 check_cols=() if check_cols == "all" else tuple(check_cols),
                 invalidate_hard_deletes=invalidate_hard_deletes,
             )
+            if not count_excluded_rows:
+                cfg.extra["count_excluded_rows"] = False
             self.manifest.add(
                 Node(
                     name=name or obj.__name__,

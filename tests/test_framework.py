@@ -1916,3 +1916,47 @@ def test_null_key_and_event_time_exclusions_are_accounted(
         assert all(r.status == "success" for r in p2.run())
     assert not [r for r in caplog.records
                 if "excluded" in r.getMessage()]
+
+
+def test_count_excluded_rows_opt_out_skips_count_not_filter(
+    project, spark, caplog
+):
+    """``count_excluded_rows=False`` (r12 advice, the accounting knob):
+    a hot incremental model whose upstream plan is an expensive
+    join/agg can opt out of the exclusion COUNT — the extra pass
+    _drop_rows_loudly pays to re-execute the model plan — without
+    losing the contract FILTER itself. Contract: NULL-key rows are
+    still excluded from the output; no "excluded N rows" warning is
+    emitted (counting is off, not zero); an INFO line records that the
+    node runs unaccounted so the log never reads as clean-by-evidence."""
+    import logging as _logging
+
+    state = {}
+
+    def build(p, rows):
+        state["b"] = spark.createDataFrame(rows, "id int, v string")
+
+        @p.model(
+            name="quiet_merge", materialized="incremental",
+            incremental_strategy="merge", unique_key="id",
+            count_excluded_rows=False,
+        )
+        def quiet_merge(ctx):
+            return state["b"]
+
+        return p
+
+    p = build(_reattach(project), [(1, "a"), (None, "x"), (None, "y")])
+    with caplog.at_level(_logging.INFO, logger="dbt_foundation_spark"):
+        assert all(r.status == "success" for r in p.run())
+    # the filter still applies — no NULL-key row reached the table
+    out = spark.table(
+        p.relation_name(p.manifest["quiet_merge"])
+    ).collect()
+    assert [r["id"] for r in out] == [1]
+    # no count warning, but the opt-out itself is on the record
+    assert not [r for r in caplog.records
+                if "excluded" in r.getMessage()
+                and r.levelno >= _logging.WARNING]
+    assert [r for r in caplog.records
+            if "count_excluded_rows=false" in r.getMessage()]
