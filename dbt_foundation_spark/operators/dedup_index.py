@@ -310,9 +310,56 @@ def _read_manifest(spark: SparkSession, path: str) -> dict | None:
             "disable parameter validation; re-run the build (which "
             "rewrites the manifest) or restore the file"
         )
-    row = spark.read.json(mpath).first()
-    m = row.asDict() if row else None
-    if m is None or "flavor" not in m:
+    # Driver-side read, not spark.read.json (r13 manifest-corruption
+    # probe): the manifest is ONE tiny JSON row, and the Spark reader
+    # had two bad fates here — garbage/truncated bytes surfaced as the
+    # generic QUERY_ONLY_CORRUPT_RECORD_COLUMN AnalysisException
+    # (naming neither the file nor the heal), and a MULTI-ROW manifest
+    # (a torn or duplicated write) was SILENTLY accepted because
+    # .first() picks one row nondeterministically — a second
+    # conflicting row could flip signing parameters per read, the
+    # footer-sampling bug's control-plane twin. Reading the part files
+    # through the Hadoop FS keeps any store Spark can reach, costs no
+    # job, and lets every failure name the file and the heal.
+    import json as _json
+
+    from dbt_foundation_spark.operators.tombstones import iter_part_files
+
+    jvm = spark._jvm
+    rows: list[tuple[str, str]] = []  # (file name, line)
+    for part in iter_part_files(mfs, mp):
+        stream = mfs.open(part)
+        try:
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            while True:
+                line = reader.readLine()
+                if line is None:
+                    break
+                if line.strip():
+                    rows.append((part.getName(), line))
+        finally:
+            stream.close()
+    if len(rows) != 1:
+        raise ValueError(
+            f"{mpath}: manifest holds {len(rows)} rows, expected exactly "
+            "1 — a torn or duplicated manifest write; reading one row "
+            "nondeterministically could silently change the index's "
+            "signing parameters per query. Rebuild the index (which "
+            "rewrites the manifest) or restore the single-row file"
+        )
+    fname, line = rows[0]
+    try:
+        m = _json.loads(line)
+    except ValueError:
+        raise ValueError(
+            f"{mpath}/{fname}: manifest bytes are not valid JSON — a "
+            "torn write or store corruption; rebuild the index (which "
+            "rewrites the manifest) or restore the file. Refusing to "
+            "operate unvalidated"
+        ) from None
+    if not isinstance(m, dict) or "flavor" not in m:
         raise ValueError(
             f"{path}/manifest exists but is corrupt (empty or no 'flavor' "
             "field) — rebuild the index or restore the manifest; refusing "

@@ -2156,6 +2156,41 @@ def test_checkpoint_loss_recovery_ivf_ingest(spark, staging):
         shutil.rmtree(root / p, ignore_errors=True)
 
 
+def test_checkpoint_metadata_corruption_fails_loud(spark, tmp_path):
+    """Control-plane corruption contract for the OTHER metadata file
+    (r12 verdict #4c): ``{checkpoint}/metadata`` holds the streaming
+    query id that namespaces the exactly-once ingest markers. A wrong
+    or guessed namespace silently skips or duplicates batches, so
+    _checkpoint_generation must fail LOUD — naming the file — on every
+    unreadable shape, never fall back to a guess: absent file, empty
+    file, non-JSON bytes, JSON without an id, JSON with a null id."""
+    import pytest
+
+    from dbt_foundation_spark.streaming.pipeline import _checkpoint_generation
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+
+    # absent metadata: the query never started — refuse, don't guess
+    with pytest.raises(RuntimeError, match="metadata"):
+        _checkpoint_generation(spark, str(ckpt))
+
+    meta = ckpt / "metadata"
+    for shape, content in [
+        ("empty", ""),
+        ("garbage", "NOT JSON {{{"),
+        ("json-no-id", '{"version": 1}'),
+        ("json-null-id", '{"id": null}'),
+    ]:
+        meta.write_text(content)
+        with pytest.raises(RuntimeError, match="metadata"):
+            _checkpoint_generation(spark, str(ckpt)), shape
+
+    # the real shape round-trips
+    meta.write_text('{"id": "abc-123"}')
+    assert _checkpoint_generation(spark, str(ckpt)) == "abc-123"
+
+
 def test_checkpoint_loss_recovery_ivf_ingest_explicit_app_id(spark, staging):
     """The explicit-app_id flank of the checkpoint-loss contract (r12
     advice, medium): a bare explicit app_id was stable across

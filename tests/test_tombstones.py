@@ -1159,6 +1159,95 @@ def test_read_manifest_empty_dir_raises(spark, tmp_path):
         _read_manifest(spark, path)
 
 
+def test_manifest_corruption_fails_loud_and_named(spark, tmp_path):
+    """Control-plane corruption contract (r13 probe, r12 verdict #4):
+    the manifest decides how queries SIGN, so no corruption of its
+    bytes may silently change or disable validation. Probed live
+    against all 5 flavors before the fix; pinned here on one (the
+    read path is shared):
+
+    - garbage / truncated JSON raised Spark's generic
+      QUERY_ONLY_CORRUPT_RECORD_COLUMN (naming neither the file nor
+      the heal) — now a ValueError naming the part file and the
+      rebuild/restore heal;
+    - a MULTI-ROW manifest (torn or duplicated write) was SILENTLY
+      accepted — ``.first()`` picked one row nondeterministically, so
+      a second conflicting row could flip signing params per read (the
+      footer-sampling bug's control-plane twin) — now refused naming
+      the row count;
+    - a v1 legacy manifest (pre-cap keys absent) stays on the
+      DOCUMENTED trust-the-caller path: absent keys validate nothing,
+      present keys still validate."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    from dbt_foundation_spark.operators.dedup_index import (
+        _read_manifest,
+        build_simhash_index,
+        dedup_against_simhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "sh")
+    build_simhash_index(corpus, "doc_id", "text", path)
+    parts = sorted(
+        set(
+            _glob.glob(f"{path}/manifest/part-*")
+            + _glob.glob(f"{path}/manifest/*.json")
+        )
+    )
+    assert parts, "manifest part file expected"
+    orig = open(parts[0]).read()
+
+    def rewrite(content: str) -> None:
+        # drop local-FS CRC sidecars: a real object store serves the
+        # corrupted bytes, it does not checksum-reject them
+        for crc in _glob.glob(f"{path}/manifest/.*.crc"):
+            _os.remove(crc)
+        open(parts[0], "w").write(content)
+
+    def q():
+        return dedup_against_simhash_index(
+            spark, corpus, "doc_id", "text", path
+        ).count()
+
+    rewrite("NOT JSON {{{")
+    with pytest.raises(ValueError, match="not valid JSON"):
+        q()
+    rewrite(orig[: len(orig) // 2])
+    with pytest.raises(ValueError, match="not valid JSON"):
+        q()
+    rewrite(orig.rstrip("\n") + "\n" + _json.dumps({"flavor": "evil"}) + "\n")
+    with pytest.raises(ValueError, match="2 rows, expected exactly 1"):
+        q()
+    # a JSON scalar is not a manifest row either
+    rewrite('"just a string"')
+    with pytest.raises(ValueError, match="flavor"):
+        q()
+    # v1 legacy (pre-cap): absent keys -> trust the caller, documented
+    legacy = {
+        k: v
+        for k, v in _json.loads(orig).items()
+        if k not in ("max_tokens", "manifest_version")
+    }
+    rewrite(_json.dumps(legacy))
+    assert q() == 1  # the doc matches itself; validation still runs
+    m = _read_manifest(spark, path)
+    assert m["flavor"] == "simhash" and "max_tokens" not in m
+    # present keys still validate on the legacy manifest
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        dedup_against_simhash_index(
+            spark, corpus, "doc_id", "text", path, portable=True
+        )
+    # restore: byte-identical round trip
+    rewrite(orig)
+    assert q() == 1
+
+
 def test_hidden_scratch_is_never_data_and_never_deleted(spark, tmp_path):
     """Files under hidden directories — the ``_temporary/...`` scratch
     a crashed or in-flight FileOutputCommitter write leaves — are NOT
