@@ -271,6 +271,9 @@ def _write_manifest(df: DataFrame, path: str, params: dict) -> None:
 
 
 def _read_manifest(spark: SparkSession, path: str) -> dict | None:
+    from dbt_foundation_spark.operators.tombstones import assert_literal_path
+
+    assert_literal_path(path, "index path")
     # absent-DIRECTORY probe via the FileSystem, not a read + caught
     # AnalysisException: a pre-manifest index — trust the caller, as
     # before manifests existed. (fs probes, not try/except — Spark
@@ -378,6 +381,9 @@ def _check_manifest(
     Returns the BUILD values (callers use them where the index layout,
     not the query, dictates the computation). Missing manifest →
     caller values returned untouched."""
+    from dbt_foundation_spark.operators.tombstones import assert_literal_path
+
+    assert_literal_path(path, "index path")
     return _validate_params(path, _read_manifest(spark, path), caller, ranges)
 
 
@@ -487,6 +493,9 @@ def build_minhash_index(
     ``max_tokens`` (the giant-document cap) is recorded in the manifest
     and enforced on every append/query: it defines the signature space
     like num_hashes/shingle_len do."""
+    from dbt_foundation_spark.operators.tombstones import assert_literal_path
+
+    assert_literal_path(path, "index path")
     sig = minhash_signature(
         df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
     )
@@ -684,6 +693,9 @@ def build_simhash_index(
     a chunk explode written clustered on the (chunk, ck) join key.
     ``max_hamming`` fixes the chunking — queries may use the same or a
     TIGHTER radius (the manifest enforces caller ≤ build)."""
+    from dbt_foundation_spark.operators.tombstones import assert_literal_path
+
+    assert_literal_path(path, "index path")
     _simhash_chunks(
         df, id_col, text_col, max_hamming, portable, max_tokens
     ).repartition(index_partitions, "chunk", "ck").write.mode(
@@ -814,6 +826,9 @@ def build_containment_index(
     corpus-side prefix postings at the BUILD threshold (query with the
     same or a higher threshold — a longer prefix than required only adds
     candidates, never loses one), and the hash-set verify payload."""
+    from dbt_foundation_spark.operators.tombstones import assert_literal_path
+
+    assert_literal_path(path, "index path")
     hs = hashed_shingle_sets(df, id_col, text_col, shingle_len, max_tokens)
     post, pref = containment_postings(hs, threshold)
     post.select("id", "n", "s").repartition(index_partitions, "s").write.mode(
@@ -1067,6 +1082,9 @@ def build_embedding_index(
     threshold is at least the designed recall), never a lower one.
     ``dim`` is sniffed from the first row when omitted and recorded, so
     queries and appends never need to re-sniff."""
+    from dbt_foundation_spark.operators.tombstones import assert_literal_path
+
+    assert_literal_path(path, "index path")
     banding_geometry(m, bands, "m")
     # degenerate-identity gate BEFORE the dim sniff: same contract as
     # every other flavor (an id-less stored row could never be paired,

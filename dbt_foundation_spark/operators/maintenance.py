@@ -313,6 +313,9 @@ def compact_parquet_path(
     dataset parked at ``{path}__compact_old`` and nothing at ``path`` —
     the next invocation detects that state and restores it before doing
     anything else, so re-running compaction is always the fix."""
+    from dbt_foundation_spark.operators.tombstones import assert_literal_path
+
+    assert_literal_path(path, "dataset path")
     base = path.rstrip("/")
     tmp, old = f"{base}__compact_tmp", f"{base}__compact_old"
     jvm = spark._jvm
@@ -453,6 +456,9 @@ def compact_index(
     single-maintainer assumption every lease-less marker scheme
     carries (a create-exclusive run-claim would brick the crashed-fold
     re-run path, the more common event by far)."""
+    from dbt_foundation_spark.operators.tombstones import assert_literal_path
+
+    assert_literal_path(index_path, "index path")
     from dbt_foundation_spark.operators.dedup_index import (
         INDEX_DISTINCT_ON_COMPACT,
         INDEX_LAYOUT,
@@ -691,6 +697,9 @@ def index_stats(spark: SparkSession, index_path: str) -> dict:
     append's marker is deleted manually per its raise message before
     the re-run), so a persistent entry is a "re-run maintenance"
     signal, not damage."""
+    from dbt_foundation_spark.operators.tombstones import assert_literal_path
+
+    assert_literal_path(index_path, "index path")
     from dbt_foundation_spark.operators.dedup_index import (
         INDEX_LAYOUT,
         _read_manifest,

@@ -572,6 +572,9 @@ def build_ivf_index(
     cores when the query side, not the corpus, bounds parallelism);
     :func:`ivf_sizing_advice` reports when a pinned choice has drifted
     >4× from the rule as the corpus grows through appends."""
+    from dbt_foundation_spark.operators.tombstones import assert_literal_path
+
+    assert_literal_path(path, "index path")
     if n_lists is None:
         n_lists = recommended_n_lists(df.count())
     assigned, centroids = ivf_assignments(
@@ -1008,6 +1011,9 @@ def knn_join_ivf(
     corpus/append side, where a dirty row quarantines, a mis-sized
     QUERY is a caller/config error that would probe meaningless lists
     and return NULL similarities as "neighbors"."""
+    from dbt_foundation_spark.operators.tombstones import assert_literal_path
+
+    assert_literal_path(path, "index path")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if num_salts < 1:
@@ -1107,6 +1113,9 @@ def search_ivf_index(
     pruned `PartitionFilters`, and the test pins that the scan touches
     n_probe/n_lists of the files. Same ranking contract as
     :func:`cosine_topk` (desc cosine, id tiebreak)."""
+    from dbt_foundation_spark.operators.tombstones import assert_literal_path
+
+    assert_literal_path(path, "index path")
     centroids, dim, _ = _load_ivf(spark, path)
     if len(query_vec) != dim:
         raise ValueError(

@@ -64,6 +64,38 @@ def _hadoop(spark: SparkSession, path: str):
     return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
+_GLOB_METACHARS = frozenset("*?[]{}")
+
+
+def assert_literal_path(path: str, what: str = "dataset path") -> str:
+    """Refuse paths carrying Hadoop glob metacharacters (r13 probe —
+    the write-literal/read-glob asymmetry). ``DataFrameWriter`` and
+    the FileSystem API treat a path LITERALLY, but ``spark.read`` and
+    ``globStatus`` expand it as a GLOB, so one string names two
+    different locations. Probed live: reading ``run[2024]/data``
+    silently UNIONED three wrong sibling directories (``run2``,
+    ``run0``, ``run4``); ``batch_{1}`` silently read the sibling
+    ``batch_1`` instead of itself; an index built at ``idx[v1]``
+    wrote its datasets literally and then every query missed them
+    with PATH_NOT_FOUND. Dated/versioned directory names with
+    brackets are common operational shapes, so this is a named
+    refusal at every index/output boundary, not a footnote: rename
+    the directory (or build the index at a metacharacter-free path).
+    ``=`` stays legal — hive partition dirs need it; so do spaces
+    and unicode, which neither layer interprets."""
+    bad = sorted(set(path) & _GLOB_METACHARS)
+    if bad:
+        raise ValueError(
+            f"{what} {path!r} contains glob metacharacter(s) "
+            f"{''.join(bad)!r}: Spark writes treat the path literally "
+            "but reads expand it as a glob, so reads can silently "
+            "union sibling directories, read a different one entirely, "
+            "or miss the written data (probed r13). Use a path without "
+            "*?[]{} — rename the directory if it already exists"
+        )
+    return path
+
+
 def _hidden_component(seg: str) -> bool:
     """Spark's own listing rule (HadoopFSUtils.shouldFilterOutPathName),
     clause for clause: a path component is filtered when it starts with
@@ -225,6 +257,7 @@ def read_tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
     is distinct), because takedown data may genuinely be lost and no
     automatic path should paper over that. index_stats reports the
     same state without raising (describe tools describe damage)."""
+    assert_literal_path(index_path, "index path")
     # ONE directory walk serves both the file list and the torn probe
     # (r12 review: a second recursive listing per query-path call is
     # wasted LIST RPCs on object stores)
@@ -406,6 +439,7 @@ def retract_from_index(
 
     ``ids``: a single-column DataFrame (any id type matching the
     index's) or a plain Python iterable of id values."""
+    assert_literal_path(index_path, "index path")
     base = index_path.rstrip("/")
     p, fs = _hadoop(spark, base)
     if not fs.exists(p):
@@ -466,6 +500,7 @@ def guarded_sub_read(spark: SparkSession, index_path: str, sub: str) -> DataFram
     error naming the file — heal for both: verify the file is crash
     residue (not lost data), then delete it or let compact_index's
     rewrite fold it away (it warns per torn file)."""
+    assert_literal_path(index_path, "index path")
     base = f"{index_path.rstrip('/')}/{sub}"
     p, fs = _hadoop(spark, base)
     if fs.exists(p):
@@ -645,6 +680,7 @@ def hold_append_marker(
     (replayed rows are byte-identical and fold at compaction). Only a
     PROCESS death leaves the marker behind."""
     jvm = spark._jvm
+    assert_literal_path(index_path, "index path")
     mpath, fs = _hadoop(spark, append_marker_path(index_path))
     me = owner or f"batch-{uuid.uuid4().hex}"
 
@@ -796,6 +832,7 @@ def clear_tombstones(
     and is still counted — exact attribution under concurrency is
     unknowable without a log lock, and over-counting the clear is the
     harmless direction (the log itself is always consistent)."""
+    assert_literal_path(index_path, "index path")
     tp = _tomb_path(index_path)
     _, fs = _hadoop(spark, tp)
     jvm = spark._jvm

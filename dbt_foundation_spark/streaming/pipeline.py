@@ -827,6 +827,10 @@ def run_dedup_ingest(
     the SAME checkpoint path is reclaimed (the owner is the path,
     stable across generations); one from a FOREIGN checkpoint fails
     the first trigger loudly naming the holder and the manual heal."""
+    from dbt_foundation_spark.operators.tombstones import assert_literal_path
+
+    assert_literal_path(index_path, "index path")
+    assert_literal_path(out_path, "survivor output path")
     from dbt_foundation_spark.operators import dedup, dedup_index
 
     # the giant-document cap is manifest-enforced: an index built with
@@ -1207,6 +1211,9 @@ def run_ivf_ingest(
     into the index under a FRESH checkpoint. The per-batch cost is one
     pushed-down marker probe + a map-only assignment (quantizer state
     loads once) — the corpus lists are never read."""
+    from dbt_foundation_spark.operators.tombstones import assert_literal_path
+
+    assert_literal_path(index_path, "index path")
     writer = stream_vecs.writeStream.foreachBatch(
         _ivf_ingest_sink(
             index_path, id_col, vec_col, app_id, checkpoint_dir

@@ -1203,3 +1203,65 @@ def test_param_domain_guards_are_named(spark):
         docs, "doc_id", "text", num_hashes=16, bands=4,
         jaccard_threshold=0.1,
     ).count() >= 0
+
+
+def test_glob_metacharacter_paths_are_refused_named(spark, tmp_path):
+    """Glob-metacharacter dataset paths (r13 probe — a NEW dirty-shape
+    class): Spark WRITES treat a path literally but READS expand it as
+    a Hadoop glob, so one string names two locations. Probed live:
+    reading ``run[2024]/data`` silently UNIONED three wrong sibling
+    directories; ``batch_{1}`` silently read the sibling ``batch_1``;
+    an index built at ``idx[v1]`` wrote its datasets literally and
+    every later query missed them with PATH_NOT_FOUND. Contract: every
+    index/output boundary refuses such paths with a named error and
+    the rename heal — BEFORE any dataset is written, so no half-built
+    unreadable index can exist. Legal path characters that neither
+    layer interprets (hive ``=``, spaces, unicode) stay legal."""
+    import pytest as _pytest
+
+    from dbt_foundation_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+    from dbt_foundation_spark.operators.maintenance import (
+        compact_index,
+        index_stats,
+    )
+    from dbt_foundation_spark.operators.similarity import build_ivf_index
+    from dbt_foundation_spark.operators.tombstones import (
+        assert_literal_path,
+        retract_from_index,
+    )
+
+    # unit: each metachar class refused, benign shapes pass
+    for bad in ("/d/run[2024]", "/d/batch_{1}", "/d/day=*", "/d/x?y"):
+        with _pytest.raises(ValueError, match="glob metacharacter"):
+            assert_literal_path(bad)
+    for ok in ("/d/run_2024", "/d/day=2024-01-01", "/d/with space",
+               "/d/ünïcode", "/d/a=b/c=d"):
+        assert assert_literal_path(ok) == ok
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    emb = spark.createDataFrame([(1, [1.0, 0.0, 0.0])], ["vec_id", "embedding"])
+    bad_idx = str(tmp_path / "idx[v1]")
+
+    # builds refuse BEFORE writing anything (no half-built index)
+    with _pytest.raises(ValueError, match="glob metacharacter"):
+        build_minhash_index(docs, "doc_id", "text", bad_idx)
+    with _pytest.raises(ValueError, match="glob metacharacter"):
+        build_ivf_index(emb, "vec_id", "embedding", bad_idx, n_lists=1)
+    import os
+    assert not os.path.exists(bad_idx)
+
+    # query / retract / maintenance boundaries refuse too
+    with _pytest.raises(ValueError, match="glob metacharacter"):
+        dedup_against_index(spark, docs, "doc_id", "text", bad_idx)
+    with _pytest.raises(ValueError, match="glob metacharacter"):
+        retract_from_index(spark, bad_idx, [1])
+    with _pytest.raises(ValueError, match="glob metacharacter"):
+        compact_index(spark, bad_idx)
+    with _pytest.raises(ValueError, match="glob metacharacter"):
+        index_stats(spark, bad_idx)
