@@ -353,16 +353,24 @@ class Project:
         path: str,
         schema: str | None = None,
         column_types: dict[str, str] | None = None,
+        encoding: str | None = None,
     ) -> None:
         """CSV seed (dbt_project.yml:17 seed-paths analog).
 
         ``column_types`` mirrors dbt's seed ``+column_types`` config:
         per-column Spark type DDL (e.g. ``{"zip": "string"}``) applied at
         PARSE time, so inference can't destroy data first (zip codes
-        keeping leading zeros is the canonical case)."""
+        keeping leading zeros is the canonical case).
+
+        ``encoding`` declares a non-UTF-8 file encoding (e.g.
+        ``UTF-16``). Without it a UTF-16 seed parses as NUL-riddled
+        garbage that the loader's encoding gate refuses loudly
+        (r13 probe)."""
         cfg = NodeConfig(materialized="table", schema=schema)
         if column_types:
             cfg.extra["column_types"] = dict(column_types)
+        if encoding:
+            cfg.extra["encoding"] = encoding
         self.manifest.add(
             Node(name=name, resource_type="seed", config=cfg, path=path)
         )
@@ -511,17 +519,54 @@ class Project:
             # cell too. (This is a deliberate divergence from external
             # SOURCES, where dirty rows are expected at scale and
             # Source.options lets the declaration choose its mode.)
-            reader = self.spark.read.option("header", "true").option(
-                "mode", "FAILFAST"
+            # multiLine (r13 probe): quoted newlines are LEGAL CSV, but
+            # the line-splitting parser hands FAILFAST half a record and
+            # a valid seed failed opaquely; multiLine parses the quoted
+            # field and ragged lines STILL fail loud (probed). Seeds are
+            # small checked-in tables, so multiLine's single-split parse
+            # costs nothing.
+            reader = (
+                self.spark.read.option("header", "true")
+                .option("mode", "FAILFAST")
+                .option("multiLine", "true")
             )
+            enc = node.config.extra.get("encoding")
+            if enc:
+                reader = reader.option("encoding", enc)
             overrides = node.config.extra.get("column_types") or {}
+
+            def _encoding_gate(df: DataFrame) -> DataFrame:
+                # r13 probe: a UTF-16 seed read as UTF-8 "succeeds" with
+                # NUL-riddled column names and values — silent garbage
+                # in a configuration table that drives joins and tests.
+                # Mis-decoded bytes always surface in the HEADER (NULs
+                # from wide encodings, U+FFFD replacement chars), so the
+                # gate is one driver-side check of the column names.
+                bad = [
+                    c for c in df.columns if "\x00" in c or "\ufffd" in c
+                ]
+                if bad:
+                    raise ValueError(
+                        f"seed {node.name}: column name(s) {bad!r} carry "
+                        "NUL/replacement characters — the file is not "
+                        f"{enc or 'UTF-8'}-encoded (a UTF-16 seed read "
+                        "as UTF-8 parses as garbage, silently). "
+                        "Re-encode the file or declare encoding= on "
+                        "the seed"
+                    )
+                return df
+
             if not overrides:
-                return reader.option("inferSchema", "true").csv(node.path)
+                return _encoding_gate(
+                    reader.option("inferSchema", "true").csv(node.path)
+                )
             # infer once for the non-overridden columns, then re-read with
             # the merged explicit schema so overridden columns are PARSED
             # as their declared type (a post-hoc cast would re-type data
             # inference already mangled, e.g. zip codes to ints)
-            inferred = reader.option("inferSchema", "true").csv(node.path).schema
+            inferred = _encoding_gate(
+                reader.option("inferSchema", "true").csv(node.path)
+            ).schema
             unknown = set(overrides) - {f.name for f in inferred}
             if unknown:
                 raise ValueError(f"seed {node.name}: column_types for unknown columns {sorted(unknown)}")

@@ -473,6 +473,62 @@ def test_seed_malformed_rows_fail_loudly(project, spark, tmp_path):
     assert {r.zip for r in spark.table(rel).collect()} == {"02134", "00042"}
 
 
+def test_seed_encoding_and_quoted_newlines(project, spark, tmp_path):
+    """Seed encoding contract (r13 probe, two shapes):
+
+    - a UTF-16 seed read as UTF-8 'succeeded' with NUL-riddled column
+      names and garbage values — silent wrong configuration feeding
+      joins and tests. Mis-decoded bytes always surface in the header,
+      so the loader gates on NUL/replacement chars in column names and
+      refuses naming the heal (re-encode or declare ``encoding=``);
+      with ``encoding='UTF-16'`` declared, the same file loads clean;
+    - a QUOTED NEWLINE is legal CSV, but the line-splitting parser
+      handed FAILFAST half a record and a valid seed failed opaquely —
+      multiLine parses it (and ragged lines still fail loud, pinned by
+      test_seed_malformed_rows_fail_loudly).
+
+    BOM / CRLF / trailing blank lines were probed too: Spark's parser
+    already handles all three correctly, nothing to gate."""
+    content = "id,amount\n1,10\n2,20\n"
+    utf16 = tmp_path / "utf16.csv"
+    utf16.write_bytes(content.encode("utf-16"))
+
+    project.seed("wide_seed", str(utf16))
+    res = {r.node: r for r in project.run(select={"wide_seed"})}
+    assert res["wide_seed"].status == "error"
+    assert "encod" in (res["wide_seed"].message or "").lower()
+
+    p2 = _reattach(project)
+    p2.seed("wide_seed_ok", str(utf16), encoding="UTF-16")
+    res2 = {r.node: r for r in p2.run(select={"wide_seed_ok"})}
+    assert res2["wide_seed_ok"].status == "success"
+    rel = p2.relation_name(p2.manifest["wide_seed_ok"])
+    got = spark.table(rel)
+    assert got.columns == ["id", "amount"]
+    assert {(r.id, r.amount) for r in got.collect()} == {(1, 10), (2, 20)}
+
+    quoted = tmp_path / "quoted.csv"
+    quoted.write_text('id,note\n1,"line1\nline2"\n2,plain\n')
+    p3 = _reattach(project)
+    p3.seed("quoted_seed", str(quoted))
+    res3 = {r.node: r for r in p3.run(select={"quoted_seed"})}
+    assert res3["quoted_seed"].status == "success"
+    rel3 = p3.relation_name(p3.manifest["quoted_seed"])
+    assert {r.note for r in spark.table(rel3).collect()} == {
+        "line1\nline2", "plain",
+    }
+
+    # BOM stays handled by the parser itself — no gate false-positive
+    bom = tmp_path / "bom.csv"
+    bom.write_text("﻿id,amount\n1,10\n")
+    p4 = _reattach(project)
+    p4.seed("bom_seed", str(bom))
+    res4 = {r.node: r for r in p4.run(select={"bom_seed"})}
+    assert res4["bom_seed"].status == "success"
+    rel4 = p4.relation_name(p4.manifest["bom_seed"])
+    assert spark.table(rel4).columns == ["id", "amount"]
+
+
 def test_table_create_over_stale_warehouse_dir(project, spark):
     """A managed-table CTAS must succeed even when a previous process
     left an orphan directory at the table's warehouse location (fresh
