@@ -366,7 +366,11 @@ def _index_id_type(
         # the old except-and-continue covered via UNABLE_TO_INFER_SCHEMA
         if not _has_data_file(spark, f"{index_path}/{sub}"):
             continue
-        schema = spark.read.parquet(f"{index_path}/{sub}").schema
+        # guarded (r13, extending the r12-advice _conform_batch_vec
+        # fix): an all-torn or mid-compaction-parked sub-dataset gets
+        # the named torn-file/rename-window heal, not a generic
+        # schema-inference error
+        schema = guarded_sub_read(spark, index_path, sub).schema
         if flavor == "ivf":
             if sub != "lists":
                 continue

@@ -1109,10 +1109,17 @@ def _ivf_ingest_sink(
             # keyed latch, not `not state` — the generation cache above
             # also lives in state and must not suppress this load
             if "centroids" not in state:
+                from dbt_foundation_spark.operators.tombstones import (
+                    guarded_sub_read,
+                )
+
                 centroids, dim, _ = _load_ivf(spark, index_path)
                 state["centroids"], state["dim"] = centroids, dim
-                state["schema"] = spark.read.parquet(
-                    f"{index_path}/lists"
+                # guarded (r13, same contract as _conform_batch_vec):
+                # an all-torn lists dir gets the named torn-file heal,
+                # not a per-trigger generic schema-inference error
+                state["schema"] = guarded_sub_read(
+                    spark, index_path, "lists"
                 ).schema
             # first-ever streamed batch: no log yet — a data-FILE
             # probe, not a caught AnalysisException (Spark logs the
@@ -1126,7 +1133,14 @@ def _ivf_ingest_sink(
                 # membership probe, not a whole-log collect: the
                 # predicate pushes to the parquet footers, so a year
                 # of batch markers costs a row-group-stat check per
-                # batch, not O(batches) driver transfer
+                # batch, not O(batches) driver transfer. Deliberately
+                # NOT torn-file-guarded (r13 review): a zero-byte log
+                # part reads as silently empty, so the worst fate is a
+                # committed batch re-appending byte-identical rows
+                # that fold at the next compact_index — whereas a loud
+                # raise here would fire every trigger and poison-pill
+                # the stream on crash residue (the r10 lesson);
+                # index_stats still reports the torn file.
                 seen = (
                     spark.read.parquet(log_path)
                     .filter(
