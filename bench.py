@@ -369,12 +369,7 @@ def main() -> None:
     # phase, so each warm-verified query gets the same fixed CPU probe
     # re-timed right after its samples — if the probe moved with the
     # query, the "slower" verdict downgrades to "contended" in
-    # _warm_verify and the regression entry carries the evidence. The
-    # reference is min over the cold-pass probes (same min-of-2
-    # statistic, same post-activity conditions), NOT the run-start
-    # calib — the probe JIT-ramps ~2x over the first queries, so the
-    # run-start number would mask contention up to that factor.
-    probe_ref = min(cold_probes) if cold_probes else calib
+    # _warm_verify and the regression entry carries the evidence.
     sentinel: dict[str, float] = {}
     for name in sorted(
         set(sorted(timings, key=lambda q: -timings[q])[:10])
@@ -389,6 +384,19 @@ def main() -> None:
         warm[name] = round(min(samples), 4)
         sentinel[name] = round(min(_calib_probe(), _calib_probe()), 4)
 
+    # sentinel reference: min over the cold-pass probes (same min-of-2
+    # statistic, same post-activity conditions), NOT the run-start
+    # calib — the probe JIT-ramps ~2x over the first queries, so the
+    # run-start number would mask contention up to that factor. A run
+    # too short to collect cold-pass probes (subset smoke under 15
+    # queries) falls back to the sentinels' own minimum (r13 review:
+    # the calib fallback biased every ratio ~0.5x and the downgrade
+    # could never fire) — if at least one warm window was quiet that
+    # approximates the floor; if ALL were contended, ratios read ~1
+    # and flags stand, the conservative fate.
+    probe_ref = min(cold_probes) if cold_probes else (
+        min(sentinel.values()) if sentinel else calib
+    )
     total = round(sum(timings.values()), 4)
     # warm-basis drift: cold ratios fold compile-time shifts that warm
     # minima don't have, so scaling prev_warm by the COLD median could

@@ -321,29 +321,16 @@ def _read_manifest(spark: SparkSession, path: str) -> dict | None:
     # (a torn or duplicated write) was SILENTLY accepted because
     # .first() picks one row nondeterministically — a second
     # conflicting row could flip signing parameters per read, the
-    # footer-sampling bug's control-plane twin. Reading the part files
-    # through the Hadoop FS keeps any store Spark can reach, costs no
+    # footer-sampling bug's control-plane twin. Reading the visible
+    # files through the Hadoop FS (tombstones.read_small_text_lines —
+    # any file name, so the documented restore-the-file heal works
+    # under any sane name) keeps any store Spark can reach, costs no
     # job, and lets every failure name the file and the heal.
     import json as _json
 
-    from dbt_foundation_spark.operators.tombstones import iter_part_files
+    from dbt_foundation_spark.operators.tombstones import read_small_text_lines
 
-    jvm = spark._jvm
-    rows: list[tuple[str, str]] = []  # (file name, line)
-    for part in iter_part_files(mfs, mp):
-        stream = mfs.open(part)
-        try:
-            reader = jvm.java.io.BufferedReader(
-                jvm.java.io.InputStreamReader(stream, "UTF-8")
-            )
-            while True:
-                line = reader.readLine()
-                if line is None:
-                    break
-                if line.strip():
-                    rows.append((part.getName(), line))
-        finally:
-            stream.close()
+    rows = read_small_text_lines(spark, mpath)
     if len(rows) != 1:
         raise ValueError(
             f"{mpath}: manifest holds {len(rows)} rows, expected exactly "

@@ -210,6 +210,44 @@ def iter_part_files(fs, p):
             yield f
 
 
+def read_small_text_lines(spark: SparkSession, path: str) -> list[tuple[str, str]]:
+    """Driver-side line read of the VISIBLE data files under ``path``
+    (or of ``path`` itself when it is a file) through the Hadoop FS —
+    the shared helper behind the control-plane readers
+    (``dedup_index._read_manifest``, the checkpoint-metadata read):
+    tiny single-row JSON files where a Spark read costs a job and
+    buries parse failures in generic errors. Returns ``(file name,
+    line)`` pairs for every non-blank line. Visible-file listing, not
+    ``part-*`` only (r13 review): the torn-manifest heal says "restore
+    the file", and a manifest restored under any sane name must read
+    back — a part-name-only scan misdiagnosed the healed file as a
+    torn write."""
+    jvm = spark._jvm
+    p, fs = _hadoop(spark, path)
+    if not fs.exists(p):
+        return []
+    if fs.getFileStatus(p).isFile():
+        files = [p]
+    else:
+        files = list(_iter_visible_files(fs, p))
+    out: list[tuple[str, str]] = []
+    for f in files:
+        stream = fs.open(f)
+        try:
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            while True:
+                line = reader.readLine()
+                if line is None:
+                    break
+                if line.strip():
+                    out.append((f.getName(), line))
+        finally:
+            stream.close()
+    return out
+
+
 def _log_files(spark: SparkSession, index_path: str) -> list[str]:
     """The tombstone log's committed data files at this instant — the
     unit of the subset clear's fold: only files listed HERE are read,

@@ -366,6 +366,17 @@ class Project:
         ``UTF-16``). Without it a UTF-16 seed parses as NUL-riddled
         garbage that the loader's encoding gate refuses loudly
         (r13 probe)."""
+        # seeds are loader-managed exact files, so the write-literal/
+        # read-glob asymmetry applies (r13 review): a checked-in
+        # 'rates[2024].csv' would silently load sibling files as
+        # configuration. External SOURCES and the streaming readers
+        # deliberately keep glob semantics — they are read-only inputs
+        # where globbing is the documented Spark feature.
+        from dbt_foundation_spark.operators.tombstones import (
+            assert_literal_path,
+        )
+
+        assert_literal_path(path, "seed path")
         cfg = NodeConfig(materialized="table", schema=schema)
         if column_types:
             cfg.extra["column_types"] = dict(column_types)
@@ -539,9 +550,13 @@ class Project:
                 # r13 probe: a UTF-16 seed read as UTF-8 "succeeds" with
                 # NUL-riddled column names and values — silent garbage
                 # in a configuration table that drives joins and tests.
-                # Mis-decoded bytes always surface in the HEADER (NULs
-                # from wide encodings, U+FFFD replacement chars), so the
-                # gate is one driver-side check of the column names.
+                # Wide encodings surface in the HEADER (NULs), so the
+                # first check is driver-side on the column names; but a
+                # single-byte encoding (cp1252 'Müller' read as UTF-8)
+                # leaves ASCII headers clean and mangles only VALUES
+                # (r13 review), so string columns also get one
+                # replacement-char probe — seeds are small checked-in
+                # tables, the probe is one cheap filter+limit job.
                 bad = [
                     c for c in df.columns if "\x00" in c or "\ufffd" in c
                 ]
@@ -554,6 +569,31 @@ class Project:
                         "Re-encode the file or declare encoding= on "
                         "the seed"
                     )
+                from pyspark.sql import functions as F
+
+                str_cols = [
+                    f.name for f in df.schema.fields
+                    if f.dataType.simpleString() == "string"
+                ]
+                if str_cols:
+                    dirty = F.lit(False)
+                    for c in str_cols:
+                        dirty = (
+                            dirty
+                            | F.col(c).contains("\ufffd")
+                            | F.col(c).contains("\x00")
+                        )
+                    hit = df.filter(dirty).limit(1).collect()
+                    if hit:
+                        raise ValueError(
+                            f"seed {node.name}: value(s) like "
+                            f"{tuple(hit[0])!r} carry NUL/replacement "
+                            "characters — the file bytes are not "
+                            f"{enc or 'UTF-8'} (a cp1252/Latin-1 seed "
+                            "read as UTF-8 mangles its non-ASCII values "
+                            "silently). Re-encode the file or declare "
+                            "encoding= on the seed"
+                        )
                 return df
 
             if not overrides:

@@ -584,20 +584,12 @@ def _checkpoint_generation(spark: SparkSession, checkpoint_dir: str) -> str:
     exact dedup over the output."""
     import json as _json
 
-    from dbt_foundation_spark.operators.tombstones import _hadoop
+    from dbt_foundation_spark.operators.tombstones import read_small_text_lines
 
-    jvm = spark._jvm
-    p, fs = _hadoop(spark, f"{checkpoint_dir.rstrip('/')}/metadata")
-    line = None
-    if fs.exists(p):
-        stream = fs.open(p)
-        try:
-            reader = jvm.java.io.BufferedReader(
-                jvm.java.io.InputStreamReader(stream, "UTF-8")
-            )
-            line = reader.readLine()
-        finally:
-            stream.close()
+    lines = read_small_text_lines(
+        spark, f"{checkpoint_dir.rstrip('/')}/metadata"
+    )
+    line = lines[0][1] if lines else None
     try:
         qid = _json.loads(line)["id"] if line else None
     except (ValueError, KeyError, TypeError):

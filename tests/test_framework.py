@@ -528,6 +528,26 @@ def test_seed_encoding_and_quoted_newlines(project, spark, tmp_path):
     rel4 = p4.relation_name(p4.manifest["bom_seed"])
     assert spark.table(rel4).columns == ["id", "amount"]
 
+    # single-byte mis-encoding (r13 review): cp1252 'Müller' read as
+    # UTF-8 leaves the ASCII header clean and mangles only VALUES —
+    # the value probe must catch it; declaring the encoding loads clean
+    cp = tmp_path / "latin1.csv"
+    cp.write_bytes("id,name\n1,Müller\n".encode("latin-1"))
+    p5 = _reattach(project)
+    p5.seed("cp_seed", str(cp))
+    res5 = {r.node: r for r in p5.run(select={"cp_seed"})}
+    assert res5["cp_seed"].status == "error"
+    assert "encoding" in (res5["cp_seed"].message or "")
+    # ISO-8859-1: Spark's CSV reader supports a FIXED charset list
+    # (iso-8859-1 / us-ascii / utf-8 / utf-16* / utf-32*) — cp1252
+    # itself is not on it, latin-1 is the supported superset-for-print
+    p6 = _reattach(project)
+    p6.seed("cp_seed_ok", str(cp), encoding="ISO-8859-1")
+    res6 = {r.node: r for r in p6.run(select={"cp_seed_ok"})}
+    assert res6["cp_seed_ok"].status == "success"
+    rel6 = p6.relation_name(p6.manifest["cp_seed_ok"])
+    assert {r.name for r in spark.table(rel6).collect()} == {"Müller"}
+
 
 def test_table_create_over_stale_warehouse_dir(project, spark):
     """A managed-table CTAS must succeed even when a previous process

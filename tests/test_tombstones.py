@@ -1246,6 +1246,16 @@ def test_manifest_corruption_fails_loud_and_named(spark, tmp_path):
     # restore: byte-identical round trip
     rewrite(orig)
     assert q() == 1
+    # the documented heal says "restore the file" — a manifest restored
+    # under ANY sane name must read back (r13 review: a part-*-only
+    # scan misdiagnosed the healed file as a torn write)
+    restored = _os.path.join(_os.path.dirname(parts[0]), "manifest.json")
+    _os.rename(parts[0], restored)
+    for crc in _glob.glob(f"{path}/manifest/.*.crc"):
+        _os.remove(crc)
+    assert q() == 1
+    m2 = _read_manifest(spark, path)
+    assert m2["flavor"] == "simhash"
 
 
 def test_hidden_scratch_is_never_data_and_never_deleted(spark, tmp_path):
