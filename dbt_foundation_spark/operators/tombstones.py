@@ -480,7 +480,22 @@ def retract_from_index(
     physical removal happens at the next ``compact_index``.
 
     ``ids``: a single-column DataFrame (any id type matching the
-    index's) or a plain Python iterable of id values."""
+    index's) or a plain Python iterable of id values.
+
+    Concurrency (r13 probe — concurrent takedown batches): a plain
+    ``mode("append")`` made concurrent retracts share the log's
+    ``_temporary/0`` FileOutputCommitter staging, and one job's commit
+    DELETES that directory wholesale — probed live with 4 concurrent
+    batches: one failed loud, and one SILENTLY LOST its whole batch
+    (returned success, rows never landed) — the worst fate for
+    takedown compliance. Each batch therefore writes aside to a
+    private sibling scratch dir and RENAME-installs its one file into
+    the log under a unique name (the ``_install_batch_output``
+    pattern): no shared staging, so any number of concurrent retracts
+    land all their rows. Crash windows: before the rename — an orphan
+    ``__retract_tmp_*`` sibling, never read as data, re-issue the
+    retraction (idempotent); after the rename — the scratch dir is
+    re-deleted harmlessly on nothing."""
     assert_literal_path(index_path, "index path")
     base = index_path.rstrip("/")
     p, fs = _hadoop(spark, base)
@@ -499,7 +514,29 @@ def retract_from_index(
     # coalesce(1): one takedown batch = one small file; the log is
     # bounded by takedown volume and cleared at every compaction, so
     # file count never accumulates past compaction cadence.
-    tomb.coalesce(1).write.mode("append").parquet(_tomb_path(base))
+    log = _tomb_path(base)
+    jvm = spark._jvm
+    token = uuid.uuid4().hex
+    tmp = f"{log}__retract_tmp_{token}"
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    tomb.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(iter_part_files(fs, tmp_p), None)
+    if part is None:
+        raise IOError(
+            f"retraction write to {tmp} produced no part-* data file — "
+            "unrecognized commit protocol output naming? Refusing to "
+            "report the takedown as recorded."
+        )
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(log))
+    dest = jvm.org.apache.hadoop.fs.Path(
+        f"{log}/retract-{token}.parquet"
+    )
+    if not fs.rename(part, dest) and not fs.exists(dest):
+        raise IOError(
+            f"could not install retraction batch into {log} — the "
+            "takedown is NOT recorded; re-issue it"
+        )
+    fs.delete(tmp_p, True)
     return n
 
 

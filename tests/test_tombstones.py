@@ -1846,3 +1846,60 @@ def test_containment_direction_max_over_gate_failing_versions(spark, tmp_path):
     # pre-fix this reported v1's 30/91 ~ 0.33; the true per-direction
     # max over every verified candidate version is v2's 21/29
     assert c_corpus == pytest.approx(21 / 29)
+
+
+def test_concurrent_retractions_never_lose_a_batch(spark, tmp_path):
+    """Concurrent takedown batches (r13 probe — a maintenance∥
+    maintenance dirty shape): the old ``mode("append")`` log write
+    made concurrent retracts share the log's ``_temporary/0``
+    FileOutputCommitter staging, and one job's commit DELETES that
+    directory wholesale — probed live with 4 concurrent batches: one
+    failed loud, and one SILENTLY LOST its whole batch (returned
+    success, rows never landed) — retracted documents staying live
+    while the caller believes the takedown succeeded, the worst fate
+    for compliance. Each batch now writes aside to a private scratch
+    and rename-installs one uniquely-named file into the log (the
+    ``_install_batch_output`` pattern), so any number of concurrent
+    retracts land ALL their rows; the fold and clear still see every
+    file (the log readers list visible files, not ``part-*`` names)."""
+    import threading
+
+    from dbt_foundation_spark.operators.dedup_index import (
+        build_simhash_index,
+    )
+    from dbt_foundation_spark.operators.maintenance import (
+        compact_index,
+        index_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} alpha beta gamma delta epsilon") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "race_idx")
+    build_simhash_index(docs, "doc_id", "text", idx)
+
+    errs = []
+
+    def retract(ids):
+        try:
+            retract_from_index(spark, idx, ids)
+        except Exception as e:  # noqa: BLE001 - recorded for the assert
+            errs.append(repr(e))
+
+    threads = [
+        threading.Thread(target=retract, args=(list(range(i * 25, i * 25 + 25)),))
+        for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    got = sorted(r["id"] for r in read_tombstones(spark, idx).collect())
+    assert got == list(range(200))  # every batch landed completely
+    s = index_stats(spark, idx)
+    assert s["missing_datasets"] == [] and s["crash_leftovers"] == []
+    # the compaction fold still consumes the uniquely-named files
+    compact_index(spark, idx)
+    assert read_tombstones(spark, idx) is None
