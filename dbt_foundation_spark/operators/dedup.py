@@ -614,16 +614,24 @@ def connected_components(
     ).select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # checkpoint the edge list too: it usually hangs off an expensive
     # upstream DAG (the whole LSH pipeline) that would otherwise
-    # re-execute on every propagation round
+    # re-execute on every propagation round. All pins here are LAZY
+    # (eager=False): every round already runs one full-pass action —
+    # the convergence probe — so the probe materializes the round's
+    # checkpoint as a side effect and each round costs ONE Spark job
+    # instead of two (the eager pin job + the probe job); the initial
+    # edges+labels pair folds into the first probe the same way
+    # (guide §1.2: remove passes before tuning anything else).
     edges = pin(
         fwd.unionByName(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        ),
+        eager=False,
     )
     labels = pin(
         edges.groupBy("src")
         .agg(F.min("dst").alias("_nbr"))
-        .select(F.col("src").alias("id"), F.least("src", "_nbr").alias("comp"))
+        .select(F.col("src").alias("id"), F.least("src", "_nbr").alias("comp")),
+        eager=False,
     )
 
     def _probe(df: DataFrame):
@@ -639,7 +647,8 @@ def connected_components(
         labels = pin(
             labels.unionByName(prop)
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp")),
+            eager=False,  # the probe below materializes it (one job)
         )
         cur = _probe(labels)
         if cur == prev:

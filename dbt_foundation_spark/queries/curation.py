@@ -615,11 +615,21 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     top of that one materialized pass."""
     from dbt_foundation_spark.operators.sampling import budget_select
 
-    docs = t(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        X.quality_score("text").alias("quality"),
-        X.token_count("text").cast("bigint").alias("toks"),
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    # pin the scored frame (lazy): it feeds the budget aggregate, the
+    # bin totals, and both selection branches — without the pin
+    # Catalyst re-derives the regex/split-heavy quality expressions per
+    # consumer, scanning the text column 6× (this docstring's own
+    # at-scale advice, now applied: one materialized pass, three cheap
+    # cached reads). fan_out first so the one real scoring pass runs on
+    # every core instead of the single-row-group scan's one task.
+    scored = pin(
+        docs.select(
+            "doc_id",
+            X.quality_score("text").alias("quality"),
+            X.token_count("text").cast("bigint").alias("toks"),
+        ),
+        eager=False,
     )
     budget = scored.agg(
         F.floor(F.sum("toks") * 0.4).cast("bigint").alias("budget")
@@ -1131,11 +1141,35 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_foundation_spark.operators.packing import serpentine_shards
 
     docs = fan_out(spark, t(spark, sf_dir, "documents"))
-    gated = docs.filter(
-        (X.quality_score("text") >= 0.5)
-        & (X.dup_ngram_ratio("text", 2) <= 0.30)
-        & (X.lang_id("text") != "und")
-    ).select("doc_id", "text", X.token_count("text").alias("toks"))
+    # Gate shape (guide §1.2 "per-task work" + §5 caching criterion,
+    # measured at sf0.1): the three gate signals share the same
+    # tokenization, and codegen's subexpression elimination DOES share
+    # it — but only inside one Project (all four expressions in one
+    # select: 0.34 s). Put the same expressions in a Filter (the
+    # previous shape) and Catalyst's project-collapse re-expands each
+    # alias into the predicate where no CSE applies: 1.7 s, a 5×
+    # per-row tax. So: compute the signals ONCE as projected columns,
+    # pin (the lineage barrier that stops the filter collapsing back
+    # into the project — and `gated` is consumed twice downstream
+    # anyway, by the keeper aggregate and the survivor join), then
+    # filter on the cheap columns. At 100 TB the pin trades one extra
+    # materialization of the corpus slice for re-running the most
+    # CPU-expensive per-row chain in the catalog — the §5 trade, taken
+    # deliberately (set checkpointDir for the durable tier).
+    scored = pin(
+        docs.select(
+            "doc_id",
+            "text",
+            X.quality_score("text").alias("_q"),
+            X.dup_ngram_ratio("text", 2).alias("_d"),
+            X.lang_id("text").alias("_l"),
+            X.token_count("text").alias("toks"),
+        ),
+        eager=False,
+    )
+    gated = scored.filter(
+        (F.col("_q") >= 0.5) & (F.col("_d") <= 0.30) & (F.col("_l") != "und")
+    ).select("doc_id", "text", "toks")
     keepers = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     # lazy checkpoint at the stage boundary: the gate + keeper join is
     # consumed by the minhash shingling, every connected-components

