@@ -264,10 +264,24 @@ def _write_manifest(df: DataFrame, path: str, params: dict) -> None:
     clear_tombstones(spark, path, _rebuild_reset=True)
     # manifest_version 2 = the cap key is always present (UNCAPPED_TOKENS
     # for cap-less builds); version 1 / absent = pre-cap legacy, the only
-    # manifests allowed the trust-the-caller path for max_tokens
-    spark.createDataFrame(
-        [{**params, "manifest_version": 2}]
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/manifest")
+    # manifests allowed the trust-the-caller path for max_tokens.
+    # Arrow-routed with an explicit schema mirroring createDataFrame's
+    # dict inference (sorted keys; bool/int/float/str → boolean/bigint/
+    # double/string): the classic one-dict path + coalesce(1) paid ~7 s
+    # of serial slice fetches per build on local[32] (local_data.py);
+    # any param type outside that set falls back to the classic path.
+    payload = {**params, "manifest_version": 2}
+    _T = {bool: "boolean", int: "bigint", float: "double", str: "string"}
+    if all(type(v) in _T for v in payload.values()):
+        from dbt_foundation_spark.local_data import local_frame
+
+        ddl = ", ".join(
+            f"`{k}` {_T[type(payload[k])]}" for k in sorted(payload)
+        )
+        mdf = local_frame(spark, [payload], ddl)
+    else:
+        mdf = spark.createDataFrame([payload])
+    mdf.coalesce(1).write.mode("overwrite").json(f"{path}/manifest")
 
 
 def _read_manifest(spark: SparkSession, path: str) -> dict | None:
@@ -481,8 +495,13 @@ def build_minhash_index(
     and enforced on every append/query: it defines the signature space
     like num_hashes/shingle_len do."""
     from dbt_foundation_spark.operators.tombstones import assert_literal_path
+    from dbt_foundation_spark.parallelism import fan_out
 
     assert_literal_path(path, "index path")
+    # undersized-scan fan-out (parallelism.py): a corpus arriving as
+    # fewer splits than cores would serialize the shingling/signature
+    # stage on those tasks; identity on a real many-file corpus
+    df = fan_out(df)
     sig = minhash_signature(
         df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
     )

@@ -57,19 +57,31 @@ FEATURE_SCHEMA = (
 
 def synthetic_media(spark, n: int = 64, payload_bytes: int = 256) -> DataFrame:
     """Deterministic fake media table matching MEDIA_SCHEMA (the stand-in
-    for a real lakehouse media source)."""
-    rows = []
-    for i in range(n):
-        payload = hashlib.sha256(str(i).encode()).digest() * (payload_bytes // 32)
-        rows.append(
-            (
-                i,
-                bytearray(payload),
-                "image/png" if i % 3 else "audio/wav",
-                (64 + i % 16, 48 + i % 9, 1000 * (i % 7)),
-            )
-        )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    for a real lakehouse media source).
+
+    Generated JVM-side from ``spark.range`` (r13 optimization): the
+    previous driver-list ``createDataFrame`` produced a
+    defaultParallelism-sliced local relation whose slices downstream
+    ``coalesce(target_partitions)`` stages fetched SERIALLY from the
+    Python driver (~1.2 s of fixed overhead per action at 32 cores —
+    see local_data.py; binary+struct columns are outside local_frame's
+    Arrow-safe set, so the fix here is generating in the JVM instead).
+    Row-for-row identical to the driver-side formula:
+    ``sha2(i, 256)`` unhexed IS ``hashlib.sha256(str(i)).digest()``,
+    repeated to ``payload_bytes``."""
+    copies = payload_bytes // 32
+    i = F.col("id")
+    payload = F.concat(*[F.unhex(F.sha2(i.cast("string"), 256))] * copies)
+    return spark.range(n).select(
+        i.alias("media_id"),
+        payload.alias("payload"),
+        F.when(i % 3 != 0, "image/png").otherwise("audio/wav").alias("mime_type"),
+        F.struct(
+            (64 + i % 16).cast("int").alias("width"),
+            (48 + i % 9).cast("int").alias("height"),
+            (1000 * (i % 7)).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
 
 
 def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:

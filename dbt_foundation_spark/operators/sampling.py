@@ -137,8 +137,10 @@ def mixture_resample(
     if any(w <= 0 for w in target_weights.values()):
         raise ValueError(f"weights must be > 0: {target_weights}")
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        sorted(target_weights.items()), f"{domain_col} string, _wt double"
+    from dbt_foundation_spark.local_data import local_frame
+
+    wdf = local_frame(
+        spark, sorted(target_weights.items()), f"{domain_col} string, _wt double"
     )
     # count only MEMBERSHIP-ELIGIBLE rows (non-NULL id): the hash filter
     # below can never admit a NULL-id row, so counting it would deflate

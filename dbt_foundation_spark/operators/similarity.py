@@ -616,8 +616,13 @@ def build_ivf_index(
     :func:`ivf_sizing_advice` reports when a pinned choice has drifted
     >4× from the rule as the corpus grows through appends."""
     from dbt_foundation_spark.operators.tombstones import assert_literal_path
+    from dbt_foundation_spark.parallelism import fan_out
 
     assert_literal_path(path, "index path")
+    # undersized-scan fan-out (parallelism.py): the per-row n_lists
+    # centroid-distance assignment would otherwise serialize on a
+    # few-split scan; identity on a real many-file corpus
+    df = fan_out(df)
     if n_lists is None:
         n_lists = recommended_n_lists(df.count())
     assigned, centroids = ivf_assignments(
@@ -633,7 +638,13 @@ def build_ivf_index(
     )
     spark = df.sparkSession
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    spark.createDataFrame(rows, "list_id int, centroid array<double>").coalesce(
+    # local_frame: the classic list createDataFrame + coalesce(1) fetches
+    # its defaultParallelism pickled slices SERIALLY in the one coalesced
+    # task — measured ~7 s of fixed overhead per build on local[32]
+    # (local_data.py); the Arrow route writes the same file in ~0.2 s
+    from dbt_foundation_spark.local_data import local_frame
+
+    local_frame(spark, rows, "list_id int, centroid array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     # manifest: same contract as the dedup-index flavors (runtime

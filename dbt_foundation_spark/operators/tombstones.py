@@ -364,7 +364,18 @@ def _as_id_df(spark: SparkSession, ids: DataFrame | Iterable) -> DataFrame | Non
     vals = [v for v in ids if v is not None]
     if not vals:
         return None
-    return spark.createDataFrame([(v,) for v in vals], ["id"]).distinct()
+    # Arrow-route the two id types takedown batches actually carry
+    # (local_data.py: the classic list path costs ~0.5 s of slice
+    # fetches per action on local[32]); anything exotic keeps the
+    # classic inference path.
+    from dbt_foundation_spark.local_data import local_frame
+
+    rows = [(v,) for v in vals]
+    if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+        return local_frame(spark, rows, "id bigint").distinct()
+    if all(isinstance(v, str) for v in vals):
+        return local_frame(spark, rows, "id string").distinct()
+    return spark.createDataFrame(rows, ["id"]).distinct()
 
 
 def _type_category(t: str) -> str:
@@ -1004,7 +1015,9 @@ def _clear_impl(spark, index_path, ids, revive, tp, fs, jvm) -> int:
         tmp = f"{tp}__revive_tmp"
         tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
         fs.delete(tmp_p, True)  # stale residue from a crashed attempt
-        spark.createDataFrame(kept_rows, snap.schema).coalesce(1).write.mode(
+        from dbt_foundation_spark.local_data import local_frame
+
+        local_frame(spark, kept_rows, snap.schema).coalesce(1).write.mode(
             "overwrite"
         ).parquet(tmp)
         moved = False

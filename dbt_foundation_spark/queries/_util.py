@@ -69,38 +69,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Round-robin repartition an UNDERSIZED scan up to the cluster's
     default parallelism — identity when the scan already has enough
-    splits.
-
-    Why this exists: the bench parquet files are single-row-group and
-    sub-megabyte (documents at sf0.1 is 0.6 MB compressed), so Spark's
-    byte-range splitting yields ONE input partition — and every
-    CPU-heavy operator downstream (shingling explodes 0.6 MB of text
-    into ~260 k posting rows, hyperplane signatures run m dot products
-    per vector) serializes on one core out of 32. At 100 TB the same
-    scan arrives as thousands of splits and this helper is a no-op by
-    its own guard; locally it is the difference between 1× and 32×
-    parallelism on the dominant stage. The shuffle it adds moves only
-    the raw scan bytes — strictly smaller than the expansion the
-    downstream stages produce from them.
-
-    Use it ONLY under compute-heavy pipelines (dedup, similarity,
-    multimodal decode); plain filter/agg marts are cheaper unsharded
-    than reshuffled.
-
-    The undersized-scan probe is ``len(df.inputFiles())`` — a file-index
-    listing on the already-analyzed plan. The previous
-    ``df.rdd.getNumPartitions()`` probe forced a full logical→RDD plan
-    conversion at PLAN BUILD time per call (the same "work during plan
-    construction" smell as a dim-sniffing ``.first()``; r4 VERDICT #2).
-    File count under-reads splits for multi-row-group files, but that
-    error direction only triggers a repartition the downstream
-    compute-bound stages amortize anyway; a 100 TB scan lists thousands
-    of files and stays un-shuffled.
+    splits. Implementation lives in ``dbt_foundation_spark.parallelism``
+    (r13: shared with the index build operators); this wrapper keeps the
+    historic (spark, df) signature the query catalog uses. See that
+    module's docstring for the full rationale and the inputFiles-probe
+    note (r4 VERDICT #2: never force plan→RDD conversion at build time).
     """
-    target = spark.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < target:
-        return df.repartition(target)
-    return df
+    from dbt_foundation_spark.parallelism import fan_out as _fan_out
+
+    return _fan_out(df)
 
 
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:

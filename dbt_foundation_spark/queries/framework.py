@@ -10,6 +10,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dbt_foundation_spark.local_data import local_frame
 from dbt_foundation_spark.queries import query
 from dbt_foundation_spark.queries._util import dsum, sql_dsum, t
 
@@ -63,7 +64,7 @@ def q_table_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     _cleanup(p)
-    return spark.createDataFrame(rows, out.schema)
+    return local_frame(spark, rows, out.schema)
 
 
 @query(
@@ -114,7 +115,7 @@ def q_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = result.collect()
     _cleanup(p)
-    return spark.createDataFrame(rows, result.schema)
+    return local_frame(spark, rows, result.schema)
 
 
 @query(
@@ -187,7 +188,7 @@ def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = result.collect()
     _cleanup(p)
-    return spark.createDataFrame(rows, result.schema)
+    return local_frame(spark, rows, result.schema)
 
 
 @query(
@@ -271,7 +272,7 @@ def q_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = result.collect()
     _cleanup(p)
-    return spark.createDataFrame(rows, result.schema)
+    return local_frame(spark, rows, result.schema)
 
 
 @query("q_orphan_anti")  # rows-only (A15/M2: catalog vs manifest anti-join)
@@ -294,7 +295,7 @@ def q_orphan_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"CREATE TABLE {p.target.schema}.rogue AS SELECT 1 AS x")
     lines = list_orphaned_objects(p, printer=lambda s: None)
     _cleanup(p)
-    return spark.createDataFrame([(line,) for line in lines], "orphan string")
+    return local_frame(spark, [(line,) for line in lines], "orphan string")
 
 
 @query("q_seed_load")  # rows-only (A5: CSV seed → table)
@@ -324,7 +325,7 @@ def q_seed_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         schema = out.schema
     _cleanup(p)
-    return spark.createDataFrame(rows, schema)
+    return local_frame(spark, rows, schema)
 
 
 @query(
@@ -399,7 +400,7 @@ def q_incremental_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = result.collect()
     _cleanup(p)
-    return spark.createDataFrame(rows, result.schema)
+    return local_frame(spark, rows, result.schema)
 
 
 @query(
@@ -445,7 +446,7 @@ def q_model_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_nationkey")
     rows = out.collect()
     _cleanup(p)
-    return spark.createDataFrame(rows, out.schema)
+    return local_frame(spark, rows, out.schema)
 
 
 @query(
@@ -487,7 +488,7 @@ def q_clone_pointer(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     _cleanup(dev)
     _cleanup(prod)
-    return spark.createDataFrame(rows, out.schema)
+    return local_frame(spark, rows, out.schema)
 
 
 @query(
@@ -635,4 +636,4 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     _cleanup(p)
-    return spark.createDataFrame(rows, out.schema)
+    return local_frame(spark, rows, out.schema)

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_foundation_spark.checkpoint import pin
+from dbt_foundation_spark.local_data import local_frame
 from dbt_foundation_spark.functions import text as X
 from dbt_foundation_spark.functions import vectors as V
 from dbt_foundation_spark.queries import query
@@ -64,7 +65,7 @@ def _docs_with_seeds(
 ) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.unionByName(
-        spark.createDataFrame(list(seeds), "doc_id bigint, text string")
+        local_frame(spark, list(seeds), "doc_id bigint, text string")
     )
 
 
@@ -1208,7 +1209,8 @@ def q_range_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_foundation_spark.queries._util import dsum
 
     li = t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
-    iv = spark.createDataFrame(
+    iv = local_frame(
+        spark,
         [(float(a), float(a + 7), f"band{a}") for a in range(0, 50, 5)],
         "lo double, hi double, band string",
     )

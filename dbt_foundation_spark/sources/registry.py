@@ -191,7 +191,9 @@ def information_schema_tables(spark: SparkSession) -> DataFrame:
         for t in spark.catalog.listTables(db.name):
             table_type = "VIEW" if t.tableType in ("TEMPORARY", "VIEW") else "TABLE"
             rows.append((table_type, t.namespace[0] if t.namespace else db.name, t.name))
-    return spark.createDataFrame(rows, "table_type string, table_schema string, table_name string")
+    from dbt_foundation_spark.local_data import local_frame
+
+    return local_frame(spark, rows, "table_type string, table_schema string, table_name string")
 
 
 def check_freshness(

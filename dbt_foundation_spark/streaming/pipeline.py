@@ -1167,8 +1167,10 @@ def _ivf_ingest_sink(
                 state["centroids"], state["dim"],
                 refuse_all_dirty=False,
             )
-            spark.createDataFrame(
-                [(ns, int(batch_id))], "app_id string, batch_id long"
+            from dbt_foundation_spark.local_data import local_frame
+
+            local_frame(
+                spark, [(ns, int(batch_id))], "app_id string, batch_id long"
             ).write.mode("append").parquet(log_path)
 
     return sink
