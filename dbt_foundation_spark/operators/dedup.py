@@ -151,17 +151,49 @@ def minhash_signature(
             f"num_hashes={num_hashes}: a minhash signature needs >= 1 "
             "hash (0 surfaced as an opaque empty-aggregate assertion)"
         )
-    coeffs = _hash_coeffs(num_hashes)
-    base_hash = md5_hash64 if portable else fast_hash64
-    exploded = identified(df, id_col).select(
+    return _minhash_sig_from_arrays(
+        _shingle_array_frame(df, id_col, text_col, shingle_len, max_tokens),
+        num_hashes,
+        portable,
+    )
+
+
+def _shingle_array_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int,
+    max_tokens: int | None,
+) -> DataFrame:
+    """(_id, _ver, _sh array<string>) — one row per input row with the
+    document's DISTINCT shingle array. The single tokenize/shingle pass
+    every minhash stage derives from: the signature explodes it, the
+    verify re-attaches it. The pair operators ``pin`` this frame so the
+    corpus is tokenized ONCE per query (pre-r13 the signature subtree
+    and each verify attach re-tokenized it — 3 full scans; at 100 TB the
+    pin is a disk-backed cache the size of one posting shuffle, strictly
+    cheaper than re-running the dominant map stage)."""
+    return identified(df, id_col).select(
         F.col(id_col).alias("_id"),
         # version key: engine-internal grouping only (never replayed by
         # an oracle — with unique ids it is constant within each group)
         F.xxhash64(F.col(text_col)).alias("_ver"),
-        F.explode(
-            F.array_distinct(token_ngrams(text_col, shingle_len, max_tokens))
-        ).alias("_s"),
+        F.array_distinct(token_ngrams(text_col, shingle_len, max_tokens)).alias(
+            "_sh"
+        ),
     )
+
+
+def _minhash_sig_from_arrays(
+    arr: DataFrame, num_hashes: int, portable: bool
+) -> DataFrame:
+    """minhash signatures from a :func:`_shingle_array_frame` — the
+    explode + k-min-aggregate half of :func:`minhash_signature`,
+    separated so callers that already hold (and pin) the shingle arrays
+    do not pay a second tokenize pass."""
+    coeffs = _hash_coeffs(num_hashes)
+    base_hash = md5_hash64 if portable else fast_hash64
+    exploded = arr.select("_id", "_ver", F.explode("_sh").alias("_s"))
     hashed = exploded.select(
         "_id", "_ver", F.pmod(base_hash("_s"), F.lit(_P)).alias("_h")
     )
@@ -325,11 +357,24 @@ def _self_candidate_pairs_with_shingles(
     """Banding self-join candidates (id_a < id_b) with both shingle sets
     re-attached — the shared front half of the verify-stage pair ops.
     ``max_tokens`` caps BOTH the signature and the re-attached verify
-    shingle sets, so candidate space and verify space agree."""
+    shingle sets, so candidate space and verify space agree.
+
+    One tokenize pass, one signature pass (r13 optimization): the
+    shingle arrays and the signature frame are lazily pinned. Pre-pin,
+    AQE broadcast one side of the band self-join AND both verify
+    attaches, so no exchange was ever reused and the corpus was
+    re-tokenized 4× (signature ×2 + verify attach ×2) with the k-min
+    aggregate paid twice — the plan evidence is
+    plans/r13/q_dedup_minhash_portable_{before,after}.txt. Both pinned
+    frames are small relative to the corpus (arrays ≈ the text itself,
+    signatures = k longs per doc); at 100 TB they are disk-backed
+    caches, strictly cheaper than re-running the dominant map stages."""
     rows_per_band = banding_geometry(num_hashes, bands)
-    sig = minhash_signature(
-        df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
+    arr = pin(
+        _shingle_array_frame(df, id_col, text_col, shingle_len, max_tokens),
+        eager=False,
     )
+    sig = pin(_minhash_sig_from_arrays(arr, num_hashes, portable), eager=False)
     banded = _band_buckets(sig, bands, rows_per_band, portable)
 
     left = banded.select("band", "bucket", F.col("_id").alias("id_a"))
@@ -340,15 +385,9 @@ def _self_candidate_pairs_with_shingles(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    shingles = identified(df, id_col).select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(
-            token_ngrams(text_col, shingle_len, max_tokens)
-        ).alias("_shingles"),
-    )
     return cand.join(
-        shingles.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("sh_a")), "id_a"
-    ).join(shingles.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("sh_b")), "id_b")
+        arr.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+    ).join(arr.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
 
 
 def containment_pairs(
@@ -404,7 +443,17 @@ def containment_pairs(
     string-space values with overwhelming probability, and the DuckDB
     string-space oracle stays green."""
     similarity_threshold(threshold, "threshold")
-    hs = hashed_shingle_sets(df, id_col, text_col, shingle_len, max_tokens)
+    # lazily pin the hashed shingle sets: the postings, BOTH verify
+    # attaches, and the prefix all derive from this one frame, and
+    # pre-pin (r13) the tokenize+hash pass ran 3× per query (postings +
+    # each broadcast attach side —
+    # plans/r13/q_containment_before.txt shows all three parquet scans).
+    # The pinned frame is ~8 bytes per distinct shingle per doc — the
+    # same bytes the posting exchange already ships.
+    hs = pin(
+        hashed_shingle_sets(df, id_col, text_col, shingle_len, max_tokens),
+        eager=False,
+    )
     post, pref = containment_postings(hs, threshold)
     index = post if max_df is None else post.filter(F.col("df") <= max_df)
     cand = (
@@ -539,12 +588,21 @@ def minhash_lsh_join(
     """
     similarity_threshold(jaccard_threshold, "jaccard_threshold")
     rows_per_band = banding_geometry(num_hashes, bands)
-    sig_new = minhash_signature(
-        new_df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
+    # one tokenize pass PER SIDE (r13): each side's shingle arrays are
+    # lazily pinned and feed both its signature and its verify attach —
+    # pre-pin each side was tokenized twice (see
+    # _self_candidate_pairs_with_shingles for the mechanism and the
+    # at-scale cache argument)
+    arr_new = pin(
+        _shingle_array_frame(new_df, id_col, text_col, shingle_len, max_tokens),
+        eager=False,
     )
-    sig_corpus = minhash_signature(
-        corpus_df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
+    arr_corpus = pin(
+        _shingle_array_frame(corpus_df, id_col, text_col, shingle_len, max_tokens),
+        eager=False,
     )
+    sig_new = _minhash_sig_from_arrays(arr_new, num_hashes, portable)
+    sig_corpus = _minhash_sig_from_arrays(arr_corpus, num_hashes, portable)
     banded_new = _band_buckets(sig_new, bands, rows_per_band, portable)
     banded_corpus = _band_buckets(sig_corpus, bands, rows_per_band, portable)
     cand = (
@@ -556,17 +614,14 @@ def minhash_lsh_join(
         .select("new_id", "corpus_id")
         .dropDuplicates(["new_id", "corpus_id"])
     )
-
-    def shingles(df: DataFrame, alias: str, sh_alias: str) -> DataFrame:
-        return identified(df, id_col).select(
-            F.col(id_col).alias(alias),
-            F.array_distinct(
-                token_ngrams(text_col, shingle_len, max_tokens)
-            ).alias(sh_alias),
-        )
-
-    pairs = cand.join(shingles(new_df, "new_id", "sh_a"), "new_id").join(
-        shingles(corpus_df, "corpus_id", "sh_b"), "corpus_id"
+    pairs = cand.join(
+        arr_new.select(F.col("_id").alias("new_id"), F.col("_sh").alias("sh_a")),
+        "new_id",
+    ).join(
+        arr_corpus.select(
+            F.col("_id").alias("corpus_id"), F.col("_sh").alias("sh_b")
+        ),
+        "corpus_id",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
@@ -908,7 +963,16 @@ def simhash_near_pairs(
     (:func:`duplicate_clusters`) — see :func:`lsh_bucket_profile`'s
     docstring for the math.
     """
-    sh = simhash(df, id_col, text_col, portable=portable, max_tokens=max_tokens)
+    # lazily pin the signatures: 5-70 bytes per doc, but the frame is
+    # the output of THE dominant stage (tokenize + 64-bit-sum
+    # aggregate). Pre-pin (r13), AQE broadcast one side of the chunk
+    # self-join, so no exchange was reused and that whole stage ran
+    # TWICE per query — plans/r13/q_dedup_simhash_portable_before.txt
+    # shows both 64-function HashAggregate subtrees.
+    sh = pin(
+        simhash(df, id_col, text_col, portable=portable, max_tokens=max_tokens),
+        eager=False,
+    )
     chunks = signature_chunks(sh, max_hamming)
     left = chunks.select("chunk", "ck", F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"))
     right = chunks.select("chunk", "ck", F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"))
@@ -976,6 +1040,12 @@ def ngram_jaccard_pairs(
     # and computed n-grams once per duplicate row; collapsing first
     # keeps the "no arrays cross a shuffle" property and shingles once
     # per distinct version.
+    # duplicate collapse as a plain DISTINCT (r13): _ver = xxhash64(_txt)
+    # functionally determines _txt, so adding _txt to the key changes no
+    # groups — but dropDuplicates on a SUBSET of columns plans as
+    # first(_txt), and first() over a string demotes the whole dedup to
+    # two Sort + SortAggregate pairs carrying the full text; the
+    # all-column form is one HashAggregate with map-side partial dedup.
     base = (
         identified(df, id_col)
         .select(
@@ -984,7 +1054,7 @@ def ngram_jaccard_pairs(
             F.col(text_col).alias("_txt"),
             F.xxhash64(F.col(text_col)).alias("_ver"),
         )
-        .dropDuplicates([*block_cols, "_id", "_ver"])
+        .dropDuplicates([*block_cols, "_id", "_ver", "_txt"])
     )
     sh = base.select(
         *[F.col(c) for c in block_cols],
@@ -1014,6 +1084,16 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= max_df)
             .drop("_df")
         )
+    # lazily pin the postings: pre-pin (r13) AQE broadcast the right
+    # side of the self-join, so the ENTIRE posting subtree (scan, dedup,
+    # shingling, explode, df-window) executed twice per query
+    # (plans/r13/q_ngram_jaccard_before.txt shows both copies). The pin
+    # also preserves the window's (block, _s) partitioning and sort
+    # order, which are exactly the self-join's keys — both join sides
+    # read one cached materialization with no further exchange. The
+    # cache is the exploded postings, the same bytes the join exchange
+    # shipped anyway (disk-backed at scale).
+    inv = pin(inv, eager=False)
     left = inv.select(
         *block_cols, F.col("_id").alias("id_a"), F.col("_ver").alias("_va"),
         F.col("_n").alias("_na"), "_s",

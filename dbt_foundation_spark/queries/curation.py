@@ -455,8 +455,16 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable=True,
     )
     comps = connected_components(pairs, "id_a", "id_b")
-    scored = docs.select(
-        F.col("doc_id").alias("id"), X.quality_score("text").alias("score")
+    # lazy pin = expression barrier (the q_corpus_pipeline gate fix,
+    # batch 1): keep_best_per_cluster's eligibility filter otherwise
+    # re-expands quality_score into a pushed-down Filter where no CSE
+    # applies — the before-plan's scan Filter evaluated the tokenize
+    # ~10× per row (isnotnull + isnan, each inlining the score twice).
+    scored = pin(
+        docs.select(
+            F.col("doc_id").alias("id"), X.quality_score("text").alias("score")
+        ),
+        eager=False,
     )
     best = keep_best_per_cluster(comps, scored)
     return best.select(
@@ -916,7 +924,16 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", "lang", "g.w1", "g.w2")
-    big = grams.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # lazy pins (r13): grams feeds the count model AND the per-doc join,
+    # and big feeds uni AND the join — pre-pin all three consumers
+    # re-ran the tokenize+zip+explode subtree from its own scan (the
+    # before-plan has three Generate-over-Scan copies). One exploded
+    # pass now serves the whole query.
+    grams = pin(grams, eager=False)
+    big = pin(
+        grams.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c2")),
+        eager=False,
+    )
     uni = big.groupBy("lang", "w1").agg(F.sum("c2").cast("bigint").alias("c1"))
     return (
         grams.join(big, ["lang", "w1", "w2"])

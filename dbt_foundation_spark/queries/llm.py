@@ -201,8 +201,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same distinct-hash sets), hence the identical jaccard doubles
     # and the identical pair set.
     hs = hashed_shingle_sets(docs, "doc_id", "text", 3)
-    post = hs.select(
-        "id", F.size("hs").alias("n"), F.explode("hs").alias("s")
+    # lazy pin (r13): both sides of the inverted-index self-join read
+    # one materialization of the postings — pre-pin AQE broadcast one
+    # side and the tokenize+hash subtree executed twice.
+    post = pin(
+        hs.select("id", F.size("hs").alias("n"), F.explode("hs").alias("s")),
+        eager=False,
     )
     common = (
         post.alias("a")
@@ -785,7 +789,15 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
     qv = _query_vector(spark, sf_dir, 1)
-    exact = cosine_topk(emb, "vec_id", "embedding", qv, k=10, exclude_id=1)
+    # lazily pin the exact answer (10 rows): it is consumed twice (the
+    # output AND the recall join), and pre-pin (r13) the full
+    # brute-force scan+cosine pass executed once per consumer —
+    # plans/r13/q_cosine_topk_ivf_before.txt shows both TakeOrdered
+    # subtrees over their own parquet scans.
+    exact = pin(
+        cosine_topk(emb, "vec_id", "embedding", qv, k=10, exclude_id=1),
+        eager=False,
+    )
     ivf = cosine_topk_ivf(
         emb, "vec_id", "embedding", qv, k=10, n_lists=8, n_probe=5, exclude_id=1
     )
