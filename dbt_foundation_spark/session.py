@@ -35,6 +35,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # 64 KB coalesce floor (default 1 MB): AQE coalescing sizes
+        # partitions by BYTES, but the text/dedup operators' post-shuffle
+        # stages (sort+window+join+aggregate over exploded postings) are
+        # CPU-bound at ~1000× the cost-per-byte of a plain scan, so the
+        # 1 MB floor serialized them onto 2-4 tasks whenever a few MB of
+        # compressed strings crossed the exchange (measured r13:
+        # q_ngram_jaccard's whole mid-pipeline ran 1.2 s on 2 tasks of a
+        # 32-core machine; 64 KB floor → full parallelism, −25% warm).
+        # Scale-safe by construction: with parallelismFirst (default on)
+        # the target size is totalBytes/defaultParallelism floored at
+        # this value, so the floor only binds when an exchange carries
+        # less than ~cores × 1 MB — at 100 TB that is a dimension-table
+        # exchange where partition count is irrelevant either way.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
