@@ -84,6 +84,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dbt_foundation_spark.checkpoint import pin
+
 from dbt_foundation_spark.functions.text import token_ngrams
 from dbt_foundation_spark.operators.similarity import (
     hyperplane_banded,
@@ -93,6 +95,8 @@ from dbt_foundation_spark.operators.similarity import (
 from dbt_foundation_spark.operators.dedup import (
     SIGNATURE_MAX_TOKENS,
     _band_buckets,
+    _minhash_sig_from_arrays,
+    _shingle_array_frame,
     banding_geometry,
     containment_postings,
     hashed_shingle_sets,
@@ -502,16 +506,21 @@ def build_minhash_index(
     # fewer splits than cores would serialize the shingling/signature
     # stage on those tasks; identity on a real many-file corpus
     df = fan_out(df)
-    sig = minhash_signature(
-        df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
+    # one tokenize pass (r13): the lazily pinned shingle-array frame
+    # feeds BOTH stored datasets — pre-pin the signature write and the
+    # shingle-store write each re-tokenized the corpus from its own scan
+    arr = pin(
+        _shingle_array_frame(df, id_col, text_col, shingle_len, max_tokens),
+        eager=False,
     )
+    sig = _minhash_sig_from_arrays(arr, num_hashes, portable)
     banded = (
         _band_buckets(sig, bands, banding_geometry(num_hashes, bands), portable)
         .withColumnRenamed("_id", "id")
         .repartition(index_partitions, "band", "bucket")
     )
     banded.write.mode("overwrite").parquet(f"{path}/bands")
-    _shingle_sets(df, id_col, text_col, shingle_len, max_tokens).write.mode(
+    arr.select(F.col("_id").alias("id"), F.col("_sh").alias("shingles")).write.mode(
         "overwrite"
     ).parquet(f"{path}/shingles")
     _write_manifest(
@@ -570,9 +579,13 @@ def dedup_against_index(
 
     similarity_threshold(jaccard_threshold, "jaccard_threshold")
     new_df = _conform_batch_id(new_df, id_col, path, "minhash")
-    sig_new = minhash_signature(
-        new_df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
+    # one tokenize pass over the batch (r13): the pinned array frame
+    # feeds the batch signature AND the verify attach
+    arr_new = pin(
+        _shingle_array_frame(new_df, id_col, text_col, shingle_len, max_tokens),
+        eager=False,
     )
+    sig_new = _minhash_sig_from_arrays(arr_new, num_hashes, portable)
     banded_new = _band_buckets(sig_new, bands, banding_geometry(num_hashes, bands), portable)
     from dbt_foundation_spark.operators.tombstones import read_tombstones
 
@@ -587,8 +600,8 @@ def dedup_against_index(
         .select("new_id", "corpus_id")
         .dropDuplicates(["new_id", "corpus_id"])
     )
-    sh_new = _shingle_sets(new_df, id_col, text_col, shingle_len, max_tokens).select(
-        F.col("id").alias("new_id"), F.col("shingles").alias("sh_a")
+    sh_new = arr_new.select(
+        F.col("_id").alias("new_id"), F.col("_sh").alias("sh_a")
     )
     sh_corpus = _live(spark, path, "shingles", tomb).select(
         F.col("id").alias("corpus_id"), F.col("shingles").alias("sh_b")
@@ -655,12 +668,18 @@ def append_to_index(
     )
     df = _conform_batch_id(df, id_col, path, "minhash")
     with hold_append_marker(df.sparkSession, path, owner):
-        _shingle_sets(df, id_col, text_col, shingle_len, max_tokens).write.mode(
-            "append"
-        ).parquet(f"{path}/shingles")
-        sig = minhash_signature(
-            df, id_col, text_col, num_hashes, shingle_len, portable, max_tokens
+        # one tokenize pass per batch (r13): the pinned array frame
+        # feeds the shingle-store write AND the band write; the
+        # verify-first write ORDER (shingles, then bands) is the
+        # concurrency contract and is unchanged
+        arr = pin(
+            _shingle_array_frame(df, id_col, text_col, shingle_len, max_tokens),
+            eager=False,
         )
+        arr.select(
+            F.col("_id").alias("id"), F.col("_sh").alias("shingles")
+        ).write.mode("append").parquet(f"{path}/shingles")
+        sig = _minhash_sig_from_arrays(arr, num_hashes, portable)
         banded = _band_buckets(
             sig, bands, banding_geometry(num_hashes, bands), portable
         ).withColumnRenamed("_id", "id")
@@ -835,7 +854,13 @@ def build_containment_index(
     from dbt_foundation_spark.operators.tombstones import assert_literal_path
 
     assert_literal_path(path, "index path")
-    hs = hashed_shingle_sets(df, id_col, text_col, shingle_len, max_tokens)
+    # one tokenize+hash pass (r13): the pinned hash-set frame feeds the
+    # postings, the prefixes, and the hashsets write — pre-pin the
+    # hashsets write re-tokenized the corpus from its own scan
+    hs = pin(
+        hashed_shingle_sets(df, id_col, text_col, shingle_len, max_tokens),
+        eager=False,
+    )
     post, pref = containment_postings(hs, threshold)
     post.select("id", "n", "s").repartition(index_partitions, "s").write.mode(
         "overwrite"
@@ -899,7 +924,12 @@ def containment_against_index(
 
     similarity_threshold(threshold, "threshold")
     new_df = _conform_batch_id(new_df, id_col, path, "containment")
-    hs_new = hashed_shingle_sets(new_df, id_col, text_col, shingle_len, max_tokens)
+    # one tokenize+hash pass over the batch (r13): postings, prefixes
+    # and the verify attach all read the pinned hash-set frame
+    hs_new = pin(
+        hashed_shingle_sets(new_df, id_col, text_col, shingle_len, max_tokens),
+        eager=False,
+    )
     post_new, pref_new = containment_postings(hs_new, threshold)
     from dbt_foundation_spark.operators.tombstones import read_tombstones
 
@@ -986,7 +1016,11 @@ def append_to_containment_index(
     )
     df = _conform_batch_id(df, id_col, path, "containment")
     with hold_append_marker(df.sparkSession, path, owner):
-        hs = hashed_shingle_sets(df, id_col, text_col, shingle_len, max_tokens)
+        # one tokenize+hash pass per batch (r13, see build_prefix_index)
+        hs = pin(
+            hashed_shingle_sets(df, id_col, text_col, shingle_len, max_tokens),
+            eager=False,
+        )
         post, pref = containment_postings(hs, threshold)
         hs.write.mode("append").parquet(f"{path}/hashsets")
         post.select("id", "n", "s").write.mode("append").parquet(f"{path}/postings")
