@@ -79,7 +79,10 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     then redact all four categories and count matches. One map stage,
     zero shuffles, RE2-safe regexes (functions/redact.py) — the oracle
     replays the identical scrub in DuckDB."""
-    docs = t(spark, sf_dir, "documents")
+    # fan_out (r13): pure per-row regex stage over a one-split local
+    # scan otherwise runs on one core — measured −65% on the funnel's
+    # identical shape; identity on any real many-file corpus
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     aug = docs.select("doc_id", _aug_col().alias("text"))
     counts = R.pii_counts("text")
     return aug.select(
@@ -116,7 +119,7 @@ def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~one partition per language — pre-repartition by (lang, salt) and
     take per-salt quantiles if a single language outgrows an executor).
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))  # r13: see q_pii_redact
     w = Window.partitionBy("lang").orderBy("quality")
     return (
         docs.select("doc_id", "lang", X.quality_score("text").alias("quality"))
@@ -266,7 +269,7 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure Column expressions, one tiny final aggregate; the oracle
     replays the full rule chain including boundary behavior (unrounded
     doubles compared against the thresholds in both engines)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))  # r13: see q_pii_redact
     quality = X.quality_score("text")
     bigram_dup = X.dup_ngram_ratio("text", 2)
     reason = (

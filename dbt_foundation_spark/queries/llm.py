@@ -867,7 +867,9 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 quality signals per document (length/uniqueness/word-shape/
     punctuation) — all codegen'd arithmetic."""
-    docs = t(spark, sf_dir, "documents")
+    # fan_out (r13): pure per-row compute over a one-split local scan
+    # otherwise runs on one core (identity on many-file corpora)
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         X.token_count("text").cast("bigint").alias("n_tokens"),
@@ -947,7 +949,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 language-ID: marker-token scoring, argmax with deterministic
     tiebreak (lexicographically-last language — matches the struct-sort
     in functions/text.py::lang_id)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))  # r13: see q_doc_quality
     return docs.select("doc_id", "lang", X.lang_id("text").alias("pred_lang"))
 
 
@@ -965,7 +967,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 BPE-ish token estimate (~4 chars/token heuristic + symbol
     pieces) — the LLM-budget counter, vocab-free."""
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))  # r13: see q_doc_quality
     return docs.select(
         "doc_id", X.bpe_ish_token_count("text").alias("n_bpe_tokens")
     )
@@ -1009,7 +1011,7 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated-text detectors in a training-data pipeline. Pure Column
     arithmetic (one scan, zero shuffles); the DuckDB oracle replays the
     identical shingle construction."""
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))  # r13: see q_doc_quality
     return docs.select(
         "doc_id",
         F.round(F.lit(1.0) - X.uniq_token_ratio("text"), 6).alias("dup_token_ratio"),

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dbt_foundation_spark.checkpoint import pin
 from dbt_foundation_spark.queries import query
 from dbt_foundation_spark.queries._util import davg, dsum, sql_davg, sql_dsum, t
 
@@ -1315,19 +1316,31 @@ def q_important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    nrev = (
+    # ONE pass over the fact join (r13): keep the per-nation sums in
+    # DECIMAL, and derive the global total by summing those 25 decimals
+    # — decimal addition is exact and associative, so the total is the
+    # IDENTICAL decimal value the old second fact-join pass computed,
+    # and its double cast (hence the threshold and every boundary
+    # verdict) is bit-identical. The ulp hazard the docstring warns
+    # about only applies to summing the per-nation DOUBLES.
+    rev_dec = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,8)"
+        )
+    )
+    nrev = pin(
         li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(rev_dec.alias("_rev_dec")),
+        eager=False,  # ~25 rows, consumed by the rows AND the threshold
     )
-    total = (
-        li.join(supp, li.l_suppkey == supp.s_suppkey)
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "t"))
-        .select((F.lit(0.04) * F.col("t")).alias("threshold"))
+    total = nrev.agg(
+        (F.lit(0.04) * F.sum("_rev_dec").cast("double")).alias("threshold")
     )
     return (
-        nrev.crossJoin(F.broadcast(total))
+        nrev.select("n_name", F.col("_rev_dec").cast("double").alias("revenue"))
+        .crossJoin(F.broadcast(total))
         .filter(F.col("revenue") > F.col("threshold"))
         .select("n_name", "revenue")
         .orderBy(F.desc("revenue"), "n_name")
