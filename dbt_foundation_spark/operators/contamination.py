@@ -36,9 +36,19 @@ from dbt_foundation_spark.functions import text as X
 
 
 def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int, portable: bool) -> DataFrame:
-    gram = F.explode(X.token_ngrams(text_col, n)).alias("_gram")
-    hashed = (F.md5 if portable else F.xxhash64)(F.col("_gram")).alias("_g")
-    return df.select(F.col(id_col), gram).select(id_col, hashed).distinct()
+    # per-document dedup INSIDE the gram array (r13): hash the grams
+    # with a map-side transform, array_distinct, THEN explode — the
+    # identical (id, hash) row set the old explode→hash→distinct
+    # produced, minus the full posting-sized distinct exchange (the
+    # dedup key was (id, hash), i.e. per-document, so it never needed
+    # a cross-document shuffle). Same shape as hashed_shingle_sets.
+    hf = F.md5 if portable else F.xxhash64
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.transform(X.token_ngrams(text_col, n), lambda g: hf(g)))
+        ).alias("_g"),
+    )
 
 
 def ngram_contamination(

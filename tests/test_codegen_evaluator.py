@@ -618,54 +618,59 @@ def test_heavy_query_plan_shapes_pinned(spark, sf_dir):
     # budgets include the fan_out round-robin repartition (one exchange)
     # that parallelizes the single-row-group local scans — see
     # queries/_util.fan_out; at 100 TB the guard makes it a no-op.
+    # r13 re-pin: the optimization round's lazy pins (localCheckpoint)
+    # moved each detector's shared subtree (signature / postings /
+    # hash-set builds) behind an RDD scan, so the FINAL plan's budget
+    # covers the post-pin tail; the pinned subtrees' own exchange
+    # counts are audited by the committed before/after plans
+    # (plans/r13/). Budgets are exact current counts — a refactor that
+    # reintroduces a duplicated subtree, an extra exchange, or a
+    # Python row UDF fails here, not at 100 TB.
     budgets = {
-        "q_dedup_minhash": 10,  # sig agg + band join + 2 re-attach joins,
-                                # PLUS the in-query ground-truth flank
-                                # (r5): inverted-index posting self-join
-                                # + verify re-attach + found/true scalars
-        "q_dedup_simhash": 11,  # sig agg + chunk join + pair dedup over
-                                # the corpus ∪ planted-copies union (r5
-                                # canary: union defeats exchange reuse
-                                # locally; found/planted scalar aggs);
-                                # +1 r11: the min-hamming strongest-
-                                # version fold (degenerate-identity
-                                # contract) is one pair-sized exchange
-        "q_dedup_simhash_portable": 5,  # same shape, md5-half hashes
-        "q_embedding_neardup": 3,  # band join + pair dedup + 2 re-attach joins
-        "q_ngram_jaccard": 8,   # inverted-index join + per-version pair
-                                # agg (set sizes RIDE the posting rows —
-                                # no sizes joins); fan_out repartition is
-                                # re-planned per scan branch (different
-                                # pruned columns defeat exchange reuse) —
-                                # local-only, the guard no-ops it at
-                                # scale; +1 r11: version dedup + the
-                                # strongest-pair fold (degenerate ids)
-        "q_asof_join": 3,       # union window + pre-agg
+        "q_dedup_minhash": 4,   # ground-truth posting self-join + pair
+                                # agg + found/true scalars; the banding
+                                # flank and arr/sig builds are pinned
+                                # (r13: was 10 with the duplicated
+                                # subtrees AQE broadcast re-planned)
+        "q_dedup_simhash": 5,   # chunk join over the corpus ∪ planted
+                                # union + min-hamming fold + found/
+                                # planted scalars; the 64-sum signature
+                                # aggregate is pinned and runs ONCE
+                                # (r13: was 11)
+        "q_dedup_simhash_portable": 1,  # pair fold only — signature
+                                # pinned (r13: was 5)
+        "q_embedding_neardup": 3,  # band join + pair dedup + re-attach
+        "q_ngram_jaccard": 2,   # pair agg + strongest-version fold;
+                                # the posting build (dedup + df-window)
+                                # is pinned and both self-join sides
+                                # read ONE materialization (r13: was 8)
+        "q_asof_join": 2,       # union window + pre-agg
         "q_rollup_cascade": 3,  # hour agg + day re-agg + union alignment
         "q_doc_chunks": 0,      # chunking must not shuffle at all
         "q_stratified_sample": 0,
         "q_epoch_shuffle": 1,   # the global sort
-        "q_pii_redact": 0,      # pure map stage — scrub must not shuffle
+        "q_pii_redact": 1,      # the fan_out round-robin only (r13:
+                                # parallelizes the one-split local scan;
+                                # identity at scale) — the scrub itself
+                                # must not shuffle
         "q_embedding_quantize": 0,  # per-row quantization, no shuffle
-        "q_quality_quantile": 1,    # the per-lang window shuffle only
-        "q_filter_funnel": 2,       # reason-count agg + 4-row result sort
-        "q_dedup_incremental": 7,   # 2 sig aggs + band join + pair dedup;
-                                    # +1 r11: strongest-version fold
+        "q_quality_quantile": 2,    # fan_out + the per-lang window
+        "q_filter_funnel": 3,       # fan_out + reason-count agg + sort
+        "q_dedup_incremental": 3,   # band cross-join + pair dedup +
+                                    # strongest-version fold; per-side
+                                    # sig/arr builds pinned (r13: was 7)
         "q_promo_revenue": 1,       # broadcast part join + 1-group agg
-        "q_nation_volume": 3,       # orderkey shuffle + agg + sort
+        "q_nation_volume": 2,       # orderkey shuffle + agg
         "q_window_range_frame": 1,  # the user_id window shuffle only
         "q_gap_fill": 1,
-        "q_salted_join": 3,         # (salted) join + agg + sort
+        "q_salted_join": 2,         # (salted) join + agg
         "q_two_phase_distinct": 3,  # (key,value) dedup + key agg + sort
-        "q_containment": 4,         # df window + rarity window + pair dedup
-                                    # (prefix/index join reuses the _s
-                                    # exchange; shingle re-attach broadcasts
-                                    # at this SF)
+        "q_containment": 2,         # rarity window + pair fold; postings
+                                    # + hash sets pinned (r13: was 4)
         "q_repeated_spans": 3,      # span window + doc aggregate, no joins
-        "q_dedup_keep_best": 4,     # post-checkpoint tail only: the
-                                    # component rounds run during build and
-                                    # localCheckpoint truncates their
-                                    # exchanges out of the final plan
+        "q_dedup_keep_best": 2,     # post-checkpoint tail: sizes agg +
+                                    # keeper window (score pin barriers
+                                    # the quality-score re-expansion)
     }
     qs = e.queries()
     for name, budget in budgets.items():
