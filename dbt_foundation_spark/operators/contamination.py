@@ -36,19 +36,22 @@ from dbt_foundation_spark.functions import text as X
 
 
 def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int, portable: bool) -> DataFrame:
-    # per-document dedup INSIDE the gram array (r13): hash the grams
-    # with a map-side transform, array_distinct, THEN explode — the
-    # identical (id, hash) row set the old explode→hash→distinct
-    # produced, minus the full posting-sized distinct exchange (the
-    # dedup key was (id, hash), i.e. per-document, so it never needed
-    # a cross-document shuffle). Same shape as hashed_shingle_sets.
+    # r13: hash the grams with a map-side transform and array_distinct
+    # INSIDE the array before exploding — repeated grams within a
+    # document never reach the exchange. The global distinct stays: for
+    # a DUPLICATED id (same text twice, or two texts under one id — the
+    # README's dirty-data contract) the id's gram set is the UNION
+    # across its rows, which only a cross-row dedup on (id, hash) can
+    # produce; dropping it double-counted those ids' n_grams (caught by
+    # the r13 review before it shipped). distinct-of-per-row-distinct
+    # is the identical set for every input.
     hf = F.md5 if portable else F.xxhash64
     return df.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.transform(X.token_ngrams(text_col, n), lambda g: hf(g)))
         ).alias("_g"),
-    )
+    ).distinct()
 
 
 def ngram_contamination(

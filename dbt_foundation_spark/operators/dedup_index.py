@@ -86,7 +86,6 @@ from pyspark.sql import functions as F
 
 from dbt_foundation_spark.checkpoint import pin
 
-from dbt_foundation_spark.functions.text import token_ngrams
 from dbt_foundation_spark.operators.similarity import (
     hyperplane_banded,
     random_hyperplanes,
@@ -101,7 +100,6 @@ from dbt_foundation_spark.operators.dedup import (
     containment_postings,
     hashed_shingle_sets,
     identified,
-    minhash_signature,
     signature_chunks,
     simhash,
 )
@@ -456,26 +454,11 @@ def _live(
     )
 
 
-def _shingle_sets(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    shingle_len: int,
-    max_tokens: int | None = SIGNATURE_MAX_TOKENS,
-) -> DataFrame:
-    # max_tokens: the stored verify shingles must cover the SAME token
-    # window the signatures were computed over (the giant-document
-    # cap), or a capped doc's banding and its verify jaccard would
-    # disagree between index and batch sides.
-    # NULL-id rows never enter the stored verify set — same
-    # degenerate-identity contract as minhash_signature (an id-less
-    # stored row could never be paired, retracted, or folded)
-    return identified(df, id_col).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            token_ngrams(text_col, shingle_len, max_tokens)
-        ).alias("shingles"),
-    )
+# The stored verify-shingle frame is derived from dedup._shingle_array_
+# frame at every call site (r13) — ONE tokenize pass shared with the
+# signature; that helper carries the max_tokens-consistency and NULL-id
+# contracts the old local _shingle_sets duplicated (removed as dead
+# code on the r13 review pass).
 
 
 def build_minhash_index(

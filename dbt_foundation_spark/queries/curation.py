@@ -76,9 +76,10 @@ def _pii_oracle() -> str:
 @query("q_pii_redact", oracle=_pii_oracle())
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 PII scrub: plant a synthetic email/key/IP/phone per document,
-    then redact all four categories and count matches. One map stage,
-    zero shuffles, RE2-safe regexes (functions/redact.py) — the oracle
-    replays the identical scrub in DuckDB."""
+    then redact all four categories and count matches. One map stage
+    behind the fan_out repartition (the scrub itself adds no shuffle),
+    RE2-safe regexes (functions/redact.py) — the oracle replays the
+    identical scrub in DuckDB."""
     # fan_out (r13): pure per-row regex stage over a one-split local
     # scan otherwise runs on one core — measured −65% on the funnel's
     # identical shape; identity on any real many-file corpus

@@ -1009,7 +1009,8 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 Gopher-style repetition filters: duplicate token / bigram /
     trigram fractions per document — the standard boilerplate and
     generated-text detectors in a training-data pipeline. Pure Column
-    arithmetic (one scan, zero shuffles); the DuckDB oracle replays the
+    arithmetic (one scan + the fan_out repartition — the signals
+    themselves add no shuffle); the DuckDB oracle replays the
     identical shingle construction."""
     docs = fan_out(spark, t(spark, sf_dir, "documents"))  # r13: see q_doc_quality
     return docs.select(

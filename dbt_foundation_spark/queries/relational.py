@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dbt_foundation_spark.checkpoint import pin
 from dbt_foundation_spark.queries import query
 from dbt_foundation_spark.queries._util import davg, dsum, sql_davg, sql_dsum, t
 
@@ -1316,31 +1315,29 @@ def q_important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    # ONE pass over the fact join (r13): keep the per-nation sums in
-    # DECIMAL, and derive the global total by summing those 25 decimals
-    # — decimal addition is exact and associative, so the total is the
-    # IDENTICAL decimal value the old second fact-join pass computed,
-    # and its double cast (hence the threshold and every boundary
-    # verdict) is bit-identical. The ulp hazard the docstring warns
-    # about only applies to summing the per-nation DOUBLES.
-    rev_dec = F.sum(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-            "decimal(18,8)"
-        )
-    )
-    nrev = pin(
+    # NOTE (r13): a single-pass variant that derived the global total
+    # by summing the per-nation decimals was tried (exact decimal
+    # arithmetic, measured flat locally) and REVERTED on review: the
+    # oracle's total is over lineitem⋈supplier WITHOUT the nation
+    # join, so a supplier with a NULL/dangling s_nationkey (dirty FK —
+    # certain at 100 TB per the README contract) would be counted by
+    # the oracle's threshold but silently dropped from the derived
+    # one, flipping boundary nations. The two-pass form keeps the
+    # threshold's domain identical to the oracle's on EVERY input;
+    # Spark reuses the li⋈supp exchanges between the two passes.
+    nrev = (
         li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(rev_dec.alias("_rev_dec")),
-        eager=False,  # ~25 rows, consumed by the rows AND the threshold
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
-    total = nrev.agg(
-        (F.lit(0.04) * F.sum("_rev_dec").cast("double")).alias("threshold")
+    total = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "t"))
+        .select((F.lit(0.04) * F.col("t")).alias("threshold"))
     )
     return (
-        nrev.select("n_name", F.col("_rev_dec").cast("double").alias("revenue"))
-        .crossJoin(F.broadcast(total))
+        nrev.crossJoin(F.broadcast(total))
         .filter(F.col("revenue") > F.col("threshold"))
         .select("n_name", "revenue")
         .orderBy(F.desc("revenue"), "n_name")

@@ -60,9 +60,14 @@ def main() -> None:
     stages: dict[int, dict] = {}
     log = Path(log_dir) / app_id
     if not log.exists():  # Spark 4 rolling event log layout
-        (candidate,) = [
-            p for p in Path(log_dir).glob(f"*{app_id}*") if not p.name.endswith(".inprogress")
-        ]
+        candidates = sorted(
+            p
+            for p in Path(log_dir).glob(f"*{app_id}*")
+            if not p.name.endswith(".inprogress")
+        )
+        if not candidates:
+            sys.exit(f"no event log for {app_id} under {log_dir}")
+        candidate = candidates[0]  # compact/rolled variants sort together
         log = candidate if candidate.is_file() else next(
             f for f in sorted(candidate.iterdir()) if f.name.startswith("events_")
         )
@@ -93,7 +98,9 @@ def main() -> None:
         tot = 0.0
         for jid in sorted(jobs):
             j = jobs[jid]
-            if "end" not in j or not (lo <= j["start"] <= hi):
+            # a JobEnd without its JobStart (truncated log) has no
+            # "start"; skip the record instead of crashing the report
+            if "end" not in j or "start" not in j or not (lo <= j["start"] <= hi):
                 continue
             dur = (j["end"] - j["start"]) / 1000.0
             tot += dur
