@@ -12,6 +12,25 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def lit_vec(vec: list[float]) -> Column:
+    """A literal array<double> column from a Python vector, built as
+    ONE parsed SQL expression (r14): the F.lit-per-element form costs a
+    Py4J driver roundtrip per element — ~1000+ roundtrips per operation
+    for a 16-centroid x 64-dim quantizer or a 16-plane LSH family,
+    a measured ~0.5-0.7 s of driver constant on the IVF/embedding hot
+    paths. ``repr(float)`` round-trips the exact IEEE double through
+    Spark's parser (shortest-unique decimal -> parseDouble), so the
+    literal values are bit-identical to F.lit's. Non-finite elements
+    (no finite-vector quantizer produces them, but a hand-written
+    store could) fall back to the element-wise form -- 'inf'/'nan'
+    have no SQL literal."""
+    import math
+
+    if all(math.isfinite(x) for x in vec):
+        return F.expr("array(" + ", ".join(f"{float(x)!r}D" for x in vec) + ")")
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
@@ -179,7 +198,7 @@ def hyperplane_signature(col: Column | str, planes: list[list[float]]) -> Column
     v = to_double_array(col)
     bits = []
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+        p = lit_vec(plane)
         d = F.aggregate(F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
         bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
     out = bits[0]

@@ -164,47 +164,99 @@ def _shingle_array_frame(
     text_col: str,
     shingle_len: int,
     max_tokens: int | None,
+    hashed: bool = False,
 ) -> DataFrame:
-    """(_id, _ver, _sh array<string>) — one row per input row with the
-    document's DISTINCT shingle array. The single tokenize/shingle pass
-    every minhash stage derives from: the signature explodes it, the
-    verify re-attaches it. The pair operators ``pin`` this frame so the
-    corpus is tokenized ONCE per query (pre-r13 the signature subtree
-    and each verify attach re-tokenized it — 3 full scans; at 100 TB the
-    pin is a disk-backed cache the size of one posting shuffle, strictly
-    cheaper than re-running the dominant map stage)."""
+    """(_id, _ver, _sh) — one row per input row with the document's
+    DISTINCT shingle array. The single tokenize/shingle pass every
+    minhash stage derives from: the signature explodes it, the verify
+    re-attaches it. The pair operators ``pin`` this frame so the corpus
+    is tokenized ONCE per query (pre-r13 the signature subtree and each
+    verify attach re-tokenized it — 3 full scans; at 100 TB the pin is
+    a disk-backed cache the size of one posting shuffle, strictly
+    cheaper than re-running the dominant map stage).
+
+    ``hashed=True`` (the fast, non-portable flavor) stores
+    ``_sh array<bigint>`` = the xxhash64'd shingle set instead of the
+    strings — ~3× lighter to pin, ship and compare (r14; containment's
+    long-hash pattern). Signature math is BIT-IDENTICAL because the
+    fast signature's base hash is xxhash64(shingle) — exactly the
+    stored long (``_minhash_sig_from_arrays`` just skips the re-hash).
+    The outer ``array_distinct`` guards an intra-doc 64-bit collision
+    (two distinct shingles → one hash slot), mirroring
+    :func:`hashed_shingle_sets`; signatures are unaffected either way
+    (equal hashes share every h_i, min-aggs collapse duplicates). The
+    PORTABLE flavor must keep strings — its md5 base hash is replayed
+    from shingle strings by the DuckDB oracle."""
+    sh = F.array_distinct(token_ngrams(text_col, shingle_len, max_tokens))
+    if hashed:
+        sh = F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
     return identified(df, id_col).select(
         F.col(id_col).alias("_id"),
         # version key: engine-internal grouping only (never replayed by
         # an oracle — with unique ids it is constant within each group)
         F.xxhash64(F.col(text_col)).alias("_ver"),
-        F.array_distinct(token_ngrams(text_col, shingle_len, max_tokens)).alias(
-            "_sh"
-        ),
+        sh.alias("_sh"),
+    )
+
+
+def _hashed_attach(arr: DataFrame, hashed: bool) -> DataFrame:
+    """The verify-attach view of a :func:`_shingle_array_frame`:
+    (_id, _sh array<bigint>). Identity for a ``hashed`` frame; for a
+    portable (string) frame it xxhash64's the arrays AFTER the pin read
+    and BEFORE the attach join, so the join exchange ships longs and
+    the pair-level intersect/union compares longs (r14 — the measured
+    ~2.5× verify win containment_pairs documents). Hash-space jaccard
+    equals string-space jaccard unless two distinct shingles of the
+    compared pair collide in 64 bits (expected colliding pairs
+    S²/2⁶⁵ ≈ 2·10⁻⁹ at S=260 k — the containment collision-odds
+    contract), so the emitted doubles match the string-space DuckDB
+    oracles with overwhelming probability."""
+    if hashed:
+        return arr.select("_id", "_sh")
+    return arr.select(
+        "_id",
+        F.array_distinct(
+            F.transform("_sh", lambda s: F.xxhash64(s))
+        ).alias("_sh"),
     )
 
 
 def _minhash_sig_from_arrays(
-    arr: DataFrame, num_hashes: int, portable: bool
+    arr: DataFrame, num_hashes: int, portable: bool, hashed: bool = False
 ) -> DataFrame:
     """minhash signatures from a :func:`_shingle_array_frame` — the
     explode + k-min-aggregate half of :func:`minhash_signature`,
     separated so callers that already hold (and pin) the shingle arrays
-    do not pay a second tokenize pass."""
+    do not pay a second tokenize pass. ``hashed`` arrays already carry
+    xxhash64(shingle) — the fast flavor's base hash — so the explode
+    feeds pmod directly (bit-identical signatures, zero re-hash)."""
+    if hashed and portable:
+        raise ValueError(
+            "portable signatures hash md5 over shingle STRINGS — a "
+            "hashed (xxhash64) shingle frame cannot feed them"
+        )
     coeffs = _hash_coeffs(num_hashes)
     base_hash = md5_hash64 if portable else fast_hash64
     exploded = arr.select("_id", "_ver", F.explode("_sh").alias("_s"))
-    hashed = exploded.select(
-        "_id", "_ver", F.pmod(base_hash("_s"), F.lit(_P)).alias("_h")
+    hashed_col = F.col("_s") if hashed else base_hash("_s")
+    h = exploded.select(
+        "_id", "_ver", F.pmod(hashed_col, F.lit(_P)).alias("_h")
     )
+    # k-min aggs as ONE SQL string each (r14): the Column-by-Column
+    # form cost ~6 Py4J driver roundtrips per hash (~200 for k=32),
+    # a measured ~0.4 s of per-OPERATION driver constant — the hot
+    # per-ingest tax on index append/query paths. F.expr parses the
+    # identical arithmetic in one JVM call; the resulting expression
+    # tree (and therefore every signature value) is unchanged.
     aggs = [
-        F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"_mh{i}")
+        F.expr(f"min((_h * {a} + {b}) % {_P}) AS _mh{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
+    mhs = ", ".join(f"_mh{i}" for i in range(num_hashes))
     return (
-        hashed.groupBy("_id", "_ver")
+        h.groupBy("_id", "_ver")
         .agg(*aggs)
-        .select("_id", F.array(*[f"_mh{i}" for i in range(num_hashes)]).alias("minhash"))
+        .select("_id", F.expr(f"array({mhs}) AS minhash"))
     )
 
 
@@ -275,24 +327,29 @@ def _band_buckets(
     """(_id, band, bucket) — one row per (doc, band), bucket = the band's
     r consecutive minhash values collapsed to a string key. Portable mode
     keeps the raw values joined with '|' (replayable anywhere); the fast
-    flavor compresses them through xxhash64 (shorter shuffle keys)."""
+    flavor compresses them through xxhash64 (shorter shuffle keys).
 
-    def bucket(b: int):
-        vals = [F.col("minhash").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+    Built as ONE F.expr (r14): the Column-by-Column form cost ~8 Py4J
+    roundtrips per band — per-operation driver constant on the ingest
+    hot path (see _minhash_sig_from_arrays). The parsed expression tree
+    and every bucket value are unchanged."""
+
+    def bucket_sql(b: int) -> str:
+        vals = [f"minhash[{b * rows_per_band + r}]" for r in range(rows_per_band)]
         if portable:  # cross-engine-replayable bucket key (no xxhash64)
-            return F.concat_ws("|", *[v.cast("string") for v in vals])
-        return F.xxhash64(*vals).cast("string")
-
-    return sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
-                    for b in range(bands)
-                ]
+            return (
+                "concat_ws('|', "
+                + ", ".join(f"cast({v} AS string)" for v in vals)
+                + ")"
             )
-        ).alias("bb"),
+        return f"cast(xxhash64({', '.join(vals)}) AS string)"
+
+    rows = ", ".join(
+        f"named_struct('band', {b}, 'bucket', {bucket_sql(b)})"
+        for b in range(bands)
+    )
+    return sig.select(
+        "_id", F.expr(f"explode(array({rows})) AS bb")
     ).select("_id", "bb.band", "bb.bucket")
 
 
@@ -311,7 +368,11 @@ def minhash_lsh_pairs(
 
     banding: rows/band r = num_hashes/bands; a pair collides iff some
     band's r minhashes all agree → candidate. Verification computes true
-    shingle Jaccard only on candidates.
+    shingle Jaccard only on candidates — in xxhash64 space (r14): the
+    intersect/union sizes equal the string-space ones unless two
+    distinct shingles of the compared pair collide in 64 bits
+    (S²/2⁶⁵ ≈ 10⁻⁹ — :func:`_hashed_attach`), so the emitted doubles
+    match the string-space DuckDB oracles w.o.p.
 
     Scale shape: the band self-join carries ONLY (band, bucket, id) —
     the heavy shingle arrays are re-attached to the (much smaller)
@@ -368,13 +429,25 @@ def _self_candidate_pairs_with_shingles(
     plans/r13/q_dedup_minhash_portable_{before,after}.txt. Both pinned
     frames are small relative to the corpus (arrays ≈ the text itself,
     signatures = k longs per doc); at 100 TB they are disk-backed
-    caches, strictly cheaper than re-running the dominant map stages."""
+    caches, strictly cheaper than re-running the dominant map stages.
+
+    r14: the verify arrays are xxhash64 longs on BOTH flavors (see
+    :func:`_hashed_attach`); the fast flavor pins the hashed frame
+    outright (~3× smaller pin, bit-identical signatures), the portable
+    flavor pins strings (its md5 signature needs them) and hashes at
+    attach time."""
     rows_per_band = banding_geometry(num_hashes, bands)
+    hashed = not portable
     arr = pin(
-        _shingle_array_frame(df, id_col, text_col, shingle_len, max_tokens),
+        _shingle_array_frame(
+            df, id_col, text_col, shingle_len, max_tokens, hashed=hashed
+        ),
         eager=False,
     )
-    sig = pin(_minhash_sig_from_arrays(arr, num_hashes, portable), eager=False)
+    sig = pin(
+        _minhash_sig_from_arrays(arr, num_hashes, portable, hashed=hashed),
+        eager=False,
+    )
     banded = _band_buckets(sig, bands, rows_per_band, portable)
 
     left = banded.select("band", "bucket", F.col("_id").alias("id_a"))
@@ -385,9 +458,10 @@ def _self_candidate_pairs_with_shingles(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    hs = _hashed_attach(arr, hashed)
     return cand.join(
-        arr.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
-    ).join(arr.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        hs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+    ).join(hs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
 
 
 def containment_pairs(
@@ -588,21 +662,29 @@ def minhash_lsh_join(
     """
     similarity_threshold(jaccard_threshold, "jaccard_threshold")
     rows_per_band = banding_geometry(num_hashes, bands)
+    hashed = not portable
     # one tokenize pass PER SIDE (r13): each side's shingle arrays are
     # lazily pinned and feed both its signature and its verify attach —
     # pre-pin each side was tokenized twice (see
     # _self_candidate_pairs_with_shingles for the mechanism and the
-    # at-scale cache argument)
+    # at-scale cache argument). r14: long-hashed pins/attaches, same as
+    # _self_candidate_pairs_with_shingles.
     arr_new = pin(
-        _shingle_array_frame(new_df, id_col, text_col, shingle_len, max_tokens),
+        _shingle_array_frame(
+            new_df, id_col, text_col, shingle_len, max_tokens, hashed=hashed
+        ),
         eager=False,
     )
     arr_corpus = pin(
-        _shingle_array_frame(corpus_df, id_col, text_col, shingle_len, max_tokens),
+        _shingle_array_frame(
+            corpus_df, id_col, text_col, shingle_len, max_tokens, hashed=hashed
+        ),
         eager=False,
     )
-    sig_new = _minhash_sig_from_arrays(arr_new, num_hashes, portable)
-    sig_corpus = _minhash_sig_from_arrays(arr_corpus, num_hashes, portable)
+    sig_new = _minhash_sig_from_arrays(arr_new, num_hashes, portable, hashed=hashed)
+    sig_corpus = _minhash_sig_from_arrays(
+        arr_corpus, num_hashes, portable, hashed=hashed
+    )
     banded_new = _band_buckets(sig_new, bands, rows_per_band, portable)
     banded_corpus = _band_buckets(sig_corpus, bands, rows_per_band, portable)
     cand = (
@@ -614,11 +696,13 @@ def minhash_lsh_join(
         .select("new_id", "corpus_id")
         .dropDuplicates(["new_id", "corpus_id"])
     )
+    hs_new = _hashed_attach(arr_new, hashed)
+    hs_corpus = _hashed_attach(arr_corpus, hashed)
     pairs = cand.join(
-        arr_new.select(F.col("_id").alias("new_id"), F.col("_sh").alias("sh_a")),
+        hs_new.select(F.col("_id").alias("new_id"), F.col("_sh").alias("sh_a")),
         "new_id",
     ).join(
-        arr_corpus.select(
+        hs_corpus.select(
             F.col("_id").alias("corpus_id"), F.col("_sh").alias("sh_b")
         ),
         "corpus_id",
@@ -868,26 +952,33 @@ def simhash(
             F.conv(F.substring(md5c, 1, 15), 16, 10).cast("bigint").alias("_h"),
             F.conv(F.substring(md5c, 16, 15), 16, 10).cast("bigint").alias("_h2"),
         )
-        def bit(i: int):
-            return F.getbit("_h", F.lit(i)) if i < 60 else F.getbit("_h2", F.lit(i - 60))
+        def bit_sql(i: int) -> str:
+            return f"getbit(_h, {i})" if i < 60 else f"getbit(_h2, {i - 60})"
     else:
         hashed = exploded.select("_id", "_ver", fast_hash64("_tok").alias("_h"))
-        def bit(i: int):
-            return F.getbit("_h", F.lit(i))
+        def bit_sql(i: int) -> str:
+            return f"getbit(_h, {i})"
     # ±1 as arithmetic (2*bit − 1), not CaseWhen: 64 fewer branch nodes
-    # per row in the codegen'd aggregate
+    # per row in the codegen'd aggregate. Each aggregate (and the whole
+    # 64-term packed fold below) is built as a parsed SQL string (r14):
+    # the Column-by-Column form cost ~8 Py4J driver roundtrips per bit
+    # — ~0.6 s of per-query/per-ingest constant on every simhash path —
+    # and parses to the IDENTICAL expression tree.
     bit_sums = [
-        F.sum(bit(i) * 2 - 1).alias(f"_b{i}")
+        F.expr(f"sum({bit_sql(i)} * 2 - 1) AS _b{i}")
         for i in range(64)
     ]
     # bit 63 of a signed long is the sign bit → its power is -2^63
-    powers = [1 << i for i in range(63)] + [-(1 << 63)]
-    packed = None
-    for i, p in enumerate(powers):
-        term = F.when(F.col(f"_b{i}") > 0, F.lit(p).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+    # (spelled -9223372036854775807 - 1: the positive literal would
+    # overflow the SQL parser's bigint range before negation applies)
+    powers = [str(1 << i) for i in range(63)] + ["-9223372036854775807 - 1"]
+    packed = F.expr(
+        " | ".join(
+            f"(CASE WHEN _b{i} > 0 THEN CAST({p} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+            for i, p in enumerate(powers)
         )
-        packed = term if packed is None else packed.bitwiseOR(term)
+    )
     return (
         hashed.groupBy("_id", "_ver")
         .agg(*bit_sums)
@@ -1056,12 +1147,23 @@ def ngram_jaccard_pairs(
         )
         .dropDuplicates([*block_cols, "_id", "_ver", "_txt"])
     )
+    # postings are xxhash64(shingle) longs (r14 — the containment
+    # pattern): the exploded posting frame, its df-window sort, the pin
+    # materialization and the self-join keys all carry an 8-byte long
+    # instead of the shingle string. |A∩B| / |A| counts in hash space
+    # equal the string-space ones unless two distinct shingles of a
+    # compared pair collide in 64 bits (S²/2⁶⁵ ≈ 10⁻⁹ — the
+    # containment_pairs collision contract), so the emitted jaccard
+    # doubles match the string-space DuckDB oracle w.o.p.
     sh = base.select(
         *[F.col(c) for c in block_cols],
         "_id",
         "_ver",
         F.array_distinct(
-            token_ngrams("_txt", shingle_len, max_tokens)
+            F.transform(
+                F.array_distinct(token_ngrams("_txt", shingle_len, max_tokens)),
+                lambda s: F.xxhash64(s),
+            )
         ).alias("_sh"),
     )
     # set size RIDES the posting rows (one long per row) and folds into

@@ -94,6 +94,7 @@ from dbt_foundation_spark.operators.similarity import (
 from dbt_foundation_spark.operators.dedup import (
     SIGNATURE_MAX_TOKENS,
     _band_buckets,
+    _hashed_attach,
     _minhash_sig_from_arrays,
     _shingle_array_frame,
     banding_geometry,
@@ -142,7 +143,11 @@ def _cap_params(params: dict, max_tokens: int | None, record: bool = False) -> d
 
 
 def _conform_batch_id(
-    df: DataFrame, id_col: str, path: str, flavor: str | None = None
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    flavor: str | None = None,
+    id_type: str | None = None,
 ) -> DataFrame:
     """Pin a batch's document-id type to the index's stored id type
     (r12 probe — the id-type-drift dirty shape). Parquet happily
@@ -158,14 +163,20 @@ def _conform_batch_id(
     through the identity gate); cross-category mismatches raise at
     call time naming both types. Query batches conform too, so
     reported pair ids carry one coherent type instead of Spark's
-    silent join coercion."""
+    silent join coercion.
+
+    ``id_type`` (r14): the manifest-recorded stored id type, passed by
+    callers that already read the manifest — skips the per-operation
+    parquet schema probe (listing + footer read, ~0.25 s of driver
+    constant per append/query). Indexes built before the field was
+    recorded fall back to the schema probe."""
     spark = df.sparkSession
     from dbt_foundation_spark.operators.tombstones import (
         _index_id_type,
         _type_category,
     )
 
-    target = _index_id_type(spark, path, flavor)
+    target = id_type or _index_id_type(spark, path, flavor)
     got = df.schema[id_col].dataType.simpleString()
     if target is None or got == target:
         return df
@@ -198,7 +209,9 @@ def _conform_batch_id(
     )
 
 
-def _conform_batch_vec(df: DataFrame, vec_col: str, path: str) -> DataFrame:
+def _conform_batch_vec(
+    df: DataFrame, vec_col: str, path: str, vec_type: str | None = None
+) -> DataFrame:
     """The vector half of :func:`_conform_batch_id` for the embedding
     flavor: an ``array<float>`` batch appended into an
     ``array<double>`` vectors store (or vice versa) mixes parquet
@@ -216,13 +229,18 @@ def _conform_batch_vec(df: DataFrame, vec_col: str, path: str) -> DataFrame:
     )
 
     spark = df.sparkSession
-    vp = f"{path}/vectors"
-    if not _has_data_file(spark, vp):
-        return df
-    stored = (
-        guarded_sub_read(spark, path, "vectors")
-        .schema["vec"].dataType.simpleString()
-    )
+    # manifest-recorded type (r14): skips the vectors-store schema
+    # probe; pre-record manifests fall back to it
+    if vec_type is not None:
+        stored = vec_type
+    else:
+        vp = f"{path}/vectors"
+        if not _has_data_file(spark, vp):
+            return df
+        stored = (
+            guarded_sub_read(spark, path, "vectors")
+            .schema["vec"].dataType.simpleString()
+        )
     got = df.schema[vec_col].dataType.simpleString()
     if got == stored:
         return df
@@ -242,9 +260,18 @@ def _conform_batch_vec(df: DataFrame, vec_col: str, path: str) -> DataFrame:
     return df.withColumn(vec_col, F.col(vec_col).cast(stored))
 
 
-def _write_manifest(df: DataFrame, path: str, params: dict) -> None:
+def _write_manifest(
+    df: DataFrame, path: str, params: dict, id_col: str | None = None
+) -> None:
     """Record the index's build parameters as a one-row JSON dataset —
     written through Spark so it lands next to the index on any store.
+
+    ``id_col`` (r14): when given, the stored document-id TYPE is
+    recorded as ``id_type`` — the batch-conform paths then skip their
+    per-operation parquet schema probe of the stored datasets
+    (:func:`_conform_batch_id`). The stored type is exactly
+    ``df[id_col]``'s type (builders alias the column unchanged), and
+    every later append conforms to it, so the record cannot drift.
 
     Called by every ``build_*`` (all five flavors, incl. the IVF index
     in operators/similarity.py), so it is also where a COMPLETED
@@ -273,6 +300,8 @@ def _write_manifest(df: DataFrame, path: str, params: dict) -> None:
     # of serial slice fetches per build on local[32] (local_data.py);
     # any param type outside that set falls back to the classic path.
     payload = {**params, "manifest_version": 2}
+    if id_col is not None:
+        payload["id_type"] = df.schema[id_col].dataType.simpleString()
     _T = {bool: "boolean", int: "bigint", float: "double", str: "string"}
     if all(type(v) in _T for v in payload.values()):
         from dbt_foundation_spark.local_data import local_frame
@@ -429,6 +458,13 @@ def _validate_params(
                 "silently return wrong candidates"
             )
         resolved[k] = b
+    # manifest-only extras ride along (r14): keys the caller did not
+    # pass (and therefore never validate) — e.g. the recorded id_type —
+    # so callers get build-time facts without a second manifest read or
+    # a stored-dataset schema probe. setdefault: a validated caller key
+    # always wins its resolved value.
+    for k, b in m.items():
+        resolved.setdefault(k, b)
     return resolved
 
 
@@ -491,21 +527,28 @@ def build_minhash_index(
     df = fan_out(df)
     # one tokenize pass (r13): the lazily pinned shingle-array frame
     # feeds BOTH stored datasets — pre-pin the signature write and the
-    # shingle-store write each re-tokenized the corpus from its own scan
+    # shingle-store write each re-tokenized the corpus from its own scan.
+    # r14: the stored verify shingles are xxhash64 longs for BOTH
+    # flavors (~3× smaller store + verify join; dedup.py collision
+    # contract) — the fast flavor pins the hashed frame outright
+    # (bit-identical signatures), the portable one hashes at write.
+    hashed = not portable
     arr = pin(
-        _shingle_array_frame(df, id_col, text_col, shingle_len, max_tokens),
+        _shingle_array_frame(
+            df, id_col, text_col, shingle_len, max_tokens, hashed=hashed
+        ),
         eager=False,
     )
-    sig = _minhash_sig_from_arrays(arr, num_hashes, portable)
+    sig = _minhash_sig_from_arrays(arr, num_hashes, portable, hashed=hashed)
     banded = (
         _band_buckets(sig, bands, banding_geometry(num_hashes, bands), portable)
         .withColumnRenamed("_id", "id")
         .repartition(index_partitions, "band", "bucket")
     )
     banded.write.mode("overwrite").parquet(f"{path}/bands")
-    arr.select(F.col("_id").alias("id"), F.col("_sh").alias("shingles")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/shingles")
+    _hashed_attach(arr, hashed).select(
+        F.col("_id").alias("id"), F.col("_sh").alias("shingles")
+    ).write.mode("overwrite").parquet(f"{path}/shingles")
     _write_manifest(
         df,
         path,
@@ -520,6 +563,7 @@ def build_minhash_index(
             max_tokens,
             record=True,
         ),
+        id_col=id_col,
     )
 
 
@@ -544,7 +588,7 @@ def dedup_against_index(
     with (they define the hash family) — validated against the stored
     manifest, raising on mismatch. ``jaccard_threshold`` is query-time
     only and free to vary."""
-    _check_manifest(
+    resolved = _check_manifest(
         spark,
         path,
         _cap_params(
@@ -561,14 +605,18 @@ def dedup_against_index(
     from dbt_foundation_spark.operators.dedup import similarity_threshold
 
     similarity_threshold(jaccard_threshold, "jaccard_threshold")
-    new_df = _conform_batch_id(new_df, id_col, path, "minhash")
+    new_df = _conform_batch_id(new_df, id_col, path, "minhash", id_type=resolved.get("id_type"))
     # one tokenize pass over the batch (r13): the pinned array frame
-    # feeds the batch signature AND the verify attach
+    # feeds the batch signature AND the verify attach. r14: hash-space
+    # verify against the long-hashed shingle store (see build).
+    hashed = not portable
     arr_new = pin(
-        _shingle_array_frame(new_df, id_col, text_col, shingle_len, max_tokens),
+        _shingle_array_frame(
+            new_df, id_col, text_col, shingle_len, max_tokens, hashed=hashed
+        ),
         eager=False,
     )
-    sig_new = _minhash_sig_from_arrays(arr_new, num_hashes, portable)
+    sig_new = _minhash_sig_from_arrays(arr_new, num_hashes, portable, hashed=hashed)
     banded_new = _band_buckets(sig_new, bands, banding_geometry(num_hashes, bands), portable)
     from dbt_foundation_spark.operators.tombstones import read_tombstones
 
@@ -583,7 +631,7 @@ def dedup_against_index(
         .select("new_id", "corpus_id")
         .dropDuplicates(["new_id", "corpus_id"])
     )
-    sh_new = arr_new.select(
+    sh_new = _hashed_attach(arr_new, hashed).select(
         F.col("_id").alias("new_id"), F.col("_sh").alias("sh_a")
     )
     sh_corpus = _live(spark, path, "shingles", tomb).select(
@@ -635,7 +683,7 @@ def append_to_index(
     band candidate whose verify shingles are missing."""
     from dbt_foundation_spark.operators.tombstones import hold_append_marker
 
-    _check_manifest(
+    resolved = _check_manifest(
         df.sparkSession,
         path,
         _cap_params(
@@ -649,20 +697,24 @@ def append_to_index(
             max_tokens,
         ),
     )
-    df = _conform_batch_id(df, id_col, path, "minhash")
+    df = _conform_batch_id(df, id_col, path, "minhash", id_type=resolved.get("id_type"))
     with hold_append_marker(df.sparkSession, path, owner):
         # one tokenize pass per batch (r13): the pinned array frame
         # feeds the shingle-store write AND the band write; the
         # verify-first write ORDER (shingles, then bands) is the
-        # concurrency contract and is unchanged
+        # concurrency contract and is unchanged. r14: long-hashed
+        # shingle store, matching build_minhash_index.
+        hashed = not portable
         arr = pin(
-            _shingle_array_frame(df, id_col, text_col, shingle_len, max_tokens),
+            _shingle_array_frame(
+                df, id_col, text_col, shingle_len, max_tokens, hashed=hashed
+            ),
             eager=False,
         )
-        arr.select(
+        _hashed_attach(arr, hashed).select(
             F.col("_id").alias("id"), F.col("_sh").alias("shingles")
         ).write.mode("append").parquet(f"{path}/shingles")
-        sig = _minhash_sig_from_arrays(arr, num_hashes, portable)
+        sig = _minhash_sig_from_arrays(arr, num_hashes, portable, hashed=hashed)
         banded = _band_buckets(
             sig, bands, banding_geometry(num_hashes, bands), portable
         ).withColumnRenamed("_id", "id")
@@ -717,6 +769,7 @@ def build_simhash_index(
             max_tokens,
             record=True,
         ),
+        id_col=id_col,
     )
 
 
@@ -750,7 +803,7 @@ def dedup_against_simhash_index(
         ),
         ranges={"max_hamming": "lte"},
     )
-    new_df = _conform_batch_id(new_df, id_col, path, "simhash")
+    new_df = _conform_batch_id(new_df, id_col, path, "simhash", id_type=resolved.get("id_type"))
     new_chunks = _simhash_chunks(
         new_df, id_col, text_col, int(resolved["max_hamming"]), portable, max_tokens
     )
@@ -801,7 +854,7 @@ def append_to_simhash_index(
     here (manifest-enforced) — only queries may tighten the radius."""
     from dbt_foundation_spark.operators.tombstones import hold_append_marker
 
-    _check_manifest(
+    resolved = _check_manifest(
         df.sparkSession,
         path,
         _cap_params(
@@ -809,7 +862,7 @@ def append_to_simhash_index(
             max_tokens,
         ),
     )
-    df = _conform_batch_id(df, id_col, path, "simhash")
+    df = _conform_batch_id(df, id_col, path, "simhash", id_type=resolved.get("id_type"))
     with hold_append_marker(df.sparkSession, path, owner):
         _simhash_chunks(
             df, id_col, text_col, max_hamming, portable, max_tokens
@@ -862,6 +915,7 @@ def build_containment_index(
             max_tokens,
             record=True,
         ),
+        id_col=id_col,
     )
 
 
@@ -890,7 +944,7 @@ def containment_against_index(
     enforced caller ≥ build): stored corpus prefixes are then longer
     than the query needs — extra candidates, never a lost pair — while
     the batch's own prefixes and the verify use the caller's value."""
-    _check_manifest(
+    resolved = _check_manifest(
         spark,
         path,
         _cap_params(
@@ -906,7 +960,7 @@ def containment_against_index(
     from dbt_foundation_spark.operators.dedup import similarity_threshold
 
     similarity_threshold(threshold, "threshold")
-    new_df = _conform_batch_id(new_df, id_col, path, "containment")
+    new_df = _conform_batch_id(new_df, id_col, path, "containment", id_type=resolved.get("id_type"))
     # one tokenize+hash pass over the batch (r13): postings, prefixes
     # and the verify attach all read the pinned hash-set frame
     hs_new = pin(
@@ -985,7 +1039,7 @@ def append_to_containment_index(
     candidate it does propose has its verify row."""
     from dbt_foundation_spark.operators.tombstones import hold_append_marker
 
-    _check_manifest(
+    resolved = _check_manifest(
         df.sparkSession,
         path,
         _cap_params(
@@ -997,7 +1051,7 @@ def append_to_containment_index(
             max_tokens,
         ),
     )
-    df = _conform_batch_id(df, id_col, path, "containment")
+    df = _conform_batch_id(df, id_col, path, "containment", id_type=resolved.get("id_type"))
     with hold_append_marker(df.sparkSession, path, owner):
         # one tokenize+hash pass per batch (r13, see build_prefix_index)
         hs = pin(
@@ -1137,7 +1191,11 @@ def build_embedding_index(
             "seed": seed,
             "dim": dim,
             "threshold": threshold,
+            # r14: stored vector element type — skips the per-operation
+            # vectors-store schema probe in _conform_batch_vec
+            "vec_type": df.schema[vec_col].dataType.simpleString(),
         },
+        id_col=id_col,
     )
 
 
@@ -1176,8 +1234,8 @@ def dedup_against_embedding_index(
     from dbt_foundation_spark.functions import vectors as V
 
     planes = random_hyperplanes(dim, m, seed)
-    new_df = _conform_batch_id(new_df, id_col, path, "embedding")
-    new_df = _conform_batch_vec(new_df, vec_col, path)
+    new_df = _conform_batch_id(new_df, id_col, path, "embedding", id_type=resolved.get("id_type"))
+    new_df = _conform_batch_vec(new_df, vec_col, path, vec_type=resolved.get("vec_type"))
     banded_new = hyperplane_banded(new_df, id_col, vec_col, planes, bands, banding_geometry(m, bands, "m"))
     from dbt_foundation_spark.operators.tombstones import read_tombstones
 
@@ -1240,8 +1298,8 @@ def append_to_embedding_index(
     df = identified(df, id_col)
     dim = _resolve_dim(resolved, mft, df, vec_col)
     planes = random_hyperplanes(dim, m, seed)
-    df = _conform_batch_id(df, id_col, path, "embedding")
-    df = _conform_batch_vec(df, vec_col, path)
+    df = _conform_batch_id(df, id_col, path, "embedding", id_type=resolved.get("id_type"))
+    df = _conform_batch_vec(df, vec_col, path, vec_type=resolved.get("vec_type"))
     with hold_append_marker(df.sparkSession, path, owner):
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).write.mode(
             "append"

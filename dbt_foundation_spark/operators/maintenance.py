@@ -585,8 +585,8 @@ def compact_index(
         raise
     if tomb is not None:
         tomb = pin(tomb, eager=True)
-    out = {}
-    for sub, keys in INDEX_LAYOUT[flavor].items():
+
+    def _compact_sub(sub: str, keys) -> dict | None:
         sub_path = f"{index_path}/{sub}"
         # optional sub-datasets (the ivf ingest_log exists only for
         # stream-maintained indexes) are skipped, not errors — but a
@@ -602,7 +602,7 @@ def compact_index(
         old_p = jvm.org.apache.hadoop.fs.Path(f"{sub_path}__compact_old")
         if not fs.exists(sub_p):
             if not fs.exists(old_p):
-                continue
+                return None
             if not fs.rename(old_p, sub_p):
                 raise IOError(
                     f"could not restore parked {sub_path}__compact_old "
@@ -616,7 +616,7 @@ def compact_index(
             if tomb is not None
             else None
         )
-        out[sub] = compact_parquet_path(
+        return compact_parquet_path(
             spark,
             sub_path,
             target_file_bytes,
@@ -631,6 +631,27 @@ def compact_index(
             minus_ids=tomb if doc_col else None,
             minus_col=doc_col,
         )
+
+    # sub-datasets compact CONCURRENTLY (r14): each fold touches only
+    # its own directory (read snapshot → write-aside → rename swap), so
+    # the serial loop was pure wasted wall — 2-4 small read+write jobs
+    # queuing behind each other plus their driver planning gaps
+    # (measured ~40 jobs / 4.7 s per minhash compact at sf0.1, ~45% of
+    # it driver gap). Spark's scheduler interleaves jobs from threads;
+    # the crash contract is unchanged — any sub's failure propagates
+    # (first exception re-raised), the __compacting marker stays, and
+    # a re-run completes the remaining folds in any order, exactly the
+    # heal-by-rerun semantics the serial loop had.
+    from concurrent.futures import ThreadPoolExecutor
+
+    layout = list(INDEX_LAYOUT[flavor].items())
+    out = {}
+    with ThreadPoolExecutor(max_workers=max(1, len(layout))) as pool:
+        futures = {sub: pool.submit(_compact_sub, sub, keys) for sub, keys in layout}
+    for sub, fut in futures.items():
+        res = fut.result()  # re-raises the sub's failure, serial-loop style
+        if res is not None:
+            out[sub] = res
     if tomb is not None:
         # the folded ids are now physically gone, so remove exactly
         # THEM from the log — not the whole log: a retract_from_index

@@ -65,7 +65,7 @@ def cosine_topk(
     Plan: scan → codegen'd dot product → TakeOrderedAndProject(k).
     Deterministic tiebreak on id.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = V.lit_vec(query_vec)
     out = df.select(
         F.col(id_col),
         V.cosine(F.col(vec_col), q).alias("cosine_sim"),
@@ -102,7 +102,7 @@ def cosine_topk_lsh(
             qsig |= 1 << i
     probes = [qsig] + [qsig ^ (1 << i) for i in range(m)]
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = V.lit_vec(query_vec)
     out = (
         df.withColumn("_sig", sig)
         .filter(F.col("_sig").isin(probes))  # partition-prunable predicate
@@ -141,7 +141,7 @@ def cosine_topk_quantized(
     tests/test_properties.py pins recall ≥ 0.9 so any change to the
     quantizer or shortlist re-justifies itself by measurement.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = V.lit_vec(query_vec)
     out = df.withColumn("_z", V.int8_quantize(F.col(vec_col)))
     scale = F.greatest((F.col("_z.hi") - F.col("_z.lo")) / 255.0, F.lit(1e-12))
     deq = F.transform(F.col("_z.codes"), lambda c: F.col("_z.lo") + c * scale)
@@ -278,6 +278,20 @@ def ivf_assignments(
     return _ivf_assign(df, vec_col, centroids, id_col=id_col), centroids
 
 
+def _lit_vec(vec: list[float]):
+    """A literal array<double> column from a Python vector, built as
+    ONE parsed SQL expression (r14): the F.lit-per-element form cost a
+    Py4J driver roundtrip per element — ~1100 roundtrips (~0.7 s of
+    per-operation driver constant) for a 16×64 centroid set on every
+    IVF assign/probe. ``repr(float)`` round-trips the exact IEEE double
+    through Spark's parser (shortest-unique decimal → parseDouble), so
+    the literal values are bit-identical to F.lit's. Non-finite
+    elements (no finite-vector quantizer produces them, but a
+    hand-written store could) fall back to the element-wise form —
+    'inf'/'nan' have no SQL literal."""
+    return V.lit_vec(vec)
+
+
 def _sqdist(v, centroid: list[float]):
     """Squared distance between a vector COLUMN and a literal centroid
     — the single distance expression every IVF path (fit assignment,
@@ -286,12 +300,44 @@ def _sqdist(v, centroid: list[float]):
     return F.aggregate(
         F.zip_with(
             v,
-            F.array(*[F.lit(x) for x in centroid]),
+            _lit_vec(centroid),
             lambda a, b: (a - b) * (a - b),
         ),
         F.lit(0.0),
         lambda acc, z: acc + z,
     )
+
+
+def _sqdist_sql(v_sql: str, centroid: list[float]) -> str:
+    """The SQL-string twin of :func:`_sqdist` (r14): parses to the
+    IDENTICAL expression tree (same zip_with/aggregate lambdas, same
+    repr-round-tripped double literals — see :func:`~dbt_foundation_
+    spark.functions.vectors.lit_vec`), but an n-centroid family builds
+    in ONE driver roundtrip instead of ~30 per centroid (each PySpark
+    higher-order lambda costs several Py4J calls; the measured
+    construction constant was ~0.6 s per IVF assign at n_lists=16,
+    paid on EVERY append/probe/build). Callers must pre-check the
+    centroids are finite (lit_vec's fallback condition)."""
+    arr = "array(" + ", ".join(f"{float(x)!r}D" for x in centroid) + ")"
+    return (
+        f"aggregate(zip_with({v_sql}, {arr}, (a, b) -> (a - b) * (a - b)), "
+        "0.0D, (acc, z) -> acc + z)"
+    )
+
+
+def _dists_vec(vec_col: str, centroids: list[list[float]]):
+    """array<double> column of squared distances from ``vec_col`` to
+    each centroid — one F.expr when every centroid is finite, the
+    Column-by-Column fallback otherwise."""
+    import math
+
+    if all(math.isfinite(x) for c in centroids for x in c):
+        v_sql = f"cast(`{vec_col}` as array<double>)"
+        return F.expr(
+            "array(" + ", ".join(_sqdist_sql(v_sql, c) for c in centroids) + ")"
+        )
+    v = F.col(vec_col).cast("array<double>")
+    return F.array(*[_sqdist(v, c) for c in centroids])
 
 
 def _ivf_assign(
@@ -319,7 +365,7 @@ def _ivf_assign(
     array_position) and a ragged vector gets a NULL list — two
     different accidental behaviors instead of one deliberate one."""
     v = F.col(vec_col).cast("array<double>")
-    dists = F.array(*[_sqdist(v, c) for c in centroids])
+    dists = _dists_vec(vec_col, centroids)
     ok = V.is_finite_vector(v) & (F.size(v) == len(centroids[0]))
     if id_col is not None:
         ok = ok & F.col(id_col).isNotNull()
@@ -366,7 +412,7 @@ def cosine_topk_ivf(
     probes = sorted(range(len(centroids)), key=lambda i: l2(centroids[i], query_vec))[
         :n_probe
     ]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = V.lit_vec(query_vec)
     out = (
         assigned.filter(F.col("_ivf_list").isin([int(p) for p in probes]))
         .select(F.col(id_col), V.cosine(F.col(vec_col), q).alias("cosine_sim"))
@@ -659,7 +705,14 @@ def build_ivf_index(
             "n_lists": n_lists,
             "seed": seed,
             "dim": len(centroids[0]),
+            # r14: stored lists schema, recorded so appends can refuse
+            # drift without a per-ingest directory walk (see
+            # _refuse_schema_drift); id_type rides via id_col below
+            "id_name": id_col,
+            "vec_name": vec_col,
+            "vec_type": df.schema[vec_col].dataType.simpleString(),
         },
+        id_col=id_col,
     )
     return centroids
 
@@ -739,17 +792,41 @@ def _check_batch_schema(
     an index whose reads work would permanently refuse ingest."""
     stored_id = stored_schema[ivf_id_col(stored_schema)]
     stored_vec = stored_schema[ivf_vec_col(stored_schema)]
-    if (id_col, vec_col) != (stored_id.name, stored_vec.name):
+    _refuse_schema_drift(
+        df,
+        id_col,
+        vec_col,
+        stored_id.name,
+        stored_vec.name,
+        stored_id.dataType.simpleString(),
+        stored_vec.dataType.simpleString(),
+    )
+
+
+def _refuse_schema_drift(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    stored_id_name: str,
+    stored_vec_name: str,
+    stored_id_type: str,
+    stored_vec_type: str,
+) -> None:
+    """The comparison half of :func:`_check_batch_schema`, split out
+    (r14) so the stored names/types can come from the index MANIFEST
+    (recorded at build) instead of a per-append schema probe of the
+    partitioned lists dataset — a directory-walk + footer read of
+    driver constant on every ingest. Same refusals, same messages."""
+    if (id_col, vec_col) != (stored_id_name, stored_vec_name):
         raise ValueError(
-            f"index stores columns ({stored_id.name!r}, {stored_vec.name!r}) "
+            f"index stores columns ({stored_id_name!r}, {stored_vec_name!r}) "
             f"but the batch was addressed as ({id_col!r}, {vec_col!r}) — "
             "rename the batch columns; appending under different names "
             "would corrupt the dataset's resolved schema"
         )
     batch = {f.name: f for f in df.schema.fields}
-    for name, stored_field in ((id_col, stored_id), (vec_col, stored_vec)):
+    for name, want in ((id_col, stored_id_type), (vec_col, stored_vec_type)):
         got = batch[name].dataType.simpleString()
-        want = stored_field.dataType.simpleString()
         if got != want:
             raise ValueError(
                 f"batch column {name!r} is {got} but the index stores "
@@ -880,10 +957,20 @@ def append_to_ivf_index(
     )
 
     spark = df.sparkSession
-    centroids, dim, _ = _load_ivf(spark, path)
-    _check_batch_schema(
-        df, id_col, vec_col, guarded_sub_read(spark, path, "lists").schema
-    )
+    centroids, dim, mft = _load_ivf(spark, path)
+    mft = mft or {}
+    if {"id_name", "vec_name", "id_type", "vec_type"} <= set(mft):
+        # manifest-recorded stored schema (r14): same refusals, no
+        # per-append directory walk of the partitioned lists dataset
+        _refuse_schema_drift(
+            df, id_col, vec_col,
+            mft["id_name"], mft["vec_name"],
+            mft["id_type"], mft["vec_type"],
+        )
+    else:  # pre-record manifest: probe the stored dataset as before
+        _check_batch_schema(
+            df, id_col, vec_col, guarded_sub_read(spark, path, "lists").schema
+        )
     with hold_append_marker(spark, path, owner):
         _append_assigned(df, id_col, vec_col, path, centroids, dim)
 
@@ -1078,14 +1165,29 @@ def knn_join_ivf(
 
     guarded = _dim_guarded(queries, query_vec, dim, f"IVF index {path} (query)")
     qv = F.col(query_vec).cast("array<double>")
-    ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(_sqdist(qv, c).alias("d"), F.lit(i).alias("i"))
+    import math as _math
+
+    if all(_math.isfinite(x) for c in centroids for x in c):
+        # one parsed expression (r14 — see _sqdist_sql): identical tree,
+        # ~30× fewer driver roundtrips per probe ranking
+        qv_sql = f"cast(`{query_vec}` as array<double>)"
+        ranked = F.expr(
+            "array_sort(array("
+            + ", ".join(
+                f"named_struct('d', {_sqdist_sql(qv_sql, c)}, 'i', {i})"
                 for i, c in enumerate(centroids)
-            ]
+            )
+            + "))"
         )
-    )
+    else:
+        ranked = F.array_sort(
+            F.array(
+                *[
+                    F.struct(_sqdist(qv, c).alias("d"), F.lit(i).alias("i"))
+                    for i, c in enumerate(centroids)
+                ]
+            )
+        )
     probes = guarded.select(
         F.col(query_id).alias("query_id"),
         # double-cast so the verify sim is bit-identical to
@@ -1195,7 +1297,7 @@ def search_ivf_index(
     probe_ids = sorted(
         range(len(centroids)), key=lambda i: l2(centroids[i], query_vec)
     )[:n_probe]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = V.lit_vec(query_vec)
     out = (
         _live_lists(spark, path)
         .filter(F.col("_ivf_list").isin(probe_ids))

@@ -403,8 +403,15 @@ def _index_id_type(
         _read_manifest,
     )
 
+    # manifest-recorded type (r14): builds record id_type, making this
+    # a driver-side manifest read instead of a stored-dataset schema
+    # probe (listing + parquet footer per call — the retract/legacy
+    # conform paths pay it per operation). Appends conform to the
+    # recorded type, so it cannot drift from the stored datasets.
+    mft = _read_manifest(spark, index_path)
+    if mft and mft.get("id_type"):
+        return mft["id_type"]
     if flavor is None:
-        mft = _read_manifest(spark, index_path)
         flavor = (mft or {}).get("flavor")
     if flavor not in INDEX_LAYOUT:
         return None

@@ -18,6 +18,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from dbt_foundation_spark.queries._util import t
+
+from tests.conftest import distinct_mtime
 from dbt_foundation_spark.streaming.pipeline import (
     dedup_stream,
     read_event_stream,
@@ -59,7 +61,7 @@ def staging(spark, sf_dir):
         sl = ev.filter((F.col("ts") >= lo + i * width) & upper)
         sl.coalesce(1).write.mode("append").parquet(str(ordered_dir))
         if i < 3:
-            _time.sleep(1.05)  # distinct mtimes → deterministic replay order
+            distinct_mtime(ordered_dir)  # stamped, not slept: conftest.distinct_mtime
     yield {
         "root": root,
         "events": str(events_dir),
@@ -403,7 +405,7 @@ def test_stateful_sessionization_matches_session_window(spark, sf_dir, staging):
             & (F.col("ts") < (lo + (i + 1) * span) if i < 3 else F.lit(True))
         )
         chunk.coalesce(1).write.mode("append").parquet(str(ordered_dir))
-        _time.sleep(1.1)
+        distinct_mtime(ordered_dir)  # stamped, not slept: conftest.distinct_mtime
     stream = read_event_stream(spark, str(ordered_dir), max_files_per_trigger=1)
     sessions = sessionize_with_state(stream, gap_seconds=1800)
     run_available_now(sessions, _ckpt(staging), "s_state_sessions", output_mode="append")
@@ -466,7 +468,7 @@ def test_buffered_sessionization_handles_cross_batch_disorder(spark, sf_dir, sta
         ) if i > 0 else None
         chunk = on_time.unionByName(from_prev) if from_prev is not None else on_time
         chunk.coalesce(1).write.mode("append").parquet(str(ddir))
-        _time.sleep(1.1)
+        distinct_mtime(ddir)  # stamped, not slept: conftest.distinct_mtime
 
     stream = read_event_stream(spark, str(ddir), max_files_per_trigger=1)
     sessions = sessionize_buffered(stream, gap_seconds=1800, watermark_delay="130 minutes")
@@ -595,7 +597,7 @@ def test_dedup_ingest_stream_matches_sequential(spark, sf_dir, staging):
     for i, b in enumerate(batches):
         b.coalesce(1).write.mode("append").parquet(str(stream_dir))
         if i < len(batches) - 1:
-            _time.sleep(1.05)  # distinct mtimes -> deterministic batch order
+            distinct_mtime(stream_dir)  # stamped, not slept: conftest.distinct_mtime
     out = str(root / "ingest_out")
     run_dedup_ingest(
         read_document_stream(spark, str(stream_dir), max_files_per_trigger=1),
@@ -683,7 +685,7 @@ def test_dedup_ingest_restart_no_reprocess(spark, sf_dir, staging):
     # run 2 (restart, same checkpoint): only the NEW file is processed —
     # 1100 duplicates run-1's admitted 1000 (index state survived the
     # restart), 1101 is fresh; 1000/1001 are not re-admitted
-    _time.sleep(1.05)
+    distinct_mtime(stream_dir)  # stamped, not slept: conftest.distinct_mtime
     docs([(1100, texts[20]), (1101, texts[22])]).coalesce(1).write.mode(
         "append"
     ).parquet(str(stream_dir))
@@ -749,7 +751,7 @@ def test_dedup_ingest_stream_embedding_detector(spark, staging):
     for i, b in enumerate(batches):
         b.coalesce(1).write.mode("append").parquet(str(stream_dir))
         if i < len(batches) - 1:
-            _time.sleep(1.05)
+            distinct_mtime(stream_dir)  # stamped, not slept: conftest.distinct_mtime
     import pyspark.sql.types as T
 
     run_dedup_ingest(
@@ -876,7 +878,7 @@ def test_dedup_ingest_stream_detector_flavors(spark, sf_dir, staging):
         for i, b in enumerate(batches):
             b.coalesce(1).write.mode("append").parquet(str(stream_dir))
             if i < len(batches) - 1:
-                _time.sleep(1.05)
+                distinct_mtime(stream_dir)  # stamped, not slept: conftest.distinct_mtime
         run_dedup_ingest(
             read_document_stream(spark, str(stream_dir), max_files_per_trigger=1),
             "doc_id", "text", idx, out, _ckpt(staging),
@@ -953,7 +955,7 @@ def test_tws_sessionization_matches_state_api(spark, sf_dir, staging):
             & (F.col("ts") < (lo + (i + 1) * span) if i < 3 else F.lit(True))
         )
         chunk.coalesce(1).write.mode("append").parquet(str(ordered_dir))
-        _time.sleep(1.1)
+        distinct_mtime(ordered_dir)  # stamped, not slept: conftest.distinct_mtime
 
     def run(make, table):
         stream = read_event_stream(spark, str(ordered_dir), max_files_per_trigger=1)
@@ -1177,7 +1179,7 @@ def test_ivf_ingest_stream_appends_exactly_once(spark, sf_dir, staging):
     # run 1: two files -> two batches, both appended and logged
     frame([(10_000, rows[100]["embedding"]), (10_001, rows[101]["embedding"])]
           ).coalesce(1).write.mode("append").parquet(str(stream_dir))
-    _time.sleep(1.05)
+    distinct_mtime(stream_dir)  # stamped, not slept: conftest.distinct_mtime
     frame([(10_100, rows[102]["embedding"])]).coalesce(1).write.mode(
         "append"
     ).parquet(str(stream_dir))
@@ -1354,7 +1356,7 @@ def test_dedup_ingest_respects_tombstones(spark, sf_dir, staging):
     for i, b in enumerate(batches):
         b.coalesce(1).write.mode("append").parquet(str(stream_dir))
         if i < len(batches) - 1:
-            _time.sleep(1.05)
+            distinct_mtime(stream_dir)  # stamped, not slept: conftest.distinct_mtime
     out = str(root / "tomb_ingest_out")
     run_dedup_ingest(
         read_document_stream(spark, str(stream_dir), max_files_per_trigger=1),
@@ -1770,7 +1772,7 @@ def test_online_retraction_during_running_ingest(spark, sf_dir, staging, monkeyp
     for i, b in enumerate(batches):
         b.coalesce(1).write.mode("append").parquet(str(stream_dir))
         if i < len(batches) - 1:
-            _time.sleep(1.05)
+            distinct_mtime(stream_dir)  # stamped, not slept: conftest.distinct_mtime
     out = str(root / "ret_out")
 
     seen = {"n": 0}
@@ -1937,7 +1939,7 @@ def test_dedup_ingest_first_batch_empty(spark, sf_dir, staging):
     spark.createDataFrame([], DOCUMENT_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(str(stream_dir))
-    _time.sleep(1.05)  # distinct mtimes -> deterministic batch order
+    distinct_mtime(stream_dir)  # stamped, not slept: conftest.distinct_mtime
     # batch 1: two fresh docs + one duplicate of the pre-indexed corpus
     docs([(10, texts[1]), (11, texts[2]), (12, texts[0])]).coalesce(1).write.mode(
         "append"
@@ -2076,7 +2078,7 @@ def test_checkpoint_loss_recovery_dedup_ingest(spark, sf_dir, staging):
     # the loss shape: checkpoint wiped, everything else kept; a new
     # novel doc AND a duplicate of an admitted one arrive
     shutil.rmtree(ckpt)
-    _time.sleep(1.05)
+    distinct_mtime(stream_dir)  # stamped, not slept: conftest.distinct_mtime
     docs([(2000, texts[21]), (2001, texts[20])]).coalesce(1).write.mode(
         "append"
     ).parquet(str(stream_dir))
@@ -2138,7 +2140,7 @@ def test_checkpoint_loss_recovery_ivf_ingest(spark, staging):
     assert 100 in set(live_ids())
 
     shutil.rmtree(ckpt)
-    _time.sleep(1.05)
+    distinct_mtime(stream_dir)  # stamped, not slept: conftest.distinct_mtime
     vecs([(200, [8.0, 8.0, 8.0])]).coalesce(1).write.mode("append").parquet(
         str(stream_dir)
     )
@@ -2254,7 +2256,7 @@ def test_checkpoint_loss_recovery_ivf_ingest_explicit_app_id(spark, staging):
     assert all(ns.startswith("etl-a@") for ns in logged), logged
 
     shutil.rmtree(ckpt)
-    _time.sleep(1.05)
+    distinct_mtime(stream_dir)  # stamped, not slept: conftest.distinct_mtime
     vecs([(200, [8.0, 8.0, 8.0])]).coalesce(1).write.mode("append").parquet(
         str(stream_dir)
     )
