@@ -589,12 +589,30 @@ def test_small_dim_join_broadcasts(spark, sf_dir):
 
 
 def test_no_python_row_udfs_in_catalog(spark, sf_dir):
-    """Every catalog query plan must stay JVM-side (Arrow ops allowed)."""
+    """Every catalog query plan must stay JVM-side (Arrow ops allowed).
+
+    Frames build on a thread pool (r14): the check is ~156 independent
+    plan constructions (driver-side Catalyst work, no ordering), and
+    serial construction alone cost ~45 s of the suite's budget. The
+    FRAMEWORK queries (queries/framework.py) stay serial: each runs a
+    real materialization in a throwaway catalog schema at build time —
+    warehouse-dir mutations that race when interleaved."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import __spark_entry__ as e
 
-    for name, fn in e.queries().items():
+    def check(item):
+        name, fn = item
         df = fn(spark, sf_dir)
         assert python_eval_count(df) == 0, f"{name} uses a row-at-a-time Python UDF"
+
+    items = list(e.queries().items())
+    parallel = [i for i in items if "framework" not in i[1].__module__]
+    serial = [i for i in items if "framework" in i[1].__module__]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(check, parallel))
+    for item in serial:
+        check(item)
 
 
 def test_pricing_summary_plan_shape(spark, sf_dir):
